@@ -1,0 +1,57 @@
+"""Catalog: named-table registration over the fixture parquet directories.
+
+The reference registers tables by name via DDL (``con.create_table``,
+reference: window_aggregation.py:44-51, 68-70) and queries them by name. Our
+batch analog registers each parquet fixture as a temp view so both DataFrame
+code and ``spark.sql`` can reference the same names the DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one fixture table (ns-timestamps lowered to µs; see
+    sources/files.py). Plain lazy scan so Catalyst keeps full pushdown and
+    pruning freedom — never cache here."""
+    from ibis_flink_example_spark.sources.files import read_parquet
+
+    return read_parquet(spark, table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs

@@ -1,0 +1,141 @@
+"""Reference-parity queries: the exact operator surface the reference
+exercises (SURVEY.md §2, status=P rows), expressed on the ``events`` fixture
+(the driver's streaming analog of ``payment_msg``, FIXTURES.md B2).
+
+Column mapping (FIXTURES.md): provinceId→user_id, payAmount→value,
+createTime→ts, orderId→event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators.over_window import range_over_sum
+from ibis_flink_example_spark.queries import query
+
+# --- W1 + P1 + P2 + A1 + O1 + S8: the flagship ------------------------------
+# Reference: window_aggregation.py:73-80 — SUM(payAmount) OVER (PARTITION BY
+# provinceId ORDER BY createTime RANGE BETWEEN INTERVAL '10' SECOND PRECEDING
+# AND CURRENT ROW), one output row per input row.
+
+_FLAGSHIP_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS value_sum_10s
+FROM events
+"""
+
+
+@query("over_range_sum_10s", oracle=_FLAGSHIP_ORACLE)
+def over_range_sum_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship W1: per-row trailing-10 s SUM(value) per user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return range_over_sum(
+        events,
+        key="user_id",
+        time_col="ts",
+        measure="value",
+        lookback_seconds=10,
+        out_col="value_sum_10s",
+        keep=["event_id", "user_id", "ts"],
+    )
+
+
+# Same operator with a 1-hour lookback: at fixture density the 10 s frame is
+# almost always a single row; the 1 h frame aggregates many rows per frame and
+# so actually exercises frame accumulation + peer-row semantics.
+_FLAGSHIP_1H_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS value_sum_1h,
+  COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+  ) AS n_events_1h
+FROM events
+"""
+
+
+@query("over_range_sum_1h", oracle=_FLAGSHIP_1H_ORACLE)
+def over_range_sum_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ibis_flink_example_spark.functions.exact import money
+    from ibis_flink_example_spark.operators.over_window import MICROS
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * MICROS, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(money("value")).over(w).cast("double").alias("value_sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
+# --- P1/P2: projection with rename (reference: window_aggregation.py:73-80
+# renames provinceId→province_id, payAmount→pay_amount at query level) -------
+
+_PROJECT_ORACLE = """
+SELECT event_id AS order_id, user_id AS province_id, value AS pay_amount
+FROM events
+"""
+
+
+@query("project_rename", oracle=_PROJECT_ORACLE)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").alias("order_id"),
+        F.col("user_id").alias("province_id"),
+        F.col("value").alias("pay_amount"),
+    )
+
+
+# --- S2 analog: JSON decode of the props payload against a declared schema.
+# The reference's format layer deserializes JSON messages onto an explicit
+# schema (window_aggregation.py:41 + :25-33); here the JSON lives in a column.
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@query("json_decode", oracle=_JSON_ORACLE)
+def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select("event_id", parsed.getField("k").alias("prop_k"))
+
+
+# --- S7/O2 analog: bounded result tap (reference: islice(consumer, 10),
+# window_aggregation.py:85-90). Deterministic: ordered before limiting. ------
+
+_LIMIT_ORACLE = """
+SELECT event_id, user_id, value
+FROM events
+ORDER BY ts, event_id
+LIMIT 10
+"""
+
+
+@query("ordered_limit", oracle=_LIMIT_ORACLE)
+def ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.orderBy("ts", "event_id").select("event_id", "user_id", "value").limit(10)

@@ -1,0 +1,79 @@
+"""SparkSession construction conventions.
+
+The reference configures its engine via ``EnvironmentSettings.in_streaming_mode()``
+and ``parallelism.default`` (reference: window_aggregation.py:11-14). Our analog
+is a SparkSession builder that bakes in the conventions every query in this
+package assumes:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join splitting);
+- Arrow on (vectorized Python<->JVM transfer for the few pandas-UDF paths);
+- UTC session timezone (fixture timestamps are naive/UTC; keeps DuckDB-oracle
+  comparisons and Kafka JSON round-trips stable);
+- bounded shuffle partitions for local runs (overridable; on a real cluster AQE
+  coalesces from a high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The reference wire format for timestamps in Kafka JSON messages
+# (reference: generate_source_data.py:20).
+REFERENCE_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Files: pack small fixture files; on 100 TB this is the knob that sizes
+    # scan tasks (128 MB default is right for a cluster; harmless locally).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims (region/nation/supplier/part) stay broadcast
+    # even at sf100; AQE will also convert to broadcast at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "ibis-flink-example-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the conventional SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    On a cluster deployment the master comes from spark-submit and this builder
+    only contributes conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_session_conf(spark: SparkSession) -> None:
+    """Apply the runtime-settable subset of our conventions to an existing
+    session (the driver hands us its own SparkSession for ``entry``/``queries``;
+    static conf like memory can't change, but these can)."""
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.session.timeZone",
+    ):
+        spark.conf.set(k, DEFAULT_CONF[k])

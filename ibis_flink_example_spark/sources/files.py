@@ -1,0 +1,92 @@
+"""File sources (SURVEY.md §2.1 S8): batch + streaming parquet/CSV/JSON with
+declared schemas, plus a normalizing parquet reader for nanosecond timestamps.
+
+Nanosecond handling: parquet TIMESTAMP(NANOS) (pandas-written fixtures like
+``events.ts``) is rejected by Spark's vectorized reader. We flip the session
+conf ``spark.sql.legacy.parquet.nanosAsLong`` to read such columns as int64
+epoch-nanos, then convert with integer division to µs TimestampType —
+truncation toward negative infinity on positive epochs, exactly matching what
+DuckDB does when it lowers ns→µs for its TIMESTAMP. Integer ``div`` (not
+float ``/``) is essential: epoch-ns ≈ 1.7e18 > 2^53 loses µs precision as a
+double.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ibis_flink_example_spark.session import REFERENCE_TIMESTAMP_FORMAT
+
+
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (driver-side
+    metadata read — one footer, not data)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pt
+
+    schema = ds.dataset(path, format="parquet").schema
+    return tuple(
+        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that transparently lowers ns-timestamps to Spark µs.
+
+    The conversion is a codegen'd projection on top of the scan; column
+    pruning and predicate pushdown on all other columns are unaffected.
+    """
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV with a declared schema — never inferSchema (SURVEY.md §1.4)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("timestampFormat", REFERENCE_TIMESTAMP_FORMAT)
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines with a declared schema and the reference wire format for
+    timestamps (reference: generate_source_data.py:20)."""
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", REFERENCE_TIMESTAMP_FORMAT)
+        .json(path)
+    )
+
+
+def stream_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming file source: treats a directory of parquet files as an
+    unbounded table (the batch analog of the reference's Kafka source S1)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_jsonl_dir(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("timestampFormat", REFERENCE_TIMESTAMP_FORMAT)
+        .json(path)
+    )

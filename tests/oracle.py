@@ -1,0 +1,100 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered Spark query and its oracle SQL side-by-side on the same
+parquet fixtures, then compares row count, column names, and values after
+sorting columns by name and rows by all columns — an order-insensitive,
+EXACT comparison (floats must match bit-for-bit, which our decimal-exact
+aggregation strategy guarantees; see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from ibis_flink_example_spark.catalog import FIXTURE_TABLES, table_path
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con.execute(sql).df()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"columns differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}")
+        return problems
+    if len(a) != len(b):
+        problems.append(f"row count differs: spark={len(a)} oracle={len(b)}")
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                diff = float(
+                    max(
+                        abs(x - y)
+                        for x, y in zip(av[neq], bv[neq])
+                        if not (math.isnan(x) or math.isnan(y))
+                    )
+                    if not (av[neq].isna().any() or bv[neq].isna().any())
+                    else float("nan")
+                )
+                problems.append(
+                    f"col {c}: {int(neq.sum())} float mismatches, first at row {i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r} (max abs diff {diff})"
+                )
+        else:
+            try:
+                eq = (av == bv) | (av.isna() & bv.isna())
+            except Exception:
+                eq = av.astype(str) == bv.astype(str)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={av[i]!r} oracle={bv[i]!r}"
+                )
+    return problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only check (non-SQL-expressible op)
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    oracle_pdf = run_oracle(ORACLES[name], sf_dir)
+    return compare_frames(spark_pdf, oracle_pdf)

@@ -1,0 +1,31 @@
+"""The main correctness gate, run locally: every registered query is executed
+on Spark AND (where an oracle exists) on DuckDB at sf0.001, and compared
+exactly — a faithful local replica of the driver's CORRECTNESS check."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import check_query
+
+
+def _all_query_names():
+    from ibis_flink_example_spark.queries import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_query_matches_oracle(spark, sf_dir, name):
+    problems = check_query(spark, name, sf_dir)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_every_query_has_oracle_or_reason():
+    """Queries without an oracle must be explicitly whitelisted as
+    non-SQL-expressible (the driver records only a rows-only check)."""
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from ibis_flink_example_spark.queries import NON_SQL_EXPRESSIBLE
+
+    missing = set(QUERIES) - set(ORACLES) - set(NON_SQL_EXPRESSIBLE)
+    assert not missing, f"queries lacking oracle without justification: {sorted(missing)}"
