@@ -1,3 +1,819 @@
 """Relational breadth queries (SURVEY.md §2 status=A rows): filters, scalar
-expressions, grouped aggregation, joins, sorts, set ops, ranking windows.
-Populated in M2."""
+expressions, grouped aggregation, joins (inner/outer/semi/anti/cross/theta/
+range/as-of), sorts & top-k, set operations, ranking & analytic windows, and
+scalar function suites — each as a (Spark, DuckDB-oracle) pair.
+
+Determinism rules (see queries.py): decimal-exact double aggregation, total
+tie-breaking on every ORDER BY that feeds row_number/limit, aggregates cast to
+stable types on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.functions.exact import dec_avg, dec_sum, money
+from ibis_flink_example_spark.operators.joins import asof_join, range_join
+from ibis_flink_example_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# P3/P4: filter + scalar expressions (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_shipped",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_quantity < 25.0
+""",
+)
+def filter_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: conjunctive predicate; pushes to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 25.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "scalar_case_expr",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  CASE
+    WHEN l_quantity >= 40 THEN 'bulk'
+    WHEN l_quantity >= 10 THEN 'mid'
+    ELSE 'small'
+  END AS qty_band,
+  l_discount > 0.05 AS high_discount
+FROM lineitem
+""",
+)
+def scalar_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: arithmetic, CASE WHEN, boolean predicates as values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (money("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))).cast(
+        "double"
+    )
+    band = (
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        band.alias("qty_band"),
+        (F.col("l_discount") > 0.05).alias("high_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2-A4: grouped aggregation (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "groupby_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash aggregation with partial/final
+    map-side combine. All money math in exact decimals (order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    tax = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(money("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(money("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_by_nation",
+    oracle="""
+SELECT
+  n.n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c.c_acctbal) AS avg_acctbal,
+  MIN(c.c_acctbal) AS min_acctbal,
+  MAX(c.c_acctbal) AS max_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 count/avg/min/max after a broadcast dim join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_avg("c_acctbal", "avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+@query(
+    "count_distinct_status",
+    oracle="""
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def count_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact COUNT DISTINCT (expand + two-phase aggregation in Spark)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL is a
+    different sketch so values can't hash-match; the rows-only check applies.
+    At 100 TB this replaces exact count-distinct wherever a 1-2% error is
+    acceptable — single pass, constant memory, no expand."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "rollup_nation_region",
+    oracle="""
+SELECT
+  r.r_name,
+  n.n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 hierarchical ROLLUP (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum("c_acctbal", "sum_acctbal"),
+    )
+
+
+@query(
+    "cube_platform_province",
+    oracle="""
+SELECT
+  event_type,
+  user_id % 4 AS user_bucket,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 4)
+""",
+)
+def cube_platform_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 CUBE over two dimensions (all 4 grouping sets)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 4
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J6: joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_customer_orders",
+    oracle="""
+SELECT
+  c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner equi-join (fact->dim) + grouped agg. o_totalprice is NOT
+    2-decimal-quantized, so we sum via DECIMAL(18,4): both engines round the
+    same binary double to 4 decimals — deterministic — then sum exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+                "sum_totalprice"
+            ),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+SELECT n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 explicit broadcast join of two tiny dims — no shuffle at any scale."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_name", "r_name")
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-anti join (NOT EXISTS) — customers with no large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cross join — only ever sane between dims (5 x 25 here); at scale one
+    side must be broadcast-small, which Catalyst enforces via BNLJ."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+SELECT s.s_suppkey, c.c_custkey
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 equi-key + theta residual: executes as a hash join on nationkey with
+    the inequality as post-filter — NOT a cartesian product."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    ).select("s_suppkey", "c_custkey")
+
+
+@query(
+    "range_join_events",
+    oracle="""
+SELECT
+  a.event_id,
+  COUNT(*) AS n_within_5m,
+  CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_within_5m
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 5 MINUTE
+ AND b.ts <= a.ts
+GROUP BY a.event_id
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 time-bounded self join (the batch shape of a watermarked
+    stream-stream interval join) + per-left-row aggregation. This join is
+    also the declarative basis of the STREAMING flagship emulation."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = range_join(
+        e.select("event_id", "user_id", "ts"),
+        e.select("user_id", F.col("ts").alias("rts"), "value"),
+        by="user_id",
+        left_time="ts",
+        right_time="rts",
+        lower_seconds=300,
+        upper_seconds=0,
+    )
+    return pairs.groupBy("l.event_id").agg(
+        F.count(F.lit(1)).alias("n_within_5m"),
+        dec_sum("r.value", "sum_within_5m"),
+    )
+
+
+@query(
+    "asof_join_clicks",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as-of join: each purchase annotated with the most recent prior click
+    value per user. Union + last_value implementation (operators/joins.py) —
+    one shuffle, no pair explosion."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, by="user_id", on="ts", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_right").alias("click_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3: sort / top-k; set operations (SURVEY.md §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k: Catalyst rewrites to TakeOrderedAndProject (per-partition
+    heap + driver merge — no global sort even at 100 TB). Tie-broken on the
+    key so the result set is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep multiplicity
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# W4: ranking / analytic windows; ROWS frames (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS pri_rank,
+  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS pri_dense_rank,
+  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+""",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ranking functions. row_number/ntile orderings are made total
+    (tie-break on the key); rank/dense_rank deliberately rank a column WITH
+    ties — deterministic by definition."""
+    o = load_table(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_pri = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_pri).alias("pri_rank"),
+        F.dense_rank().over(w_pri).alias("pri_dense_rank"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  LAG(value) OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  FIRST_VALUE(value) OVER w AS first_value,
+  CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 analytic functions (lag/lead/first_value) + event-time deltas."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "us_since_prev"
+        ),
+    )
+
+
+@query(
+    "window_rows_moving_avg",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg_3,
+  COUNT(*) OVER w AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rows_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ROWS frame (physical offsets, vs the flagship's RANGE frame)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(money("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg_3"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function suites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  UPPER(p_brand) AS brand_upper,
+  LOWER(p_type) AS type_lower,
+  LENGTH(p_name) AS name_len,
+  SUBSTRING(p_name, 1, 5) AS name_prefix,
+  CONCAT(p_brand, ':', p_type) AS brand_type,
+  REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1) AS brand_num,
+  STRING_SPLIT(p_name, ' ')[1] AS first_word,
+  REPLACE(p_name, ' ', '_') AS name_snake,
+  TRIM('  ' || p_name || ' ') AS name_trim
+FROM part
+""",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+  DATE_TRUNC('month', o_orderdate) AS month_start,
+  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS INTEGER) AS days_to_2001,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_ts"),
+        F.datediff(F.lit("2001-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2001"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ABS(l_quantity - 25.0) AS qty_dev,
+  CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+  CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+  SQRT(l_extendedprice) AS price_sqrt,
+  ROUND(LN(l_extendedprice), 6) AS price_ln,
+  l_quantity * l_quantity AS qty_sq,
+  l_extendedprice % 100 AS price_mod
+FROM lineitem
+WHERE l_extendedprice > 0
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt is IEEE-correctly-rounded (bit-exact across engines); ln is
+    libm-dependent so it's rounded to 6 decimals on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_extendedprice") % 100).alias("price_mod"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+SELECT
+  vec_id,
+  len(embedding) AS n_dims,
+  CAST(embedding[1] AS DOUBLE) AS first_dim,
+  ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+  CAST(list_max(embedding) AS DOUBLE) AS max_dim
+FROM embeddings
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array functions over the embedding column — all JVM-side
+    (size/element_at/aggregate/array_max), no Python in the loop."""
+    em = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries (multi-join plans for the bench)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dim filter -> fact join chain -> agg -> top-k."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(money("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-table star join; dims broadcast, facts shuffle on keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(money("l_extendedprice") * disc).cast("double").alias("revenue"))
+    )
