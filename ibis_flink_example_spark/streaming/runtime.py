@@ -1,0 +1,78 @@
+"""Streaming runtime utilities: watermark declaration (W2), memory/console
+sinks (S7), availableNow execution, foreachBatch bridge.
+
+Watermark semantics (reference: window_aggregation.py:48-50 —
+``WATERMARK FOR createTime AS createTime - INTERVAL '15' SECOND``):
+``with_watermark(df, "createTime", 15)`` bounds state and drops rows more
+than 15 s later than the max event-time seen — Spark's
+``withWatermark`` is the direct counterpart (SURVEY.md §2.9 T1/T2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def with_watermark(df: DataFrame, time_col: str, delay_seconds: float) -> DataFrame:
+    """W2: declare event-time + allowed lateness (reference 15 s)."""
+    return df.withWatermark(time_col, f"{delay_seconds} seconds")
+
+
+def run_available_now(
+    df: DataFrame,
+    *,
+    query_name: str | None = None,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all currently
+    available input (micro-batches until drained), collect results in a
+    memory sink, and return them as a batch DataFrame.
+
+    This is how finite streaming runs are verified against batch oracles
+    (batch-vs-stream equivalence, SURVEY.md §5); the memory sink is
+    driver-local and strictly for bounded test/verification runs — never a
+    production sink.
+    """
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    writer = writer.option(
+        "checkpointLocation", checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    )
+    q = writer.start()
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def console_tap(df: DataFrame, num_rows: int = 10, truncate: bool = False):
+    """S7: the reference's verification tap (10 sink records printed,
+    window_aggregation.py:85-90) — Spark's console sink."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
+def foreach_batch(df: DataFrame, fn, *, checkpoint: str | None = None, available_now: bool = False):
+    """Bridge to batch-only sinks/operators: ``fn(batch_df, batch_id)`` runs
+    per micro-batch with full batch capabilities (arbitrary writers, MERGE,
+    multi-sink fan-out). The workhorse for production sinks Spark lacks
+    native streaming writers for."""
+    writer = df.writeStream.foreachBatch(fn)
+    writer = writer.option(
+        "checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_feb_")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,296 @@
+"""Streaming runtime tests (SURVEY.md §5 'streaming-specific tests'):
+batch-vs-stream equivalence on the events fixture, multi-batch replay with
+watermark semantics, and the reference payment pipeline end-to-end through
+the JSON format layer."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.functions.exact import dec_sum
+from ibis_flink_example_spark.operators.time_windows import tumble
+from ibis_flink_example_spark.operators.over_window import range_over_sum
+from ibis_flink_example_spark.schema import PAYMENT_MSG_SCHEMA
+from ibis_flink_example_spark.sources.kafka import decode_json_value, encode_json_value
+from ibis_flink_example_spark.streaming.runtime import run_available_now
+from ibis_flink_example_spark.streaming.over_window import streaming_range_over_sum
+from ibis_flink_example_spark.streaming.stateful import stateful_range_over_sum
+
+
+def _sorted_pdf(df, cols):
+    return df.toPandas()[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def events_replay_dir(spark, sf_dir):
+    """events split into 4 event-time-ordered parquet files so the streaming
+    file source replays them as multiple watermark-advancing micro-batches."""
+    d = tempfile.mkdtemp(prefix="events_replay_")
+    e = load_table(spark, sf_dir, "events")
+    # 4 contiguous time ranges → files replayed in order (source lists by
+    # name; prefix with the range index)
+    bounds = e.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo_us, hi_us = [
+        int(x.timestamp() * 1_000_000) for x in (bounds["lo"], bounds["hi"])
+    ]
+    step = (hi_us - lo_us) // 4 + 1
+    for i in range(4):
+        chunk = e.filter(
+            (F.unix_micros("ts") >= lo_us + i * step)
+            & (F.unix_micros("ts") < lo_us + (i + 1) * step)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"part_{i}"))
+        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"part_{i}", "*.parquet")))):
+            shutil.move(f, os.path.join(d, f"{i:02d}_{j}.parquet"))
+        shutil.rmtree(os.path.join(d, f"part_{i}"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_events(spark, replay_dir, files_per_trigger=1):
+    from ibis_flink_example_spark.schema import schema as mk_schema
+
+    s = mk_schema(
+        {
+            "event_id": "int64",
+            "ts": "timestamp",
+            "user_id": "int64",
+            "event_type": "string",
+            "value": "float64",
+            "props": "string",
+        }
+    )
+    return (
+        spark.readStream.schema(s)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(replay_dir)
+    )
+
+
+def test_stream_tumble_equals_batch(spark, sf_dir, events_replay_dir):
+    """Multi-batch streaming tumble (complete mode) == batch tumble."""
+    aggs = {"n_events": F.count(F.lit(1)), "sum_value": dec_sum("value")}
+    batch = tumble(load_table(spark, sf_dir, "events"), "ts", "1 minute", aggs, keys=["event_type"])
+    stream = _stream_events(spark, events_replay_dir).withWatermark("ts", "15 seconds")
+    streamed = run_available_now(
+        tumble(stream, "ts", "1 minute", aggs, keys=["event_type"]), output_mode="complete"
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert _sorted_pdf(batch, cols).equals(_sorted_pdf(streamed, cols))
+
+
+def test_stateful_over_window_equals_batch(spark, sf_dir, events_replay_dir):
+    """Design (b): multi-batch in-order replay through applyInPandasWithState
+    equals the batch RANGE over-window exactly, row for row."""
+    batch = range_over_sum(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        time_col="ts",
+        measure="value",
+        lookback_seconds=10,
+        out_col="value_sum_10s",
+        keep=["event_id", "user_id", "ts"],
+    )
+    streamed = run_available_now(
+        stateful_range_over_sum(
+            _stream_events(spark, events_replay_dir),
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            row_id="event_id",
+            lookback_seconds=10,
+            delay_seconds=15,
+            out_col="value_sum_10s",
+        ),
+        output_mode="append",
+    )
+    cols = ["event_id", "user_id", "ts", "value_sum_10s"]
+    assert _sorted_pdf(batch, cols).equals(_sorted_pdf(streamed, cols))
+
+
+def test_selfjoin_over_window_watermark_semantics(spark, sf_dir, events_replay_dir):
+    """Design (a): the watermarked self-join emits exactly the batch result
+    for rows whose event time the final watermark passed; later rows are
+    legitimately still in state when the bounded run drains (append-mode
+    watermark gating — the price of the fully declarative design)."""
+    streamed = run_available_now(
+        streaming_range_over_sum(
+            _stream_events(spark, events_replay_dir),
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            row_id="event_id",
+            lookback_seconds=10,
+            delay_seconds=15,
+            out_col="value_sum_10s",
+        ),
+        output_mode="append",
+    )
+    batch = range_over_sum(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        time_col="ts",
+        measure="value",
+        lookback_seconds=10,
+        out_col="value_sum_10s",
+        keep=["event_id", "user_id", "ts"],
+    )
+    cols = ["event_id", "user_id", "ts", "value_sum_10s"]
+    got = _sorted_pdf(streamed, cols)
+    assert len(got) > 0, "append-mode self-join emitted nothing"
+    # every emitted row must match the batch result exactly
+    want = _sorted_pdf(batch, cols)
+    merged = got.merge(want, on=["event_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["value_sum_10s_s"] == merged["value_sum_10s_b"]).all()
+    # and the emitted set must cover everything older than the last-but-one
+    # batch's watermark horizon (conservative lower bound)
+    emitted = set(got["event_id"])
+    import pandas as pd
+
+    wpdf = want[want["ts"] < want["ts"].max() - pd.Timedelta(seconds=15) * 2 - pd.Timedelta(minutes=60)]
+    missing = set(wpdf["event_id"]) - emitted
+    assert not missing, f"{len(missing)} watermark-passed rows never emitted"
+
+
+def test_late_rows_dropped_by_watermark(spark):
+    """T2 semantics: a row later than the watermark delay is excluded from
+    its window's aggregate (reference: 15 s allowed delay).
+
+    Empirically pinned Spark >= 3.4 semantics: LATE-EVENT FILTERING uses the
+    PREVIOUS micro-batch's watermark while state EVICTION uses the current
+    one — so the drop is observable only when the late row arrives at least
+    two batches after the event-time advance. Distinct file mtimes are
+    required because the file source orders batches by modification time.
+    """
+    import time
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="late_")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    files = [
+        # batch 0: advances event time to 00:10:00 (watermark -> 00:09:45)
+        pd.DataFrame(
+            {"user_id": [1, 1], "ts": [base, base + pd.Timedelta(minutes=10)], "value": [1.0, 1.0]}
+        ),
+        # batch 1: filler so the late-filter watermark catches up
+        pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta(minutes=11)], "value": [1.0]}),
+        # batch 2: ~10 min late row — must be DROPPED (not summed anywhere)
+        pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta(seconds=30)], "value": [100.0]}),
+        # batch 3: advances watermark past everything so windows finalize
+        pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta(minutes=20)], "value": [1.0]}),
+    ]
+    for i, pdf in enumerate(files):
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"p{i}"))
+        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"p{i}", "*.parquet")))):
+            shutil.move(f, os.path.join(d, f"{i:02d}_{j}.parquet"))
+        shutil.rmtree(os.path.join(d, f"p{i}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    from ibis_flink_example_spark.schema import schema as mk_schema
+
+    s = mk_schema({"user_id": "int64", "ts": "timestamp", "value": "float64"})
+    stream = (
+        spark.readStream.schema(s).option("maxFilesPerTrigger", "1").parquet(d)
+    ).withWatermark("ts", "15 seconds")
+    out = run_available_now(
+        tumble(stream, "ts", "1 minute", {"sum_value": dec_sum("value")}),
+        output_mode="append",
+    )
+    pdf = out.toPandas().sort_values("window_start").reset_index(drop=True)
+    # the late 100.0 must NOT appear in the first minute's window
+    first = pdf[pdf["window_start"] == pdf["window_start"].min()]
+    assert (first["sum_value"] == 1.0).all(), pdf.to_string()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_payment_pipeline_end_to_end(spark):
+    """Reference pipeline (SURVEY.md §1.5): JSON wire format → declared
+    schema decode → watermark → streaming over-window → JSON sink encode,
+    through a file stream standing in for Kafka. Checked against the batch
+    form of the same query (payment_query_batch)."""
+    import json
+    import random
+
+    from ibis_flink_example_spark.streaming.pipeline import (
+        payment_query_batch,
+        payment_query_stream,
+    )
+
+    rng = random.Random(42)
+    d = tempfile.mkdtemp(prefix="payments_")
+    rows = []
+    t0 = 1_700_000_000_000  # ms
+    for i in range(300):
+        t0 += rng.randint(100, 3000)
+        ts = t0 / 1000.0
+        import datetime
+
+        s = datetime.datetime.fromtimestamp(ts, datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )[:-3]
+        rows.append(
+            {
+                "createTime": s,
+                "orderId": 1_700_000_000 + i,
+                "payAmount": round(rng.uniform(0, 100000), 2),
+                "payPlatform": 0 if rng.random() < 0.9 else 1,
+                "provinceId": rng.randint(0, 6),
+            }
+        )
+    # two files → two micro-batches (the reference streams record-at-a-time)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        with open(os.path.join(d, f"{i:02d}.jsonl"), "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in chunk))
+
+    # batch oracle through the identical decode path
+    raw_batch = spark.read.text(os.path.join(d, "*.jsonl")).select(
+        F.col("value").cast("binary").alias("value")
+    )
+    payments_batch = decode_json_value(raw_batch, PAYMENT_MSG_SCHEMA)
+    assert payments_batch.filter(F.col("createTime").isNull()).count() == 0, (
+        "timestampFormat must parse the reference wire format"
+    )
+    want = payment_query_batch(payments_batch)
+
+    # streaming run (stateful emulation drains fully; self-join variant is
+    # covered by test_selfjoin_over_window_watermark_semantics)
+    stream_raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .text(os.path.join(d))
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    payments_stream = decode_json_value(stream_raw, PAYMENT_MSG_SCHEMA)
+    agged = stateful_range_over_sum(
+        payments_stream,
+        key="provinceId",
+        time_col="createTime",
+        measure="payAmount",
+        row_id="orderId",
+        lookback_seconds=10,
+        delay_seconds=15,
+        out_col="pay_amount",
+    )
+    got = run_available_now(agged, output_mode="append").select(
+        F.col("provinceId").alias("province_id"), "pay_amount"
+    )
+    cols = ["province_id", "pay_amount"]
+    assert _sorted_pdf(got, cols).equals(_sorted_pdf(want, cols))
+
+    # sink encode: the JSON wire shape of the reference sink
+    # (README.md:115-124 — {"province_id":..,"pay_amount":..})
+    sample = encode_json_value(got.limit(1)).collect()
+    assert sample and sample[0]["value"].startswith('{"province_id"')
+    shutil.rmtree(d, ignore_errors=True)
