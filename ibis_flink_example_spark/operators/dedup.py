@@ -1,0 +1,337 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2 + north-star): exact,
+MinHash+LSH, SimHash, n-gram Jaccard — the large-scale training-data
+pipeline's core cleaning stage.
+
+Scale design notes:
+- Exact dedup: hash-groupBy on a content digest — one shuffle of (digest,
+  id), never of full text. Deterministic representative (min id), unlike
+  ``dropDuplicates`` whose survivor is partition-order-dependent.
+- MinHash/LSH: the signature is computed with JVM-side expressions only
+  (split → shingle → xxhash64 → array_min): no Python in the 100 TB scan.
+  Candidate generation is an equi-join on (band_idx, band_hash) — pair count
+  is controlled by band geometry, not O(n²).
+- Connected components: iterative min-label propagation over the candidate
+  edge list, O(diameter) joins; dedup clusters are tiny (near-dup groups),
+  so a handful of iterations reaches fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(col: Column | str, normalize: bool = True) -> Column:
+    """Stable 256-bit content key. Normalization: lowercase + collapse
+    whitespace (the cheap canonicalization every dedup paper starts with)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.sha2(c.cast("binary"), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1: keep exactly one row (min id) per normalized content digest.
+
+    Implementation: digest → groupBy(digest).min(id) → semi-join back.
+    Two narrow shuffles on the digest/id; full rows move only for survivors.
+    """
+    keyed = df.withColumn("__digest", content_digest(text_col))
+    winners = keyed.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, on=["__digest", id_col], how="left_semi").drop("__digest")
+    )
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(words_col: Column, n: int) -> Column:
+    """Overlapping word n-grams as strings; degenerates to the whole text
+    for docs shorter than n words. Pure JVM expressions (transform/slice)."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i + F.lit(1), n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words_col)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per permutation j, min over shingles of
+    xxhash64(shingle, j). xxhash64 is a JVM built-in → whole signature is
+    one codegen'd projection."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_similarity(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(num_hashes)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) with their estimated Jaccard.
+
+    Banding: signature split into ``bands`` rows of ``num_hashes/bands``;
+    docs agreeing on any full band meet in a bucket. The bucket join is the
+    only shuffle; at 100 TB tune (bands, rows) for the target threshold
+    (P[candidate] = 1-(1-j^r)^b).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigd = df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(words(text_col), shingle_n), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    banded = sigd.select(
+        id_col,
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "__sig", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            minhash_similarity(F.col("a.__sig"), F.col("b.__sig"), num_hashes).alias(
+                "est_jaccard"
+            ),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def connected_components(
+    pairs: DataFrame, ids: DataFrame, *, id_col: str, max_iterations: int = 8
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (id_col, component) where component = min id reachable.
+    Iterations bounded by cluster diameter; dedup clusters are small, so
+    ``max_iterations`` is a safety bound, with early exit on fixpoint.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("component").alias("n_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="src", how="left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="src")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("src", id_col)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """X2 end-to-end near-dup dedup: LSH candidates → threshold on estimated
+    Jaccard → connected components → keep component representative (min id).
+
+    Output: input columns + ``component`` + ``is_representative``.
+    """
+    pairs = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        num_hashes=num_hashes, bands=bands,
+    ).filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(pairs, df.select(id_col), id_col=id_col)
+    return df.join(comp, on=id_col).withColumn(
+        "is_representative", F.col(id_col) == F.col("component")
+    )
+
+
+def simhash64(text_col: str, bits: int = 64) -> Column:
+    """64-bit SimHash over word unigrams — pure JVM expressions: per word a
+    64-bit xxhash; per bit, +1/-1 votes summed over words; bit set if the
+    vote is positive. Packed into one signed long.
+
+    (Shift amounts must be Python literals in the DataFrame API, hence the
+    per-bit loop; Catalyst folds it into one codegen'd projection.)
+    """
+    hashes = F.transform(words(text_col), lambda w: F.xxhash64(w, F.lit(42)))
+
+    # NB: lambdas passed to higher-order functions must have exactly the
+    # hof's arity (pyspark introspects the signature), so the bit index is
+    # captured via a closure factory, not a default argument.
+    def vote_merge(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), vote_merge(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
+    bucket-join, verify hamming via bit_count(xor)."""
+    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sim"))
+    chunks = sigd.select(
+        id_col,
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("__sim"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "__sim", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle: explode
+    distinct shingles → self-join on shingle → |A∩B| per pair → Jaccard
+    with inclusion-exclusion. Exact (not estimated), SQL-expressible, and
+    bounded by shingle co-occurrence, not O(n²)."""
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(words(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

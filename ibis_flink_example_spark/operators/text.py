@@ -1,0 +1,112 @@
+"""Text analysis operators (SURVEY.md §2.11 X4): language ID, quality
+scoring, token counting, document fingerprinting — the per-document feature
+stage of a training-data pipeline. Everything is built-in column
+expressions: at 100 TB these run inside whole-stage codegen over the scan,
+zero Python, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.operators.dedup import words
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# (Real pipelines use fastText/CLD3; the heuristic keeps the operator
+# dependency-free and deterministic — the Spark plumbing is identical.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "une"],
+}
+DEFAULT_LANG = "und"
+
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: word pieces or single punct
+
+
+def token_count_whitespace(text_col: str) -> Column:
+    return F.size(words(text_col))
+
+
+def token_count_regex(text_col: str) -> Column:
+    """Count of BPE-ish tokens (alnum runs + individual punctuation)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+
+
+def marker_hits(text_col: str, markers: list[str]) -> Column:
+    """How many words of the doc are in the marker lexicon (multiset count)."""
+    return F.size(
+        F.filter(
+            words(text_col),
+            lambda w: F.lower(w).isin([m.lower() for m in markers]),
+        )
+    )
+
+
+def lang_id(text_col: str) -> Column:
+    """Argmax over marker-lexicon hit counts; deterministic tie-break by
+    lexicon declaration order; 'und' when nothing matches."""
+    scores = [(lang, marker_hits(text_col, ms)) for lang, ms in LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit(DEFAULT_LANG)
+    # build reversed CASE chain so earlier languages win ties
+    for lang, score in reversed(scores):
+        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """Per-doc quality signals + a composite score in [0,1]:
+    length band, punctuation density, stopword ratio, mean word length —
+    the classic heuristic-filter stack (Gopher/C4-style) as pure columns."""
+    n_chars = F.length(F.col(text_col))
+    ws = words(text_col)
+    n_words = F.size(ws)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    n_stop = F.size(F.filter(ws, lambda w: F.lower(w).isin(all_markers)))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of separators
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    length_ok = (n_chars >= 50) & (n_chars <= 20000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + word_len_ok.cast("double") * 0.2
+        + (punct_ratio <= 0.2).cast("double") * 0.2
+        + (stop_ratio >= 0.01).cast("double") * 0.2
+    )
+    return df.select(
+        *extra_cols,
+        n_chars.alias("n_chars_measured"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, collapsed whitespace) — the join key for cross-corpus
+    exact-dup lookup."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return F.md5(normalized.cast("binary"))
+
+
+def rolling_shingle_fingerprints(text_col: str, n: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: the ``keep`` smallest xxhash64
+    values over character n-gram shingles (a rolling-hash sketch) — two docs
+    sharing most content share most of the sketch even after small edits."""
+    c = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
+        lambda i: F.substring(c, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
+    return F.slice(F.array_sort(hashes), 1, keep)

@@ -1,2 +1,344 @@
-"""North-star LLM-pipeline queries (SURVEY.md §2.11 X1-X5): dedup, similarity
-search, text analysis, multimodal columns. Populated in M4."""
+"""North-star LLM-pipeline queries (SURVEY.md §2.11): dedup (exact, MinHash,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search (brute-force +
+LSH), text analysis (lang-id, quality, tokens, fingerprints), multimodal
+columns. Oracles where SQL-expressible; the approximate/stateful ones are
+rows-only by design (NON_SQL_EXPRESSIBLE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators import dedup as D
+from ibis_flink_example_spark.operators import similarity as S
+from ibis_flink_example_spark.operators import text as X
+from ibis_flink_example_spark.operators import multimodal as M
+from ibis_flink_example_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: normalized-content exact dedup, deterministic min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query("dedup_minhash", oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash+LSH near-dup dedup: shingle→minhash→band→bucket-join→
+    connected components. Approximate by construction (no SQL oracle);
+    deterministic output: (doc_id, component, is_representative)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.minhash_dedup(
+        docs, id_col="doc_id", text_col="text", threshold=0.8, shingle_n=3
+    )
+    return out.select("doc_id", "component", "is_representative")
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup candidates: 64-bit fingerprint, 16-bit chunk
+    banding, hamming<=3 verification via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+    UNNEST(list_transform(range(1, len(ws) - 1),
+                          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_common / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact 3-gram Jaccard pairs (>=0.5) via shingle co-occurrence join
+    — the exact counterpart the MinHash estimate approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+_TOPK_ORACLE = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+          i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) ) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("cosine_topk", oracle=_TOPK_ORACLE)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 exact brute-force cosine top-5 for 5 query vectors (broadcast
+    queries x corpus scan; JVM-side dot products)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    out = S.cosine_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5
+    )
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query("cosine_topk_lsh", oracle=None)
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 approximate top-k via random-hyperplane LSH buckets (the scale
+    path: each query probes one bucket instead of the full corpus).
+    Approximate → rows-only check."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    out = S.lsh_topk(
+        em,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        k=5,
+        dim=64,
+        n_planes=8,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+_NEARDUP_ORACLE = r"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) )
+  , 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) )
+    >= 0.35
+"""
+
+
+@query("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 embedding-cosine near-dup pairs with same-label blocking (at
+    scale the block key becomes the LSH bucket)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    out = S.embedding_neardup_pairs(
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_whitespace("text").alias("n_ws_tokens"),
+        X.token_count_regex("text").alias("n_regex_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars_measured,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> list_contains(['a','and','das','de','der','die','el','en','est','et','ein','in','is','ist','la','le','les','los','nicht','of','que','the','to','und','une','y'], lower(w)))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_chars_measured, n_words, n_punct, n_stopwords,
+  ROUND(n_punct / GREATEST(n_chars_measured, 1), 6) AS punct_ratio,
+  ROUND(n_stopwords / GREATEST(n_words, 1), 6) AS stopword_ratio,
+  ROUND((n_chars_measured - (n_words - 1)) / n_words, 6) AS mean_word_len,
+  ROUND(
+    CASE WHEN n_chars_measured BETWEEN 50 AND 20000 THEN 0.4 ELSE 0 END
+    + CASE WHEN (n_chars_measured - (n_words - 1)) / n_words BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END
+    + CASE WHEN n_punct / GREATEST(n_chars_measured, 1) <= 0.2 THEN 0.2 ELSE 0 END
+    + CASE WHEN n_stopwords / GREATEST(n_words, 1) >= 0.01 THEN 0.2 ELSE 0 END
+  , 6) AS quality_score
+FROM f
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 heuristic quality features + composite score (Gopher/C4-style
+    filter stack as pure columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_features(docs, "text", "doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, lang AS labeled_lang,
+         list_transform(regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS ws
+  FROM documents
+), scores AS (
+  SELECT doc_id, labeled_lang,
+    len(list_filter(ws, w -> list_contains(['the','of','and','to','in','is','a'], w))) AS s_en,
+    len(list_filter(ws, w -> list_contains(['el','la','de','que','y','en','los'], w))) AS s_es,
+    len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','nicht','ein'], w))) AS s_de,
+    len(list_filter(ws, w -> list_contains(['le','la','les','de','et','est','une'], w))) AS s_fr
+  FROM w
+)
+SELECT doc_id, labeled_lang,
+  CASE
+    WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+    WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+    WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+    WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+    ELSE 'fr'
+  END AS predicted_lang
+FROM scores
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 marker-lexicon language ID (deterministic argmax, declaration-order
+    tie-break) alongside the labeled lang for accuracy eyeballing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 deterministic md5 fingerprint of normalized text — identical hex
+    in Spark and DuckDB, so the oracle checks the bytes themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# X5: multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle=r"""
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS payload_sha256,
+  CAST((n_chars % 64) + 1 AS INTEGER) AS width,
+  CAST((n_chars % 48) + 1 AS INTEGER) AS height
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 metadata-only scan over the media table: binary payload length +
+    digest + typed metadata struct fields (payload bytes pruned from any
+    metadata-only projection by columnar parquet)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+        F.col("metadata.width").alias("width"),
+        F.col("metadata.height").alias("height"),
+    )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 Arrow-batched mapInPandas feature extraction over payload bytes
+    (decode stage stubbed with a deterministic fake — see
+    operators/multimodal.py; the Spark plumbing is real)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.extract_features(media)

@@ -16,6 +16,7 @@ package assumes:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -65,6 +66,40 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``ibis_flink_example_spark`` importable inside Python workers.
+
+    Worker processes don't inherit the driver's sys.path mutations, so any
+    pandas-UDF / mapInPandas closure that (transitively) references this
+    package by module would fail to unpickle when the driver's cwd is not
+    the repo root. ``addPyFile`` distributes a zip of the package and puts
+    it on every worker's sys.path — the same mechanism a spark-submit
+    deployment would use (--py-files).
+    """
+    import zipfile
+
+    global _SHIPPED
+    if _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"ibis_flink_example_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED = True
+
+
+_SHIPPED = False
+
+
 def apply_session_conf(spark: SparkSession) -> None:
     """Apply the runtime-settable subset of our conventions to an existing
     session (the driver hands us its own SparkSession for ``entry``/``queries``;
@@ -77,3 +112,4 @@ def apply_session_conf(spark: SparkSession) -> None:
         "spark.sql.session.timeZone",
     ):
         spark.conf.set(k, DEFAULT_CONF[k])
+    ship_package_to_workers(spark)

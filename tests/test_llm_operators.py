@@ -1,0 +1,119 @@
+"""Behavioral tests for the LLM-pipeline operators beyond the oracle gate:
+dedup actually removes planted duplicates, MinHash finds planted near-dups,
+LSH top-k recall against brute force, multimodal stage plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators import dedup as D
+from ibis_flink_example_spark.operators import multimodal as M
+from ibis_flink_example_spark.operators import similarity as S
+
+
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    # exact dup (different id), near dup (one word changed), unrelated doc
+    base = docs.filter(F.col("doc_id") == 0).select("text").first()["text"]
+    words = base.split()
+    near = " ".join(words[:-1] + ["zzz"])
+    extra = spark.createDataFrame(
+        [
+            (100001, base, "en", "synth", len(base)),
+            (100002, near, "en", "synth", len(near)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return docs.unionByName(extra)
+
+
+def test_exact_dedup_removes_planted_duplicate(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    out = D.exact_dedup(docs, text_col="text", id_col="doc_id")
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids  # min-id survivor
+    assert 100001 not in ids  # exact dup removed
+    assert 100002 in ids  # near dup NOT removed by exact dedup
+
+
+def test_minhash_finds_planted_near_dup(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    out = D.minhash_dedup(
+        docs, id_col="doc_id", text_col="text", threshold=0.5, shingle_n=3
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the exact dup and the near dup must land in doc 0's component
+    assert rows[100001]["component"] == 0
+    assert rows[100002]["component"] == 0
+    assert rows[0]["is_representative"]
+    assert not rows[100001]["is_representative"]
+
+
+def test_simhash_pairs_find_planted_near_dup(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = D.simhash_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100001) in got  # identical text → hamming 0
+    assert (0, 100002) in got  # one word changed → small hamming
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5
+    )
+    approx = S.lsh_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id",
+        k=5, dim=64, n_planes=8,
+    )
+    # sanity: every approx hit's cosine is <= the exact best, and the approx
+    # result is a subset of each query's bucket with correct ranks
+    a = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 5 for r in a)
+    e1 = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in exact.collect()
+    }
+    for r in approx.collect():
+        assert r["cosine"] <= e1[(r["query_id"], 1)] + 1e-12
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = M.extract_features(media)
+    row = feats.orderBy("media_id").first()
+    assert row["n_bytes"] > 0 and 0 <= row["mean_byte"] <= 255
+    assert row["min_byte"] <= row["max_byte"]
+    resized = M.resize_metadata(media, max_side=32)
+    r = resized.select(F.max("resized.width").alias("w"), F.max("resized.height").alias("h")).first()
+    assert r["w"] <= 32 and r["h"] <= 32
+    plan = M.frame_sample_plan(
+        media.withColumn(
+            "metadata",
+            F.struct(
+                F.lit("video").alias("modality"),
+                F.lit("video/fake").alias("mime"),
+                F.col("metadata.width").alias("width"),
+                F.col("metadata.height").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(25).alias("n_frames"),
+            ),
+        ),
+        every_n=10,
+    )
+    per_media = plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).first()
+    assert per_media["n"] == 3  # frames 0, 10, 20
+
+
+def test_real_decoder_is_explicit_stub(spark, sf_dir):
+    import pytest
+
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents")).limit(1)
+    feats = M.extract_features(media, use_real_decoder=True)
+    with pytest.raises(Exception) as exc_info:
+        feats.collect()
+    assert "NotImplementedError" in str(exc_info.value) or "STUB" in str(exc_info.value)
