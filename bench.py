@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §7.2 M5).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line to stdout:
+
+  {"metric": "sum_query_seconds", "value": <total>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>, ...}
+
+Execution is forced with the noop sink (full pipeline runs, zero
+serialization cost to the driver) so timings measure the engine, not
+pandas conversion. One warmup query amortizes JVM/codegen startup into a
+separately-reported "warmup_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+
+    from ibis_flink_example_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ibis-flink-example-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ibis_flink_example_spark.queries import QUERIES
+    from ibis_flink_example_spark.session import apply_session_conf
+
+    apply_session_conf(spark)
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warmup: flagship once (JVM JIT, codegen, parquet footer caches)
+    t0 = time.perf_counter()
+    QUERIES["over_range_sum_10s"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    warmup_sec = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in QUERIES:
+        timings[name] = round(run_once(name), 4)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "sum_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "warmup_sec": round(warmup_sec, 4),
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

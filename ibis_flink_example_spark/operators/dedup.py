@@ -155,38 +155,55 @@ def connected_components(
     Iterations bounded by cluster diameter; dedup clusters are small, so
     ``max_iterations`` is a safety bound, with early exit on fixpoint.
     """
+    # The edge list is consumed once per iteration (and derives from the
+    # full LSH pipeline) — persist it, or every iteration recomputes
+    # shingling + minhash + the bucket join from scratch.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("component"))
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
-            .groupBy("src")
-            .agg(F.min("component").alias("n_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="src", how="left")
-            .select(
-                "src",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_component"), F.col("component"))
-                ).alias("component"),
+    labels = ids.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("component")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2")
+                )
+                .groupBy("src")
+                .agg(F.min("component").alias("n_component"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="src")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.withColumnRenamed("src", id_col)
+            # localCheckpoint truncates the growing lineage each iteration
+            # (label propagation is iterative — without this, iteration k
+            # re-plans a k-deep join tree)
+            new_labels = (
+                labels.join(neighbor_min, on="src", how="left")
+                .select(
+                    "src",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("n_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="src")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.withColumnRenamed("src", id_col)
+    finally:
+        edges.unpersist()
 
 
 def minhash_dedup(
@@ -219,31 +236,38 @@ def simhash64(text_col: str, bits: int = 64) -> Column:
     64-bit xxhash; per bit, +1/-1 votes summed over words; bit set if the
     vote is positive. Packed into one signed long.
 
-    (Shift amounts must be Python literals in the DataFrame API, hence the
-    per-bit loop; Catalyst folds it into one codegen'd projection.)
+    Single-pass formulation: ONE aggregate over the word hashes carrying a
+    64-slot vote array, with per-bit masks supplied as a literal array
+    (zip_with pairs each vote slot with its mask). This keeps the expression
+    tree small — the naive per-bit version (64 separate aggregates) is
+    semantically identical but bloats codegen ~64x.
     """
+    # bit b's mask as a signed-long literal (bit 63 wraps negative)
+    masks = F.array(
+        *[
+            F.lit((1 << b) - (1 << 64) if b == 63 else (1 << b)).cast("long")
+            for b in range(bits)
+        ]
+    )
     hashes = F.transform(words(text_col), lambda w: F.xxhash64(w, F.lit(42)))
-
-    # NB: lambdas passed to higher-order functions must have exactly the
-    # hof's arity (pyspark introspects the signature), so the bit index is
-    # captured via a closure factory, not a default argument.
-    def vote_merge(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return merge
-
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), vote_merge(b))
-        sig = sig.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_neardup_pairs(

@@ -117,10 +117,27 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NB: self-contained closure (numpy only) — module-level helpers
+        # would be pickled by reference and require the package on the
+        # workers' sys.path; the closure must survive any driver cwd.
+        import numpy as np
+
+        def fake_stats(p):
+            if not p:
+                return (0.0, 0, 0)
+            arr = np.frombuffer(p, dtype=np.uint8)
+            return (float(arr.mean()), int(arr.min()), int(arr.max()))
+
         for pdf in batches:
             if use_real_decoder:
-                _decode_image_real(b"")  # raises NotImplementedError (stub)
-            stats = [_fake_pixel_stats(p) for p in pdf["payload"]]
+                try:
+                    import PIL.Image  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real image decode requires Pillow; container has no "
+                        "image libs (STUB — use the deterministic fake path)"
+                    ) from exc
+            stats = [fake_stats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -40,6 +40,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def normalize(a: Column) -> Column:
+    """Unit-normalize once at the scan so pairwise cosine becomes a single
+    dot-product fold — computing cosine(a, b) raw costs 3 folds per PAIR,
+    normalizing costs 1 fold per ROW + 1 per pair. Always the right trade
+    beyond a handful of pairs per row."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,7 +169,7 @@ def embedding_neardup_pairs(
     block key with the id inequality as residual — a hash join, not a
     cartesian product.
     """
-    cols = [F.col(id_col), F.col(vec_col)] + (
+    cols = [F.col(id_col), normalize(F.col(vec_col)).alias("__nvec")] + (
         [F.col(block_col)] if block_col else []
     )
     base = df.select(*cols)
@@ -173,7 +182,7 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            dot(F.col("a.__nvec"), F.col("b.__nvec")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -164,26 +164,21 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors the Spark implementation's normalize-then-dot structure (one fold
+# per pair) so the float op sequence — and thus every bit — matches.
 _NEARDUP_ORACLE = r"""
+WITH n AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+    ) AS nvec
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(
-    list_sum(list_transform(range(1, len(a.embedding) + 1),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-    / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-      * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) )
-  , 6) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE
-    list_sum(list_transform(range(1, len(a.embedding) + 1),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-    / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-      * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) )
-    >= 0.35
+  ROUND(list_sum(list_transform(range(1, len(a.nvec) + 1), i -> a.nvec[i] * b.nvec[i])), 6) AS cosine
+FROM n a
+JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.nvec) + 1), i -> a.nvec[i] * b.nvec[i])) >= 0.35
 """
 
 
