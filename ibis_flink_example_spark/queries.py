@@ -46,5 +46,6 @@ def query(name: str, oracle: str | None = None):
 # order (reference-parity first, then breadth, then north-star extensions).
 from ibis_flink_example_spark import queries_reference  # noqa: E402,F401
 from ibis_flink_example_spark import queries_relational  # noqa: E402,F401
+from ibis_flink_example_spark import queries_tpch  # noqa: E402,F401
 from ibis_flink_example_spark import queries_llm  # noqa: E402,F401
 from ibis_flink_example_spark import queries_streaming  # noqa: E402,F401

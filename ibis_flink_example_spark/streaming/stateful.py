@@ -8,12 +8,20 @@ rows IN that batch, using state from all prior batches + the current one.
 Within a batch, rows are processed in event-time order, so for any input
 split the emitted aggregate for each row equals the batch RANGE-frame result
 over rows seen so far — identical to (a) and to the batch oracle when the
-input arrives in watermark-respecting order. Out-of-order rows older than
-the retained buffer horizon (max_ts - lookback) contribute like Flink's
-late-but-within-watermark rows: they enter the buffer if still inside it.
+input arrives in watermark-respecting order.
 
-State size: one (ts, value) list per key, pruned to the lookback horizon —
-O(key_cardinality x frame density), the same bound Flink's operator carries.
+Late-row contract (Flink `OverAggregate` parity, SURVEY.md §2.9 T2): the
+buffer retains ``lookback + delay`` of history behind each key's max event
+time, so a row up to ``delay`` late still finds its exact frame. Rows MORE
+than ``delay`` behind the key's max are dropped (no emission) — the per-key
+analog of the watermark drop, applied deterministically inside the operator
+because Spark's own late-row filter lags one micro-batch behind. Per-key max
+is a lower bound on the global max, so this drops a subset of what Flink's
+global watermark would — never a correct-in-Flink row.
+
+State size: one (ts, value) list per key, pruned to the lookback+delay
+horizon — O(key_cardinality x frame density), the bound Flink's operator
+carries.
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -45,6 +54,7 @@ def stateful_range_over_sum(
     applied here). Returns an append stream (row_id, key, time_col, out_col).
     """
     lookback_us = int(lookback_seconds * 1_000_000)
+    delay_us = int(delay_seconds * 1_000_000)
 
     in_schema = stream.schema
     out_schema = T.StructType(
@@ -81,8 +91,15 @@ def stateful_range_over_sum(
             row_vals = pdf[measure].to_numpy()
             row_ids = pdf[row_id].to_numpy()
             sums = []
+            emit_mask = []
             for i in range(len(pdf)):
                 t = int(row_ts_us[i])
+                # per-key watermark drop: more than `delay` behind this key's
+                # max seen event time -> late, no emission (T2 semantics)
+                if buf_ts and t < buf_ts[-1] - delay_us:
+                    emit_mask.append(False)
+                    continue
+                emit_mask.append(True)
                 # insert in sorted position (append is O(1) for in-order data)
                 buf_ts.append(t)
                 buf_vals.append(float(row_vals[i]))
@@ -90,8 +107,10 @@ def stateful_range_over_sum(
                     order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)
                     buf_ts = [buf_ts[j] for j in order]
                     buf_vals = [buf_vals[j] for j in order]
-                # evict strictly-older-than-horizon entries w.r.t. max ts seen
-                horizon = buf_ts[-1] - lookback_us
+                # evict entries older than lookback+delay behind max ts seen:
+                # the extra `delay` slack keeps exact frames for rows that
+                # arrive up to the allowed lateness out of order
+                horizon = buf_ts[-1] - lookback_us - delay_us
                 k = 0
                 while k < len(buf_ts) and buf_ts[k] < horizon:
                     k += 1
@@ -107,12 +126,13 @@ def stateful_range_over_sum(
                     if lo <= bt <= t
                 )
                 sums.append(cents / 100.0)
+            mask = np.asarray(emit_mask, dtype=bool)
             outs.append(
                 pd.DataFrame(
                     {
-                        row_id: row_ids,
-                        key: [key_tuple[0]] * len(pdf),
-                        time_col: pdf[time_col].to_numpy(),
+                        row_id: row_ids[mask],
+                        key: [key_tuple[0]] * len(sums),
+                        time_col: pdf[time_col].to_numpy()[mask],
                         out_col: sums,
                     }
                 )

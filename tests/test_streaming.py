@@ -43,6 +43,9 @@ def events_replay_dir(spark, sf_dir):
         int(x.timestamp() * 1_000_000) for x in (bounds["lo"], bounds["hi"])
     ]
     step = (hi_us - lo_us) // 4 + 1
+    import time as _time
+
+    now = _time.time()
     for i in range(4):
         chunk = e.filter(
             (F.unix_micros("ts") >= lo_us + i * step)
@@ -50,7 +53,11 @@ def events_replay_dir(spark, sf_dir):
         )
         chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"part_{i}"))
         for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"part_{i}", "*.parquet")))):
-            shutil.move(f, os.path.join(d, f"{i:02d}_{j}.parquet"))
+            dst = os.path.join(d, f"{i:02d}_{j}.parquet")
+            shutil.move(f, dst)
+            # the file source orders micro-batches by mtime: make the replay
+            # order deterministic (ties would make it arbitrary)
+            os.utime(dst, (now + 2 * i, now + 2 * i))
         shutil.rmtree(os.path.join(d, f"part_{i}"))
     yield d
     shutil.rmtree(d, ignore_errors=True)
@@ -214,6 +221,55 @@ def test_late_rows_dropped_by_watermark(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stateful_out_of_order_within_delay(spark):
+    """Regression: an out-of-order row within the allowed delay must get its
+    EXACT frame (buffer keeps lookback+delay of history); a row more than
+    `delay` behind the key's max event time is dropped, not emitted as 0."""
+    import time as _time
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="ooo_")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    files = [
+        # batch 0: two in-order rows
+        pd.DataFrame({"user_id": [1, 1], "ts": [base, base + pd.Timedelta(seconds=5)],
+                      "value": [10.0, 20.0], "event_id": [1, 2]}),
+        # batch 1: advances key max to +20s
+        pd.DataFrame({"user_id": [1], "ts": [base + pd.Timedelta(seconds=20)],
+                      "value": [30.0], "event_id": [3]}),
+        # batch 2: one row 12s out of order (within 15s delay -> exact frame:
+        # rows at +0s..+8s => 10+20+40) and one 60s late (dropped)
+        pd.DataFrame({"user_id": [1, 1],
+                      "ts": [base + pd.Timedelta(seconds=8), base - pd.Timedelta(seconds=40)],
+                      "value": [40.0, 99.0], "event_id": [4, 5]}),
+    ]
+    now = _time.time()
+    for i, pdf in enumerate(files):
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"p{i}"))
+        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"p{i}", "*.parquet")))):
+            dst = os.path.join(d, f"{i:02d}_{j}.parquet")
+            shutil.move(f, dst)
+            os.utime(dst, (now + 2 * i, now + 2 * i))
+        shutil.rmtree(os.path.join(d, f"p{i}"))
+    from ibis_flink_example_spark.schema import schema as mk_schema
+
+    s = mk_schema({"user_id": "int64", "ts": "timestamp", "value": "float64", "event_id": "int64"})
+    stream = spark.readStream.schema(s).option("maxFilesPerTrigger", "1").parquet(d)
+    out = run_available_now(
+        stateful_range_over_sum(
+            stream, key="user_id", time_col="ts", measure="value", row_id="event_id",
+            lookback_seconds=10, delay_seconds=15, out_col="s",
+        ),
+        output_mode="append",
+    ).toPandas().set_index("event_id")["s"].to_dict()
+    assert out.get(4) == 70.0, out  # 10+20+40: exact frame despite disorder
+    assert 5 not in out, out  # beyond-delay row dropped, not emitted as 0
+    assert out.get(3) == 30.0, out
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_payment_pipeline_end_to_end(spark):
     """Reference pipeline (SURVEY.md §1.5): JSON wire format → declared
     schema decode → watermark → streaming over-window → JSON sink encode,
@@ -248,11 +304,18 @@ def test_payment_pipeline_end_to_end(spark):
                 "provinceId": rng.randint(0, 6),
             }
         )
-    # two files → two micro-batches (the reference streams record-at-a-time)
+    # two files → two micro-batches (the reference streams record-at-a-time);
+    # explicit increasing mtimes: the file source orders batches by mtime, and
+    # back-to-back writes tie — replay order would be arbitrary
+    import time as _time
+
+    now = _time.time()
     half = len(rows) // 2
     for i, chunk in enumerate([rows[:half], rows[half:]]):
-        with open(os.path.join(d, f"{i:02d}.jsonl"), "w") as fh:
+        path = os.path.join(d, f"{i:02d}.jsonl")
+        with open(path, "w") as fh:
             fh.write("\n".join(json.dumps(r) for r in chunk))
+        os.utime(path, (now + 2 * i, now + 2 * i))
 
     # batch oracle through the identical decode path
     raw_batch = spark.read.text(os.path.join(d, "*.jsonl")).select(
