@@ -415,3 +415,550 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.sum(money("l_extendedprice") * _disc()).cast("double").alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H queries (Q2/Q11/Q12/Q13/Q15/Q16/Q17/Q20/Q21/Q22), completing
+# the 22-query suite (Q1≡groupby_pricing_summary, Q3/Q5 in queries_relational).
+#
+# The fixtures carry no ``partsupp`` table, so the four queries that need one
+# (Q2/Q11/Q16/Q20) derive a partsupp-shaped relation from ``lineitem``:
+# observed (l_partkey, l_suppkey) pairs with min unit price as supply cost and
+# shipped quantity as availability. At 100 TB this derivation is ONE keyed
+# shuffle over the fact table with map-side partial aggregation — the same
+# cost class as the TPC-H original's partsupp scan-agg — and each query's
+# join/agg skeleton (correlated-min join-back, HAVING-over-scalar-subquery,
+# distinct-count with anti-join, nested semi-joins) is preserved exactly.
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of the derived partsupp (unit price: IEEE double division —
+# bit-identical in Spark and DuckDB; MIN/SUM selections order-independent).
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: one row per observed (part, supplier) pair.
+
+    MIN over identical IEEE divisions and an exact decimal SUM are both
+    partition-order-independent, so the relation is bit-identical across
+    engines and cluster shapes (functions/exact.py rationale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        dec_sum("l_quantity", "ps_availqty"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PS_SQL})
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+FROM part p
+JOIN ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 10
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-MIN scalar subquery decorrelated into an
+    aggregate-then-equality-join-back. The regional partsupp side is built
+    ONCE and reused for both the probe and the per-part MIN (Spark reuses the
+    shuffle via AQE exchange reuse); supplier/nation/region broadcast. The
+    MIN compares IEEE doubles produced by the identical division on both
+    sides, so the equality join-back is exact. Top-k via
+    TakeOrderedAndProject — no global sort at any scale."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(1, 15) & (F.col("p_type") == "SMALL")
+    )
+    # partsupp restricted to European suppliers AND qualifying parts up front:
+    # the per-part MIN only matters for parts that survive the size/type
+    # filter, so the min side stays proportional to the filtered part count
+    # (broadcastable) instead of the full part domain.
+    ps_eur = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_name",
+        )
+    )
+    min_cost = ps_eur.groupBy(F.col("ps_partkey").alias("min_key")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        ps_eur.join(
+            F.broadcast(min_cost),
+            (ps_eur.ps_partkey == F.col("min_key"))
+            & (ps_eur.ps_supplycost == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH natps AS (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+)
+SELECT l_partkey AS ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM natps
+GROUP BY l_partkey
+HAVING CAST(SUM(val) AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM natps)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value per part HAVING > fraction of the global
+    total (scalar subquery). The nation-filtered fact slice is computed once;
+    the global total is a single-row aggregate broadcast into the filter —
+    no second fact scan at execution time thanks to exchange reuse. Exact
+    decimal sums; ONE deterministic double multiply for the threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "l_partkey", (money("l_extendedprice") * _disc()).alias("val")
+        )
+    )
+    per_part = natps.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("val").cast("double").alias("part_value")
+    )
+    total = natps.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT
+  l.l_returnflag AS shipmode,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_returnflag
+ORDER BY shipmode
+""",
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (adapted: fixtures lack l_shipmode/commitdate/receiptdate —
+    l_returnflag stands in as the mode column and 'shipped >30d after order'
+    as the lateness predicate). Equi-join with a non-equi residual evaluated
+    post-probe; priority split via conditional aggregation in one pass. The
+    shipdate year-range pushes to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: order-count histogram over customers. Left-outer join with
+    the filter INSIDE the join condition (customers with zero qualifying
+    orders must survive with c_count=0 — pushing the predicate below the join
+    would silently drop them). Two cascaded aggregations; the second groups
+    on the tiny histogram domain, so its shuffle is negligible at any scale.
+    Adapted: o_orderpriority<>'4-NOT SPECIFIED' stands in for the original's
+    o_comment NOT LIKE pattern (fixtures carry no comment column)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_REVENUE_Q15_SQL = """
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+"""
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS ({_REVENUE_Q15_SQL})
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue 'view' per supplier over one quarter, MAX scalar
+    subquery, equality join-back. The revenue relation is built once and
+    reused for both sides (AQE exchange reuse); supplier side broadcasts.
+    Revenue values are exact-decimal sums cast to double, so the MAX-equality
+    join-back is bit-exact on both engines regardless of partition order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(money("l_extendedprice") * _disc()).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier cardinality per part attribute bucket,
+    with a NOT-IN anti-join excluding flagged suppliers ('%0'-named stands in
+    for the original's complaint-comment scan). The distinct (part,supplier)
+    pair relation is the derived partsupp's key set — one keyed shuffle with
+    partial dedup map-side; the part filter broadcasts; COUNT(DISTINCT)
+    expands to a two-phase exact aggregation."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%0")
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part AVG decorrelated to an aggregate
+    joined back on partkey. The per-part average is computed ONLY for
+    partkeys that survive the brand/type filter (semi-filter via the
+    broadcast part side before the agg — at 100 TB this skips >95% of the
+    fact rows feeding the aggregate). Average = exact decimal sum / count,
+    one deterministic double division, so the '< 0.2*avg' cut is identical
+    across engines."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # restrict fact rows to qualifying parts once; reused by both branches
+    li_p = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li_p.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_cut")
+    )
+    return (
+        li_p.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q20_potential_promotion",
+    oracle="""
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+  )
+ORDER BY s.s_name
+""",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN-chain decorrelated to semi-joins — suppliers (in
+    one region) who shipped >50 units of any 'red' part during 1997 (stands
+    in for the original's availqty-vs-half-of-shipped predicate; fixtures
+    have no partsupp.availqty). Inner block: fact scan with pushed date
+    filter, broadcast part probe, keyed agg with HAVING; outer: left-semi on
+    s_suppkey against the (small) qualifying-supplier set. Region scalar
+    subquery folds to a broadcast filter on nation."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_regionkey <= 2
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the EXISTS / NOT-EXISTS pair over self-referencing lineitem
+    is rewritten as per-order supplier-cardinality aggregates — an order
+    qualifies for row l1 iff it has >=2 distinct suppliers overall AND
+    exactly 1 distinct LATE supplier (which is then necessarily l1's). That
+    turns two correlated self-joins into two keyed aggregations on the SAME
+    shuffle key (l_orderkey) that AQE plans together — at 100 TB this is two
+    map-side-combined passes instead of an O(n^2) correlated probe.
+    'Late' = shipped >60d after order date (fixtures lack commit/receipt
+    dates); nation filter widened to a region band so multiple suppliers
+    qualify at small SF."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 2)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    # distinct suppliers per order (all lineitems, any status/date)
+    nsupp = li.groupBy(F.col("l_orderkey").alias("k_all")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    # distinct LATE suppliers per F-order
+    nlate = late.groupBy(F.col("l_orderkey").alias("k_late")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    return (
+        late.join(nsupp, late.l_orderkey == F.col("k_all"))
+        .join(nlate, late.l_orderkey == F.col("k_late"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+SELECT
+  c.c_nationkey AS cntrycode,
+  COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c.c_nationkey
+ORDER BY cntrycode
+""",
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers in selected 'country codes' (c_nationkey stands
+    in for the original's phone prefix) with above-average positive balances
+    and NO orders since 1999 (the fixture generator gives every customer at
+    least one lifetime order, so the original's no-orders-ever predicate is
+    vacuous; 'dormant since 1999' keeps Q22's anti-join-against-fact shape
+    AND its business intent). Scalar AVG subquery broadcasts as a single-row
+    cross join; the dormancy predicate is a left-anti join against
+    date-filtered orders (the one fact-scale exchange here — and the date
+    filter pushes to the parquet scan, shrinking the anti build); final
+    rollup groups the tiny code domain. Average is exact-decimal-sum /
+    count — one deterministic IEEE division on both engines."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(codes))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("cutoff")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
