@@ -60,18 +60,37 @@ def word_shingles(words_col: Column, n: int) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words_col)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per permutation j, min over shingles of
-    xxhash64(shingle, j). xxhash64 is a JVM built-in → whole signature is
-    one codegen'd projection."""
+def shingle_hashes(shingles: Column) -> Column:
+    """One 64-bit hash per shingle. Project this in its OWN select before
+    building a signature: each shingle string is then traversed exactly once
+    per row, and the per-permutation work downstream is fixed-width long
+    rehashing. (Kept as a separate projection on purpose — CollapseProject
+    will not inline a non-cheap expression referenced num_hashes times, so
+    the two-step structure is what guarantees single evaluation.)"""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from pre-hashed shingles: permutation j is
+    xxhash64(base_hash, j) — an 8-byte rehash, ~10x cheaper than re-hashing
+    the variable-length shingle string per permutation. At 100 TB the
+    signature projection dominates the dedup scan's per-row cost, so this
+    turns a string-length-bound loop into O(num_hashes) long arithmetic.
+    Pure JVM expressions throughout (no Python in the scan)."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))
+                F.transform(hash_col, lambda h, j=j: F.xxhash64(h, F.lit(j)))
             )
             for j in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """Single-expression convenience form (hashes shingles inline). Prefer
+    shingle_hashes + signature_from_hashes in scans — see their docstrings."""
+    return signature_from_hashes(shingle_hashes(shingles), num_hashes)
 
 
 def minhash_similarity(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
@@ -102,15 +121,25 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigd = df.select(
+    # Two-step projection: string-hash each shingle once, THEN derive the
+    # num_hashes permutations from the longs (see signature_from_hashes).
+    # The signature table is materialized (localCheckpoint) because it is
+    # consumed three times below (banding + both sides of the verify join);
+    # without it the full scan->shingle->hash pipeline re-runs per consumer.
+    # Size: num_hashes longs per doc (~0.5 KB) — executor-local blocks,
+    # MEMORY_AND_DISK, no driver collect, so the pattern survives any SF.
+    hashed = df.select(
         F.col(id_col),
-        minhash_signature(word_shingles(words(text_col), shingle_n), num_hashes).alias(
-            "__sig"
-        ),
+        shingle_hashes(word_shingles(words(text_col), shingle_n)).alias("__h"),
     )
+    sigd = hashed.select(
+        F.col(id_col),
+        signature_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
+    ).localCheckpoint(eager=True)
+    # Band rows are NARROW (id, band_idx, band_hash) — the 16x explode and
+    # the bucket self-join never shuffle the 0.5 KB signature arrays.
     banded = sigd.select(
         id_col,
-        "__sig",
         F.explode(
             F.array(
                 *[
@@ -124,10 +153,13 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "__sig", "band.band_idx", "band.band_hash")
+    ).select(id_col, "band.band_idx", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # Unique candidate pairs FIRST (docs sharing >=1 band meet once per
+    # shared band — distinct before the similarity math, so the signature
+    # comparison runs once per pair, not once per colliding band).
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -137,13 +169,22 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            minhash_similarity(F.col("a.__sig"), F.col("b.__sig"), num_hashes).alias(
-                "est_jaccard"
-            ),
         )
         .distinct()
     )
-    return pairs
+    sig_a = sigd.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"))
+    sig_b = sigd.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            minhash_similarity(F.col("__sig_a"), F.col("__sig_b"), num_hashes).alias(
+                "est_jaccard"
+            ),
+        )
+    )
 
 
 def connected_components(
@@ -178,8 +219,10 @@ def connected_components(
             )
             # localCheckpoint truncates the growing lineage each iteration
             # (label propagation is iterative — without this, iteration k
-            # re-plans a k-deep join tree)
-            new_labels = (
+            # re-plans a k-deep join tree). The convergence flag rides along
+            # in the same pass, so detecting fixpoint is a scan of the
+            # materialized checkpoint — not an extra labels-vs-labels join.
+            stepped = (
                 labels.join(neighbor_min, on="src", how="left")
                 .select(
                     "src",
@@ -187,18 +230,13 @@ def connected_components(
                         F.col("component"),
                         F.coalesce(F.col("n_component"), F.col("component")),
                     ).alias("component"),
+                    (F.col("n_component") < F.col("component")).alias("__changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="src")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+            changed = stepped.filter(F.col("__changed")).limit(1).count()
             labels.unpersist()
-            labels = new_labels
+            labels = stepped.drop("__changed")
             if changed == 0:
                 break
         return labels.withColumnRenamed("src", id_col)
@@ -275,8 +313,15 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
-    bucket-join, verify hamming via bit_count(xor)."""
-    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sim"))
+    bucket-join, verify hamming via bit_count(xor).
+
+    The fingerprint table is materialized (localCheckpoint) because the
+    bucket self-join consumes it twice — without it the whole word-hash +
+    vote aggregate pipeline runs once per join side. 8 bytes per doc:
+    executor-local blocks, any SF."""
+    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sim")).localCheckpoint(
+        eager=True
+    )
     chunks = sigd.select(
         id_col,
         "__sim",
@@ -307,8 +352,10 @@ def simhash_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE distinct: the hamming cut is one xor+popcount per
+        # colliding row, so only true near-dup pairs reach the dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -323,12 +370,23 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle: explode
     distinct shingles → self-join on shingle → |A∩B| per pair → Jaccard
     with inclusion-exclusion. Exact (not estimated), SQL-expressible, and
-    bounded by shingle co-occurrence, not O(n²)."""
+    bounded by shingle co-occurrence, not O(n²).
+
+    The distinct (id, shingle) table is materialized (localCheckpoint): it
+    feeds the self-join twice plus the per-doc size aggregate — three
+    consumers of the explode+dedup pipeline. Shingles are hashed to 64-bit
+    longs first so the self-join shuffles 8-byte keys, not n-gram strings
+    (collision probability ~1e-11 at 1M distinct shingles — negligible
+    against MinHash-style estimation error budgets)."""
     sh = (
         df.select(
-            F.col(id_col), F.explode(word_shingles(words(text_col), n)).alias("shingle")
+            F.col(id_col),
+            F.explode(shingle_hashes(word_shingles(words(text_col), n))).alias(
+                "shingle"
+            ),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
