@@ -65,80 +65,86 @@ def stateful_range_over_sum(
             T.StructField(out_col, T.DoubleType()),
         ]
     )
-    # State: parallel arrays of event-time (µs) and measure values kept
-    # inside the lookback horizon of the max timestamp seen.
+    # State: parallel arrays of event-time (µs) and measure values in integer
+    # cents (2-decimal-exact, order-independent sums) kept inside the
+    # lookback+delay horizon of the max timestamp seen.
     state_schema = T.StructType(
         [
             T.StructField("ts_us", T.ArrayType(T.LongType())),
-            T.StructField("vals", T.ArrayType(T.DoubleType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
         ]
     )
 
     def update(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        """Vectorized trailing-sum: one numpy pass per (key, batch) instead of
+        a per-row Python loop over the buffer (O(n log n) vs O(n·frame)).
+
+        Correctness notes:
+        - Late cut is vs the PRIOR batches' max only: within the sorted batch
+          a row can never be late relative to same-batch rows (its own ts is
+          part of the running max), so the evolving-max rule of the row-at-a-
+          time formulation collapses to one vector compare.
+        - Eviction can't change any emitted frame: evicted entries sit below
+          max - lookback - delay, while every non-late row's frame floor is
+          >= max - delay - lookback. So eviction happens once, at the end.
+        - RANGE-frame peers (equal ts) are all included via searchsorted
+          side='right' — exact SQL RANGE ... CURRENT ROW semantics.
+        - Sums accumulate integer cents (exact for 2-decimal measures); one
+          float division at the end.
+        """
         if state.exists:
-            ts_us, vals = state.get
-            buf_ts = list(ts_us)
-            buf_vals = list(vals)
+            s_ts, s_cents = state.get
+            prior_ts = np.asarray(s_ts, dtype=np.int64)
+            prior_cents = np.asarray(s_cents, dtype=np.int64)
         else:
-            buf_ts, buf_vals = [], []
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
-            # normalize to µs regardless of pandas datetime unit (ns or µs)
-            row_ts_us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
-            row_vals = pdf[measure].to_numpy()
-            row_ids = pdf[row_id].to_numpy()
-            sums = []
-            emit_mask = []
-            for i in range(len(pdf)):
-                t = int(row_ts_us[i])
-                # per-key watermark drop: more than `delay` behind this key's
-                # max seen event time -> late, no emission (T2 semantics)
-                if buf_ts and t < buf_ts[-1] - delay_us:
-                    emit_mask.append(False)
-                    continue
-                emit_mask.append(True)
-                # insert in sorted position (append is O(1) for in-order data)
-                buf_ts.append(t)
-                buf_vals.append(float(row_vals[i]))
-                if len(buf_ts) > 1 and buf_ts[-2] > t:
-                    order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)
-                    buf_ts = [buf_ts[j] for j in order]
-                    buf_vals = [buf_vals[j] for j in order]
-                # evict entries older than lookback+delay behind max ts seen:
-                # the extra `delay` slack keeps exact frames for rows that
-                # arrive up to the allowed lateness out of order
-                horizon = buf_ts[-1] - lookback_us - delay_us
-                k = 0
-                while k < len(buf_ts) and buf_ts[k] < horizon:
-                    k += 1
-                if k:
-                    buf_ts = buf_ts[k:]
-                    buf_vals = buf_vals[k:]
-                # frame = entries in [t - lookback, t] (2-decimal exact sum
-                # in integer cents to stay order-independent)
-                lo = t - lookback_us
-                cents = sum(
-                    round(v * 100)
-                    for bt, v in zip(buf_ts, buf_vals)
-                    if lo <= bt <= t
-                )
-                sums.append(cents / 100.0)
-            mask = np.asarray(emit_mask, dtype=bool)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        row_id: row_ids[mask],
-                        key: [key_tuple[0]] * len(sums),
-                        time_col: pdf[time_col].to_numpy()[mask],
-                        out_col: sums,
-                    }
-                )
+            prior_ts = np.empty(0, dtype=np.int64)
+            prior_cents = np.empty(0, dtype=np.int64)
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        # normalize to µs regardless of pandas datetime unit (ns or µs)
+        row_ts = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        row_cents = np.rint(pdf[measure].to_numpy() * 100).astype(np.int64)
+
+        # per-key watermark drop (T2): more than `delay` behind the key's max
+        keep = (
+            row_ts >= prior_ts[-1] - delay_us
+            if len(prior_ts)
+            else np.ones(len(row_ts), dtype=bool)
+        )
+        kept_ts = row_ts[keep]
+        kept_cents = row_cents[keep]
+
+        # merged sorted timeline = surviving buffer + this batch's rows
+        all_ts = np.concatenate([prior_ts, kept_ts])
+        all_cents = np.concatenate([prior_cents, kept_cents])
+        order = np.argsort(all_ts, kind="stable")
+        all_ts = all_ts[order]
+        all_cents = all_cents[order]
+        cum = np.cumsum(all_cents)
+
+        # frame [t - lookback, t] per kept row: prefix-sum difference
+        hi = np.searchsorted(all_ts, kept_ts, side="right")
+        lo = np.searchsorted(all_ts, kept_ts - lookback_us, side="left")
+        sums = (cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)) / 100.0
+
+        # evict once: keep lookback+delay of history behind the new max
+        if len(all_ts):
+            cut = np.searchsorted(
+                all_ts, all_ts[-1] - lookback_us - delay_us, side="left"
             )
-        state.update((buf_ts, buf_vals))
-        yield from outs
+            state.update((all_ts[cut:].tolist(), all_cents[cut:].tolist()))
+
+        yield pd.DataFrame(
+            {
+                row_id: pdf[row_id].to_numpy()[keep],
+                key: np.repeat(key_tuple[0], len(kept_ts)),
+                time_col: pdf[time_col].to_numpy()[keep],
+                out_col: sums,
+            }
+        )
 
     watermarked = stream.select(row_id, key, time_col, measure).withWatermark(
         time_col, f"{delay_seconds} seconds"
