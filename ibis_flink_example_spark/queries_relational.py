@@ -817,3 +817,84 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(F.sum(money("l_extendedprice") * disc).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT
+  n.n_name,
+  r.r_name,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((n.n_name), (r.r_name), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 explicit GROUPING SETS (beyond rollup/cube): per-nation totals,
+    per-region totals, and the grand total in ONE pass over the fact join —
+    Spark expands the sets into a single Expand + hash aggregate, so the
+    fact side is scanned and shuffled once, not once per set. Dims broadcast.
+    (DataFrame.groupingSets is the Spark 4 native API — no SQL detour.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return joined.groupingSets(
+        [["n_name"], ["r_name"], []], "n_name", "r_name"
+    ).agg(
+        dec_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "udtf_props_kv",
+    # DuckDB's json extension is unavailable offline, so the oracle parses
+    # the fixture's single-key '{"k": <int>}' props with regexps — exactly
+    # what the UDTF's json.loads yields on this data.
+    oracle=r"""
+SELECT
+  e.event_id,
+  regexp_extract(e.props, '"(\w+)"\s*:', 1) AS prop_key,
+  CAST(regexp_extract(e.props, ':\s*(-?\d+)', 1) AS BIGINT) AS prop_value
+FROM events e
+""",
+)
+def udtf_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Python UDTF surface (spark.udtf, Spark 3.5+/4.x): a lateral
+    table function exploding each event's JSON props into (key, value) rows.
+
+    UDTFs are row-at-a-time Python — the SLOW path (SURVEY §2.10); this
+    entry exists for API-surface parity and correctness, with the idiomatic
+    fast path being from_json + explode(map) (see json_decode). The lateral
+    join shape itself is scale-safe: the UDTF runs per-partition with no
+    shuffle."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_value long")
+    class PropsExplode:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+
+    spark.udtf.register("props_explode", PropsExplode)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        """
+        SELECT e.event_id, t.prop_key, t.prop_value
+        FROM events_udtf_src e, LATERAL props_explode(e.props) t
+        """
+    )

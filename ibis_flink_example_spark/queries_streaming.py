@@ -232,3 +232,28 @@ def streaming_over_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="value_sum_10s",
     )
     return run_available_now(agged, output_mode="append")
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 streaming dedup: dropDuplicatesWithinWatermark over the replayed
+    events stream — state per distinct key, evicted once the watermark
+    passes (bounded state, unlike plain streaming dropDuplicates which
+    retains keys forever). Only the dedup key columns are emitted, so the
+    result is survivor-order-independent and equals batch DISTINCT exactly
+    in a drained availableNow run."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "15 seconds")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(stream, output_mode="append")
