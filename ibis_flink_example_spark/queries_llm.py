@@ -164,6 +164,29 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cosine_topk_ivf", oracle=None)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 approximate top-k via IVF coarse quantization (kmeans inverted
+    lists, n_probe nearest lists per query) — the data-adaptive scale path
+    next to the hyperplane LSH variant. Approximate + kmeans-derived →
+    rows-only check."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    out = S.ivf_topk(
+        em,
+        queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        k=5,
+        n_lists=16,
+        n_probe=4,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 # Mirrors the Spark implementation's normalize-then-dot structure (one fold
 # per pair) so the float op sequence — and thus every bit — matches.
 _NEARDUP_ORACLE = r"""

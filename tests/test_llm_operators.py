@@ -117,3 +117,38 @@ def test_real_decoder_is_explicit_stub(spark, sf_dir):
     with pytest.raises(Exception) as exc_info:
         feats.collect()
     assert "NotImplementedError" in str(exc_info.value) or "STUB" in str(exc_info.value)
+
+
+def test_ivf_topk_vs_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5
+    )
+    approx = S.ivf_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id",
+        k=5, n_lists=8, n_probe=4,
+    )
+    rows = approx.collect()
+    # every query gets candidates (n_probe=4 of 8 lists -> never empty) and
+    # ranks are a contiguous 1..n per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # approx cosines can never beat the exact best
+    e1 = {(r["query_id"], r["rank"]): r["cosine"] for r in exact.collect()}
+    for r in rows:
+        assert r["cosine"] <= e1[(r["query_id"], 1)] + 1e-12
+
+
+def test_ivf_assignment_partitions_corpus(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(em, vec_col="embedding", n_lists=8, seed=42)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    assigned = em.select(S.ivf_assign(F.col("embedding"), cents).alias("l"))
+    counts = {r["l"]: r["n"] for r in assigned.groupBy("l").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == em.count()          # every vector lands somewhere
+    assert all(0 <= l < 8 for l in counts)             # ids in range
