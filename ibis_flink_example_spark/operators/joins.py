@@ -117,3 +117,41 @@ def range_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return l.join(r, on=cond, how="inner")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: manual salting for when AQE's skew-join
+    split isn't available (stream-side joins, forced shuffled-hash, or a
+    single pathological key that still overflows one split).
+
+    Left rows get a deterministic salt in [0, salt) derived from
+    ``salt_by`` (a high-cardinality column, e.g. the row id — NOT the join
+    key, which is constant within the hot key's group); right rows are
+    replicated once per salt value. The join key becomes (on, __salt), so
+    the hot key's rows spread over ``salt`` reducers instead of one.
+    Results are IDENTICAL to the plain join (each left row still meets every
+    matching right row exactly once — via its single salt replica).
+
+    Cost model: right side is duplicated salt-fold — use for dim-sized or
+    pre-filtered right sides; for fact-fact skew prefer splitting only the
+    hot keys (filter + union) or AQE. Semantics: inner and left joins only
+    (right/full would need the right-replica dedup inverted).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    sb = F.col(salt_by) if salt_by else F.spark_partition_id()
+    l = left.withColumn("__salt", F.pmod(F.xxhash64(sb), F.lit(salt)).cast("int"))
+    # generator must stay top-level (no cast wrapper); sequence of int
+    # literals already yields int elements matching the left side's cast
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, on=[on, "__salt"], how=how).drop("__salt")

@@ -898,3 +898,29 @@ def udtf_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_udtf_src e, LATERAL props_explode(e.props) t
         """
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT o.o_orderkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under manual skew salting (operators/joins.py salted_join): the
+    join key becomes (custkey, salt-of-orderkey) with the customer side
+    replicated per salt, spreading any hot customer over 8 reducers. The
+    oracle is the PLAIN join — salting must be semantically invisible, and
+    the hash-match proves it row-for-row. (At 100 TB: for the rare key too
+    hot even for AQE's skew split; right side replicates, so use dim-sized
+    or pre-filtered right sides.)"""
+    from ibis_flink_example_spark.operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(
+        o, c, on="o_custkey", salt=8, salt_by="o_orderkey"
+    ).select("o_orderkey", "c_name")
