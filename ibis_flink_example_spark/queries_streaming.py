@@ -257,3 +257,58 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_available_now(stream, output_mode="append")
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+SELECT
+  p.event_id AS purchase_id,
+  v.event_id AS view_id,
+  CAST(v.value AS DOUBLE) AS view_value
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 10 MINUTE
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as a REAL stream-stream interval join (SURVEY §2.3): purchases
+    matched to same-user views in the preceding 10 minutes, both sides
+    watermarked so join state is evicted once the watermark clears the time
+    bound (state ∝ watermark+bound window, not the stream's history). Inner
+    join emits pairs as they match, so a drained availableNow run equals the
+    batch range-join oracle exactly. At 100 TB both sides shuffle once on
+    user_id; the time bound keeps pair volume linear in view density."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    base = _events_stream(spark, sf_dir)
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "15 seconds")
+    )
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", "15 seconds")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "view_id", "view_value")
+    return run_available_now(joined, output_mode="append")

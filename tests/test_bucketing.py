@@ -1,0 +1,60 @@
+"""Bucketed co-located joins: the write-once-shuffle-never pattern must
+actually produce exchange-free plans AND the same rows as the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators.bucketing import bucketed_join, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_join_is_shuffle_free_and_exact(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(o, "b_orders", bucket_col="o_orderkey", n_buckets=8)
+    write_bucketed(li, "b_lineitem", bucket_col="o_orderkey", n_buckets=8)
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        # large enough sides that a shuffle join would be chosen: suppress
+        # broadcast to force the sort-merge path the bucket layout optimizes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+        # identical rows to the plain join
+        plain = o.join(li, on="o_orderkey")
+        assert j.count() == plain.count()
+        assert j.exceptAll(plain).isEmpty() and plain.exceptAll(j).isEmpty()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_groupby_reuses_layout(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(li, "b_li_agg", bucket_col="l_orderkey", n_buckets=8)
+    try:
+        agg = (
+            spark.table("b_li_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert "Exchange" not in _plan(agg)  # agg on bucket key: no shuffle
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
