@@ -201,24 +201,43 @@ def kmeans_centroids(
     seed: int = 42,
     max_iter: int = 10,
     fit_fraction: float | None = None,
+    max_train: int = 200_000,
 ) -> list[list[float]]:
-    """Coarse-quantizer centroids via Spark ML KMeans (Lloyd's, seeded).
+    """Coarse-quantizer centroids: Lloyd's k-means in numpy on a bounded,
+    seeded sample of the corpus.
 
-    ``fit_fraction`` subsamples the training set — at 100 TB fit on ~1-10M
-    sampled vectors (centroid quality saturates long before full-corpus
-    training pays for itself), then assign the full corpus with the cheap
-    expression below. Centroids come back to the driver as plain floats:
-    n_lists x dim x 8 bytes — a few KB, shipped to executors as literals."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Why driver-side: centroid quality saturates on a modest sample (the
+    IVF-Flat standard is to TRAIN on ~100x n_lists vectors and ASSIGN the
+    full corpus), and a k x dim x ~1e5 training problem is milliseconds in
+    numpy versus multiple cluster-wide job rounds per Lloyd iteration in
+    Spark ML. This is index BUILD on a size-capped sample (max_train rows
+    collected — ~50 MB at 1e5 x 64 doubles), not a data-plane collect; the
+    corpus-sized work (assignment, probing) stays distributed. Deterministic:
+    seeded sample, collected rows sorted bytewise before seeded init, fixed
+    iteration count, ties to the lowest centroid index."""
+    import numpy as np
 
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
     if fit_fraction is not None:
-        train = train.sample(fraction=fit_fraction, seed=seed)
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+        train_df = train_df.sample(fraction=fit_fraction, seed=seed)
+    rows = train_df.limit(max_train).collect()
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X = X[np.lexsort(X.T[::-1])]  # order-independence of the collect
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_lists, replace=False)]
+    for _ in range(max_iter):
+        # argmin over ||x||^2 - 2x.c + ||c||^2 (row term constant -> dropped)
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        newC = C.copy()
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def _centroid_dist2(vec: Column, centroids: list[list[float]]) -> Column:
@@ -261,6 +280,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     fit_fraction: float | None = None,
+    max_iter: int = 10,
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: kmeans-partition the corpus into n_lists
@@ -273,7 +293,12 @@ def ivf_topk(
     expression (no Python, no shuffle); the probe join is an equi hash join
     on the list id; only bucket members get the exact cosine."""
     centroids = kmeans_centroids(
-        corpus, vec_col=vec_col, n_lists=n_lists, seed=seed, fit_fraction=fit_fraction
+        corpus,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        seed=seed,
+        fit_fraction=fit_fraction,
+        max_iter=max_iter,
     )
     c = corpus.select(
         F.col(id_col),

@@ -924,3 +924,34 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         o, c, on="o_custkey", salt=8, salt_by="o_orderkey"
     ).select("o_orderkey", "c_name")
+
+
+@query(
+    "map_funcs",
+    oracle="""
+SELECT
+  event_id,
+  1 AS n_keys,
+  'k' AS first_key,
+  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) AS k_value,
+  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) * 2 AS k_doubled
+FROM events
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map functions: from_json to MapType, map_keys/map_values/
+    element_at/transform_values — the engine-side path for semi-structured
+    props (vs the UDTF slow path in udtf_props_kv). The whole pipeline is
+    JVM expressions; DuckDB's offline build lacks the json extension, so the
+    oracle recomputes the fixture's single-key '{"k": n}' shape with
+    regexps."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_keys(m)[0].alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )

@@ -312,3 +312,26 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "view_id", "view_value")
     return run_available_now(joined, output_mode="append")
+
+
+@query("streaming_session_30m", oracle=_SESSION_ORACLE)
+def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 session windows executed as a REAL streaming job (session_window
+    merges need update/complete mode — append would hold results until the
+    watermark closes each session; a drained complete-mode run returns the
+    final merged sessions, equal to the batch lag-island oracle exactly)."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
+    agged = session(
+        stream,
+        "ts",
+        "30 minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dec_sum("value"),
+        },
+        keys=["user_id"],
+    )
+    out = run_available_now(agged, output_mode="complete")
+    return out.select("user_id", "window_start", "window_end", "n_events", "sum_value")
