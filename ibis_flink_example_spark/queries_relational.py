@@ -955,3 +955,100 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT
+  o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P",
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rev_F
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 pivot: order counts per (priority x status) matrix plus one pivoted
+    decimal-exact revenue cell. Explicit pivot values ('F','O','P') keep the
+    plan single-pass (no extra distinct-values job) and the output schema
+    static — both mandatory at 100 TB. Spark compiles pivot to the same
+    conditional-aggregation the oracle spells out."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    rev_f = o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", money("o_totalprice")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("rev_F")
+    )
+    return counts.join(rev_f, "o_orderpriority").select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+        "rev_F",
+    )
+
+
+@query(
+    "quantiles_by_flag",
+    oracle="""
+SELECT
+  l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS qty_p25,
+  quantile_cont(l_quantity, 0.5) AS qty_p50,
+  quantile_cont(l_extendedprice, 0.9) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 exact interpolated percentiles (SQL PERCENTILE_CONT semantics —
+    verified bit-identical to DuckDB's quantile_cont: same lower +
+    frac*(upper-lower) interpolation). Exact percentile sorts each group's
+    values; at 100 TB prefer approx_percentile (t-digest sketch, single
+    pass, mergeable) wherever rank error is tolerable — this entry is the
+    exact baseline next to approx_distinct_users' sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("qty_p25"),
+        F.percentile("l_quantity", 0.5).alias("qty_p50"),
+        F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+    )
+
+
+@query(
+    "nested_struct_json",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey AS key_from_struct,
+  '{"o_orderkey":' || o_orderkey || ',"o_custkey":' || o_custkey || '}' AS as_json,
+  CAST(len(o_orderpriority) AS INTEGER) AS prio_len
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def nested_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 nested types: build a struct column, read a field back, and
+    serialize it with to_json (integer fields only — engines format floats
+    differently, which is a wire-format concern, not a semantic one). The
+    struct stays columnar end-to-end (no shuffle, scan-side filter)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    st = F.struct("o_orderkey", "o_custkey")
+    return o.select(
+        "o_orderkey",
+        st.getField("o_custkey").alias("key_from_struct"),
+        F.to_json(st).alias("as_json"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
