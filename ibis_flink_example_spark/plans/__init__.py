@@ -1,0 +1,8 @@
+from ibis_flink_example_spark.plans.audit import (  # noqa: F401
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    plan_ops,
+    pushed_filter_scan_count,
+    scan_columns,
+)

@@ -1,0 +1,67 @@
+"""Runtime-semantics tests: checkpoint recovery (SURVEY §2.9 T5) and batch
+SQL DDL table registration (§2.1 S4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table, table_path
+
+
+def test_streaming_checkpoint_no_reprocessing(spark, tmp_path):
+    """T5: restarting a streaming query from its checkpoint must not
+    re-emit already-processed input — the file source's offset log is the
+    at-least-once/exactly-once backbone (the reference leaves delivery to
+    Flink's checkpointing defaults; Spark's equivalent is the
+    checkpointLocation, exercised here through a stop-add-restart cycle)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    spark.range(0, 100).select(F.col("id")).write.mode("append").parquet(src)
+
+    def drain():
+        # file sink: the one built-in sink with full checkpoint recovery
+        # (memory sink refuses to recover — it's a test tap, not a sink)
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    assert drain().count() == 100
+
+    # new data lands between runs; restart from the SAME checkpoint
+    spark.range(100, 200).select(F.col("id")).write.mode("append").parquet(src)
+    out2 = drain()
+    # cumulative sink holds each input row exactly once — nothing reprocessed
+    assert out2.count() == 200
+    assert out2.select("id").distinct().count() == 200
+
+
+def test_sql_ddl_table_registration(spark, sf_dir):
+    """S4 batch form: CREATE TABLE ... USING parquet OPTIONS(path ...) —
+    the catalog-DDL analog of the reference's con.create_table
+    (window_aggregation.py:44-51); the registered table must behave exactly
+    like the reader-based DataFrame."""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS ddl_lineitem
+        USING parquet OPTIONS (path '{table_path(sf_dir, "lineitem")}')
+        """
+    )
+    try:
+        via_ddl = spark.table("ddl_lineitem")
+        via_reader = load_table(spark, sf_dir, "lineitem")
+        assert via_ddl.count() == via_reader.count()
+        a = via_ddl.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).first()[0]
+        b = via_reader.agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).first()[0]
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
