@@ -133,6 +133,13 @@ def session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# State-partition count for the bounded verification runs below: streaming
+# state partitioning is latched at first checkpoint and each micro-batch pays
+# a fixed per-partition state-store cost, so it is sized to the workload
+# (thousands of keys here -> 8), NOT inherited from the relational shuffle
+# setting. On a real cluster size this to executors x cores and state volume.
+_STATE_PARTS = 8
+
 _STREAM_DIRS: dict[str, str] = {}
 
 
@@ -192,7 +199,7 @@ def streaming_tumble_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["event_type"],
     )
-    return run_available_now(agged, output_mode="complete")
+    return run_available_now(agged, output_mode="complete", state_partitions=_STATE_PARTS)
 
 
 _STREAMING_OVER_ORACLE = """
@@ -231,7 +238,7 @@ def streaming_over_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay_seconds=15,
         out_col="value_sum_10s",
     )
-    return run_available_now(agged, output_mode="append")
+    return run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
 
 
 @query(
@@ -256,7 +263,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(stream, output_mode="append")
+    return run_available_now(stream, output_mode="append", state_partitions=_STATE_PARTS)
 
 
 @query(
@@ -311,7 +318,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "view_id", "view_value")
-    return run_available_now(joined, output_mode="append")
+    return run_available_now(joined, output_mode="append", state_partitions=_STATE_PARTS)
 
 
 @query("streaming_session_30m", oracle=_SESSION_ORACLE)
@@ -333,5 +340,5 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["user_id"],
     )
-    out = run_available_now(agged, output_mode="complete")
+    out = run_available_now(agged, output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select("user_id", "window_start", "window_end", "n_events", "sum_value")

@@ -27,6 +27,7 @@ def run_available_now(
     query_name: str | None = None,
     output_mode: str = "append",
     checkpoint: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over all currently
     available input (micro-batches until drained), collect results in a
@@ -36,8 +37,18 @@ def run_available_now(
     (batch-vs-stream equivalence, SURVEY.md §5); the memory sink is
     driver-local and strictly for bounded test/verification runs — never a
     production sink.
+
+    ``state_partitions``: number of shuffle/state partitions for THIS query.
+    Streaming state partitioning is a first-class sizing decision — it is
+    latched into the checkpoint at first start and every micro-batch pays a
+    fixed per-partition state-store cost, so it should be sized to the
+    stateful operator's key/state volume (hundreds+ on a real cluster,
+    small for bounded verification runs), not inherited from the relational
+    shuffle setting. Implemented by scoping ``spark.sql.shuffle.partitions``
+    around the query's start; the session value is restored afterwards.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    spark = df.sparkSession
     writer = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -47,9 +58,15 @@ def run_available_now(
     writer = writer.option(
         "checkpointLocation", checkpoint or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     )
-    q = writer.start()
-    q.awaitTermination()
-    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
