@@ -76,15 +76,17 @@ def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
     the variable-length shingle string per permutation. At 100 TB the
     signature projection dominates the dedup scan's per-row cost, so this
     turns a string-length-bound loop into O(num_hashes) long arithmetic.
-    Pure JVM expressions throughout (no Python in the scan)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hash_col, lambda h, j=j: F.xxhash64(h, F.lit(j)))
-            )
-            for j in range(num_hashes)
-        ]
-    )
+    Pure JVM expressions throughout (no Python in the scan).
+
+    NB: the inner lambda must take exactly ONE parameter — a two-parameter
+    lambda (e.g. ``lambda h, j=j``) is interpreted by ``F.transform`` as an
+    (element, index) function, silently binding the permutation number to
+    the array index and collapsing all permutations into one."""
+
+    def perm_min(j: int) -> Column:
+        return F.array_min(F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(j))))
+
+    return F.array(*[perm_min(j) for j in range(num_hashes)])
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:

@@ -1,0 +1,107 @@
+"""Deterministic sampling operators for training-data pipelines: hash-based
+train/val/test splits, fractional hash sampling, and stratified per-group
+caps. (North-star extension surface — no counterpart in the reference, which
+has no sampling of any kind; cf. its fixed 20k-record generator,
+generate_source_data.py:13.)
+
+Why hash-based instead of ``df.sample()``: at 100 TB a split must be
+  1. deterministic — re-running the pipeline (or a failed-stage retry on a
+     recomputed partition) must assign every row to the SAME split;
+  2. stable under repartitioning — ``df.sample`` draws per-partition from a
+     seeded RNG, so the sample CHANGES if the file layout or partition count
+     changes;
+  3. portable — the md5 of the row key gives the same assignment in Spark,
+     DuckDB, or any downstream system auditing the split.
+
+All three operators are pure JVM column expressions. ``hash_split`` and
+``hash_sample`` are map-only — zero shuffles, fully pipelined into the scan.
+``stratified_cap`` shuffles once on the stratum key (the unavoidable minimum
+for a per-group rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, hex_digits: int = 4) -> Column:
+    """Lowercase-hex md5 prefix of the (stringified) key — a uniform label
+    in a 16^hex_digits-bucket space, identical across engines. Lexicographic
+    comparison of the fixed-width hex prefix is order-isomorphic to the
+    bucket number, so thresholds are plain string comparisons."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, hex_digits)
+
+
+def split_thresholds(weights: dict[str, float], hex_digits: int = 4) -> list[tuple[str, str]]:
+    """[(label, exclusive upper hex bound), ...] covering [0, 1) in
+    declaration order; the last label absorbs rounding remainder."""
+    total = sum(weights.values())
+    space = 16**hex_digits
+    acc = 0.0
+    out: list[tuple[str, str]] = []
+    for label, w in weights.items():
+        acc += w / total
+        bound = min(space, round(acc * space))
+        out.append((label, format(bound, f"0{hex_digits}x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    *,
+    split_col: str = "split",
+    hex_digits: int = 4,
+) -> DataFrame:
+    """Assign every row to a named split by md5(key) — deterministic,
+    repartition-stable, engine-portable (see module docstring). Map-only."""
+    bucket = hash_bucket(key_col, hex_digits)
+    thresholds = split_thresholds(weights, hex_digits)
+    expr: Column = F.lit(thresholds[-1][0])  # last label = else-branch
+    cond = None
+    for label, bound in thresholds[:-1]:
+        c = bucket < F.lit(bound)
+        cond = F.when(c, label) if cond is None else cond.when(c, label)
+    if cond is not None:
+        expr = cond.otherwise(thresholds[-1][0])
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, hex_digits: int = 4
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by md5(key) threshold.
+    Unlike ``df.sample`` the kept set is a pure function of the key.
+    Map-only: the predicate pipelines into the scan."""
+    bound = format(round(fraction * 16**hex_digits), f"0{hex_digits}x")
+    return df.filter(hash_bucket(key_col, hex_digits) < F.lit(bound))
+
+
+def stratified_cap(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    cap: int,
+    rank_col: str = "stratum_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen by md5(key) order — a
+    deterministic per-group downsample (e.g. "at most N documents per
+    language/domain"), the standard rebalancing step before training-set
+    assembly.
+
+    Ordering by the hash (with the key as tie-break) makes the kept subset a
+    uniform-at-random-but-frozen choice per stratum. One shuffle on the
+    stratum key; skewed strata are bounded by the cap itself on output, and
+    AQE skew-split handles the rank input side at scale.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(key_col, 8), F.col(key_col)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )

@@ -48,4 +48,5 @@ from ibis_flink_example_spark import queries_reference  # noqa: E402,F401
 from ibis_flink_example_spark import queries_relational  # noqa: E402,F401
 from ibis_flink_example_spark import queries_tpch  # noqa: E402,F401
 from ibis_flink_example_spark import queries_llm  # noqa: E402,F401
+from ibis_flink_example_spark import queries_sampling  # noqa: E402,F401
 from ibis_flink_example_spark import queries_streaming  # noqa: E402,F401

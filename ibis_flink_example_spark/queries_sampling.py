@@ -1,0 +1,77 @@
+"""Deterministic-sampling queries (north-star training-pipeline surface):
+hash-based train/val/test split, fractional hash sampling, stratified
+per-stratum caps. All fully SQL-expressible — md5 hex is identical in Spark
+and DuckDB, so the oracle checks the exact assignment, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators import sampling as SA
+from ibis_flink_example_spark.queries import query
+
+
+@query(
+    "split_train_val_test",
+    oracle=r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN bucket < 'cccd' THEN 'train'
+       WHEN bucket < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split by md5(doc_id) — map-only (zero
+    shuffles), repartition-stable, identical assignment in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+@query(
+    "sample_hash_10pct",
+    oracle=r"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+""",
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by md5(doc_id) threshold; the predicate is
+    a pure column expression that pipelines into the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.1).select("doc_id", "n_chars")
+
+
+@query(
+    "sample_stratified_cap",
+    oracle=r"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS stratum_rank
+  FROM documents
+)
+SELECT doc_id, lang, stratum_rank FROM r WHERE stratum_rank <= 40
+""",
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 40 docs per language, chosen by frozen md5 order — the
+    per-stratum rebalancing downsample before training-set assembly. One
+    shuffle (stratum key); output bounded to cap x |strata| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_cap(
+        docs, stratum_col="lang", key_col="doc_id", cap=40
+    ).select("doc_id", "lang", "stratum_rank")

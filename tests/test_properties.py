@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): operator laws that must hold for ANY
+input, not just the fixtures — partition-invariance of exact aggregation,
+salting-invisibility of salted_join, as-of join equivalence to the pandas
+reference implementation, and MinHash's estimation-error bound.
+
+Example counts are deliberately small (each example is a Spark job); the
+point is randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.functions.exact import dec_sum
+from ibis_flink_example_spark.operators.dedup import (
+    minhash_signature,
+    minhash_similarity,
+    word_shingles,
+    words,
+)
+from ibis_flink_example_spark.operators.joins import asof_join, salted_join
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_money_lists = st.lists(
+    st.integers(min_value=-10_000_00, max_value=10_000_00).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=200,
+)
+
+
+@_slow
+@given(vals=_money_lists, parts=st.integers(min_value=1, max_value=7))
+def test_dec_sum_is_partition_invariant(spark, vals, parts):
+    """Exact decimal aggregation must be bit-identical under ANY partitioning
+    — the property that makes results stable from local[4] to 1000 executors."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.repartition(parts).agg(dec_sum("v", "s")).first()["s"]
+    b = df.coalesce(1).agg(dec_sum("v", "s")).first()["s"]
+    assert a == b == round(sum(round(v * 100) for v in vals) / 100.0, 2)
+
+
+@_slow
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 4)), min_size=1, max_size=60
+    ),
+    salt=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join(spark, left, salt):
+    l = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(left)], "row_id long, k long"
+    )
+    r = spark.createDataFrame([(k, k * 10) for k in range(5)], "k long, payload long")
+    plain = l.join(r, "k").select("row_id", "k", "payload")
+    salted = salted_join(l, r, on="k", salt=salt, salt_by="row_id").select(
+        "row_id", "k", "payload"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@_slow
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    rights=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join (union + ordered last_value, no row blow-up) must agree with
+    pandas.merge_asof — the de-facto reference semantics — on any input."""
+    lpdf = pd.DataFrame({"t": sorted(lefts)}).assign(lid=range(len(lefts)))
+    rpdf = (
+        pd.DataFrame(rights, columns=["t", "val"])
+        .sort_values(["t", "val"])  # deterministic tie order
+        .drop_duplicates("t", keep="last")  # asof picks SOME row per ts; fix it
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(lpdf, rpdf, on="t", direction="backward")
+    # asof_join operates on event-time TIMESTAMP columns (unix_micros inside)
+    l = spark.createDataFrame(lpdf.assign(k=1), "t long, lid long, k int").withColumn(
+        "t", F.timestamp_micros(F.col("t"))
+    )
+    r = spark.createDataFrame(rpdf.assign(k=1), "t long, val long, k int").withColumn(
+        "t", F.timestamp_micros(F.col("t"))
+    )
+    got = (
+        asof_join(l, r, by="k", on="t", right_cols=["val"])
+        .select("lid", "val_right")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = expected[["lid", "val"]].reset_index(drop=True)
+    assert got["val_right"].astype("float64").equals(exp["val"].astype("float64"))
+
+
+@_slow
+@given(
+    base=st.text(
+        alphabet=st.sampled_from("abcde "), min_size=30, max_size=120
+    ),
+    edit=st.text(alphabet=st.sampled_from("abcde "), min_size=0, max_size=10),
+)
+def test_minhash_estimate_tracks_true_jaccard(spark, base, edit):
+    """|MinHash estimate − true Jaccard| stays within the 64-permutation
+    error envelope (std ≈ 0.06; 0.35 is a >5-sigma bound) for any pair of
+    texts — including identical (estimate must be exactly 1.0)."""
+    t1 = base
+    t2 = base + " " + edit
+    df = spark.createDataFrame([(1, t1), (2, t2)], "id long, text string")
+    sh = df.select(
+        "id", word_shingles(words("text"), 2).alias("sh")
+    )
+    sigs = sh.select("id", minhash_signature(F.col("sh"), 64).alias("sig"))
+    est = (
+        sigs.alias("a")
+        .crossJoin(sigs.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            minhash_similarity(F.col("a.sig"), F.col("b.sig"), 64).alias("est")
+        )
+        .first()["est"]
+    )
+    r1 = {r[0] for r in sh.filter("id = 1").select(F.explode("sh")).collect()}
+    r2 = {r[0] for r in sh.filter("id = 2").select(F.explode("sh")).collect()}
+    true_j = len(r1 & r2) / len(r1 | r2)
+    if t1.split() == t2.split():
+        assert est == 1.0
+    else:
+        assert abs(est - true_j) <= 0.35
