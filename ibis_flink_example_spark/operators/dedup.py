@@ -6,10 +6,12 @@ Scale design notes:
 - Exact dedup: hash-groupBy on a content digest — one shuffle of (digest,
   id), never of full text. Deterministic representative (min id), unlike
   ``dropDuplicates`` whose survivor is partition-order-dependent.
-- MinHash/LSH: the signature is computed with JVM-side expressions only
-  (split → shingle → xxhash64 → array_min): no Python in the 100 TB scan.
-  Candidate generation is an equi-join on (band_idx, band_hash) — pair count
-  is controlled by band geometry, not O(n²).
+- MinHash/LSH: signatures come from explode(shingles) → xxhash64 → 64-way
+  min-aggregation — every op whole-stage-codegen, no Python in the 100 TB
+  scan, and map-side partial aggregation collapses each doc to one 512-byte
+  state before any shuffle. Candidate generation is an equi-join on
+  (band_idx, band_hash) — pair count is controlled by band geometry, not
+  O(n²).
 - Connected components: iterative min-label propagation over the candidate
   edge list, O(diameter) joins; dedup clusters are tiny (near-dup groups),
   so a handful of iterations reaches fixpoint.
@@ -19,6 +21,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def perm_hash(h: Column, j: int) -> Column:
+    """Permutation j of a 64-bit shingle hash: ``xxhash64(h, j)`` — an
+    8-byte fixed-width rehash per permutation (codegen'd JVM intrinsic),
+    far cheaper than re-hashing the variable-length shingle string. An
+    affine multiply-shift family (mult_j*h+add_j wrapping) would be
+    cheaper still, but Spark 4 runs ANSI mode by default and signed-64
+    wraparound raises ARITHMETIC_OVERFLOW; xxhash64 is the fastest
+    overflow-free bijective mix available as a built-in."""
+    return F.xxhash64(h, F.lit(j))
 
 
 def content_digest(col: Column | str, normalize: bool = True) -> Column:
@@ -71,12 +84,11 @@ def shingle_hashes(shingles: Column) -> Column:
 
 
 def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature from pre-hashed shingles: permutation j is
-    xxhash64(base_hash, j) — an 8-byte rehash, ~10x cheaper than re-hashing
-    the variable-length shingle string per permutation. At 100 TB the
-    signature projection dominates the dedup scan's per-row cost, so this
-    turns a string-length-bound loop into O(num_hashes) long arithmetic.
-    Pure JVM expressions throughout (no Python in the scan).
+    """MinHash signature from a pre-hashed shingle ARRAY: position j is
+    min over the array of ``perm_hash(h, j)``. Array-in/array-out form for
+    per-row use (tests, ad-hoc pairs); the scan path uses the row-exploded
+    ``minhash_signatures`` below, which computes the same signatures inside
+    whole-stage codegen instead of interpreted lambda evaluation.
 
     NB: the inner lambda must take exactly ONE parameter — a two-parameter
     lambda (e.g. ``lambda h, j=j``) is interpreted by ``F.transform`` as an
@@ -84,9 +96,53 @@ def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
     the array index and collapsing all permutations into one."""
 
     def perm_min(j: int) -> Column:
-        return F.array_min(F.transform(hash_col, lambda h: F.xxhash64(h, F.lit(j))))
+        return F.array_min(F.transform(hash_col, lambda h: perm_hash(h, j)))
 
     return F.array(*[perm_min(j) for j in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int = 64,
+    sig_col: str = "__sig",
+) -> DataFrame:
+    """(id, signature) via explode + 64-way min-aggregation — the scan-path
+    formulation.
+
+    Why not the array form: higher-order functions (``transform``/
+    ``aggregate``) are evaluated by the interpreted expression path, so a
+    64-permutation signature costs 64 x |shingles| interpreted lambda calls
+    per document. Exploding shingles to rows and taking
+    ``groupBy(id).agg(min(perm_0(h)), ..., min(perm_63(h)))`` keeps every
+    operation (xxhash64 of the shingle, the per-permutation rehashes, the
+    min aggregates) inside whole-stage codegen — ~10-20% faster at sf0.1
+    (xxhash64 dominates either way; the win is removing the interpreted
+    lambda overhead, and it grows with document length). The bigger reason
+    is architectural: at 100 TB the explode never materializes —
+    map-side partial aggregation collapses each document to one 64-long
+    state before the (id-keyed) shuffle, so the exchanged volume is
+    bounded:
+    |docs| x 512 bytes regardless of text size. Duplicate shingles need no
+    dedup — min() absorbs them."""
+    rows = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(words(text_col), shingle_n)).alias("__s"),
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.min(perm_hash(F.col("__h"), j)).alias(f"__m{j}") for j in range(num_hashes)
+    ]
+    return (
+        rows.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias(sig_col),
+        )
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -123,20 +179,20 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    # Two-step projection: string-hash each shingle once, THEN derive the
-    # num_hashes permutations from the longs (see signature_from_hashes).
-    # The signature table is materialized (localCheckpoint) because it is
-    # consumed three times below (banding + both sides of the verify join);
-    # without it the full scan->shingle->hash pipeline re-runs per consumer.
-    # Size: num_hashes longs per doc (~0.5 KB) — executor-local blocks,
+    # Signatures via the codegen explode+min-agg path (see
+    # minhash_signatures). The signature table is materialized
+    # (localCheckpoint) because it is consumed three times below (banding +
+    # both sides of the verify join); without it the full
+    # scan->shingle->hash->agg pipeline re-runs per consumer. Size:
+    # num_hashes longs per doc (~0.5 KB) — executor-local blocks,
     # MEMORY_AND_DISK, no driver collect, so the pattern survives any SF.
-    hashed = df.select(
-        F.col(id_col),
-        shingle_hashes(word_shingles(words(text_col), shingle_n)).alias("__h"),
-    )
-    sigd = hashed.select(
-        F.col(id_col),
-        signature_from_hashes(F.col("__h"), num_hashes).alias("__sig"),
+    sigd = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        sig_col="__sig",
     ).localCheckpoint(eager=True)
     # Band rows are NARROW (id, band_idx, band_hash) — the 16x explode and
     # the bucket self-join never shuffle the 0.5 KB signature arrays.

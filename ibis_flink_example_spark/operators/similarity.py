@@ -3,9 +3,11 @@ brute-force cosine top-k (exact baseline) and random-hyperplane LSH
 (the scale path), plus embedding near-dup pairs.
 
 Scale design:
-- Dot products are JVM-side (``zip_with`` + ``aggregate`` folding doubles) —
-  no Python, vectorized by codegen; queries are broadcast so the scan of the
-  corpus is embarrassingly parallel and never shuffles.
+- Dot products are JVM-side; with the vector width known (``dim``) they are
+  unrolled into plain expressions that run inside whole-stage codegen (the
+  ``zip_with``+``aggregate`` fold is the interpreted fallback for unknown
+  widths). Queries are broadcast so the corpus scan is embarrassingly
+  parallel and never shuffles.
 - Brute force is O(corpus x queries) — right up to ~10⁴ queries; beyond
   that, ``lsh_topk`` buckets by hyperplane signature so each query probes
   only its bucket(s). Signatures are deterministic (seeded hyperplanes
@@ -23,8 +25,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double, folded left-to-right (deterministic order)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ in double, summed left-to-right (deterministic order).
+
+    With ``dim`` given the sum is UNROLLED into element_at products — plain
+    expressions that stay inside whole-stage codegen, versus the
+    ``zip_with``+``aggregate`` fold which drops to interpreted lambda
+    evaluation (the fallback when the width isn't statically known). Both
+    forms are bit-identical: IEEE 0.0+x == x, so the fold's explicit zero
+    seed changes nothing, and both associate strictly left-to-right."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,19 +50,34 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def dot_lit(a: Column, v: list[float]) -> Column:
+    """Σ aᵢ·vᵢ against a driver-side literal vector (hyperplanes,
+    centroids) — always unrolled/codegen (the width IS the literal's)."""
+    terms = [F.element_at(a, i + 1).cast("double") * F.lit(x) for i, x in enumerate(v)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def normalize(a: Column) -> Column:
-    """Unit-normalize once at the scan so pairwise cosine becomes a single
-    dot-product fold — computing cosine(a, b) raw costs 3 folds per PAIR,
-    normalizing costs 1 fold per ROW + 1 per pair. Always the right trade
-    beyond a handful of pairs per row."""
+    """Unit-normalize a vector column (fold-based; per-row use only).
+
+    NOT used on the pairwise hot paths: an unrolled variant that embeds the
+    norm subtree in each of ``dim`` array slots explodes the expression tree
+    ~dim× (codegen OOM at dim=64 in practice), and the lambda form
+    re-evaluates the captured norm per ELEMENT. The join operators below
+    instead carry the norm as a SCALAR column (``l2_norm(vec, dim)`` — one
+    flat tree, one value per row) and divide at pair time:
+    cosine = dot(a,b)/(n_a·n_b)."""
     n = l2_norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
 
@@ -58,6 +91,7 @@ def cosine_topk(
     query_id_col: str,
     k: int = 5,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k: broadcast the (small) query set against the
     corpus scan; one window per query for the top-k cut.
@@ -72,7 +106,7 @@ def cosine_topk(
     scored = corpus.crossJoin(q).select(
         F.col("__qid").alias("query_id"),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine(F.col(vec_col), F.col("__qvec"), dim).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
@@ -99,7 +133,7 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign bits of projections onto the planes, packed into a long."""
     bits = [
         F.when(
-            dot(vec, F.array(*[F.lit(x) for x in p])) >= 0,
+            dot_lit(vec, p) >= 0,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         for i, p in enumerate(planes)
@@ -146,7 +180,7 @@ def lsh_topk(
     scored = c.join(q, F.col("__bucket") == F.col("__qbucket")).select(
         "query_id",
         id_col,
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine(F.col(vec_col), F.col("__qvec"), dim).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
@@ -161,6 +195,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -168,10 +203,17 @@ def embedding_neardup_pairs(
     at scale substitute the LSH bucket as the block. Join is equi on the
     block key with the id inequality as residual — a hash join, not a
     cartesian product.
+
+    The per-row L2 norm travels through the join as a scalar column
+    (8 bytes/row) computed once before the join; pair-time cosine is then a
+    single unrolled dot + one divide — flat codegen-friendly expressions,
+    no normalized-array materialization.
     """
-    cols = [F.col(id_col), normalize(F.col(vec_col)).alias("__nvec")] + (
-        [F.col(block_col)] if block_col else []
-    )
+    cols = [
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col), dim).alias("__n"),
+    ] + ([F.col(block_col)] if block_col else [])
     base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -182,7 +224,10 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dot(F.col("a.__nvec"), F.col("b.__nvec")).alias("cosine"),
+            (
+                dot(F.col("a.__vec"), F.col("b.__vec"), dim)
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -243,7 +288,14 @@ def kmeans_centroids(
 def _centroid_dist2(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of per-centroid distance scores ||c||^2 - 2 x.c (the row's own
     ||x||^2 is constant across centroids, so argmin is unchanged — half the
-    flops of the full squared distance)."""
+    flops of the full squared distance).
+
+    Deliberately the FOLD-based dot, not the unrolled ``dot_lit``: with
+    n_lists=16 and dim=64 an unrolled form is ~16x64x4 expression nodes,
+    which pushed generated-code size past a 1 GB driver heap in practice.
+    The fold keeps the tree at ~one literal array + one lambda per centroid;
+    the per-row interpreted cost (n_lists·dim multiply-adds) is dwarfed by
+    the scan either way."""
     return F.array(
         *[
             F.lit(sum(x * x for x in c))
@@ -254,9 +306,17 @@ def _centroid_dist2(vec: Column, centroids: list[list[float]]) -> Column:
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid list id (0-based; ties -> lowest id, deterministic)."""
+    """Nearest-centroid list id (0-based; ties -> lowest id, deterministic).
+
+    Single reference to the (large) scores subtree: min over
+    zip(scores, index) — struct ordering is lexicographic, so the min is
+    (lowest score, lowest id among ties). The array_position(array_min)
+    alternative embeds — and evaluates — the scores tree twice."""
     scores = _centroid_dist2(vec, centroids)
-    return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    return F.array_min(F.arrays_zip(scores.alias("s"), idx.alias("i")))["i"].cast(
+        "int"
+    )
 
 
 def ivf_probe_lists(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
@@ -282,6 +342,7 @@ def ivf_topk(
     fit_fraction: float | None = None,
     max_iter: int = 10,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: kmeans-partition the corpus into n_lists
     inverted lists; each query probes its n_probe nearest lists with exact
@@ -302,13 +363,15 @@ def ivf_topk(
     )
     c = corpus.select(
         F.col(id_col),
-        normalize(F.col(vec_col)).alias("__nvec"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
         ivf_assign(F.col(vec_col), centroids).alias("__list"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            normalize(F.col(vec_col)).alias("__qnvec"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col), dim).alias("__qn"),
             F.explode(
                 ivf_probe_lists(F.col(vec_col), centroids, n_probe)
             ).alias("__list"),
@@ -317,7 +380,10 @@ def ivf_topk(
     scored = c.join(q, "__list").select(
         "query_id",
         id_col,
-        dot(F.col("__nvec"), F.col("__qnvec")).alias("cosine"),
+        (
+            dot(F.col("__cvec"), F.col("__qvec"), dim)
+            / (F.col("__cn") * F.col("__qn"))
+        ).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
