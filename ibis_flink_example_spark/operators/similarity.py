@@ -33,7 +33,14 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     ``zip_with``+``aggregate`` fold which drops to interpreted lambda
     evaluation (the fallback when the width isn't statically known). Both
     forms are bit-identical: IEEE 0.0+x == x, so the fold's explicit zero
-    seed changes nothing, and both associate strictly left-to-right."""
+    seed changes nothing, and both associate strictly left-to-right.
+
+    Measured trade (sf0.1, 64-dim, ~200k pairs): the unrolled form adds
+    ~9 s of DRIVER-side cost per query (Catalyst fixed-point rules +
+    Janino over ~770-node trees) while the fold's interpreted runtime
+    penalty is <2 s — so the default wrappers use the fold, and ``dim``
+    is the opt-in for long-running jobs where a constant plan cost
+    amortizes over a 100 TB scan."""
     if dim is not None:
         terms = [
             F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
@@ -51,13 +58,11 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def dot_lit(a: Column, v: list[float]) -> Column:
-    """Σ aᵢ·vᵢ against a driver-side literal vector (hyperplanes,
-    centroids) — always unrolled/codegen (the width IS the literal's)."""
-    terms = [F.element_at(a, i + 1).cast("double") * F.lit(x) for i, x in enumerate(v)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """Σ aᵢ·vᵢ against a driver-side literal vector — the compact fold
+    against a literal array (one array node + one lambda, not an unrolled
+    element_at chain: n_planes/n_lists of those blew driver planning time
+    and codegen heap — see ``dot``)."""
+    return dot(a, F.array(*[F.lit(x) for x in v]))
 
 
 def l2_norm(a: Column, dim: int | None = None) -> Column:
@@ -156,6 +161,7 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     exclude_self: bool = True,
+    unroll: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing the query's
     hyperplane signature bucket; exact cosine + top-k within the bucket.
@@ -180,7 +186,9 @@ def lsh_topk(
     scored = c.join(q, F.col("__bucket") == F.col("__qbucket")).select(
         "query_id",
         id_col,
-        cosine(F.col(vec_col), F.col("__qvec"), dim).alias("cosine"),
+        cosine(F.col(vec_col), F.col("__qvec"), dim if unroll else None).alias(
+            "cosine"
+        ),
     )
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
@@ -290,16 +298,14 @@ def _centroid_dist2(vec: Column, centroids: list[list[float]]) -> Column:
     ||x||^2 is constant across centroids, so argmin is unchanged — half the
     flops of the full squared distance).
 
-    Deliberately the FOLD-based dot, not the unrolled ``dot_lit``: with
-    n_lists=16 and dim=64 an unrolled form is ~16x64x4 expression nodes,
-    which pushed generated-code size past a 1 GB driver heap in practice.
-    The fold keeps the tree at ~one literal array + one lambda per centroid;
-    the per-row interpreted cost (n_lists·dim multiply-adds) is dwarfed by
-    the scan either way."""
+    Deliberately fold-based dots: with n_lists=16 and dim=64 an unrolled
+    form is ~16x64x4 expression nodes, which pushed generated-code size
+    past a 1 GB driver heap in practice. The fold keeps the tree at ~one
+    literal array + one lambda per centroid; the per-row interpreted cost
+    (n_lists·dim multiply-adds) is dwarfed by the scan either way."""
     return F.array(
         *[
-            F.lit(sum(x * x for x in c))
-            - F.lit(2.0) * dot(vec, F.array(*[F.lit(x) for x in c]))
+            F.lit(sum(x * x for x in c)) - F.lit(2.0) * dot_lit(vec, c)
             for c in centroids
         ]
     )

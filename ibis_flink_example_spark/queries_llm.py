@@ -135,8 +135,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     out = S.cosine_topk(
-        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id",
-        k=5, dim=64,
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5
     )
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
@@ -187,7 +186,6 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that scales with corpus size) is unchanged
         fit_fraction=0.3,
         max_iter=5,
-        dim=64,
     )
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
@@ -218,8 +216,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the block key becomes the LSH bucket)."""
     em = load_table(spark, sf_dir, "embeddings")
     out = S.embedding_neardup_pairs(
-        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35,
-        dim=64,
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     )
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
