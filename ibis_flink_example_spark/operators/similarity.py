@@ -162,26 +162,51 @@ def lsh_topk(
     seed: int = 42,
     exclude_self: bool = True,
     unroll: bool = False,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing the query's
     hyperplane signature bucket; exact cosine + top-k within the bucket.
 
-    Recall/cost dial: more planes → smaller buckets → cheaper, lower recall
-    (2^n_planes expected buckets). Multi-probe (flip one bit) would raise
-    recall; omitted here for clarity.
+    Recall/cost dials:
+    - more planes → smaller buckets → cheaper, lower recall (2^n_planes
+      expected buckets);
+    - ``probe_hamming=1`` multi-probes every bucket within Hamming
+      distance 1 of the query's signature (1 + n_planes probes/query) —
+      the standard recall boost that needs no re-index. Query-side only:
+      each corpus row still lives in exactly its own bucket, so probes
+      never duplicate a (query, doc) candidate pair, and the probe
+      explosion rides the broadcast (corpus scan unchanged).
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            hyperplane_signature(F.col(vec_col), planes).alias("__qbucket"),
+    # Signature computed ONCE into a column; probes reference the attribute
+    # (9 copies of the signature subtree in one projection would re-inflate
+    # driver planning cost — see dot's docstring).
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__qsig"),
+    )
+    if probe_hamming == 1:
+        probe = F.explode(
+            F.array(
+                F.col("__qsig"),
+                *[
+                    F.col("__qsig").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
         )
+    else:
+        probe = F.col("__qsig")
+    q = F.broadcast(
+        q0.select("query_id", "__qvec", probe.alias("__qbucket"))
     )
     scored = c.join(q, F.col("__bucket") == F.col("__qbucket")).select(
         "query_id",

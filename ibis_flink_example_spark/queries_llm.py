@@ -145,8 +145,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("cosine_topk_lsh", oracle=None)
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 approximate top-k via random-hyperplane LSH buckets (the scale
-    path: each query probes one bucket instead of the full corpus).
-    Approximate → rows-only check."""
+    path: each query probes its bucket plus the n_planes Hamming-1
+    neighbors instead of the full corpus). Approximate → rows-only check."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     out = S.lsh_topk(
@@ -158,6 +158,7 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         dim=64,
         n_planes=8,
+        probe_hamming=1,
     )
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"

@@ -80,6 +80,30 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     for r in approx.collect():
         assert r["cosine"] <= e1[(r["query_id"], 1)] + 1e-12
+    # multi-probe (Hamming-1) widens the candidate pool, so with the same
+    # k cut each query's hit count can only grow, and the worst kept
+    # cosine per query can only improve (a better candidate may displace a
+    # single-probe hit, so set-superset does NOT hold — counts and scores do)
+    probed = S.lsh_topk(
+        em, queries, id_col="vec_id", vec_col="embedding", query_id_col="vec_id",
+        k=5, dim=64, n_planes=8, probe_hamming=1,
+    )
+    probed_rows = probed.collect()
+    def per_query(rows):
+        n, worst = {}, {}
+        for r in rows:
+            q = r["query_id"]
+            n[q] = n.get(q, 0) + 1
+            worst[q] = min(worst.get(q, float("inf")), r["cosine"])
+        return n, worst
+    n_single, worst_single = per_query(approx.collect())
+    n_probed, worst_probed = per_query(probed_rows)
+    for q, n in n_single.items():
+        assert n_probed.get(q, 0) >= n
+        if n_probed.get(q) == n:  # same count -> kth-best can only improve
+            assert worst_probed[q] >= worst_single[q] - 1e-12
+    for r in probed_rows:
+        assert r["cosine"] <= e1[(r["query_id"], 1)] + 1e-12
 
 
 def test_multimodal_plumbing(spark, sf_dir):
