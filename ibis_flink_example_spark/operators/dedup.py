@@ -26,11 +26,18 @@ from pyspark.sql import functions as F
 def perm_hash(h: Column, j: int) -> Column:
     """Permutation j of a 64-bit shingle hash: ``xxhash64(h, j)`` — an
     8-byte fixed-width rehash per permutation (codegen'd JVM intrinsic),
-    far cheaper than re-hashing the variable-length shingle string. An
-    affine multiply-shift family (mult_j*h+add_j wrapping) would be
-    cheaper still, but Spark 4 runs ANSI mode by default and signed-64
-    wraparound raises ARITHMETIC_OVERFLOW; xxhash64 is the fastest
-    overflow-free bijective mix available as a built-in."""
+    far cheaper than re-hashing the variable-length shingle string.
+
+    Two cheaper families are deliberately NOT used, both found the hard
+    way: (a) affine wrapping multiply-shift (mult_j·h + add_j) raises
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode; (b) the
+    double-hashing family g_j = h1 + j·h2 is LINEAR in j, so for any two
+    hashes the min-comparison outcome is monotone as j sweeps — the 64
+    positions are almost perfectly correlated and the Jaccard estimator's
+    variance explodes (caught by the Hypothesis envelope test with an
+    estimate of 0.0 against a true Jaccard of 0.5). Independent rehashes
+    per position are what the estimator's 1/sqrt(k) error bound needs,
+    and they're ~10% of the signature scan's cost anyway."""
     return F.xxhash64(h, F.lit(j))
 
 
@@ -83,12 +90,43 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+def shingle_hash_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int, hash_col: str = "__h"
+) -> DataFrame:
+    """(id, shingle_hash) rows WITHOUT materializing shingle strings: hash
+    each word once (``__wh``, its own projection so downstream lambdas
+    reference the attribute, not the transform subtree), then shingle i is
+    the fixed-width ``xxhash64`` of its n word-hash longs.
+
+    Building "w1 w2 w3" strings first (concat_ws per shingle) re-allocates
+    ~|text| bytes per row and was the dominant cost of the MinHash
+    signature scan (~3 s of 3.4 s at sf0.1); the long-tuple path cuts the
+    scan >2x. Shingle identity is the word-hash n-tuple, equivalent to
+    string identity up to 64-bit collisions (~1e-11 at 1M shingles).
+    Degenerate short docs (<n words) hash the whole word-hash array."""
+    wh = df.select(
+        F.col(id_col),
+        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    shingles = F.when(
+        F.size(F.col("__wh")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__wh")) - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__wh"), i + F.lit(k + 1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.col("__wh"))))
+    return wh.select(F.col(id_col), F.explode(shingles).alias(hash_col))
+
+
 def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from a pre-hashed shingle ARRAY: position j is
     min over the array of ``perm_hash(h, j)``. Array-in/array-out form for
     per-row use (tests, ad-hoc pairs); the scan path uses the row-exploded
-    ``minhash_signatures`` below, which computes the same signatures inside
-    whole-stage codegen instead of interpreted lambda evaluation.
+    ``minhash_signatures`` below — same estimator, but NOT bit-identical
+    signatures (the scan path hashes word-hash n-tuples instead of shingle
+    strings, so the underlying shingle keys differ).
 
     NB: the inner lambda must take exactly ONE parameter — a two-parameter
     lambda (e.g. ``lambda h, j=j``) is interpreted by ``F.transform`` as an
@@ -128,10 +166,7 @@ def minhash_signatures(
     bounded:
     |docs| x 512 bytes regardless of text size. Duplicate shingles need no
     dedup — min() absorbs them."""
-    rows = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(words(text_col), shingle_n)).alias("__s"),
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    rows = shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
     aggs = [
         F.min(perm_hash(F.col("__h"), j)).alias(f"__m{j}") for j in range(num_hashes)
     ]
@@ -432,17 +467,13 @@ def ngram_jaccard_pairs(
 
     The distinct (id, shingle) table is materialized (localCheckpoint): it
     feeds the self-join twice plus the per-doc size aggregate — three
-    consumers of the explode+dedup pipeline. Shingles are hashed to 64-bit
-    longs first so the self-join shuffles 8-byte keys, not n-gram strings
+    consumers of the explode+dedup pipeline. Shingle identity is the
+    64-bit word-hash n-tuple hash (shingle_hash_rows) so the self-join
+    shuffles 8-byte keys and the scan never allocates n-gram strings
     (collision probability ~1e-11 at 1M distinct shingles — negligible
     against MinHash-style estimation error budgets)."""
     sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(shingle_hashes(word_shingles(words(text_col), n))).alias(
-                "shingle"
-            ),
-        )
+        shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=n, hash_col="shingle")
         .distinct()
         .localCheckpoint(eager=True)
     )

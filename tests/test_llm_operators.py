@@ -37,6 +37,22 @@ def test_exact_dedup_removes_planted_duplicate(spark, sf_dir):
     assert 100002 in ids  # near dup NOT removed by exact dedup
 
 
+def test_shingle_hash_rows_short_and_normal_docs(spark, sf_dir):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "a b c d"), (4, "")],
+        "id long, text string",
+    )
+    rows = D.shingle_hash_rows(df, id_col="id", text_col="text", n=3)
+    got = {}
+    for r in rows.collect():
+        got.setdefault(r["id"], []).append(r["__h"])
+    assert len(got[1]) == 2  # 4 words, n=3 -> 2 shingles
+    assert len(got[2]) == 1  # short doc degenerates to one whole-text shingle
+    assert sorted(got[1]) == sorted(got[3])  # identical text -> identical hashes
+    assert len(got[4]) == 1  # empty text still yields a row (whole-array hash)
+    assert got[2][0] != got[4][0]
+
+
 def test_minhash_finds_planted_near_dup(spark, sf_dir):
     docs = _docs_with_planted_dups(spark, sf_dir)
     out = D.minhash_dedup(
