@@ -148,34 +148,59 @@ def minhash_signatures(
     num_hashes: int = 64,
     sig_col: str = "__sig",
 ) -> DataFrame:
-    """(id, signature) via explode + 64-way min-aggregation — the scan-path
-    formulation.
+    """(id, signature) via one-permutation hashing (OPH): each shingle hash
+    lands in bucket ``pmod(h, num_hashes)``; signature position j is the min
+    hash within bucket j, with empty buckets densified by circular borrowing
+    (Shrivastava-style rotation, implemented as log2(k) doubling fills).
 
-    Why not the array form: higher-order functions (``transform``/
-    ``aggregate``) are evaluated by the interpreted expression path, so a
-    64-permutation signature costs 64 x |shingles| interpreted lambda calls
-    per document. Exploding shingles to rows and taking
-    ``groupBy(id).agg(min(perm_0(h)), ..., min(perm_63(h)))`` keeps every
-    operation (xxhash64 of the shingle, the per-permutation rehashes, the
-    min aggregates) inside whole-stage codegen — ~10-20% faster at sf0.1
-    (xxhash64 dominates either way; the win is removing the interpreted
-    lambda overhead, and it grows with document length). The bigger reason
-    is architectural: at 100 TB the explode never materializes —
-    map-side partial aggregation collapses each document to one 64-long
-    state before the (id-keyed) shuffle, so the exchanged volume is
-    bounded:
-    |docs| x 512 bytes regardless of text size. Duplicate shingles need no
-    dedup — min() absorbs them."""
+    Why OPH instead of k independent rehashes: the k-permutation scan
+    evaluates ``xxhash64(h, j)`` k times per shingle — with k=64 that is 64
+    full 16-byte hashes per shingle and was ~60% of the dedup pipeline's
+    cost at sf0.1. OPH computes ONE bucket id per shingle; the 64
+    per-bucket conditional mins are integer compares inside whole-stage
+    codegen (~10x less per-shingle work, identical collision probability
+    P[sig_a[j] == sig_b[j]] = Jaccard after densification). Map-side
+    partial aggregation still collapses each document to one 64-slot state
+    before the (id-keyed) shuffle, so exchanged volume stays |docs| x 512
+    bytes regardless of text size. Duplicate shingles need no dedup — min()
+    absorbs them.
+
+    NOT bit-compatible with the array-form ``signature_from_hashes`` (which
+    keeps the classical k-rehash estimator for per-row use); both satisfy
+    the same estimator contract."""
     rows = shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    # bucket id projected ONCE per row; the per-bucket mins are then plain
+    # integer compare-and-min updates in the codegen'd hash aggregate, with
+    # map-side partial aggregation collapsing each doc to one 65-long state
+    # before the id-keyed shuffle — exchanged volume stays |docs| x ~0.5 KB
+    # regardless of text size. Duplicate shingles need no dedup — min()
+    # absorbs them.
+    bucketed = rows.select(
+        F.col(id_col),
+        F.col("__h"),
+        F.pmod(F.col("__h"), F.lit(num_hashes)).cast("int").alias("__b"),
+    )
     aggs = [
-        F.min(perm_hash(F.col("__h"), j)).alias(f"__m{j}") for j in range(num_hashes)
-    ]
+        F.min(F.when(F.col("__b") == j, F.col("__h"))).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ] + [F.min(F.col("__h")).alias("__g")]
+    # Densification: an empty bucket j is filled with xxhash64(global_min, j)
+    # — a deterministic per-DOC re-randomization (collides across docs iff
+    # their global min-shingles collide, prob = Jaccard, AND bucket j is
+    # empty in both) — 64 fixed-width rehashes of ONE long per doc, not per
+    # shingle; an interpreted higher-order rotation fill cost more than the
+    # signature aggregation itself.
     return (
-        rows.groupBy(id_col)
+        bucketed.groupBy(id_col)
         .agg(*aggs)
         .select(
             F.col(id_col),
-            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias(sig_col),
+            F.array(
+                *[
+                    F.coalesce(F.col(f"__m{j}"), F.xxhash64(F.col("__g"), F.lit(j)))
+                    for j in range(num_hashes)
+                ]
+            ).alias(sig_col),
         )
     )
 
@@ -290,19 +315,26 @@ def connected_components(
     ``max_iterations`` is a safety bound, with early exit on fixpoint.
     """
     # The edge list is consumed once per iteration (and derives from the
-    # full LSH pipeline) — persist it, or every iteration recomputes
-    # shingling + minhash + the bucket join from scratch.
+    # full LSH pipeline) — materialize it, or every iteration recomputes
+    # shingling + minhash + the bucket join from scratch. localCheckpoint
+    # (not persist): the downstream node-set derivation + per-iteration
+    # joins otherwise each re-plan the whole LSH lineage.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = ids.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("component")
-    ).persist()
-    try:
-        for _ in range(max_iterations):
+    # Propagate labels ONLY over nodes that touch an edge — every other id
+    # is trivially its own singleton component and joins back at the end.
+    # Near-dup graphs are sparse (edge nodes << all ids), so this shrinks
+    # every iteration's join input from |corpus| to |edge endpoints| — the
+    # same asymmetry a 100 TB corpus has, where the candidate graph fits a
+    # fraction of the cluster while ids span the full dataset.
+    labels = (
+        edges.select("src").distinct().withColumn("component", F.col("src")).persist()
+    )
+    for _ in range(max_iterations):
             neighbor_min = (
                 edges.join(
                     labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2")
@@ -332,9 +364,10 @@ def connected_components(
             labels = stepped.drop("__changed")
             if changed == 0:
                 break
-        return labels.withColumnRenamed("src", id_col)
-    finally:
-        edges.unpersist()
+    singletons = ids.join(
+        labels.select(F.col("src").alias(id_col)), on=id_col, how="left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return labels.withColumnRenamed("src", id_col).unionByName(singletons)
 
 
 def minhash_dedup(
@@ -401,6 +434,40 @@ def simhash64(text_col: str, bits: int = 64) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, *, id_col: str, text_col: str, bits: int = 64, sig_col: str = "__sim"
+) -> DataFrame:
+    """(id, simhash) via explode + per-bit conditional sums — the scan-path
+    formulation, bit-identical to the array-form ``simhash64`` (integer
+    vote sums are order-independent).
+
+    The array form folds a 64-slot vote vector per WORD through interpreted
+    ``zip_with`` lambdas (64 x |words| interpreted ops per doc — the
+    dominant cost of the simhash scan at sf0.1). Exploding words to rows
+    turns each bit into ``sum((h >> b) & 1)`` — a shift/and/sum that stays
+    inside whole-stage codegen, with map-side partial aggregation
+    collapsing each doc to one 65-long state before the id-keyed shuffle.
+    Bit b is set iff its +1/-1 vote sum is positive, i.e. 2*cnt_b > n."""
+    rows = df.select(F.col(id_col), F.explode(words(text_col)).alias("__w")).select(
+        id_col, F.xxhash64(F.col("__w"), F.lit(42)).alias("__wh")
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.shiftrightunsigned(F.col("__wh"), b).bitwiseAND(F.lit(1).cast("long"))
+        ).alias(f"__c{b}")
+        for b in range(bits)
+    ]
+    g = rows.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) - (1 << 64) if b == 63 else (1 << b)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return g.select(F.col(id_col), fp.alias(sig_col))
+
+
 def simhash_neardup_pairs(
     df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -412,9 +479,9 @@ def simhash_neardup_pairs(
     bucket self-join consumes it twice — without it the whole word-hash +
     vote aggregate pipeline runs once per join side. 8 bytes per doc:
     executor-local blocks, any SF."""
-    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sim")).localCheckpoint(
-        eager=True
-    )
+    sigd = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, sig_col="__sim"
+    ).localCheckpoint(eager=True)
     chunks = sigd.select(
         id_col,
         "__sim",
