@@ -55,3 +55,21 @@ def register_views(
     for n, df in dfs.items():
         df.createOrReplaceTempView(n)
     return dfs
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan so CPU-heavy per-row work (shingling, hashing,
+    dot products, Python workers) uses every core.
+
+    Single-row-group parquet files — the shape of the small test fixtures —
+    plan as ONE input split no matter what ``maxPartitionBytes`` says, which
+    serializes everything up to the first shuffle on one core. This helper
+    round-robins such scans to ``defaultParallelism`` partitions, and is a
+    deliberate NO-OP when the scan already has enough splits: at 100 TB the
+    input arrives in thousands of row groups and an extra full shuffle of
+    the raw rows would be pure waste. Call it only in front of operators
+    whose per-row cost dwarfs one row's shuffle bytes."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -104,7 +104,9 @@ def shingle_hash_rows(
     scan >2x. Shingle identity is the word-hash n-tuple, equivalent to
     string identity up to 64-bit collisions (~1e-11 at 1M shingles).
     Degenerate short docs (<n words) hash the whole word-hash array."""
-    wh = df.select(
+    from ibis_flink_example_spark.catalog import fan_out
+
+    wh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__wh"),
     )
@@ -448,8 +450,12 @@ def simhash_signatures(
     inside whole-stage codegen, with map-side partial aggregation
     collapsing each doc to one 65-long state before the id-keyed shuffle.
     Bit b is set iff its +1/-1 vote sum is positive, i.e. 2*cnt_b > n."""
-    rows = df.select(F.col(id_col), F.explode(words(text_col)).alias("__w")).select(
-        id_col, F.xxhash64(F.col("__w"), F.lit(42)).alias("__wh")
+    from ibis_flink_example_spark.catalog import fan_out
+
+    rows = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(words(text_col)).alias("__w"))
+        .select(id_col, F.xxhash64(F.col("__w"), F.lit(42)).alias("__wh"))
     )
     aggs = [F.count(F.lit(1)).alias("__n")] + [
         F.sum(

@@ -150,7 +150,13 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    from ibis_flink_example_spark.catalog import fan_out
+
+    # fan_out capped at 8: decode work is embarrassingly parallel and a
+    # single-row-group input file otherwise feeds ONE Python worker — but
+    # each extra partition forks+initializes an Arrow worker, which at small
+    # row counts costs more than it buys beyond a handful of partitions
+    return fan_out(media, min_partitions=8).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 def resize_metadata(media: DataFrame, max_side: int) -> DataFrame:

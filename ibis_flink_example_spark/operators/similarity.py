@@ -57,12 +57,26 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+def _lit_doubles(v: list[float]) -> Column:
+    """array<double> literal via ONE parsed SQL expression. Building it as
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round trip per element —
+    ~2 s of pure driver time for 16x64 centroid literals; one expr string
+    is a single round trip and ``repr`` round-trips doubles exactly."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in v) + ")")
+
+
+def _lit_vectors(vs: list[list[float]]) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression."""
+    inner = ",".join("array(" + ",".join(f"{x!r}D" for x in v) + ")" for v in vs)
+    return F.expr(f"array({inner})")
+
+
 def dot_lit(a: Column, v: list[float]) -> Column:
     """Σ aᵢ·vᵢ against a driver-side literal vector — the compact fold
     against a literal array (one array node + one lambda, not an unrolled
     element_at chain: n_planes/n_lists of those blew driver planning time
     and codegen heap — see ``dot``)."""
-    return dot(a, F.array(*[F.lit(x) for x in v]))
+    return dot(a, _lit_doubles(v))
 
 
 def l2_norm(a: Column, dim: int | None = None) -> Column:
@@ -103,12 +117,14 @@ def cosine_topk(
 
     Output: (query_id, id_col, cosine, rank), rank 1..k.
     """
+    from ibis_flink_example_spark.catalog import fan_out
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
         )
     )
-    scored = corpus.crossJoin(q).select(
+    scored = fan_out(corpus.select(id_col, vec_col)).crossJoin(q).select(
         F.col("__qid").alias("query_id"),
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qvec"), dim).alias("cosine"),
@@ -179,8 +195,10 @@ def lsh_topk(
     """
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming must be 0 or 1")
+    from ibis_flink_example_spark.catalog import fan_out
+
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
@@ -242,12 +260,16 @@ def embedding_neardup_pairs(
     single unrolled dot + one divide — flat codegen-friendly expressions,
     no normalized-array materialization.
     """
+    from ibis_flink_example_spark.catalog import fan_out
+
     cols = [
         F.col(id_col),
         F.col(vec_col).alias("__vec"),
         l2_norm(F.col(vec_col), dim).alias("__n"),
     ] + ([F.col(block_col)] if block_col else [])
-    base = df.select(*cols)
+    base = fan_out(df.select(id_col, vec_col, *([block_col] if block_col else []))).select(
+        *cols
+    )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -325,15 +347,15 @@ def _centroid_dist2(vec: Column, centroids: list[list[float]]) -> Column:
 
     Deliberately fold-based dots: with n_lists=16 and dim=64 an unrolled
     form is ~16x64x4 expression nodes, which pushed generated-code size
-    past a 1 GB driver heap in practice. The fold keeps the tree at ~one
-    literal array + one lambda per centroid; the per-row interpreted cost
-    (n_lists·dim multiply-adds) is dwarfed by the scan either way."""
-    return F.array(
-        *[
-            F.lit(sum(x * x for x in c)) - F.lit(2.0) * dot_lit(vec, c)
-            for c in centroids
-        ]
-    )
+    past a 1 GB driver heap in practice. The whole score array is ONE
+    zip_with over a 2D centroid literal — two parsed literals + two
+    lambdas total, so driver plan-build time is flat in n_lists (the
+    per-element F.lit form spent ~2 s in py4j round trips); the per-row
+    interpreted cost (n_lists·dim multiply-adds) is dwarfed by the scan
+    either way."""
+    norms2 = _lit_doubles([sum(x * x for x in c) for c in centroids])
+    C = _lit_vectors([[float(x) for x in c] for c in centroids])
+    return F.zip_with(norms2, C, lambda n2, c: n2 - F.lit(2.0) * dot(vec, c))
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
@@ -392,7 +414,9 @@ def ivf_topk(
         fit_fraction=fit_fraction,
         max_iter=max_iter,
     )
-    c = corpus.select(
+    from ibis_flink_example_spark.catalog import fan_out
+
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),

@@ -890,8 +890,15 @@ def udtf_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k, v in json.loads(props).items():
                     yield k, int(v)
 
+    from ibis_flink_example_spark.catalog import fan_out
+
     spark.udtf.register("props_explode", PropsExplode)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_src")
+    # fan_out capped at 8: a single-row-group fixture file otherwise feeds
+    # ONE Python worker — the UDTF stage is embarrassingly parallel, but
+    # each partition forks a Python worker, so a handful is the sweet spot
+    fan_out(load_table(spark, sf_dir, "events"), min_partitions=8).createOrReplaceTempView(
+        "events_udtf_src"
+    )
     return spark.sql(
         """
         SELECT e.event_id, t.prop_key, t.prop_value
@@ -1020,10 +1027,21 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, mergeable) wherever rank error is tolerable — this entry is the
     exact baseline next to approx_distinct_users' sketch."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.25).alias("qty_p25"),
-        F.percentile("l_quantity", 0.5).alias("qty_p50"),
-        F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+    # both l_quantity percentiles share ONE percentile buffer (array form)
+    # — each extra buffer re-materializes the group's values, so this is a
+    # ~2x cut on the aggregate's memory and sort work
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5))).alias("__q"),
+            F.percentile("l_extendedprice", 0.9).alias("price_p90"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("__q")[0].alias("qty_p25"),
+            F.col("__q")[1].alias("qty_p50"),
+            "price_p90",
+        )
     )
 
 
