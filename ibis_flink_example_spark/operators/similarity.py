@@ -124,7 +124,7 @@ def cosine_topk(
             F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
         )
     )
-    scored = fan_out(corpus.select(id_col, vec_col)).crossJoin(q).select(
+    scored = fan_out(corpus.select(id_col, vec_col), min_partitions=8).crossJoin(q).select(
         F.col("__qid").alias("query_id"),
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qvec"), dim).alias("cosine"),
@@ -198,7 +198,7 @@ def lsh_topk(
     from ibis_flink_example_spark.catalog import fan_out
 
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = fan_out(corpus.select(id_col, vec_col)).select(
+    c = fan_out(corpus.select(id_col, vec_col), min_partitions=8).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
@@ -416,7 +416,7 @@ def ivf_topk(
     )
     from ibis_flink_example_spark.catalog import fan_out
 
-    c = fan_out(corpus.select(id_col, vec_col)).select(
+    c = fan_out(corpus.select(id_col, vec_col), min_partitions=8).select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),

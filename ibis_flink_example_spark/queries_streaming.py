@@ -138,7 +138,7 @@ def session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a fixed per-partition state-store cost, so it is sized to the workload
 # (thousands of keys here -> 8), NOT inherited from the relational shuffle
 # setting. On a real cluster size this to executors x cores and state volume.
-_STATE_PARTS = 8
+_STATE_PARTS = 4
 
 _STREAM_DIRS: dict[str, str] = {}
 
