@@ -1070,3 +1070,115 @@ def nested_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(st).alias("as_json"),
         F.length("o_orderpriority").alias("prio_len"),
     )
+
+
+@query(
+    "percentile_disc_by_flag",
+    # percentile_disc(p) = MIN(x) among values whose cume_dist >= p. The
+    # oracle spells that definition out with a window function instead of
+    # DuckDB's quantile_disc, whose index rule differs from the SQL-standard
+    # inverse distribution function at some (p, n) combinations.
+    oracle="""
+WITH cd AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice,
+         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd_qty,
+         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cd_price
+  FROM lineitem
+)
+SELECT l_returnflag,
+  MIN(CASE WHEN cd_qty >= 0.5 THEN l_quantity END) AS qty_med_disc,
+  MIN(CASE WHEN cd_price >= 0.9 THEN l_extendedprice END) AS price_p90_disc
+FROM cd
+GROUP BY l_returnflag
+""",
+)
+def percentile_disc_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 SQL-standard inverse distribution functions: PERCENTILE_DISC
+    WITHIN GROUP — the discrete counterpart of quantiles_by_flag's
+    PERCENTILE_CONT. Discrete percentiles return an actual data value (no
+    interpolation), so results are float-exact across engines by
+    construction. Same scale posture as percentile: per-group sort; prefer
+    approx_percentile sketches at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pdisc_src")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_med_disc,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p90_disc
+        FROM lineitem_pdisc_src
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "scalar_subquery_busy_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) > 20
+""",
+)
+def scalar_subquery_busy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 correlated scalar subquery: customers with more than 20 orders,
+    written as a correlated COUNT subquery in the WHERE clause. Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into a left outer
+    aggregate join — the plan a 100 TB run needs (one shuffled agg + one
+    join, never a per-row subquery execution). Integer-count comparison, so
+    the oracle is float-free."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ssq_src")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq_src")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ssq_src c
+        WHERE (SELECT COUNT(*) FROM orders_ssq_src o
+               WHERE o.o_custkey = c.c_custkey) > 20
+        """
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey % 50 = 0
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7-adjacent UNPIVOT (melt): wide measure columns to long
+    (measure, value) rows — the inverse of pivot_status_by_priority.
+    Spark's unpivot is a single Expand node (each input row emits 4 output
+    rows in one pass — no self-union, no re-scan; the UNION ALL oracle
+    re-scans per measure, which is exactly what Expand avoids at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query("approx_quantiles_value", oracle=None)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch family, quantile flavor: approx_percentile (Greenwald-
+    Khanna) next to approx_distinct_users' HLL++. Single pass, mergeable
+    partial sketches, bounded memory — the 100 TB default for quantiles;
+    quantiles_by_flag / percentile_disc_by_flag are its exact baselines.
+    Sketch output has no cross-engine oracle (rows-only check)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+        ).alias("value_q50_q95")
+    )

@@ -342,3 +342,86 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agged, output_mode="complete", state_partitions=_STATE_PARTS)
     return out.select("user_id", "window_start", "window_end", "n_events", "sum_value")
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, u.cohort, CAST(e.value AS DOUBLE) AS value
+FROM events e
+JOIN (SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events) u
+  ON e.user_id = u.user_id
+""",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (SURVEY §2.3 J1 in streaming form): the replayed
+    events stream enriched against a STATIC dimension (a derived user →
+    cohort table) via broadcast hash join. Stateless — no watermark, no
+    join state, every micro-batch joins against the same static snapshot;
+    this is the idiomatic streaming enrichment shape at 100 TB (static side
+    broadcast once per batch, stream side never shuffles)."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = _events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 10)
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "cohort", "value"
+    )
+    return run_available_now(joined, output_mode="append", state_partitions=_STATE_PARTS)
+
+
+@query(
+    "streaming_chained_windows",
+    # Append mode emits an outer window only once the watermark passes its
+    # end, and the final watermark of a drained run is max(ts) - 15 s — so
+    # the oracle applies the same cutoff to the batch rollup.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events)
+SELECT
+  time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, wm
+GROUP BY 1, 2, wm.w
+HAVING time_bucket(INTERVAL 10 MINUTE, MIN(ts)) + INTERVAL 10 MINUTE <= wm.w
+""",
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations in ONE streaming query (Spark 3.4+/4.x
+    multi-stateful support): 1-minute tumbling pre-aggregate rolled up into
+    10-minute windows, both windows in the same micro-batch pipeline. The
+    inner window does the map-side-style data reduction; the outer one
+    aggregates 10x fewer rows — the standard streaming rollup cascade.
+    Multi-stateful requires append mode, so closed-window results flow once
+    the watermark passes (the oracle mirrors the cutoff)."""
+    from ibis_flink_example_spark.functions.exact import money
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
+    inner = stream.groupBy(F.window("ts", "1 minute"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("__n1"),
+        F.sum(money("value")).alias("__s1"),
+    )
+    outer = inner.groupBy(
+        F.window(F.col("window"), "10 minutes").alias("__w"), F.col("event_type")
+    ).agg(
+        F.sum("__n1").alias("n_events"),
+        F.sum("__s1").cast("double").alias("sum_value"),
+    )
+    out = run_available_now(
+        outer.select(
+            F.col("__w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ),
+        output_mode="append",
+        state_partitions=_STATE_PARTS,
+    )
+    return out
