@@ -1182,3 +1182,85 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
         ).alias("value_q50_q95")
     )
+
+
+@query(
+    "array_agg_priorities",
+    oracle="""
+SELECT o_custkey,
+  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS distinct_priorities,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 collection aggregates: collect_list / collect_set per key.
+    collect_list's element order is partition-arrival order — inherently
+    nondeterministic under parallelism — so both engines SORT the arrays
+    (sort_array / list_sort) to make the result well-defined; never ship an
+    unsorted collect_list into a deterministic contract. Arrays stay small
+    (orders per customer), the usual precondition for collecting at all;
+    output serialized with array_join (the driver compare is scalar-typed)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "distinct_priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "string_distance_parts",
+    oracle="""
+SELECT p_partkey,
+  levenshtein(p_brand, p_type) AS brand_type_dist,
+  levenshtein(p_name, p_type) AS name_type_dist
+FROM part
+WHERE levenshtein(p_brand, p_type) <= 12
+""",
+)
+def string_distance_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string distance: levenshtein edit distance (same DP algorithm in
+    both engines — integer-exact). The fuzzy-match primitive for
+    entity-resolution-style cleanup next to the hash/shingle dedup family."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+    ).filter(F.col("brand_type_dist") <= 12)
+
+
+@query(
+    "bool_bit_aggs",
+    oracle="""
+SELECT o_orderpriority,
+  bool_and(o_totalprice > 1000) AS all_above_1k,
+  bool_or(o_orderstatus = 'F') AS any_finished,
+  bit_xor(o_orderkey) AS key_xor,
+  bit_and(o_orderkey) AS key_and,
+  bit_or(o_orderkey) AS key_or
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 boolean/bitwise aggregates: bool_and/bool_or (EVERY/ANY) and
+    bit_and/bit_or/bit_xor — order-independent integer/boolean reductions
+    (fully map-side combinable; at 100 TB these cost one narrow shuffle of
+    per-group 8-byte states). bit_xor over keys doubles as a cheap content
+    checksum pattern for partition-level data validation."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+    )
