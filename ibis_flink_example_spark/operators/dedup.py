@@ -333,6 +333,14 @@ def connected_components(
     # every iteration's join input from |corpus| to |edge endpoints| — the
     # same asymmetry a 100 TB corpus has, where the candidate graph fits a
     # fraction of the cluster while ids span the full dataset.
+    #
+    # When the edge list is SMALL (the common near-dup case even at large
+    # corpus sizes), collapse the iterative phase to one partition: each
+    # label-propagation step is then a single task with no shuffle
+    # scheduling, cutting multi-job fixed overhead. The count is free —
+    # edges is already materialized. Large edge lists keep full parallelism.
+    if edges.count() < 100_000:
+        edges = edges.coalesce(1)
     labels = (
         edges.select("src").distinct().withColumn("component", F.col("src")).persist()
     )
