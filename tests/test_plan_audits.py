@@ -57,3 +57,35 @@ def test_filter_reaches_parquet_scan(spark, sf_dir):
 def test_derived_partsupp_queries_broadcast_small_sides(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert broadcast_join_count(df) >= 2
+
+
+def test_scalar_subquery_decorrelates(spark, sf_dir):
+    """The correlated COUNT subquery must decorrelate into ONE aggregate +
+    join plan — a per-row subquery re-execution would be quadratic at scale.
+    Physical plan therefore contains an aggregate and a join, and no
+    nested-loop execution beyond it."""
+    df = QUERIES["scalar_subquery_busy_customers"](spark, sf_dir)
+    ops = plan_ops(df)
+    joins = (
+        ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"]
+    )
+    assert joins == 1
+    assert ops["HashAggregate"] >= 1
+    assert ops["BroadcastNestedLoopJoin"] == 0
+
+
+def test_unpivot_is_single_expand_pass(spark, sf_dir):
+    """UNPIVOT compiles to one Expand over one scan — no per-measure
+    re-scan (the UNION ALL formulation would read the table 4x)."""
+    df = QUERIES["unpivot_lineitem_measures"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["Expand"] == 1
+    assert len(scan_columns(df)) == 1  # exactly one scan of lineitem
+    assert exchange_count(df) == 0  # map-only: scan -> expand -> project
+
+
+def test_percentile_disc_single_shuffle(spark, sf_dir):
+    """Inverse distribution functions aggregate per group in one keyed
+    exchange (partial/final), like any other aggregate."""
+    df = QUERIES["percentile_disc_by_flag"](spark, sf_dir)
+    assert exchange_count(df) == 1
