@@ -1264,3 +1264,95 @@ def bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and("o_orderkey").alias("key_and"),
         F.bit_or("o_orderkey").alias("key_or"),
     )
+
+
+@query(
+    "set_ops_multiset",
+    oracle="""
+SELECT 'intersect_all' AS op, l_suppkey AS suppkey
+FROM (SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_linenumber >= 2)
+UNION ALL
+SELECT 'except_all' AS op, l_suppkey AS suppkey
+FROM (SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 2
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_linenumber >= 2)
+""",
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multiset set operations: INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL subtracts multiplicities — bag semantics the DISTINCT
+    variants (set_intersect/set_except) discard. Spark plans both as a
+    single aggregate computing per-key counts on each side (one shuffle),
+    not a join-per-duplicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linenumber") >= 2).select(F.col("l_suppkey").alias("suppkey"))
+    ia = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    ea = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea).select("op", "suppkey")
+
+
+@query(
+    "try_functions",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_totalprice / NULLIF(o_orderkey % 3, 0) AS price_per_mod,
+  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+  TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+  CASE WHEN o_orderkey > 7 THEN NULL
+       ELSE o_orderkey + 9223372036854775800 END AS key_plus_huge
+FROM orders
+""",
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 error-safe expression family (Spark ANSI mode): try_divide /
+    try_cast / try_add return NULL instead of raising on division by zero,
+    malformed casts, and long overflow. The 100 TB argument: one bad row
+    must not kill a 6-hour job — try_* turns data errors into NULLs that
+    downstream quality filters count and quarantine. The oracle spells the
+    same semantics with NULLIF/TRY_CAST/CASE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
+            "price_per_mod"
+        ),
+        F.substring("o_orderpriority", 1, 1)
+        .try_cast("int")
+        .alias("priority_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775800)).alias(
+            "key_plus_huge"
+        ),
+    )
+
+
+@query(
+    "variant_props",
+    oracle="""
+SELECT
+  event_id,
+  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) AS k_value,
+  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) IS NULL AS k_missing
+FROM events
+""",
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3/§2.8 VARIANT (Spark 4): parse_json into the binary
+    semi-structured type, then typed path extraction with
+    try_variant_get — the open-schema alternative to from_json's fixed
+    StructType/MapType (map_funcs). Variant keeps the parsed tree in a
+    compact binary encoding, so repeated path access never re-parses the
+    JSON text; DuckDB's offline build lacks the json extension, so the
+    oracle recomputes the fixture's single-key shape with regexps."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        k.isNull().alias("k_missing"),
+    )
