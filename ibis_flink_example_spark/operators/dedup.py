@@ -173,7 +173,7 @@ def minhash_signatures(
     rows = shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
     # bucket id projected ONCE per row; the per-bucket mins are then plain
     # integer compare-and-min updates in the codegen'd hash aggregate, with
-    # map-side partial aggregation collapsing each doc to one 65-long state
+    # map-side partial aggregation collapsing each doc to one 64-long state
     # before the id-keyed shuffle — exchanged volume stays |docs| x ~0.5 KB
     # regardless of text size. Duplicate shingles need no dedup — min()
     # absorbs them.
@@ -185,26 +185,44 @@ def minhash_signatures(
     aggs = [
         F.min(F.when(F.col("__b") == j, F.col("__h"))).alias(f"__m{j}")
         for j in range(num_hashes)
-    ] + [F.min(F.col("__h")).alias("__g")]
-    # Densification: an empty bucket j is filled with xxhash64(global_min, j)
-    # — a deterministic per-DOC re-randomization (collides across docs iff
-    # their global min-shingles collide, prob = Jaccard, AND bucket j is
-    # empty in both) — 64 fixed-width rehashes of ONE long per doc, not per
-    # shingle; an interpreted higher-order rotation fill cost more than the
-    # signature aggregation itself.
-    return (
+    ]
+    # Densification by ROTATION (Shrivastava-style): an empty bucket j
+    # borrows the min of the nearest non-empty bucket to its right
+    # (circular). Both docs then derive the fill from SHARED content — if
+    # bucket j is empty in both and their nearest-right non-empty buckets
+    # agree, the fills agree, preserving P[sig_a[j]==sig_b[j]] ≈ Jaccard.
+    # (The previous xxhash64(global_min, j) re-randomizing fill made fills
+    # collide only when bucket j was empty in BOTH docs AND global mins
+    # matched; a bucket empty in exactly one doc almost never agreed, which
+    # biased estimates DOWN on sparse docs — caught by
+    # test_properties.py::test_oph_scan_signatures_track_true_jaccard.)
+    # Implemented as log2(k) prefix-doubling coalesce passes over the
+    # 64-slot array: after pass i, slot j holds the first non-null value in
+    # the circular window [j, j+2^(i+1)) — per-DOC work on 64 longs, never
+    # per-shingle. Each pass is its own projection so CollapseProject keeps
+    # single evaluation of the (non-cheap) zip_with subtree.
+    out = (
         bucketed.groupBy(id_col)
         .agg(*aggs)
         .select(
             F.col(id_col),
-            F.array(
-                *[
-                    F.coalesce(F.col(f"__m{j}"), F.xxhash64(F.col("__g"), F.lit(j)))
-                    for j in range(num_hashes)
-                ]
-            ).alias(sig_col),
+            F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias(sig_col),
         )
     )
+    step = 1
+    while step < num_hashes:
+        rotated = F.concat(
+            F.slice(F.col(sig_col), step + 1, num_hashes - step),
+            F.slice(F.col(sig_col), 1, step),
+        )
+        out = out.select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(sig_col), rotated, lambda a, b: F.coalesce(a, b)
+            ).alias(sig_col),
+        )
+        step *= 2
+    return out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
