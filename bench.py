@@ -52,14 +52,21 @@ def main() -> None:
 
     # warmup: flagship once (JVM JIT, codegen, parquet footer caches)
     t0 = time.perf_counter()
-    QUERIES["over_range_sum_10s"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        QUERIES["over_range_sum_10s"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # warmup failure is a finding, not a bench abort
+        print(f"warmup failed: {exc}", file=sys.stderr)
     warmup_sec = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in QUERIES:
-        timings[name] = round(run_once(name), 4)
+        try:
+            timings[name] = round(run_once(name), 4)
+        except Exception as exc:  # one broken query must not sink the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -69,10 +76,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors,
         "warmup_sec": round(warmup_sec, 4),
         "cpus": int(cpus),
     }
     spark.stop()
+    # Durable copy first: the driver's stdout capture truncates long tails,
+    # so round-over-round comparison reads this file, not the console line.
+    with open(os.path.join(REPO_ROOT, "bench_out.json"), "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

@@ -1175,12 +1175,19 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Khanna) next to approx_distinct_users' HLL++. Single pass, mergeable
     partial sketches, bounded memory — the 100 TB default for quantiles;
     quantiles_by_flag / percentile_disc_by_flag are its exact baselines.
-    Sketch output has no cross-engine oracle (rows-only check)."""
+    Sketch output has no cross-engine oracle (rows-only check). The sketch
+    is computed ONCE per group and the two quantiles projected out as scalar
+    columns (array cells don't canonicalize in the driver compare)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx(
-            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
-        ).alias("value_q50_q95")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000))
+    return (
+        e.groupBy("event_type")
+        .agg(q.alias("__q"))
+        .select(
+            "event_type",
+            F.element_at("__q", 1).alias("value_q50"),
+            F.element_at("__q", 2).alias("value_q95"),
+        )
     )
 
 

@@ -159,26 +159,32 @@ def _stream_dir_for(path: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture replayed through the streaming file source.
 
-    The nanos fixture needs the same lowering as the batch reader
-    (sources/files.py): nanosAsLong reads ts as int64-ns, then div 1000.
+    The physical timestamp unit of the fixture decides the decode path
+    (mirrors the batch reader, sources/files.py): TIMESTAMP(NANOS) fixtures
+    are read as int64-ns under ``nanosAsLong`` then lowered with ``div
+    1000``; µs fixtures (naive, isAdjustedToUTC=false) read directly against
+    the declared TimestampType schema under the UTC session timezone.
     """
-    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.schema import EVENTS_SCHEMA, schema as mk_schema
+    from ibis_flink_example_spark.sources.files import _nanos_timestamp_columns
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = mk_schema(
-        {
-            "event_id": "int64",
-            "ts": "int64",  # ns since epoch under nanosAsLong
-            "user_id": "int64",
-            "event_type": "string",
-            "value": "float64",
-            "props": "string",
-        }
-    )
-    raw = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir_for(table_path(sf_dir, "events"))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = table_path(sf_dir, "events")
+    if "ts" in _nanos_timestamp_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = mk_schema(
+            {
+                "event_id": "int64",
+                "ts": "int64",  # ns since epoch under nanosAsLong
+                "user_id": "int64",
+                "event_type": "string",
+                "value": "float64",
+                "props": "string",
+            }
+        )
+        raw = spark.readStream.schema(raw_schema).parquet(_stream_dir_for(path))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(_stream_dir_for(path))
 
 
 @query("streaming_tumble_1m", oracle=_TUMBLE_ORACLE)

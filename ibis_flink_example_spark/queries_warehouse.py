@@ -1,0 +1,84 @@
+"""Batch warehouse sink (SURVEY.md §2.1 S5): ``saveAsTable`` + ``insertInto``
++ read-back — the batch analog of the reference's ``con.insert(...)`` sink
+(reference: window_aggregation.py:83).
+
+The reference inserts query results into a named sink table registered via
+DDL. In batch Spark that is the managed-table pair:
+
+- ``df.write.saveAsTable(name, mode="overwrite")`` — CREATE TABLE AS SELECT;
+- ``df.write.insertInto(name)`` — INSERT INTO (positional columns, appends).
+
+At 100 TB the managed-parquet sink is the right default: writes are
+partition-parallel, the table is immediately re-scannable with full
+predicate pushdown, and ``insertInto`` appends new files without touching
+existing data (no read-modify-write).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.functions.exact import money
+from ibis_flink_example_spark.queries import query
+
+_SINK_TABLE = "warehouse_pricing_summary_sink"
+
+
+def _pricing_slice(spark: SparkSession, sf_dir: str, returned: bool) -> DataFrame:
+    """Pricing rollup over one disjoint slice of lineitem (split on
+    l_returnflag = 'R' so the two inserted slices partition the table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = F.col("l_returnflag") == "R"
+    return (
+        li.filter(cond if returned else ~cond)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "warehouse_roundtrip",
+    # The oracle is the SAME rollup computed directly: a correct
+    # write-then-read roundtrip must be value-invisible.
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 batch INSERT INTO: CTAS one slice, INSERT INTO the complementary
+    slice, then scan the table back. Returns the re-read rows, which must
+    equal the direct rollup (the oracle) — proving the sink round-trips
+    values, schema, and row multiplicity exactly."""
+    spark.sql(f"DROP TABLE IF EXISTS {_SINK_TABLE}")
+    # With the default in-memory catalog, DROP TABLE in a NEW session can't
+    # see a table a previous session created — but its managed location on
+    # disk survives and makes CTAS fail with LOCATION_ALREADY_EXISTS. Clear
+    # the orphaned location (driver-side metadata op; a Hive/production
+    # metastore wouldn't orphan it in the first place).
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    orphan = os.path.join(wh.path or wh.netloc, _SINK_TABLE)
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+    _pricing_slice(spark, sf_dir, returned=True).write.saveAsTable(
+        _SINK_TABLE, mode="overwrite"
+    )
+    # Positional-column append, the Spark analog of the reference's
+    # con.insert(...) into a pre-registered sink schema.
+    _pricing_slice(spark, sf_dir, returned=False).write.insertInto(_SINK_TABLE)
+    return spark.table(_SINK_TABLE)

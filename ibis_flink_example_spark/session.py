@@ -30,6 +30,11 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Fixture parquet stores naive-µs timestamps (isAdjustedToUTC=false);
+    # read them as plain TIMESTAMP, not TIMESTAMP_NTZ — the whole package
+    # (range frames over unix_micros, watermarks, the DuckDB oracle) assumes
+    # epoch-µs semantics under the UTC session timezone.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Files: pack small fixture files; on 100 TB this is the knob that sizes
     # scan tasks (128 MB default is right for a cluster; harmless locally).
     "spark.sql.files.maxPartitionBytes": "134217728",
@@ -110,6 +115,7 @@ def apply_session_conf(spark: SparkSession) -> None:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     ):
         spark.conf.set(k, DEFAULT_CONF[k])
     ship_package_to_workers(spark)

@@ -36,18 +36,39 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan that transparently lowers ns-timestamps to Spark µs.
+    """Parquet scan that transparently normalizes timestamps to Spark µs
+    TimestampType (LTZ).
 
-    The conversion is a codegen'd projection on top of the scan; column
-    pruning and predicate pushdown on all other columns are unaffected.
+    Two parquet shapes need lowering:
+
+    - TIMESTAMP(NANOS): rejected by the vectorized reader; read as int64
+      epoch-nanos via ``nanosAsLong`` then integer-divided to µs (see module
+      docstring).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ
+      by default, which breaks every ``unix_micros``/range-frame consumer in
+      this package. We disable NTZ inference so naive-µs columns read as
+      plain TIMESTAMP — with the session pinned to UTC (session.py) the
+      stored micros ARE the epoch micros, which is exactly how the DuckDB
+      oracle treats the same naive values.
+
+    The conversions are conf + a codegen'd projection on top of the scan;
+    column pruning and predicate pushdown on all other columns are unaffected.
     """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Defense-in-depth: if any column still analyzed as NTZ (e.g. a session
+    # where the conf landed after schema inference), cast it; with a UTC
+    # session timezone this is value-preserving.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
