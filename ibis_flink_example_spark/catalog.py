@@ -57,6 +57,26 @@ def register_views(
     return dfs
 
 
+# Memo for fan_out's split probe: (session id, semantic hash) -> partitions.
+# The probe (df.rdd.getNumPartitions) does full physical planning through
+# py4j — fine once, wasteful when every query in a 99-query run re-probes the
+# same fixture scan. Semantically-equal plans reuse the first probe's answer.
+_SPLIT_PROBE_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _num_scan_partitions(df: DataFrame) -> int:
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # pragma: no cover - semanticHash is a developer API
+        key = None
+    if key is not None and key in _SPLIT_PROBE_CACHE:
+        return _SPLIT_PROBE_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        _SPLIT_PROBE_CACHE[key] = n
+    return n
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan so CPU-heavy per-row work (shingling, hashing,
     dot products, Python workers) uses every core.
@@ -68,8 +88,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     deliberate NO-OP when the scan already has enough splits: at 100 TB the
     input arrives in thousands of row groups and an extra full shuffle of
     the raw rows would be pure waste. Call it only in front of operators
-    whose per-row cost dwarfs one row's shuffle bytes."""
+    whose per-row cost dwarfs one row's shuffle bytes.
+
+    Streaming DataFrames pass through untouched (no RDD probe exists for
+    them; micro-batch parallelism is governed by the source + shuffle conf).
+    """
+    if df.isStreaming:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _num_scan_partitions(df) < target:
         return df.repartition(target)
     return df

@@ -325,6 +325,19 @@ def minhash_lsh_candidates(
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort deterministic release of an eager localCheckpoint's
+    blocks. ``localCheckpoint`` stores the physical RDD via persist, so
+    unpersisting that RDD frees the blocks immediately instead of waiting
+    for the async ContextCleaner; reaching it goes through the query
+    execution (non-public surface), hence the broad except — worst case the
+    cleaner reclaims the blocks later, exactly as before."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame, ids: DataFrame, *, id_col: str, max_iterations: int = 8
 ) -> DataFrame:
@@ -359,10 +372,13 @@ def connected_components(
     # edges is already materialized. Large edge lists keep full parallelism.
     if edges.count() < 100_000:
         edges = edges.coalesce(1)
-    labels = (
+    seed_labels = (
         edges.select("src").distinct().withColumn("component", F.col("src")).persist()
     )
-    for _ in range(max_iterations):
+    labels = seed_labels
+    superseded: list[DataFrame] = []
+    try:
+        for _ in range(max_iterations):
             neighbor_min = (
                 edges.join(
                     labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2")
@@ -388,10 +404,21 @@ def connected_components(
                 .localCheckpoint(eager=True)
             )
             changed = stepped.filter(F.col("__changed")).limit(1).count()
-            labels.unpersist()
+            if labels is not seed_labels:
+                superseded.append(labels)
             labels = stepped.drop("__changed")
             if changed == 0:
                 break
+    finally:
+        # Deterministic release — repeated minhash_dedup calls in one session
+        # must not ratchet up block-manager storage while waiting for the
+        # async ContextCleaner: drop the seed persist and every superseded
+        # iteration's checkpoint blocks. Only the FINAL labels checkpoint
+        # (what the returned plan reads) and the edges checkpoint (consumed
+        # by the singleton anti-join below) stay alive.
+        seed_labels.unpersist()
+        for old in superseded:
+            _release_local_checkpoint(old)
     singletons = ids.join(
         labels.select(F.col("src").alias(id_col)), on=id_col, how="left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("component"))

@@ -314,11 +314,23 @@ def kmeans_centroids(
     collected — ~50 MB at 1e5 x 64 doubles), not a data-plane collect; the
     corpus-sized work (assignment, probing) stays distributed. Deterministic:
     seeded sample, collected rows sorted bytewise before seeded init, fixed
-    iteration count, ties to the lowest centroid index."""
+    iteration count, ties to the lowest centroid index.
+
+    Sampling is ALWAYS a seeded uniform sample over the whole corpus: a bare
+    ``limit(max_train)`` would take whatever partitions report first, which
+    at 100 TB trains the quantizer on one shard of key space. When
+    ``fit_fraction`` is not given, it is derived from one distributed
+    count() so the sample lands near ``max_train`` rows; the trailing
+    ``limit`` only enforces the hard memory bound."""
     import numpy as np
 
     train_df = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if fit_fraction is not None:
+    if fit_fraction is None:
+        n = train_df.count()
+        # 1.2x oversample: Bernoulli sampling undershoots ~sqrt(n) of the
+        # time; the limit() below trims the overshoot deterministically.
+        fit_fraction = min(1.0, (max_train * 1.2) / max(n, 1))
+    if fit_fraction < 1.0:
         train_df = train_df.sample(fraction=fit_fraction, seed=seed)
     rows = train_df.limit(max_train).collect()
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)

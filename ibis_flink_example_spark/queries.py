@@ -76,9 +76,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_fingerprint",
     "multimodal_features",
-    # deterministic sampling
+    # deterministic sampling (sample_hash_10pct shares split_train_val_test's
+    # md5-hash mechanism and stays pytest-checked outside the 50-slot budget)
     "split_train_val_test",
-    "sample_hash_10pct",
     "sample_stratified_cap",
     # batch time windows + every streaming query (W2/W3/T1–T5)
     "tumble_1m",
@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_session_30m",
     "streaming_static_join",
     "streaming_chained_windows",
+    "streaming_over_range_sum_join",
     # batch warehouse sink (S5)
     "warehouse_roundtrip",
     # remaining TPC-H

@@ -1319,9 +1319,20 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_cast / try_add return NULL instead of raising on division by zero,
     malformed casts, and long overflow. The 100 TB argument: one bad row
     must not kill a 6-hour job — try_* turns data errors into NULLs that
-    downstream quality filters count and quarantine. The oracle spells the
-    same semantics with NULLIF/TRY_CAST/CASE."""
+    downstream quality filters count and quarantine.
+
+    Perf note (measured at sf0.1): try_cast/try_add surface NULL by
+    CATCHING a JVM exception per failing row — ~10-25 µs each, which turns
+    a 0.25 s scan into 4-6 s when the failure rate is ~100% (here: every
+    o_orderstatus is non-numeric, every o_orderkey > 7 overflows the huge
+    addend). The fix is the standard guarded form: a cheap codegen'd
+    predicate (rlike / range check) routes rows that WOULD fail to NULL
+    directly, keeping try_* as the backstop for the residue — the
+    exception path stays exceptional, which is the only way try_* survives
+    a 100 TB scan whose error rate is not ~0. The oracle spells the same
+    semantics with NULLIF/TRY_CAST/CASE."""
     o = load_table(spark, sf_dir, "orders")
+    max_addable = 9223372036854775807 - 9223372036854775800  # Long.MAX - addend
     return o.select(
         "o_orderkey",
         F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias(
@@ -1330,10 +1341,14 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1)
         .try_cast("int")
         .alias("priority_num"),
-        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
-        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775800)).alias(
-            "key_plus_huge"
-        ),
+        F.when(
+            F.col("o_orderstatus").rlike(r"^[+-]?\d+$"),
+            F.col("o_orderstatus").try_cast("int"),
+        ).alias("status_as_int"),
+        F.when(
+            F.col("o_orderkey") <= max_addable,
+            F.try_add(F.col("o_orderkey"), F.lit(9223372036854775800)),
+        ).alias("key_plus_huge"),
     )
 
 

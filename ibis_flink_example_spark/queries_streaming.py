@@ -248,6 +248,57 @@ def streaming_over_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_over_range_sum_join",
+    # Append mode finalizes a per-row group once the watermark passes its
+    # event time; a drained availableNow run's final watermark is
+    # max(ts) - 15 s, so the oracle is the batch RANGE frame restricted to
+    # rows strictly older than that horizon.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events)
+SELECT event_id, user_id, ts, value_sum_10s FROM (
+  SELECT
+    event_id,
+    user_id,
+    ts,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 10 SECONDS PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS value_sum_10s
+  FROM events
+) t, wm
+WHERE t.ts < wm.w
+""",
+)
+def streaming_over_range_sum_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP executed as a real streaming job via design (a): the
+    fully declarative watermarked SELF-JOIN + per-row-identity aggregation
+    (streaming/over_window.py) — Catalyst plans it end-to-end, state is
+    join state bounded by watermark + lookback. Complements
+    ``streaming_over_range_sum`` (design b, custom stateful buffer): the
+    two designs bracket the streaming W1 space, and both now carry
+    external correctness rows."""
+    from ibis_flink_example_spark.streaming.over_window import (
+        streaming_range_over_sum,
+    )
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    return run_available_now(
+        streaming_range_over_sum(
+            _events_stream(spark, sf_dir),
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            row_id="event_id",
+            lookback_seconds=10,
+            delay_seconds=15,
+            out_col="value_sum_10s",
+        ),
+        output_mode="append",
+        state_partitions=_STATE_PARTS,
+    )
+
+
+@query(
     "streaming_dedup_events",
     oracle="""
 SELECT DISTINCT user_id, event_type FROM events
