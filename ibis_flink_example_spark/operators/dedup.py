@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def perm_hash(h: Column, j: int) -> Column:
@@ -325,6 +326,43 @@ def minhash_lsh_candidates(
     )
 
 
+def _driver_union_find(edges: DataFrame, *, id_col: str) -> DataFrame:
+    """Union-find over a BOUNDED collected edge list → (id_col, component)
+    DataFrame with component = min member id. Deterministic irrespective of
+    edge order: the union structure fixes the partition into components, and
+    the label is each component's minimum, not anything order-dependent."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    data = [(node, comp_min[find(node)]) for node in parent]
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(data, schema=schema)
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Best-effort deterministic release of an eager localCheckpoint's
     blocks. ``localCheckpoint`` stores the physical RDD via persist, so
@@ -339,13 +377,30 @@ def _release_local_checkpoint(df: DataFrame) -> None:
 
 
 def connected_components(
-    pairs: DataFrame, ids: DataFrame, *, id_col: str, max_iterations: int = 8
+    pairs: DataFrame,
+    ids: DataFrame,
+    *,
+    id_col: str,
+    max_iterations: int = 8,
+    driver_cc_max_edges: int = 100_000,
 ) -> DataFrame:
-    """Min-label propagation over an undirected edge list.
+    """Min-label components over an undirected edge list.
 
     Returns (id_col, component) where component = min id reachable.
-    Iterations bounded by cluster diameter; dedup clusters are small, so
-    ``max_iterations`` is a safety bound, with early exit on fixpoint.
+
+    Two physical strategies behind one contract (the IVF index build
+    precedent: bounded driver-side work where it collapses whole job
+    rounds, distributed where data can be large):
+
+    - ``|edges| < driver_cc_max_edges`` — the common near-dup shape even
+      over huge corpora, because the candidate graph is the POST-LSH,
+      post-threshold residue — collect the bounded edge list (< ~2 MB at
+      the default cap) and run union-find on the driver: zero iterative
+      jobs instead of 3 jobs x diameter iterations.
+    - otherwise — distributed min-label propagation, iterations bounded by
+      cluster diameter with early exit on fixpoint; state per iteration is
+      localCheckpoint-truncated. This is the 100 TB path: label state never
+      leaves the cluster.
     """
     # The edge list is consumed once per iteration (and derives from the
     # full LSH pipeline) — materialize it, or every iteration recomputes
@@ -358,20 +413,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The count is free — edges is already materialized.
+    n_edges = edges.count()
+    if n_edges < driver_cc_max_edges:
+        labels_small = _driver_union_find(edges, id_col=id_col)
+        singletons = ids.join(labels_small, on=id_col, how="left_anti").select(
+            F.col(id_col), F.col(id_col).alias("component")
+        )
+        out = labels_small.unionByName(singletons)
+        _release_local_checkpoint(edges)
+        return out
     # Propagate labels ONLY over nodes that touch an edge — every other id
     # is trivially its own singleton component and joins back at the end.
     # Near-dup graphs are sparse (edge nodes << all ids), so this shrinks
     # every iteration's join input from |corpus| to |edge endpoints| — the
     # same asymmetry a 100 TB corpus has, where the candidate graph fits a
     # fraction of the cluster while ids span the full dataset.
-    #
-    # When the edge list is SMALL (the common near-dup case even at large
-    # corpus sizes), collapse the iterative phase to one partition: each
-    # label-propagation step is then a single task with no shuffle
-    # scheduling, cutting multi-job fixed overhead. The count is free —
-    # edges is already materialized. Large edge lists keep full parallelism.
-    if edges.count() < 100_000:
-        edges = edges.coalesce(1)
     seed_labels = (
         edges.select("src").distinct().withColumn("component", F.col("src")).persist()
     )

@@ -35,6 +35,17 @@ from pyspark.sql import types as T
 from ibis_flink_example_spark.session import REFERENCE_TIMESTAMP_FORMAT
 
 
+def add_connector_jar(spark: SparkSession, jar_path: str) -> None:
+    """Raw-SQL connector registration parity: the reference loads its Kafka
+    connector with ``ADD JAR`` through the SQL surface
+    (window_aggregation.py:20-22, ``t_env.execute_sql("ADD JAR ...")``).
+    Spark exposes the identical statement; for a cluster deployment prefer
+    ``--packages``/``--jars`` at submit time so executors fetch the jar
+    before tasks schedule, but the runtime statement exists for session-
+    scoped additions (e.g. a notebook attaching the Kafka connector)."""
+    spark.sql(f"ADD JAR {jar_path}")
+
+
 def read_kafka_json(
     spark: SparkSession,
     *,

@@ -192,3 +192,25 @@ def test_ivf_assignment_partitions_corpus(spark, sf_dir):
     counts = {r["l"]: r["n"] for r in assigned.groupBy("l").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(counts.values()) == em.count()          # every vector lands somewhere
     assert all(0 <= l < 8 for l in counts)             # ids in range
+
+
+def test_cc_driver_and_distributed_paths_agree(spark, sf_dir):
+    """connected_components has two physical strategies behind one contract
+    (bounded driver union-find vs distributed min-label propagation); both
+    must produce identical (id, component) labelings."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame(
+        # two chains (1-2-3, 7-9) + a cycle (20-21-22-20); 5,6 untouched
+        [(2, 1), (2, 3), (9, 7), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    ids = docs.select("doc_id").limit(30)
+    small = D.connected_components(pairs, ids, id_col="doc_id")
+    big = D.connected_components(pairs, ids, id_col="doc_id", driver_cc_max_edges=0)
+    a = small.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = big.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    got = dict(zip(a["doc_id"], a["component"]))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[9] == 7
+    assert got[20] == got[21] == got[22] == 20
