@@ -74,7 +74,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_token_count",
     "text_quality",
     "text_lang_id",
-    "text_fingerprint",
+    # text_fingerprint's md5 mechanism is the partition key inside the
+    # dedup_exact and curation_pipeline rows; it stays pytest-checked.
+    "curation_pipeline",
     "multimodal_features",
     # deterministic sampling (sample_hash_10pct shares split_train_val_test's
     # md5-hash mechanism and stays pytest-checked outside the 50-slot budget)

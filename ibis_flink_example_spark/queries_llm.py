@@ -329,6 +329,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "curation_pipeline",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n_chars_measured,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> list_contains(['a','and','das','de','der','die','el','en','est','et','ein','in','is','ist','la','le','les','los','nicht','of','que','the','to','und','une','y'], lower(w)))) AS n_stopwords
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text,
+    ROUND(
+      CASE WHEN n_chars_measured BETWEEN 50 AND 20000 THEN 0.4 ELSE 0 END
+      + CASE WHEN (n_chars_measured - (n_words - 1)) / n_words BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0 END
+      + CASE WHEN n_punct / GREATEST(n_chars_measured, 1) <= 0.2 THEN 0.2 ELSE 0 END
+      + CASE WHEN n_stopwords / GREATEST(n_words, 1) >= 0.01 THEN 0.2 ELSE 0 END
+    , 6) AS quality_score
+  FROM f
+), kept AS (
+  SELECT * FROM scored WHERE quality_score >= 0.5
+), deduped AS (
+  SELECT doc_id, lang, quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM kept
+)
+SELECT doc_id, lang, quality_score,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+FROM deduped WHERE rn = 1
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X-operators composed end-to-end the way a training-data curation
+    job actually runs them: heuristic quality scoring (X4) → threshold
+    filter → exact content dedup with deterministic min-id survivors (X1) →
+    deterministic train/val/test assignment (hash split). Single pipeline,
+    fully declarative: the score and filter fuse into the scan projection,
+    dedup shuffles once on the content digest, the split is a map-only
+    expression on the survivors — three conceptual stages, one shuffle
+    total. At 100 TB this ordering is the cheap one: scoring prunes rows
+    BEFORE the dedup exchange moves them."""
+    from ibis_flink_example_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.quality_features(docs, "text", "doc_id", "lang", "text")
+    kept = scored.filter(F.col("quality_score") >= 0.5)
+    survivors = D.exact_dedup(kept, text_col="text", id_col="doc_id")
+    return SA.hash_split(
+        survivors, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "quality_score", "split")
+
+
 # ---------------------------------------------------------------------------
 # X5: multimodal columns
 # ---------------------------------------------------------------------------
