@@ -99,14 +99,25 @@ def fingerprint(text_col: str) -> Column:
     return F.md5(normalized.cast("binary"))
 
 
-def rolling_shingle_fingerprints(text_col: str, n: int = 8, keep: int = 4) -> Column:
-    """Winnowing-style robust fingerprint: the ``keep`` smallest xxhash64
+def rolling_shingle_fingerprints(
+    text_col: str, n: int = 8, keep: int = 4, hash_fn: str = "xxhash64"
+) -> Column:
+    """Winnowing-style robust fingerprint: the ``keep`` smallest hash
     values over character n-gram shingles (a rolling-hash sketch) — two docs
-    sharing most content share most of the sketch even after small edits."""
+    sharing most content share most of the sketch even after small edits.
+
+    ``hash_fn="xxhash64"`` (default) is the scale path: fixed-width integer
+    hashing, codegen'd. ``hash_fn="md5"`` produces engine-portable hex
+    sketches (md5 is bit-identical in Spark/DuckDB/etc.) for cross-engine
+    verification or cross-system corpus exchange, at higher per-shingle
+    cost."""
     c = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
         lambda i: F.substring(c, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
+    if hash_fn == "md5":
+        hashes = F.transform(shingles, lambda s: F.md5(s.cast("binary")))
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
     return F.slice(F.array_sort(hashes), 1, keep)

@@ -330,6 +330,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_winnow_sketch",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS c
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    list_sort(list_transform(
+      range(1, GREATEST(length(c) - 8 + 1, 1) + 1),
+      i -> md5(substr(c, i, 8))
+    )) AS hs
+  FROM s
+)
+SELECT doc_id, array_to_string(hs[1:4], ',') AS sketch FROM h
+""",
+)
+def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 robust document fingerprint (winnowing-style rolling-hash sketch):
+    the 4 smallest shingle hashes over 8-char n-grams — stable under small
+    edits, unlike the exact md5 fingerprint. Uses the engine-portable md5
+    variant so the sketch BYTES are oracle-checked; production dedup at
+    scale uses the xxhash64 variant of the same operator (integer hashing,
+    codegen) — both live in operators/text.py:rolling_shingle_fingerprints.
+    Serialized with array_join (the external compare is scalar-typed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            X.rolling_shingle_fingerprints("text", n=8, keep=4, hash_fn="md5"), ","
+        ).alias("sketch"),
+    )
+
+
+@query(
     "curation_pipeline",
     oracle=r"""
 WITH f AS (

@@ -89,3 +89,16 @@ def test_percentile_disc_single_shuffle(spark, sf_dir):
     exchange (partial/final), like any other aggregate."""
     df = QUERIES["percentile_disc_by_flag"](spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """curation_pipeline's 100 TB claim: quality scoring + filter fuse into
+    the scan, exact dedup costs ONE exchange (digest agg), survivors come
+    back via broadcast semi-join, the split is map-only — so the whole
+    three-stage pipeline plans with a single real shuffle and no sort-merge
+    join."""
+    df = QUERIES["curation_pipeline"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] == 0
+    assert broadcast_join_count(df) >= 1
