@@ -247,6 +247,82 @@ def streaming_over_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
 
 
+_SINK_ROUNDTRIP_TABLE = "streaming_sink_roundtrip_tbl"
+
+
+@query(
+    "streaming_sink_roundtrip",
+    # Append mode emits a window once the watermark passes its END; the
+    # final watermark of a drained run is max(ts) - 15 s.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events)
+SELECT
+  time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, wm
+GROUP BY 1, 2, wm.w
+HAVING time_bucket(INTERVAL 1 MINUTE, MIN(ts)) + INTERVAL 1 MINUTE <= wm.w
+""",
+)
+def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL pipeline shape, sink included: stream → windowed
+    aggregate → INSERT INTO a registered sink table → read the sink back
+    (reference: window_aggregation.py:83 ``con.insert(...)`` + :85-90
+    consumer tap). The sink write is ``foreachBatch`` + batch
+    ``insertInto`` — the production pattern for streaming into warehouse
+    tables (each micro-batch appends atomically new files; exactly the
+    at-least-once contract the reference runs with). Returned rows are the
+    RE-READ sink table, so the oracle checks the whole write path, not the
+    in-memory stream."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from ibis_flink_example_spark.functions.exact import money
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    spark.sql(f"DROP TABLE IF EXISTS {_SINK_ROUNDTRIP_TABLE}")
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    orphan = _os.path.join(wh.path or wh.netloc, _SINK_ROUNDTRIP_TABLE)
+    if _os.path.isdir(orphan):
+        _shutil.rmtree(orphan, ignore_errors=True)
+    spark.sql(
+        f"""CREATE TABLE {_SINK_ROUNDTRIP_TABLE}
+        (window_start TIMESTAMP, event_type STRING, n_events BIGINT,
+         sum_value DOUBLE) USING parquet"""
+    )
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
+    agged = (
+        stream.groupBy(F.window("ts", "1 minute"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # Scope state partitions to the stateful agg's tiny key space (same
+    # sizing rationale as run_available_now's state_partitions knob).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTS))
+    try:
+        q = foreach_batch(
+            agged,
+            lambda bdf, bid: bdf.write.insertInto(_SINK_ROUNDTRIP_TABLE),
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(_SINK_ROUNDTRIP_TABLE)
+
+
 @query(
     "streaming_over_range_sum_join",
     # Append mode finalizes a per-row group once the watermark passes its
