@@ -452,10 +452,33 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    # The deterministic fake decode computes byte stats of the payload; the
+    # fixture text is pure ASCII (verified), so UTF-8 bytes == codepoints
+    # and DuckDB can recompute the identical stats from the string — giving
+    # the mapInPandas path a real value-level oracle instead of rows-only.
+    oracle=r"""
+WITH cp AS (
+  SELECT doc_id, n_chars, octet_length(encode(text)) AS n_bytes,
+    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS cps
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(n_bytes AS INTEGER) AS n_bytes,
+  CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST(list_aggregate(cps, 'avg') AS DOUBLE) END AS mean_byte,
+  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE list_aggregate(cps, 'min') END AS INTEGER) AS min_byte,
+  CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE list_aggregate(cps, 'max') END AS INTEGER) AS max_byte,
+  CAST((n_chars % 64) + 1 AS INTEGER) AS width,
+  CAST((n_chars % 48) + 1 AS INTEGER) AS height
+FROM cp
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 Arrow-batched mapInPandas feature extraction over payload bytes
     (decode stage stubbed with a deterministic fake — see
-    operators/multimodal.py; the Spark plumbing is real)."""
+    operators/multimodal.py; the Spark plumbing is real). The fake is
+    deterministic in the payload bytes, so it carries a full value oracle
+    (byte stats recomputed engine-side from the ASCII fixture)."""
     media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
     return M.extract_features(media)
