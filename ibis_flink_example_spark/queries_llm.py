@@ -453,6 +453,67 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_plan",
+    oracle=r"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST((n_chars % 64) + 1 AS INTEGER) AS width,
+    CAST((n_chars % 48) + 1 AS INTEGER) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+  CAST(ceil(width * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INTEGER) AS resized_width,
+  CAST(ceil(height * LEAST(32.0 / width, 32.0 / height, 1.0)) AS INTEGER) AS resized_height
+FROM m
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 resize stage: aspect-preserving target dimensions as pure column
+    math (the pixel resample itself would run in the stubbed decode path;
+    the metadata contract here is what downstream batching consumes)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = M.resize_metadata(media, max_side=32)
+    return resized.select(
+        "media_id",
+        F.col("metadata.width").alias("width"),
+        F.col("metadata.height").alias("height"),
+        F.col("resized.width").alias("resized_width"),
+        F.col("resized.height").alias("resized_height"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=r"""
+SELECT doc_id AS media_id, CAST(UNNEST(range(0, (n_chars % 100) + 1, 10)) AS BIGINT) AS frame_idx
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame-sampling stage for video payloads: one row per sampled frame
+    index via explode(sequence(...)) — the shuffle-free 1:N expansion shape;
+    frame decode itself is the stubbed step. n_frames derived
+    deterministically from the fixture so the expansion is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (((F.col("n_chars") % 100) + 1)).cast("int").alias("n_frames"),
+    )
+    media = docs.select(
+        "media_id",
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.col("n_frames").alias("n_frames"),
+        ).alias("metadata"),
+    )
+    return M.frame_sample_plan(media, every_n=10)
+
+
+@query(
     "multimodal_features",
     # The deterministic fake decode computes byte stats of the payload; the
     # fixture text is pure ASCII (verified), so UTF-8 bytes == codepoints
