@@ -214,3 +214,26 @@ def test_cc_driver_and_distributed_paths_agree(spark, sf_dir):
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == got[9] == 7
     assert got[20] == got[21] == got[22] == 20
+
+
+def test_winnow_sketch_robust_to_small_edits(spark):
+    """The winnowing sketch's defining property: a small edit leaves most of
+    the sketch intact (unlike the exact fingerprint, which changes
+    completely). 4-of-k overlap on a one-word substitution."""
+    base = " ".join(f"word{i}" for i in range(200))
+    edited = base.replace("word100", "zzzzz", 1)
+    df = spark.createDataFrame([(1, base), (2, edited)], "id long, text string")
+    from ibis_flink_example_spark.operators.text import (
+        fingerprint,
+        rolling_shingle_fingerprints,
+    )
+
+    rows = df.select(
+        "id",
+        fingerprint("text").alias("fp"),
+        rolling_shingle_fingerprints("text", n=8, keep=8).alias("sketch"),
+    ).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["fp"] != by_id[2]["fp"]  # exact fingerprint: total change
+    overlap = len(set(by_id[1]["sketch"]) & set(by_id[2]["sketch"]))
+    assert overlap >= 6, f"sketch overlap {overlap}/8 too low for a 1-word edit"
