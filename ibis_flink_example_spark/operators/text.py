@@ -91,6 +91,55 @@ def quality_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFram
     )
 
 
+def repetition_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """Gopher-style within-document repetition signals, fully map-only:
+
+    - ``dup_word_frac``: 1 − |distinct words| / |words| — the fraction of
+      words that are repeats;
+    - ``top_2gram_frac``: occurrences of the most frequent word bigram over
+      all bigrams (NULL for sub-2-word docs) — boilerplate/spam loops spike
+      this.
+
+    The bigram mode is computed WITHOUT a shuffle: sort the doc's bigram
+    array, then one ``aggregate`` pass finds the longest equal-run — per-row
+    O(g log g) inside codegen'd higher-order functions. The alternative
+    (explode → groupBy(doc, gram) → max/sum) shuffles |corpus words| rows;
+    at 100 TB the in-row form wins by the width of that exchange."""
+    ws = words(text_col)
+    n_words = F.size(ws)
+    dup_word_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_words
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    run = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_2gram_frac = F.when(
+        n_words >= 2, run.cast("double") / (n_words - 1).cast("double")
+    )
+    return df.select(
+        *extra_cols,
+        n_words.alias("n_words"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_2gram_frac.alias("top_2gram_frac"),
+    )
+
+
 def fingerprint(text_col: str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, collapsed whitespace) — the join key for cross-corpus
@@ -100,22 +149,37 @@ def fingerprint(text_col: str) -> Column:
 
 
 def rolling_shingle_fingerprints(
-    text_col: str, n: int = 8, keep: int = 4, hash_fn: str = "xxhash64"
+    text_col: str,
+    n: int = 8,
+    keep: int = 4,
+    hash_fn: str = "xxhash64",
+    unit: str = "char",
 ) -> Column:
     """Winnowing-style robust fingerprint: the ``keep`` smallest hash
-    values over character n-gram shingles (a rolling-hash sketch) — two docs
-    sharing most content share most of the sketch even after small edits.
+    values over ALL overlapping n-gram shingles — two docs sharing most
+    content share most of the sketch even after small edits. Because every
+    overlapping window is hashed (content-defined, not position-anchored),
+    the sketch survives insertions: windows after an edit still contain the
+    same content and hash to the same values.
 
-    ``hash_fn="xxhash64"`` (default) is the scale path: fixed-width integer
-    hashing, codegen'd. ``hash_fn="md5"`` produces engine-portable hex
-    sketches (md5 is bit-identical in Spark/DuckDB/etc.) for cross-engine
+    ``unit="char"`` hashes character n-grams (finest granularity, ~|text|
+    shingles/doc); ``unit="word"`` hashes word n-grams (~|words| shingles —
+    an order of magnitude fewer, the right cost point when the edit model
+    is word-level). ``hash_fn="xxhash64"`` (default) is the scale path:
+    fixed-width integer hashing. ``hash_fn="md5"`` produces engine-portable
+    hex sketches (bit-identical in Spark/DuckDB/etc.) for cross-engine
     verification or cross-system corpus exchange, at higher per-shingle
     cost."""
     c = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
-        lambda i: F.substring(c, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
-    )
+    if unit == "word":
+        from ibis_flink_example_spark.operators.dedup import word_shingles
+
+        shingles = word_shingles(F.split(c, " "), n)
+    else:
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
+            lambda i: F.substring(c, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+        )
     if hash_fn == "md5":
         hashes = F.transform(shingles, lambda s: F.md5(s.cast("binary")))
     else:

@@ -330,36 +330,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+  FROM w
+), grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM base, UNNEST(range(1, n_words)) AS t(i)
+  WHERE n_words >= 2
+), gc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
+  FROM gc GROUP BY 1
+)
+SELECT b.doc_id, b.n_words,
+  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+  top.top_2gram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 repetition filters (the Gopher stack's boilerplate detectors):
+    duplicate-word fraction + most-frequent-bigram fraction, computed
+    shuffle-FREE via in-row sort + one aggregate() pass over each doc's
+    bigram array (operators/text.py:repetition_features). The oracle takes
+    the classic explode+GROUP BY route — two roads, same numbers."""
+    from ibis_flink_example_spark.catalog import fan_out
+
+    # fan_out: the in-row bigram sort+scan is CPU-bound HOF work; widen the
+    # single-split fixture scan (no-op at scale).
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return X.repetition_features(docs, "text", "doc_id")
+
+
+@query(
     "text_winnow_sketch",
     oracle=r"""
 WITH s AS (
   SELECT doc_id,
-    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS c
+    regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
   FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 4 THEN
+      list_transform(range(1, len(ws) - 4 + 2),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+    ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM s
 ), h AS (
   SELECT doc_id,
-    list_sort(list_transform(
-      range(1, GREATEST(length(c) - 8 + 1, 1) + 1),
-      i -> md5(substr(c, i, 8))
-    )) AS hs
-  FROM s
+    list_sort(list_transform(shingles, sh -> md5(sh))) AS hs
+  FROM g
 )
 SELECT doc_id, array_to_string(hs[1:4], ',') AS sketch FROM h
 """,
 )
 def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 robust document fingerprint (winnowing-style rolling-hash sketch):
-    the 4 smallest shingle hashes over 8-char n-grams — stable under small
-    edits, unlike the exact md5 fingerprint. Uses the engine-portable md5
-    variant so the sketch BYTES are oracle-checked; production dedup at
-    scale uses the xxhash64 variant of the same operator (integer hashing,
-    codegen) — both live in operators/text.py:rolling_shingle_fingerprints.
-    Serialized with array_join (the external compare is scalar-typed)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """X4 robust document fingerprint (winnowing-style min-k sketch): the 4
+    smallest shingle hashes over overlapping word 4-grams — stable under
+    small edits, unlike the exact md5 fingerprint. Word-unit shingles put
+    the per-doc hash count at ~|words| instead of ~|chars| (a 40x scan-cost
+    difference measured at sf0.1) while keeping the content-defined
+    insertion robustness. Uses the engine-portable md5 variant so the
+    sketch BYTES are oracle-checked; char-unit + xxhash64 is the same
+    operator's finest-granularity path
+    (operators/text.py:rolling_shingle_fingerprints). Serialized with
+    array_join (the external compare is scalar-typed)."""
+    from ibis_flink_example_spark.catalog import fan_out
+
+    # fan_out: per-row shingling+hashing is CPU-bound higher-order-function
+    # work; a single-row-group fixture file would otherwise run it on one
+    # core (no-op at scale where the scan already has many splits).
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.array_join(
-            X.rolling_shingle_fingerprints("text", n=8, keep=4, hash_fn="md5"), ","
+            X.rolling_shingle_fingerprints(
+                "text", n=4, keep=4, hash_fn="md5", unit="word"
+            ),
+            ",",
         ).alias("sketch"),
     )
 
