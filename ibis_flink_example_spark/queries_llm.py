@@ -99,6 +99,57 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize",
+    # floor(x/scale + 0.5) instead of round(): Spark and DuckDB disagree on
+    # round()'s half-tie direction for negatives; floor(+0.5) is the same
+    # exact IEEE operation in both engines.
+    oracle=r"""
+WITH b AS (
+  SELECT vec_id, label,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+), m AS (
+  SELECT vec_id, label, xd,
+    list_max(list_transform(xd, v -> abs(v))) AS max_abs
+  FROM b
+)
+SELECT vec_id, label,
+  sqrt(list_sum(list_transform(xd, v -> v * v))) AS l2_norm,
+  max_abs / 127.0 AS scale,
+  CASE WHEN max_abs = 0
+    THEN array_to_string(list_transform(xd, v -> 0), ',')
+    ELSE array_to_string(
+      list_transform(xd, v -> CAST(floor(v / (max_abs / 127.0) + 0.5) AS INTEGER)), ',')
+  END AS q_csv
+FROM m
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-adjacent training-pipeline staple: symmetric per-vector int8
+    quantization (scale = max|x|/127) + L2 norm, all map-only column math —
+    the 4x storage/bandwidth cut applied before shipping embeddings to an
+    ANN index or a training shard. Quantized values serialized with
+    array_join (the external compare is scalar-typed); dequantization is
+    q * scale."""
+    from ibis_flink_example_spark.operators.similarity import l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(xd, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(
+        max_abs == 0, F.transform(xd, lambda v: F.lit(0))
+    ).otherwise(F.transform(xd, lambda v: F.floor(v / scale + F.lit(0.5)).cast("int")))
+    return em.select(
+        "vec_id",
+        "label",
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+        scale.alias("scale"),
+        F.array_join(q, ",").alias("q_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X3: similarity search
 # ---------------------------------------------------------------------------
