@@ -29,3 +29,17 @@ def test_every_query_has_oracle_or_reason():
 
     missing = set(QUERIES) - set(ORACLES) - set(NON_SQL_EXPRESSIBLE)
     assert not missing, f"queries lacking oracle without justification: {sorted(missing)}"
+
+
+def test_driver_priority_is_sound():
+    """The external harness verifies only the FIRST 50 registry entries, so
+    _DRIVER_PRIORITY is a verification budget: every name must resolve (a
+    typo would silently eject a query from the checked window), contain no
+    duplicates, and fully determine the first 50 slots."""
+    from ibis_flink_example_spark.queries import _DRIVER_PRIORITY, QUERIES
+
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+    assert len(_DRIVER_PRIORITY) >= 50
+    assert list(QUERIES)[:50] == list(_DRIVER_PRIORITY)[:50]
