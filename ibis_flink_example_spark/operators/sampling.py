@@ -105,3 +105,46 @@ def stratified_cap(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    key_col: str,
+    token_col: str,
+    context_tokens: int,
+    n_buckets: int = 256,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a training
+    context window ("pack") of ``context_tokens`` by cumulative token count.
+
+    Scale design: a single global ORDER BY would serialize the whole corpus
+    through one partition, so documents are first scattered into
+    ``n_buckets`` md5 buckets and packed WITHIN each bucket — one shuffle
+    on the bucket key, ``n_buckets``-way parallel window scan, and packs
+    never span buckets (each pack is ``bucket-seq``). Order within a bucket
+    is frozen by (md5(key), key), so the assignment is a pure function of
+    the keys — re-runs, retries, and repartitioning cannot move a document
+    between packs.
+
+    Contract: ``pack_offset`` = tokens before this doc within its pack;
+    a doc straddling the boundary closes the pack (the downstream loader
+    truncates or pads — the classic greedy packing trade, kept out of the
+    assignment so it stays engine-portable).
+    """
+    bucket = hash_bucket(key_col, 2) if n_buckets == 256 else (
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("string")
+    )
+    b = df.withColumn("__bucket", bucket)
+    w = Window.partitionBy("__bucket").orderBy(
+        hash_bucket(key_col, 8), F.col(key_col)
+    )
+    cum_before = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    seq = F.floor(cum_before / F.lit(context_tokens)).cast("long")
+    return (
+        b.withColumn(pack_col, F.concat_ws("-", F.col("__bucket"), seq))
+        .withColumn(offset_col, cum_before % F.lit(context_tokens))
+        .drop("__bucket")
+    )

@@ -75,3 +75,43 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.stratified_cap(
         docs, stratum_col="lang", key_col="doc_id", cap=40
     ).select("doc_id", "lang", "stratum_rank")
+
+
+@query(
+    "pack_sequences_2k",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS ord8
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, bucket,
+    SUM(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY ord8, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  bucket || '-' || CAST(cum_before // 2048 AS VARCHAR) AS pack_id,
+  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set assembly: deterministic packing of documents into
+    2048-token context windows (whitespace token counts). Bucketed so the
+    window scan parallelizes (a global ORDER BY would bottleneck on one
+    partition at 100 TB); pack membership is a pure function of doc ids —
+    stable under re-runs, retries, and repartitioning."""
+    from ibis_flink_example_spark.operators.text import token_count_whitespace
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_whitespace("text").alias("n_tokens")
+    )
+    packed = SA.pack_sequences(
+        docs, key_col="doc_id", token_col="n_tokens", context_tokens=2048
+    )
+    return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
