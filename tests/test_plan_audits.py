@@ -102,3 +102,32 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] == 0
     assert broadcast_join_count(df) >= 1
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization + norm is pure per-row math: zero exchanges, zero
+    joins — it must pipeline into the scan at any scale."""
+    df = QUERIES["embedding_quantize"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_pack_sequences_single_bucket_exchange(spark, sf_dir):
+    """Packing shuffles ONCE on the md5 bucket and runs the cumulative
+    window scan bucket-parallel — no global sort, no join."""
+    df = QUERIES["pack_sequences_2k"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_text_repetition_no_join_no_agg_exchange(spark, sf_dir):
+    """The in-row bigram mode needs no explode/groupBy: at most the fan_out
+    round-robin (a small-fixture no-op at scale), never a keyed exchange or
+    join."""
+    df = QUERIES["text_repetition"](spark, sf_dir)
+    assert exchange_count(df) <= 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    assert ops["HashAggregate"] + ops["SortAggregate"] == 0
