@@ -57,6 +57,15 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Post-normalization dtype divergence (e.g. DuckDB window SUM →
+        # HUGEINT → object) fails the external comparator on types even when
+        # values match — surface it here, not at the gate.
+        if str(av.dtype) != str(bv.dtype):
+            problems.append(
+                f"col {c}: dtype differs after normalize: "
+                f"spark={av.dtype} oracle={bv.dtype}"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             neq = ~((av == bv) | (av.isna() & bv.isna()))
             if neq.any():
