@@ -184,3 +184,31 @@ def test_range_over_agg_known_frame(spark):
     assert got[(1, 30.0)] == (2, 30.0)  # frame covers t=5..14
     assert got[(1, 40.0)] == (1, 40.0)  # isolated
     assert got[(2, 5.0)] == (1, 5.0)  # keys don't leak
+
+
+def test_register_views_enables_sql_by_name(spark, sf_dir):
+    from ibis_flink_example_spark.catalog import register_views
+
+    dfs = register_views(spark, sf_dir)
+    assert "events" in dfs and "lineitem" in dfs
+    n_sql = spark.sql("SELECT COUNT(*) AS n FROM events").first()["n"]
+    assert n_sql == dfs["events"].count()
+
+
+def test_add_connector_jar_registers_jar(spark):
+    """S6 raw-SQL parity: ADD JAR through the SQL surface (the reference's
+    connector-load statement). A minimal valid jar (empty zip) suffices —
+    the statement must execute and the jar must appear in LIST JARS."""
+    import os
+    import tempfile
+    import zipfile
+
+    from ibis_flink_example_spark.sources.kafka import add_connector_jar
+
+    d = tempfile.mkdtemp(prefix="jar_")
+    jar = os.path.join(d, "fake-connector.jar")
+    with zipfile.ZipFile(jar, "w") as zf:
+        zf.writestr("META-INF/MANIFEST.MF", "Manifest-Version: 1.0\n")
+    add_connector_jar(spark, jar)
+    listed = [r[0] for r in spark.sql("LIST JARS").collect()]
+    assert any("fake-connector.jar" in j for j in listed)
