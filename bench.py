@@ -86,7 +86,14 @@ def main() -> None:
     # so round-over-round comparison reads this file, not the console line.
     with open(os.path.join(REPO_ROOT, "bench_out.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    # Console line kept as small as possible (compact separators, 2-dp
+    # timings, empty fields dropped) to fit the capture window; full
+    # precision lives in bench_out.json.
+    compact = dict(result)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    if not errors:
+        compact.pop("errors")
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
