@@ -212,3 +212,27 @@ def test_add_connector_jar_registers_jar(spark):
     add_connector_jar(spark, jar)
     listed = [r[0] for r in spark.sql("LIST JARS").collect()]
     assert any("fake-connector.jar" in j for j in listed)
+
+
+def test_pack_sequences_stable_under_repartition(spark, sf_dir):
+    """Pack membership must be a pure function of keys: repartitioning the
+    input cannot move a document between packs, and per-pack offsets stay
+    within the context window."""
+    from ibis_flink_example_spark.operators.sampling import pack_sequences
+    from ibis_flink_example_spark.operators.text import token_count_whitespace
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_whitespace("text").alias("n_tokens")
+    )
+    a = pack_sequences(
+        docs, key_col="doc_id", token_col="n_tokens", context_tokens=512
+    ).toPandas()
+    b = pack_sequences(
+        docs.repartition(13), key_col="doc_id", token_col="n_tokens", context_tokens=512
+    ).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["pack_offset"] >= 0).all() and (a["pack_offset"] < 512).all()
+    # every pack's docs reconstruct a contiguous token prefix: min offset 0
+    assert (a.groupby("pack_id")["pack_offset"].min() == 0).all()
