@@ -1378,3 +1378,130 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         k.isNull().alias("k_missing"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey,
+  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_pct_rank,
+  CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_cume_dist
+FROM orders
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 distribution window functions: percent_rank + cume_dist per key —
+    the relative-standing pair (where in the key's price distribution each
+    order sits). Same single keyed exchange + sort as the ranking family;
+    both are exact rationals of row counts, so cross-engine comparison is
+    bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "filtered_aggs",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+  COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS finished_price,
+  COUNT(*) AS n_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 conditional aggregation: per-predicate partial counts/sums in ONE
+    aggregate pass (count_if / FILTER semantics) — the pivot-lite shape for
+    status breakdowns that avoids N scans or an explode. Single shuffle,
+    all map-side-combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", money("o_totalprice"))
+        ).cast("double").alias("finished_price"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "exists_subquery_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+)
+""",
+)
+def exists_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    decorrelates both into semi/anti joins (never a per-row subquery
+    execution) — customers with a big order but no finished orders. Uses
+    spark.sql over registered views (S6 raw-SQL path) to exercise subquery
+    planning, not the DataFrame semi/anti API (join_semi/join_anti cover
+    that form)."""
+    from ibis_flink_example_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        )
+        """
+    )
+
+
+@query(
+    "posexplode_priorities",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey,
+    list_sort(list(o_orderpriority)) AS pris
+  FROM orders
+  WHERE o_custkey % 100 = 0
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+  CAST(i - 1 AS INTEGER) AS pos,
+  pris[i] AS pri
+FROM a, UNNEST(range(1, len(pris) + 1)) AS t(i)
+""",
+)
+def posexplode_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 positional explode (LATERAL VIEW posexplode): 1:N expansion that
+    carries the element index — the ordinality-preserving inverse of
+    collect_list. The array is sorted first so positions are well-defined
+    under parallel aggregation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    agged = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("pris")
+    )
+    return agged.select(
+        "o_custkey", F.posexplode("pris").alias("pos", "pri")
+    )
