@@ -1505,3 +1505,69 @@ def posexplode_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agged.select(
         "o_custkey", F.posexplode("pris").alias("pos", "pri")
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically hot group keys: salt
+    each row into 16 sub-keys, pre-aggregate per (key, salt) — spreading one
+    hot key's partial state over 16 reducers — then merge partials per key.
+    SUM/COUNT are mergeable, so the rewrite is exact (oracle = plain GROUP
+    BY). This is the manual analog of what AQE's skew handling cannot do
+    for aggregations (it only splits JOIN partitions); at 100 TB a single
+    key holding 30% of rows otherwise serializes on one reducer. Here
+    events has only 5 event types over 32 shuffle partitions — exactly the
+    hot-key shape."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(money("value")).alias("__s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__s").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT event_id, NULLIF(event_type, 'error') AS etype, value FROM events
+  WHERE event_id % 20 = 0
+), r AS (
+  SELECT NULLIF(event_type, 'error') AS etype, COUNT(*) AS n_type
+  FROM events GROUP BY 1
+)
+SELECT l.event_id, l.etype, r.n_type
+FROM l JOIN r ON l.etype IS NOT DISTINCT FROM r.etype
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics quality
+    pipelines want when joining on nullable enrichment keys (a plain
+    equi-join makes every NULL-keyed row vanish). Spark hashes the null-safe
+    key like any other, so the join stays a hash join, not a cartesian."""
+    e = load_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("error")).alias("etype"), "value"
+    ).alias("l")
+    r = (
+        e.select(F.nullif(F.col("event_type"), F.lit("error")).alias("etype"))
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    ).alias("r")
+    return l.join(r, F.col("l.etype").eqNullSafe(F.col("r.etype"))).select(
+        "l.event_id", "l.etype", "r.n_type"
+    )
