@@ -131,3 +131,21 @@ def test_text_repetition_no_join_no_agg_exchange(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
     assert ops["HashAggregate"] + ops["SortAggregate"] == 0
+
+
+def test_agg_salted_skew_two_exchanges_no_join(spark, sf_dir):
+    """The salted rewrite costs exactly two exchanges — (key, salt) partial
+    then key merge — and must never introduce a join."""
+    df = QUERIES["agg_salted_skew"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_join_null_safe_stays_hash_join(spark, sf_dir):
+    """eqNullSafe keys hash like any other key: the plan must contain a hash
+    join and no nested-loop/cartesian fallback."""
+    df = QUERIES["join_null_safe"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] + ops["SortMergeJoin"] >= 1
+    assert ops["BroadcastNestedLoopJoin"] + ops["CartesianProduct"] == 0
