@@ -469,6 +469,61 @@ def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_ngram",
+    # Fixture split: doc_id % 97 == 0 plays the held-out eval set.
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 13 THEN
+      list_transform(range(1, len(ws) - 13 + 2),
+                     i -> array_to_string(ws[i:i+12], ' '))
+    ELSE [array_to_string(ws, ' ')] END AS gs
+  FROM w
+), ev AS (
+  SELECT DISTINCT UNNEST(gs) AS gram FROM g WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, UNNEST(gs) AS gram FROM g WHERE doc_id % 97 <> 0
+), hit AS (
+  SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
+)
+SELECT w.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+FROM w LEFT JOIN hit ON w.doc_id = hit.doc_id
+WHERE w.doc_id % 97 <> 0
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the 13-gram-overlap flavor (the GPT-3
+    appendix-C method): a training document sharing ANY 13-word-gram with a
+    held-out eval document is flagged. Spark shape for 100 TB: the eval
+    side's distinct grams are tiny (eval sets are thousands of docs) and
+    BROADCAST; the training side explodes grams and left-semi probes the
+    broadcast — no shuffle of training data at all, then a distinct on the
+    (small) hit set. Short docs degrade to whole-text grams (mirrored in
+    the oracle)."""
+    from ibis_flink_example_spark.operators.dedup import word_shingles, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = lambda d: d.select(  # noqa: E731
+        "doc_id", F.explode(word_shingles(words("text"), 13)).alias("gram")
+    )
+    is_eval = F.col("doc_id") % 97 == 0
+    ev = grams(docs.filter(is_eval)).select("gram").distinct()
+    train = docs.filter(~is_eval)
+    hits = (
+        grams(train)
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+    )
+
+
+@query(
     "curation_pipeline",
     oracle=r"""
 WITH f AS (

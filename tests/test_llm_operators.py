@@ -237,3 +237,32 @@ def test_winnow_sketch_robust_to_small_edits(spark):
     assert by_id[1]["fp"] != by_id[2]["fp"]  # exact fingerprint: total change
     overlap = len(set(by_id[1]["sketch"]) & set(by_id[2]["sketch"]))
     assert overlap >= 6, f"sketch overlap {overlap}/8 too low for a 1-word edit"
+
+
+def test_decontamination_flags_planted_overlap(spark, sf_dir):
+    """A training doc sharing a 13-gram with an eval doc must be flagged;
+    disjoint docs must not. (The registered query's fixture split may have
+    zero natural hits, so the behavior is proven with planted rows.)"""
+    base = load_table(spark, sf_dir, "documents").limit(10)
+    eval_doc = base.filter(F.col("doc_id") == 0).first()
+    window = " ".join(eval_doc["text"].split()[:13])
+    planted = spark.createDataFrame(
+        [
+            # 97000 % 97 == 0 -> eval side; carries the same 13-gram window
+            (97000, eval_doc["text"], "en", "synth", len(eval_doc["text"])),
+            # training docs: one embeds the eval window, one is disjoint
+            (50001, "prefix words here " + window + " suffix tail", "en", "synth", 1),
+            (50002, " ".join(f"tok{i}" for i in range(40)), "en", "synth", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="decon_")
+    base.unionByName(planted).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from ibis_flink_example_spark.queries import QUERIES
+
+    out = {r["doc_id"]: r["contaminated"] for r in QUERIES["decontaminate_ngram"](spark, d).collect()}
+    assert out[50001] is True
+    assert out[50002] is False
+    assert 97000 not in out  # eval side excluded from the training output
