@@ -57,22 +57,29 @@ def register_views(
     return dfs
 
 
-# Memo for fan_out's split probe: (session id, semantic hash) -> partitions.
+# Memo for fan_out's split probe: (app id, semantic hash) -> partitions.
 # The probe (df.rdd.getNumPartitions) does full physical planning through
 # py4j — fine once, wasteful when every query in a 99-query run re-probes the
 # same fixture scan. Semantically-equal plans reuse the first probe's answer.
-_SPLIT_PROBE_CACHE: dict[tuple[int, int], int] = {}
+# Keyed by applicationId (stable, unlike id(session) which can be reused
+# after GC) and bounded; a fixture whose file layout is rewritten mid-session
+# can still serve a stale count until eviction — the only consequence is a
+# suboptimal repartition decision, never wrong results.
+_SPLIT_PROBE_CACHE: dict[tuple[str, int], int] = {}
+_SPLIT_PROBE_CACHE_MAX = 256
 
 
 def _num_scan_partitions(df: DataFrame) -> int:
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
     except Exception:  # pragma: no cover - semanticHash is a developer API
         key = None
     if key is not None and key in _SPLIT_PROBE_CACHE:
         return _SPLIT_PROBE_CACHE[key]
     n = df.rdd.getNumPartitions()
     if key is not None:
+        if len(_SPLIT_PROBE_CACHE) >= _SPLIT_PROBE_CACHE_MAX:
+            _SPLIT_PROBE_CACHE.clear()
         _SPLIT_PROBE_CACHE[key] = n
     return n
 

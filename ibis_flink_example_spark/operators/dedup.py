@@ -19,9 +19,53 @@ Scale design notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
+
+
+def drop_hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    max_rows_per_key: int | None,
+    what: str = "bucket",
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Drop all rows whose join-key group exceeds ``max_rows_per_key`` —
+    the skew guard every bucketed pair-generation self-join needs at scale.
+
+    A degenerate key (an LSH band hash shared by every empty/boilerplate
+    doc; a stopword shingle present in millions of docs) turns one bucket
+    into O(n²) candidate pairs — the classic LSH skew-killer at 100 TB.
+    Capping is semantically standard for near-dup candidate generation
+    (ultra-common features carry no discriminative signal; dropping them
+    loses only pairs whose OTHER shared features would still collide).
+
+    Plan shape: one partial-aggregated count keyed exactly like the
+    downstream self-join, filtered to the (tiny) hot-key set, then a
+    BROADCAST anti-join — the probe side never re-shuffles. ``None``
+    disables the cap. ``log_dropped=True`` spends one extra (small) action
+    to log how many keys were dropped — keep it off in benchmarked paths.
+    """
+    if max_rows_per_key is None:
+        return df
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__kn"))
+    hot = counts.filter(F.col("__kn") > max_rows_per_key).select(*key_cols)
+    if log_dropped:
+        n_hot = hot.count()
+        if n_hot:
+            _LOG.warning(
+                "drop_hot_keys: dropping %d %s key(s) with > %d rows each",
+                n_hot,
+                what,
+                max_rows_per_key,
+            )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def perm_hash(h: Column, j: int) -> Column:
@@ -250,6 +294,8 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 50_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with their estimated Jaccard.
 
@@ -257,6 +303,12 @@ def minhash_lsh_candidates(
     docs agreeing on any full band meet in a bucket. The bucket join is the
     only shuffle; at 100 TB tune (bands, rows) for the target threshold
     (P[candidate] = 1-(1-j^r)^b).
+
+    ``max_bucket_size`` caps (band_idx, band_hash) bucket population before
+    the self-join (drop_hot_keys): a degenerate band value shared by n docs
+    otherwise emits n²/2 candidate rows. True near-dup clusters far above
+    the cap are boilerplate by definition at that multiplicity; their
+    members still meet through their other, non-degenerate bands.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -293,6 +345,13 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    banded = drop_hot_keys(
+        banded,
+        ["band_idx", "band_hash"],
+        max_rows_per_key=max_bucket_size,
+        what="LSH band bucket",
+        log_dropped=log_dropped,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     # Unique candidate pairs FIRST (docs sharing >=1 band meet once per
@@ -365,13 +424,32 @@ def _driver_union_find(edges: DataFrame, *, id_col: str) -> DataFrame:
 
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Best-effort deterministic release of an eager localCheckpoint's
-    blocks. ``localCheckpoint`` stores the physical RDD via persist, so
-    unpersisting that RDD frees the blocks immediately instead of waiting
-    for the async ContextCleaner; reaching it goes through the query
-    execution (non-public surface), hence the broad except — worst case the
-    cleaner reclaims the blocks later, exactly as before."""
+    blocks, freeing them immediately instead of waiting for the async
+    ContextCleaner.
+
+    ``toRdd()`` on the checkpointed DataFrame returns a FRESH
+    MapPartitionsRDD wrapping the persisted RDD (unpersisting it directly
+    is a silent no-op — verified empirically), so this walks the RDD
+    dependency DAG from it and unpersists every ancestor whose storage
+    level is set. The walk is bounded: a checkpointed plan is LogicalRDD →
+    a couple of adapter RDDs → the persisted RDD. Non-public surface,
+    hence the broad except — worst case the cleaner reclaims the blocks
+    later, exactly as before. Release is verified by
+    tests/test_runtime_semantics.py::test_local_checkpoint_release."""
     try:
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        seen: set[int] = set()
+        stack = [df._jdf.queryExecution().toRdd()]
+        while stack:
+            jrdd = stack.pop()
+            if jrdd.id() in seen or len(seen) > 64:
+                continue
+            seen.add(jrdd.id())
+            lvl = jrdd.getStorageLevel()
+            if lvl.useMemory() or lvl.useDisk():
+                jrdd.unpersist(False)
+            it = jrdd.dependencies().iterator()
+            while it.hasNext():
+                stack.append(it.next().rdd())
     except Exception:
         pass
 
@@ -585,7 +663,13 @@ def simhash_signatures(
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, *, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 50_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into 4
     16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
@@ -594,7 +678,12 @@ def simhash_neardup_pairs(
     The fingerprint table is materialized (localCheckpoint) because the
     bucket self-join consumes it twice — without it the whole word-hash +
     vote aggregate pipeline runs once per join side. 8 bytes per doc:
-    executor-local blocks, any SF."""
+    executor-local blocks, any SF.
+
+    ``max_bucket_size`` caps (chunk_idx, chunk) bucket population before
+    the self-join (drop_hot_keys) — the skew guard against a degenerate
+    16-bit chunk value (e.g. 0x0000 from near-empty docs) detonating into
+    O(n²) colliding rows."""
     sigd = simhash_signatures(
         df, id_col=id_col, text_col=text_col, sig_col="__sim"
     ).localCheckpoint(eager=True)
@@ -615,6 +704,13 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select(id_col, "__sim", "c.chunk_idx", "c.chunk")
+    chunks = drop_hot_keys(
+        chunks,
+        ["chunk_idx", "chunk"],
+        max_rows_per_key=max_bucket_size,
+        what="simhash chunk bucket",
+        log_dropped=log_dropped,
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -642,6 +738,8 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 50_000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle: explode
     distinct shingles → self-join on shingle → |A∩B| per pair → Jaccard
@@ -654,11 +752,25 @@ def ngram_jaccard_pairs(
     64-bit word-hash n-tuple hash (shingle_hash_rows) so the self-join
     shuffles 8-byte keys and the scan never allocates n-gram strings
     (collision probability ~1e-11 at 1M distinct shingles — negligible
-    against MinHash-style estimation error budgets)."""
+    against MinHash-style estimation error budgets).
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    BEFORE the self-join (drop_hot_keys): one stopword trigram shared by
+    millions of docs is otherwise an O(n²) pair bomb. Dropped shingles
+    leave the universe entirely — sizes are computed AFTER the cap, so the
+    Jaccard stays a true Jaccard over the capped shingle space (the
+    standard document-frequency cutoff semantics)."""
     sh = (
         shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=n, hash_col="shingle")
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    sh = drop_hot_keys(
+        sh,
+        ["shingle"],
+        max_rows_per_key=max_doc_freq,
+        what="shingle (document frequency)",
+        log_dropped=log_dropped,
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

@@ -85,6 +85,18 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - no lib in containe
     raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
 
 
+def real_decoder_available() -> bool:
+    """True iff an image decode library is importable in THIS interpreter.
+    Checked on the driver for the fail-fast ``strict`` path; workers
+    re-check inside the UDF (a cluster can have heterogeneous images)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_pixel_stats(payload: bytes) -> tuple[float, int, int]:
     """Deterministic fake 'decode': interpret payload bytes as pixels.
     (mean_byte, min_byte, max_byte) — stable stand-ins for channel stats."""
@@ -108,13 +120,26 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, use_real_decoder: bool = False, strict: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes.
 
     ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame; we
     return an iterator of result frames — constant memory per batch, no
     row-at-a-time Python overhead.
+
+    ``use_real_decoder=True`` degrades GRACEFULLY when no image library is
+    importable: a single warning per worker, then the deterministic
+    fake-decode path — so the operator is runnable (not just declarable) in
+    any environment. Pass ``strict=True`` to fail fast on the driver
+    instead (pipelines that must not silently ship fake features).
     """
+    if use_real_decoder and strict and not real_decoder_available():
+        raise NotImplementedError(
+            "real image decode requires Pillow (strict=True); install an "
+            "image library or drop strict to use the deterministic fake path"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NB: self-contained closure (numpy only) — module-level helpers
@@ -128,15 +153,27 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
             arr = np.frombuffer(p, dtype=np.uint8)
             return (float(arr.mean()), int(arr.min()), int(arr.max()))
 
+        real = False
+        if use_real_decoder:
+            try:
+                import PIL.Image  # noqa: F401
+
+                real = True
+            except ImportError:
+                import warnings
+
+                warnings.warn(
+                    "real image decode requested but Pillow is not "
+                    "importable on this worker — degrading to the "
+                    "deterministic fake-decode path",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         for pdf in batches:
-            if use_real_decoder:
-                try:
-                    import PIL.Image  # noqa: F401
-                except ImportError as exc:
-                    raise NotImplementedError(
-                        "real image decode requires Pillow; container has no "
-                        "image libs (STUB — use the deterministic fake path)"
-                    ) from exc
+            if real:  # pragma: no cover - no image libs in this container
+                raise NotImplementedError(
+                    "wire PIL.Image.open(io.BytesIO(payload)) here"
+                )
             stats = [fake_stats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {

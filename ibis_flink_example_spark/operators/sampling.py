@@ -138,8 +138,14 @@ def pack_sequences(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("string")
     )
     b = df.withColumn("__bucket", bucket)
-    w = Window.partitionBy("__bucket").orderBy(
-        hash_bucket(key_col, 8), F.col(key_col)
+    # Explicit ROWS frame: the default frame under orderBy is RANGE, which
+    # makes peer rows (ties on the sort key) share one cumulative sum — the
+    # DuckDB oracle uses ROWS, and the packing contract must not depend on
+    # key uniqueness.
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(hash_bucket(key_col, 8), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
     seq = F.floor(cum_before / F.lit(context_tokens)).cast("long")

@@ -110,10 +110,19 @@ def repetition_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataF
     dup_word_frac = (
         F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_words
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), n_words - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-    )
+    # The grams expression must be TOTAL for every row, not merely
+    # referenced behind a lazy when() branch: sequence(1, n_words-1) on a
+    # 1-word doc would yield the DESCENDING [1, 0] and element_at(ws, 0)
+    # throws under ANSI mode. Guard the sequence itself (empty array for
+    # sub-2-word docs) and clamp its upper bound so both branches are valid
+    # on all inputs regardless of where the expression appears.
+    grams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     run = F.aggregate(
         F.array_sort(grams),
         F.struct(
@@ -185,3 +194,56 @@ def rolling_shingle_fingerprints(
     else:
         hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def decontaminate_ngram_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    max_broadcast_grams: int = 2_000_000,
+) -> DataFrame:
+    """Benchmark decontamination, the 13-gram-overlap flavor (the GPT-3
+    appendix-C method): a training document sharing ANY n-word-gram with a
+    held-out eval document is flagged ``contaminated``. Short docs (<n
+    words) degrade to a single whole-text gram.
+
+    Scale shape: eval sets are normally thousands of documents, so their
+    distinct grams BROADCAST and the training side left-semi probes the
+    broadcast — zero shuffle of training data. But the broadcast must be
+    GUARDED: an eval side that grows with the corpus (or a caller pointing
+    "eval" at something big) would OOM every executor. One count() on the
+    (small) eval gram set decides: above ``max_broadcast_grams`` distinct
+    grams (~2M ≈ hundreds of MB of 13-word strings) the plan falls back to
+    a shuffle semi-join on the gram — both sides exchange once on the gram
+    key, the classic big-big semi shape.
+
+    Output: (id_col, contaminated) for every training doc.
+    """
+    from ibis_flink_example_spark.operators.dedup import word_shingles, words
+
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            id_col, F.explode(word_shingles(words(text_col), n)).alias("gram")
+        )
+
+    ev = grams(eval_docs).select("gram").distinct()
+    n_eval_grams = ev.count()
+    # Over budget: pin the shuffle strategy with a merge hint — we have
+    # just MEASURED the cardinality, so don't let size-estimate stats (or
+    # AQE on a small test fixture) re-broadcast a side we know is big.
+    probe = (
+        F.broadcast(ev) if n_eval_grams <= max_broadcast_grams else ev.hint("merge")
+    )
+    hits = (
+        grams(train)
+        .join(probe, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return train.join(hits, id_col, "left").select(
+        id_col, F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+    )

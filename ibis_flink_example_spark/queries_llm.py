@@ -65,9 +65,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
 
 
-@query(
-    "ngram_jaccard_pairs",
-    oracle=r"""
+_NGRAM_JACCARD_ORACLE = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
 ), sh AS (
@@ -88,8 +86,10 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
-""",
-)
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 exact 3-gram Jaccard pairs (>=0.5) via shingle co-occurrence join
     — the exact counterpart the MinHash estimate approximates."""
@@ -193,11 +193,73 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cosine_topk_lsh", oracle=None)
+def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """FULL value oracle for hyperplane LSH: the hyperplanes are seeded
+    driver-side literals (random_hyperplanes, seed 42), so the whole
+    algorithm — signature bits, bucket ids, Hamming-1 probes, in-bucket
+    exact cosine + top-k — is reproducible in DuckDB with the planes
+    embedded as list literals. Sign decisions are float-robust: a
+    projection would need |dot| < ~1e-12 against O(1) magnitudes to flip a
+    bucket between engines (verified exact at sf0.001/0.01/0.1)."""
+    from ibis_flink_example_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_planes, seed=42)
+
+    def proj(vec: str, p: list[float]) -> str:
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    proj_cols = ",\n    ".join(
+        f"{proj('embedding', p)} AS pj{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN pj{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_planes)
+    )
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    cos = (
+        "list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qvec[i] AS DOUBLE)))"
+        " / ( sqrt(list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(p.qvec[i] AS DOUBLE) * CAST(p.qvec[i] AS DOUBLE)))) )"
+    ).format(d=dim)
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+    {proj_cols}
+  FROM embeddings
+), cb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM c
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM cb WHERE vec_id IN (0,1,2,3,4)
+), probes AS (
+  SELECT query_id, qvec, UNNEST([{probes}]) AS pbucket FROM q
+), scored AS (
+  SELECT p.query_id, e.vec_id, {cos} AS cos
+  FROM cb e JOIN probes p ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("cosine_topk_lsh", oracle=_lsh_topk_oracle())
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 approximate top-k via random-hyperplane LSH buckets (the scale
     path: each query probes its bucket plus the n_planes Hamming-1
-    neighbors instead of the full corpus). Approximate → rows-only check."""
+    neighbors instead of the full corpus). Carries a FULL value oracle —
+    the seeded hyperplanes make the bucketing reproducible engine-side
+    (see _lsh_topk_oracle); was rows-only before round 5."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     out = S.lsh_topk(
@@ -241,6 +303,92 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "ann_recall_ivf",
+    # The IVF index is built from a seeded, deterministic k-means on the
+    # corpus — not reproducible in SQL (the centroids depend on the data),
+    # so the oracle instead verifies a STATEMENT about the approximate
+    # path: recall@5 against the exact brute-force baseline clears a fixed
+    # floor. n_queries comes from the data; the booleans are the claim
+    # (measured recall 0.64–0.72 across sf0.001/0.01/0.1 — threshold 0.5
+    # holds with margin at every fixture SF).
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_half
+FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+""",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 companion: deterministic recall@5 of the IVF path vs the exact
+    brute-force top-5, emitted as a hash-matchable scalar row — the
+    driver-visible quality bound for an estimator that cannot carry a
+    per-row SQL oracle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    kw = dict(id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5)
+    exact = S.cosine_topk(em, queries, **kw).select("query_id", "vec_id")
+    approx = S.ivf_topk(
+        em, queries, n_lists=16, n_probe=4, fit_fraction=0.3, max_iter=5, **kw
+    ).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"], "inner").agg(
+        F.count(F.lit(1)).alias("__n_hits")
+    )
+    base = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("__n_exact"),
+    )
+    return base.crossJoin(hits).select(
+        "n_queries",
+        F.lit(5).alias("k"),
+        (F.col("__n_hits") / F.col("__n_exact") >= 0.5).alias("recall_ge_half"),
+    )
+
+
+@query(
+    "minhash_vs_exact_pairs",
+    # Ground truth = the exact n-gram Jaccard pairs (same shingle universe
+    # as the MinHash signatures), whose pair count IS SQL-computable; the
+    # estimator's retrieval quality against it is asserted as fixed floors
+    # (measured recall = precision = 1.0 at sf0.001/0.01/0.1 — the banded
+    # LSH + 64-hash estimate loses nothing at a 0.5 threshold on these
+    # fixtures; 0.9 leaves margin).
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ge_90pct, TRUE AS precision_ge_90pct
+FROM ({_NGRAM_JACCARD_ORACLE})
+""",
+)
+def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 companion: retrieval quality of the MinHash+LSH candidate pairs
+    (est_jaccard >= 0.5) against the EXACT n-gram Jaccard pairs at the same
+    threshold, as driver-hashable scalars — closes the 'estimators are
+    rows-only forever' gap without pretending the estimate is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = D.minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", shingle_n=3
+    ).filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    exact = D.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    inter = est.join(exact, ["id_a", "id_b"], "inner").agg(
+        F.count(F.lit(1)).alias("__n_inter")
+    )
+    n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_est = est.agg(F.count(F.lit(1)).alias("__n_est"))
+    return (
+        n_ex.crossJoin(n_est)
+        .crossJoin(inter)
+        .select(
+            "n_exact_pairs",
+            (F.col("__n_inter") / F.col("n_exact_pairs") >= 0.9).alias(
+                "recall_ge_90pct"
+            ),
+            (F.col("__n_inter") / F.col("__n_est") >= 0.9).alias(
+                "precision_ge_90pct"
+            ),
+        )
     )
 
 
@@ -494,32 +642,19 @@ WHERE w.doc_id % 97 <> 0
 """,
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination, the 13-gram-overlap flavor (the GPT-3
-    appendix-C method): a training document sharing ANY 13-word-gram with a
-    held-out eval document is flagged. Spark shape for 100 TB: the eval
-    side's distinct grams are tiny (eval sets are thousands of docs) and
-    BROADCAST; the training side explodes grams and left-semi probes the
-    broadcast — no shuffle of training data at all, then a distinct on the
-    (small) hit set. Short docs degrade to whole-text grams (mirrored in
-    the oracle)."""
-    from ibis_flink_example_spark.operators.dedup import word_shingles, words
-
+    """Benchmark decontamination via operators/text.py:
+    decontaminate_ngram_overlap — broadcast semi-join probe with a guarded
+    fallback to a shuffle semi-join when the eval gram set outgrows the
+    broadcast budget (the 100 TB safety valve; see the operator docstring).
+    Short docs degrade to whole-text grams (mirrored in the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = lambda d: d.select(  # noqa: E731
-        "doc_id", F.explode(word_shingles(words("text"), 13)).alias("gram")
-    )
     is_eval = F.col("doc_id") % 97 == 0
-    ev = grams(docs.filter(is_eval)).select("gram").distinct()
-    train = docs.filter(~is_eval)
-    hits = (
-        grams(train)
-        .join(F.broadcast(ev), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__hit", F.lit(True))
-    )
-    return train.join(hits, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
+    return X.decontaminate_ngram_overlap(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        id_col="doc_id",
+        text_col="text",
+        n=13,
     )
 
 

@@ -1169,17 +1169,35 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_value", oracle=None)
+@query(
+    "approx_quantiles_value",
+    # Full value oracle restored (was rows-only): while each group holds
+    # fewer values than the sketch's accuracy budget, Greenwald-Khanna
+    # degenerates to EXACT discrete quantiles — and Spark's "smallest value
+    # such that no more than p·n values are <= it" convention is exactly
+    # DuckDB's quantile_disc (verified at sf0.001 and sf0.01 on all
+    # groups). accuracy=100_000 keeps the identity holding with margin at
+    # every fixture SF (largest group ~20k rows at sf0.1); beyond that the
+    # sketch earns its "approx" and the oracle would stop applying — which
+    # is the point at which no exact engine can check it anyway.
+    oracle="""
+SELECT event_type,
+  quantile_disc(value, 0.5) AS value_q50,
+  quantile_disc(value, 0.95) AS value_q95
+FROM events GROUP BY event_type
+""",
+)
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 sketch family, quantile flavor: approx_percentile (Greenwald-
     Khanna) next to approx_distinct_users' HLL++. Single pass, mergeable
     partial sketches, bounded memory — the 100 TB default for quantiles;
     quantiles_by_flag / percentile_disc_by_flag are its exact baselines.
-    Sketch output has no cross-engine oracle (rows-only check). The sketch
-    is computed ONCE per group and the two quantiles projected out as scalar
-    columns (array cells don't canonicalize in the driver compare)."""
+    The sketch is computed ONCE per group and the two quantiles projected
+    out as scalar columns (array cells don't canonicalize in the driver
+    compare); see the oracle comment for why the check is exact at
+    fixture scale."""
     e = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000))
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(100_000))
     return (
         e.groupBy("event_type")
         .agg(q.alias("__q"))

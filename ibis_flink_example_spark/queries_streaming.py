@@ -187,11 +187,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(_stream_dir_for(path))
 
 
-@query("streaming_tumble_1m", oracle=_TUMBLE_ORACLE)
+@query(
+    "streaming_tumble_1m",
+    # APPEND mode (the scale-safe choice: complete mode retains every
+    # window ever emitted in the state store — unbounded at 100×): a window
+    # is emitted once the watermark passes its END, and a drained
+    # availableNow run's final watermark is max(ts) - 15 s, so the oracle
+    # is the batch rollup restricted to closed windows.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events)
+SELECT
+  time_bucket(INTERVAL 1 MINUTE, ts) AS window_start,
+  time_bucket(INTERVAL 1 MINUTE, ts) + INTERVAL 1 MINUTE AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, wm
+GROUP BY 1, 2, 3, wm.w
+HAVING time_bucket(INTERVAL 1 MINUTE, MIN(ts)) + INTERVAL 1 MINUTE <= wm.w
+""",
+)
 def streaming_tumble_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumble_1m query executed as a REAL streaming job (file source,
-    15 s watermark, complete mode, availableNow) — must equal the batch
-    oracle exactly: batch-vs-stream equivalence as a driver-checked query."""
+    15 s watermark, APPEND mode + watermark-evicted state, availableNow).
+    Append is the 100 TB mode: closed windows are emitted once and their
+    state evicted; complete mode would hold every window forever. The
+    oracle is the batch rollup cut at the drained run's final watermark —
+    batch-vs-stream equivalence on the closed-window set."""
     from ibis_flink_example_spark.streaming.runtime import run_available_now
 
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
@@ -205,7 +227,7 @@ def streaming_tumble_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["event_type"],
     )
-    return run_available_now(agged, output_mode="complete", state_partitions=_STATE_PARTS)
+    return run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
 
 
 _STREAMING_OVER_ORACLE = """
@@ -454,12 +476,49 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, output_mode="append", state_partitions=_STATE_PARTS)
 
 
-@query("streaming_session_30m", oracle=_SESSION_ORACLE)
+@query(
+    "streaming_session_30m",
+    # APPEND mode: a session is final (and its state evicted) once the
+    # watermark passes its end (= last event + 30 min gap); the drained
+    # run's final watermark is max(ts) - 15 s. Complete mode — the previous
+    # formulation — retains every session ever closed in the state store,
+    # which is unbounded at 100×. The oracle is the batch lag-island
+    # rollup restricted to closed sessions.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events),
+marked AS (
+  SELECT
+    user_id, ts, value,
+    CASE
+      WHEN LAG(ts) OVER w IS NULL THEN 1
+      WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 THEN 1
+      ELSE 0
+    END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+  ) AS session_no
+  FROM marked
+)
+SELECT
+  user_id,
+  MIN(ts) AS window_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered, wm
+GROUP BY user_id, session_no, wm.w
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+""",
+)
 def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 session windows executed as a REAL streaming job (session_window
-    merges need update/complete mode — append would hold results until the
-    watermark closes each session; a drained complete-mode run returns the
-    final merged sessions, equal to the batch lag-island oracle exactly)."""
+    """W3 session windows executed as a REAL streaming job in APPEND mode:
+    session_window + watermark emits each merged session exactly once when
+    the watermark passes its end and evicts its state — the bounded-state
+    100 TB shape (complete mode retains all history). Equals the batch
+    lag-island oracle on the closed-session set."""
     from ibis_flink_example_spark.streaming.runtime import run_available_now
 
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
@@ -473,7 +532,7 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["user_id"],
     )
-    out = run_available_now(agged, output_mode="complete", state_partitions=_STATE_PARTS)
+    out = run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
     return out.select("user_id", "window_start", "window_end", "n_events", "sum_value")
 
 

@@ -65,3 +65,30 @@ def test_sql_ddl_table_registration(spark, sf_dir):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_lineitem")
+
+
+def test_local_checkpoint_release(spark):
+    """_release_local_checkpoint must actually free the persisted blocks
+    (the naive toRdd().unpersist() is a silent no-op — the checkpointed
+    DataFrame's toRdd is a fresh adapter RDD, not the persisted one)."""
+    from ibis_flink_example_spark.operators.dedup import _release_local_checkpoint
+
+    def cached_block_rdd_ids() -> set[int]:
+        sc = spark.sparkContext
+        return {
+            i.id()
+            for i in sc._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+
+    before = cached_block_rdd_ids()
+    ck = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 3).alias("x")
+    ).localCheckpoint(eager=True)
+    held = cached_block_rdd_ids() - before
+    assert held, "localCheckpoint should have persisted blocks"
+    # the checkpointed plan stays usable before release
+    assert ck.count() == 10_000
+    _release_local_checkpoint(ck)
+    after = cached_block_rdd_ids()
+    assert not (held & after), f"blocks not released: {held & after}"
