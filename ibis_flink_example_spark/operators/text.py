@@ -247,3 +247,36 @@ def decontaminate_ngram_overlap(
     return train.join(hits, id_col, "left").select(
         id_col, F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated")
     )
+
+
+# PII redaction patterns — deliberately restricted to a regex dialect subset
+# (no backreferences, no lookaround) that Java's regex (Spark) and RE2
+# (DuckDB, Go tooling) interpret identically, so redaction is verifiable
+# across engines byte-for-byte.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Map-only PII scrub: replace email / phone / IPv4 literals with typed
+    placeholder tokens — the standard pre-training redaction stage. Pure
+    JVM ``regexp_replace`` chain (one pass per pattern, fused into the scan
+    projection; no Python, no shuffle). Order matters and is fixed
+    (email → phone → ipv4): emails contain dots but the ipv4 pattern can't
+    match inside ``<EMAIL>`` after replacement."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (pre-redaction) as named columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{kind}": F.regexp_count(c, F.lit(pattern))
+        for kind, (pattern, _) in PII_PATTERNS.items()
+    }

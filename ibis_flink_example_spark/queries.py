@@ -106,15 +106,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round: estimator quality companions
     "ann_recall_ivf",
     "minhash_vs_exact_pairs",
+    # new this round — PII redaction, S8 source roundtrips, SimHash
+    # coverage floor (never-checked > re-verified: displaced r3-only greens
+    # keep their r3 rows and rotate back next round)
+    "text_pii_redact",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "simhash_exact_dup_coverage",
     # r3-only greens, one representative per family, re-verified
     "json_decode",
     "project_rename",
     "scalar_case_expr",
-    "groupby_pricing_summary",
-    "count_distinct_status",
     "grouping_sets_revenue",
     "join_broadcast_dims",
-    "join_semi",
     "join_theta",
     "join_salted_skew",
     "set_ops_multiset",
@@ -122,7 +126,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "udtf_props_kv",
     "tpch_q3_shipping_priority",
     "quantiles_by_flag",
-    "nested_struct_json",
 )
 
 

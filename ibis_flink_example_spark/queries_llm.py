@@ -392,6 +392,58 @@ def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simhash_exact_dup_coverage",
+    # SimHash itself hashes with xxhash64 (no DuckDB equivalent), so its
+    # pair list can't carry a per-row SQL oracle — but its COVERAGE
+    # INVARIANT can: any two docs with identical raw text have identical
+    # fingerprints, share all four 16-bit chunks, and MUST surface as a
+    # candidate pair with hamming = 0. Duplicates are PLANTED (every doc
+    # with doc_id % 50 == 0 is re-added under doc_id + 1000000, mirrored
+    # exactly in SQL), so the invariant is exercised on a known non-empty
+    # pair set and the count comes from the data.
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dup_pairs,
+       TRUE AS all_exact_dups_found
+FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+)
+def simhash_exact_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 companion: SimHash candidate generation must find EVERY exact
+    duplicate at hamming 0 (pigeonhole guarantee), checked against the
+    SQL-computable identical-text pair set over a planted-duplicate
+    corpus — the driver-hashable floor under the rows-only estimator."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(planted)
+    zero = (
+        D.simhash_neardup_pairs(aug, id_col="doc_id", text_col="text", max_hamming=3)
+        .filter(F.col("hamming") == 0)
+        .select("id_a", "id_b")
+    )
+    a, b = aug.alias("a"), aug.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.text") == F.col("b.text"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    missing = exact.join(zero, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missing")
+    )
+    n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact_dup_pairs"))
+    return n_ex.crossJoin(missing).select(
+        "n_exact_dup_pairs",
+        (F.col("__n_missing") == 0).alias("all_exact_dups_found"),
+    )
+
+
 # Mirrors the Spark implementation's normalize-then-dot structure (one fold
 # per pair) so the float op sequence — and thus every bit — matches.
 _NEARDUP_ORACLE = r"""
@@ -613,6 +665,64 @@ def text_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("sketch"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    # PII is PLANTED deterministically (docs with doc_id % 3 == 0 get an
+    # email + phone + IPv4 appended) so redaction is exercised on a known
+    # mix of clean and dirty rows; patterns live in a Java-regex/RE2-common
+    # dialect so both engines redact byte-identically (md5-checked).
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' reach user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+    ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+  len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
+FROM aug
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 curation stage: PII redaction (email/phone/IPv4 → typed tokens)
+    as a pure regexp_replace chain fused into the scan — map-only, no
+    Python, no shuffle; per-kind match counts ride along. The redacted
+    text is md5-fingerprinted so the oracle checks the exact bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    counts = X.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(X.redact_pii("t").cast("binary")).alias("redacted_fp"),
     )
 
 

@@ -82,3 +82,94 @@ def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # con.insert(...) into a pre-registered sink schema.
     _pricing_slice(spark, sf_dir, returned=False).write.insertInto(_SINK_TABLE)
     return spark.table(_SINK_TABLE)
+
+
+@query(
+    "csv_roundtrip",
+    # A correct CSV write→read roundtrip is value-invisible: the oracle is
+    # the same rollup computed straight from the parquet fixture.
+    oracle="""
+SELECT r.r_name, COUNT(*) AS n_nations,
+  CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nationkey
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 CSV source, driven end-to-end: write the nation table as
+    header-ed CSV files, read it back through the declared-schema CSV
+    reader (schema declared, never inferred — at 100 TB inference is a
+    full extra pass), broadcast-join region, aggregate. Values must
+    survive the text encode/decode byte-exactly for integer/string
+    columns."""
+    import tempfile
+
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.sources.files import read_csv
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    nation.write.mode("overwrite").option("header", True).csv(d)
+    back = read_csv(
+        spark,
+        d,
+        mk_schema(
+            {"n_nationkey": "int64", "n_name": "string", "n_regionkey": "int64"}
+        ),
+    )
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("sum_nationkey"),
+        )
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 100 = 0
+GROUP BY o_orderpriority
+""",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 JSON-lines source end-to-end (the reference's Kafka payloads are
+    JSON — this is the same decode path against files, SURVEY §2.1 S2/S8):
+    write an orders slice as JSONL, read it back against the DECLARED
+    schema, aggregate with DECIMAL-exact money summing. Doubles round-trip
+    via JSON textual encoding (Spark writes shortest-roundtrip decimal
+    strings), so the sums are bit-identical to the direct rollup."""
+    import tempfile
+
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.sources.files import read_jsonl
+
+    sl = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    d = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    sl.write.mode("overwrite").json(d)
+    back = read_jsonl(
+        spark,
+        d,
+        mk_schema(
+            {
+                "o_orderkey": "int64",
+                "o_orderpriority": "string",
+                "o_totalprice": "float64",
+            }
+        ),
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
+    )

@@ -149,3 +149,13 @@ def test_join_null_safe_stays_hash_join(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] + ops["SortMergeJoin"] >= 1
     assert ops["BroadcastNestedLoopJoin"] + ops["CartesianProduct"] == 0
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """PII redaction must fuse into the scan projection: zero exchanges,
+    zero joins, zero aggregates — the regex chain is per-row column math."""
+    df = QUERIES["text_pii_redact"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    assert ops["HashAggregate"] + ops["SortAggregate"] == 0
