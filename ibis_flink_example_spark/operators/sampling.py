@@ -154,3 +154,60 @@ def pack_sequences(
         .withColumn(offset_col, cum_before % F.lit(context_tokens))
         .drop("__bucket")
     )
+
+
+def temperature_balanced_sample(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    target_frac: float = 0.5,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-flattened stratum resampling (the multilingual-corpus
+    rebalancing rule: sample language l with probability ∝ n_l^alpha,
+    alpha = 0.5): keep ~``target_frac`` of the corpus with per-stratum
+    keep-rates rate_l = min(1, target_frac · N · sqrt(n_l) / Σ_m sqrt(n_m)
+    / n_l), so small strata are over-represented relative to their share
+    and large strata are dampened.
+
+    Scale shape: the stratum-count table is tiny (|strata| rows) and
+    broadcast; membership is then a map-only hash-threshold predicate over
+    the corpus — NO per-stratum sort or window, unlike rank-based capping.
+    That is the 100 TB path: one small aggregation plus one streaming pass.
+
+    Determinism across engines: the keep decision compares the md5(key)
+    8-hex prefix against a threshold derived via floor(rate · 16^8) —
+    sqrt/·//÷ are IEEE-correctly-rounded, the expression tree is mirrored
+    in the SQL oracle, and the hex comparison is exact, so every engine
+    keeps the identical row set.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_l"))).alias("sum_w"),
+        F.sum("n_l").alias("n_docs"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac)
+        * F.col("n_docs")
+        * F.sqrt(F.col("n_l"))
+        / F.col("sum_w")
+        / F.col("n_l"),
+    )
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(rate * F.lit(4294967296.0)).cast("long")), 8, "0"
+        )
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, rate.alias("__rate"), thr.alias("__thr")
+    )
+    kept = df.join(F.broadcast(rates), on=stratum_col).filter(
+        (F.col("__rate") >= 1.0) | (hash_bucket(key_col, 8) < F.col("__thr"))
+    )
+    if rate_col is not None:
+        return kept.withColumn(rate_col, F.round(F.col("__rate"), 6)).drop(
+            "__rate", "__thr"
+        )
+    return kept.drop("__rate", "__thr")

@@ -456,3 +456,45 @@ def ivf_topk(
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop documents whose
+    EMBEDDINGS are near-duplicates, keeping one representative (min id) per
+    similarity cluster — the step that removes paraphrases and boilerplate
+    that exact/MinHash dedup (lexical) cannot see.
+
+    Pipeline: blocked cosine pairs (>= threshold) → connected components →
+    keep component representative. ``block_col`` plays the role SemDeDup's
+    k-means cluster assignment plays at scale (pairs are only formed inside
+    a block, never across the corpus); swap in ``ivf_assign`` cluster ids
+    for the 100 TB path. Components run on the post-threshold residue — a
+    tiny graph — via the bounded union-find / distributed-propagation hybrid
+    in ``operators.dedup.connected_components``.
+
+    Returns the surviving rows of ``df`` (all original columns).
+    """
+    from ibis_flink_example_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        threshold=threshold,
+        dim=dim,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, df.select(id_col), id_col=id_col)
+    return (
+        df.join(comp, on=id_col)
+        .filter(F.col(id_col) == F.col("component"))
+        .drop("component")
+    )

@@ -280,3 +280,121 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         f"n_{kind}": F.regexp_count(c, F.lit(pattern))
         for kind, (pattern, _) in PII_PATTERNS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Corpus term statistics: TF-IDF keyword extraction + corpus heavy hitters.
+# The two-level aggregation (doc-term, then term) is the canonical vocabulary
+# pipeline shape: explode stays inside the scan stage, both groupBys get
+# map-side partial aggregation, and the term-frequency table is reused by
+# both operators.
+# ---------------------------------------------------------------------------
+
+# Word tokens for corpus statistics: lowercase alphanumeric runs. Kept
+# deliberately simple so the definition is portable across engines (Java
+# regex == RE2 == DuckDB for this class).
+TFIDF_WORD_RE = r"[a-z0-9]+"
+
+
+def corpus_stopwords() -> list[str]:
+    """The union of the language-marker lexicons — the same list
+    quality_features treats as stopwords, reused for term statistics."""
+    return sorted({m for ms in LANG_MARKERS.values() for m in ms})
+
+
+def doc_terms(
+    df: DataFrame, *, id_col: str, text_col: str, min_term_len: int = 3
+) -> DataFrame:
+    """(id, term) rows: lowercase word tokens, stopwords and short tokens
+    dropped. The explode happens in the same stage as the scan (no shuffle);
+    downstream aggregations decide the partitioning."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TFIDF_WORD_RE), 0)
+        ).alias("term"),
+    )
+    return toks.filter(
+        (F.length("term") >= min_term_len) & ~F.col("term").isin(corpus_stopwords())
+    )
+
+
+def term_frequencies(
+    df: DataFrame, *, id_col: str, text_col: str, min_term_len: int = 3
+) -> DataFrame:
+    """(id, term, tf) — per-document term counts. One shuffle on
+    (id, term); partial aggregation collapses repeated terms map-side, so
+    shuffle volume is bounded by per-doc distinct terms, not token count."""
+    return (
+        doc_terms(df, id_col=id_col, text_col=text_col, min_term_len=min_term_len)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1).
+
+    Ranking is by the INTEGER triple (tf DESC, df ASC, term ASC) — the same
+    ordering TF-IDF induces for fixed N, but exactly reproducible in any
+    engine because no float comparison decides the cut. The float tfidf
+    score is emitted (rounded) for consumers, never compared.
+
+    Plan shape at scale: groupBy(id, term) → groupBy(term) for document
+    frequency → shuffle join back on term → per-doc window. The df table is
+    vocabulary-sized (≪ corpus), the join is term-keyed on both sides, and
+    the window partitions by document — no global sort anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col, min_term_len=min_term_len)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df_term") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_term").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df_term", "tfidf", "term_rank")
+    )
+
+
+def term_heavy_hitters(
+    df: DataFrame, *, id_col: str, text_col: str, k: int = 20, min_term_len: int = 3
+) -> DataFrame:
+    """Exact corpus-wide top-k terms by total occurrences (ties broken by
+    term). Catalyst plans the ORDER BY + LIMIT as TakeOrderedAndProject:
+    each partition keeps its local top-k, the driver merges k·p rows — no
+    global sort, safe at any corpus size. Counts are integers, so the top-k
+    boundary is engine-exact."""
+    tf = term_frequencies(df, id_col=id_col, text_col=text_col, min_term_len=min_term_len)
+    totals = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("df_term")
+    )
+    return totals.orderBy(F.col("total_tf").desc(), F.col("term").asc()).limit(k)

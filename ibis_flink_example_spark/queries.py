@@ -113,19 +113,22 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "csv_roundtrip",
     "jsonl_roundtrip",
     "simhash_exact_dup_coverage",
+    # new this round — corpus term statistics (TF-IDF / heavy hitters /
+    # length histogram), semantic dedup (recursive-CTE oracle),
+    # temperature-balanced sampling, MERGE-upsert
+    "text_tfidf_top_terms",
+    "term_heavy_hitters",
+    "token_length_histogram",
+    "semantic_dedup",
+    "sample_lang_balanced",
+    "merge_upsert_customers",
     # r3-only greens, one representative per family, re-verified
     "json_decode",
     "project_rename",
-    "scalar_case_expr",
     "grouping_sets_revenue",
-    "join_broadcast_dims",
     "join_theta",
-    "join_salted_skew",
-    "set_ops_multiset",
-    "window_ranking",
     "udtf_props_kv",
     "tpch_q3_shipping_priority",
-    "quantiles_by_flag",
 )
 
 

@@ -947,3 +947,156 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte stats recomputed engine-side from the ASCII fixture)."""
     media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
     return M.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# X4 corpus term statistics: TF-IDF keyword extraction, heavy hitters,
+# sequence-length distribution. X2/X3: semantic (embedding-space) dedup.
+# ---------------------------------------------------------------------------
+
+# The marker-lexicon union, as a SQL literal (must equal
+# text.corpus_stopwords() — tests assert the lists match).
+_STOPWORDS_SQL = (
+    "('a','and','das','de','der','die','el','ein','en','est','et','in','is',"
+    "'ist','la','le','les','los','nicht','of','que','the','to','und','une','y')"
+)
+
+_TF_CTE = rf"""
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN {_STOPWORDS_SQL}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+)"""
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=rf"""
+WITH {_TF_CTE}, dfq AS (
+  SELECT term, COUNT(*) AS df_term FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_term,
+    ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df_term + 1.0)) + 1.0), 6) AS tfidf,
+    ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df_term ASC, tf.term ASC
+    ) AS term_rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_term, tfidf, term_rank FROM s WHERE term_rank <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 per-document top-3 characteristic terms by smoothed TF-IDF.
+    The top-k cut is decided by the integer triple (tf, df, term) — engine
+    exact; the float score is emitted for consumers, never compared.
+    Plan: two partial-agg groupBys + a term-keyed shuffle join + a per-doc
+    window — no global sort, no driver data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3)
+
+
+@query(
+    "term_heavy_hitters",
+    oracle=rf"""
+WITH {_TF_CTE}, tot AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf, COUNT(*) AS df_term
+  FROM tf GROUP BY 1
+)
+SELECT term, total_tf, df_term FROM tot
+ORDER BY total_tf DESC, term ASC LIMIT 20
+""",
+)
+def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 exact corpus-wide top-20 terms (vocabulary heavy hitters — the
+    boilerplate/stopword-discovery pass of corpus curation). ORDER BY +
+    LIMIT plans as TakeOrderedAndProject: per-partition top-k, driver-side
+    merge of k·p rows — never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.term_heavy_hitters(docs, id_col="doc_id", text_col="text", k=20)
+
+
+@query(
+    "token_length_histogram",
+    oracle=r"""
+WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents
+)
+SELECT CAST(floor(log2(n_tokens + 1)) AS INTEGER) AS len_bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(n_tokens) AS min_tokens,
+  MAX(n_tokens) AS max_tokens
+FROM t GROUP BY 1
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sequence-length distribution in log2 buckets — the feed for
+    choosing a packing context size (pack_sequences_2k) and for spotting
+    truncation loss. Bucket edges land on exact powers of two, so
+    floor(log2(n+1)) is engine-exact; all outputs are integers. Single
+    partial-agg groupBy over a map-side-computed token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = X.token_count_whitespace("text")
+    return (
+        docs.select(n_tokens.alias("n_tokens"))
+        .groupBy(
+            F.floor(F.log2(F.col("n_tokens") + 1)).cast("int").alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "semantic_dedup",
+    # Components via recursive transitive closure over the post-threshold
+    # pair residue — tiny by construction, so the recursion is cheap; the
+    # Spark side runs the bounded union-find / distributed-propagation
+    # hybrid over the same edges.
+    oracle=r"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+    ) AS nvec
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a
+  JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.nvec) + 1), i -> a.nvec[i] * b.nvec[i])) >= 0.35
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT src AS id, dst AS r FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS minr FROM reach GROUP BY id
+)
+SELECT v.vec_id, v.label
+FROM embeddings v
+LEFT JOIN comp c ON v.vec_id = c.id
+WHERE c.id IS NULL OR v.vec_id <= c.minr
+""",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    (same-label blocking — the cluster-assignment stand-in; threshold 0.35
+    matches embedding_neardup_pairs) → connected components → keep the
+    min-id representative per cluster. Removes paraphrase-level duplicates
+    lexical dedup cannot see."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    ).select("vec_id", "label")

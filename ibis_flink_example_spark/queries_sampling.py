@@ -115,3 +115,38 @@ def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key_col="doc_id", token_col="n_tokens", context_tokens=2048
     )
     return packed.select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+@query(
+    "sample_lang_balanced",
+    # The float expression tree (sqrt → · → ÷ → ÷ → floor·16^8) is mirrored
+    # exactly: every op is IEEE-correctly-rounded, so the per-lang hex
+    # thresholds — and therefore the kept row SET — are engine-identical.
+    oracle=r"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1
+), t AS (
+  SELECT SUM(sqrt(n_l)) AS sum_w, SUM(n_l) AS n_docs FROM c
+), r AS (
+  SELECT lang, LEAST(1.0, 0.5 * n_docs * sqrt(n_l) / sum_w / n_l) AS rate
+  FROM c CROSS JOIN t
+), h AS (
+  SELECT lang, rate,
+    lower(lpad(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT)), 8, '0')) AS thr
+  FROM r
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN h ON d.lang = h.lang
+WHERE h.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < h.thr
+""",
+)
+def sample_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language rebalancing (keep-rate ∝ sqrt share,
+    ~50% of the corpus kept): the multilingual-pretraining sampling rule.
+    Unlike the rank-based stratified cap, membership is a map-only hash
+    threshold against a broadcast per-language rate table — no per-stratum
+    sort, so the pass streams at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.temperature_balanced_sample(
+        docs, stratum_col="lang", key_col="doc_id", target_frac=0.5
+    ).select("doc_id", "lang")

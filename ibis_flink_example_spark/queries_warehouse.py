@@ -173,3 +173,72 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(money("o_totalprice")).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+  FROM orders WHERE o_orderkey % 4 = 0
+  GROUP BY 1
+), tgt AS (
+  SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+  FROM customer
+)
+SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+  CAST(COALESCE(t.balance, CAST(0 AS DECIMAL(18,2)))
+     + COALESCE(s.delta, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+  CASE WHEN s.custkey IS NULL THEN 'unchanged'
+       WHEN t.custkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS merge_action
+FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+""",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 MERGE INTO semantics without a transactional table format: a
+    change batch (order totals, with some keys shifted to exercise the
+    insert path) upserted into the customer-balance target via one
+    full-outer shuffle join — exactly the join Delta/Iceberg MERGE plans.
+    Matched keys update (balance + delta), unmatched-source keys insert,
+    unmatched-target keys pass through. Money math runs in DECIMAL(18,2)
+    end-to-end, cast to double only at the output boundary — bit-identical
+    at any partition count. At 100 TB: both sides shuffle once on the key;
+    AQE handles skewed customers; no driver data."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.when(
+                F.col("o_custkey") % 10 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("custkey"),
+            "o_totalprice",
+        )
+        .groupBy("custkey")
+        .agg(F.sum(money("o_totalprice")).alias("delta"))
+    )
+    tgt = cust.select(
+        F.col("c_custkey").alias("custkey"), money("c_acctbal").alias("balance")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        tgt.alias("t")
+        .join(src.alias("s"), F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.custkey"), F.col("s.custkey")).alias("custkey"),
+            (
+                F.coalesce(F.col("t.balance"), zero)
+                + F.coalesce(F.col("s.delta"), zero)
+            )
+            .cast("double")
+            .alias("balance"),
+            F.when(F.col("s.custkey").isNull(), "unchanged")
+            .when(F.col("t.custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )

@@ -352,3 +352,58 @@ def test_decontaminate_broadcast_guard(spark, sf_dir):
     a = {r["doc_id"]: r["contaminated"] for r in via_bcast.collect()}
     b = {r["doc_id"]: r["contaminated"] for r in via_shuffle.collect()}
     assert a == b and len(a) > 0
+
+
+def test_tfidf_stopword_sql_literal_matches_operator():
+    """The oracle's stopword literal must stay in lockstep with
+    text.corpus_stopwords() — a drift would silently diverge the two
+    engines' vocabularies."""
+    from ibis_flink_example_spark.operators.text import corpus_stopwords
+    from ibis_flink_example_spark.queries_llm import _STOPWORDS_SQL
+
+    sql_words = sorted(w.strip("'") for w in _STOPWORDS_SQL.strip("()").split(","))
+    assert sql_words == corpus_stopwords()
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """Identical embeddings (cosine 1.0) collapse to the min-id survivor;
+    singletons pass through untouched."""
+    from ibis_flink_example_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0], 0),   # dup of 1
+        (3, [0.0, 1.0, 0.0], 0),   # singleton (orthogonal)
+        (4, [0.0, 0.0, 1.0], 1),   # other block: singleton
+        (5, [0.0, 0.0, 1.0], 0),   # same vec as 4 but different block: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.95
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_temperature_sample_flattens_language_shares(spark, sf_dir):
+    """The balancing property itself: after resampling, the largest
+    language's share of the kept corpus must shrink and the smallest
+    language's share must grow (that is what temperature alpha=0.5 is FOR),
+    while per-stratum keep counts never exceed the stratum size."""
+    from ibis_flink_example_spark.operators.sampling import temperature_balanced_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = temperature_balanced_sample(docs, stratum_col="lang", key_col="doc_id", target_frac=0.5)
+    after = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_b, n_a = sum(before.values()), sum(after.values())
+    # ~half the corpus kept (hash-threshold sampling is approximate)
+    assert 0.35 * n_b <= n_a <= 0.65 * n_b
+    big = max(before, key=before.get)
+    small = min(before, key=before.get)
+    assert after[big] / n_a < before[big] / n_b          # dampened
+    assert after[small] / n_a > before[small] / n_b      # boosted
+    for lang, n in after.items():
+        assert n <= before[lang]

@@ -159,3 +159,52 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
     assert ops["HashAggregate"] + ops["SortAggregate"] == 0
+
+
+def test_tfidf_pushes_topk_into_window(spark, sf_dir):
+    """TF-IDF's rank<=3 filter must plan as WindowGroupLimit (per-partition
+    top-k retention before the full window materializes); the single-row
+    corpus count attaches via broadcast, never a real nested loop over data;
+    no global sort anywhere."""
+    df = QUERIES["text_tfidf_top_terms"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["WindowGroupLimit"] >= 1
+    assert ops["CartesianProduct"] == 0
+    assert exchange_count(df) <= 5  # tf agg, df agg, term join, doc window
+
+
+def test_heavy_hitters_take_ordered_not_global_sort(spark, sf_dir):
+    """Corpus top-k must plan as TakeOrderedAndProject — per-partition local
+    top-k merged on the driver — never Sort + Limit over the vocabulary."""
+    df = QUERIES["term_heavy_hitters"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["TakeOrderedAndProject"] == 1
+    assert ops["Sort"] == 0
+
+
+def test_token_length_histogram_single_exchange(spark, sf_dir):
+    df = QUERIES["token_length_histogram"](spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_lang_balanced_corpus_never_shuffles(spark, sf_dir):
+    """Temperature rebalancing joins the tiny per-language rate table via
+    broadcast: the corpus side must stay shuffle-free (its only exchanges
+    belong to the |strata|-row count aggregation), with no sort-merge join
+    and no cartesian product."""
+    df = QUERIES["sample_lang_balanced"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] >= 1  # rate table attaches broadcast
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert ops["CartesianProduct"] == 0
+
+
+def test_merge_upsert_reuses_agg_partitioning(spark, sf_dir):
+    """The MERGE join must reuse the change-batch aggregation's hash
+    partitioning: exactly two exchanges (source groupBy + target shuffle),
+    one full-outer sort-merge join, no cartesian fallback."""
+    df = QUERIES["merge_upsert_customers"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] == 1
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
