@@ -50,6 +50,7 @@ from ibis_flink_example_spark import queries_llm  # noqa: E402,F401
 from ibis_flink_example_spark import queries_sampling  # noqa: E402,F401
 from ibis_flink_example_spark import queries_streaming  # noqa: E402,F401
 from ibis_flink_example_spark import queries_warehouse  # noqa: E402,F401
+from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
@@ -122,12 +123,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "sample_lang_balanced",
     "merge_upsert_customers",
+    # new this round — event-journey analytics (funnel semantics
+    # cross-checked against an independent join-chain oracle formulation)
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
     # r3-only greens, one representative per family, re-verified
     "json_decode",
-    "project_rename",
     "grouping_sets_revenue",
     "join_theta",
-    "udtf_props_kv",
     "tpch_q3_shipping_priority",
 )
 

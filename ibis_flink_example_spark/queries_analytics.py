@@ -1,0 +1,82 @@
+"""Event-journey analytics queries (funnel + cohort retention) over the
+``events`` fixture — the per-user complement of the reference's per-event
+trailing window (reference: window_aggregation.py:73-80 aggregates around
+each event; these aggregate along each user's ordered journey).
+
+The funnel oracle is deliberately a DIFFERENT formulation (chained
+min-over-join CTEs) from the Spark implementation (running-min window
+algebra): both compute the same standard funnel semantics, so a hash match
+cross-checks the semantics, not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators import funnel as FN
+from ibis_flink_example_spark.queries import query
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "funnel_view_click_purchase",
+    # Independent join-chain formulation of the same funnel semantics:
+    # t1 = min(view); t2 = min(click with ts > t1); t3 = min(purchase with
+    # ts > t2); stage count = users with t_k non-null.
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+  GROUP BY 1
+)
+SELECT 'view' AS stage, 1 AS stage_idx, (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL
+SELECT 'click', 2, (SELECT COUNT(*) FROM t2)
+UNION ALL
+SELECT 'purchase', 3, (SELECT COUNT(*) FROM t3)
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view → click → purchase: users counted at
+    each stage, where each stage's event must occur strictly after the
+    user's previous-stage completion. Spark side is single-shuffle window
+    algebra (operators/funnel.py); the oracle is the k-way join chain —
+    two independent formulations of the standard funnel definition."""
+    events = load_table(spark, sf_dir, "events")
+    return FN.funnel_counts(events, _FUNNEL_STEPS)
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+), a AS (
+  SELECT e.user_id,
+    date_trunc('week', f.first_ts) AS cohort_week,
+    CAST(date_diff('day',
+      CAST(date_trunc('week', f.first_ts) AS DATE),
+      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active_users
+FROM a GROUP BY 1, 2
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-event week,
+    distinct-counted per activity-week offset. One user-keyed shuffle
+    (reused between the first-event aggregation and the join) plus the
+    (cohort, offset) rollup."""
+    events = load_table(spark, sf_dir, "events")
+    return FN.cohort_retention(events, period="week")

@@ -407,3 +407,36 @@ def test_temperature_sample_flattens_language_shares(spark, sf_dir):
     assert after[small] / n_a > before[small] / n_b      # boosted
     for lang, n in after.items():
         assert n <= before[lang]
+
+
+def test_funnel_requires_strict_order(spark):
+    """An event sequence click->view->purchase reaches stage 1 (view) and
+    stage 3 only via a click AFTER the view; out-of-order events must not
+    count. Also: a click at the exact view timestamp does not qualify
+    (strict >)."""
+    from datetime import datetime as DT
+
+    from ibis_flink_example_spark.operators.funnel import funnel_stage_times
+
+    rows = [
+        # u1: click(1) view(2) click(3) purchase(4) -> all 3 stages, t_click=3
+        (1, DT(2024, 1, 1, 0, 0, 1), "click"),
+        (1, DT(2024, 1, 1, 0, 0, 2), "view"),
+        (1, DT(2024, 1, 1, 0, 0, 3), "click"),
+        (1, DT(2024, 1, 1, 0, 0, 4), "purchase"),
+        # u2: view and click share a timestamp -> click does NOT qualify
+        (2, DT(2024, 1, 1, 0, 0, 5), "view"),
+        (2, DT(2024, 1, 1, 0, 0, 5), "click"),
+        # u3: purchase before click -> stops at stage 2
+        (3, DT(2024, 1, 1, 0, 0, 1), "view"),
+        (3, DT(2024, 1, 1, 0, 0, 0), "purchase"),
+        (3, DT(2024, 1, 1, 0, 0, 2), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_stage_times(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1][2] is not None and out[1][1] == DT(2024, 1, 1, 0, 0, 3)
+    assert out[2][0] is not None and out[2][1] is None
+    assert out[3][1] is not None and out[3][2] is None

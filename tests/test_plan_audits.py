@@ -208,3 +208,22 @@ def test_merge_upsert_reuses_agg_partitioning(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] == 1
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The funnel must plan the running-min windows and the per-user
+    aggregation on ONE user-key exchange (plus the single-row final
+    rollup): exactly 2 exchanges, no self-joins."""
+    df = QUERIES["funnel_view_click_purchase"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_cohort_retention_reuses_user_partitioning(spark, sf_dir):
+    """First-event times attach back to events without re-shuffling the
+    event side more than once; no cartesian/nested-loop anywhere."""
+    df = QUERIES["cohort_retention_weekly"](spark, sf_dir)
+    assert exchange_count(df) <= 3
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
