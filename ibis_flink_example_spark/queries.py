@@ -127,7 +127,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # cross-checked against an independent join-chain oracle formulation)
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
-    # r3-only greens, one representative per family, re-verified
+    # new this round — context-window chunking (zero-exchange 1:N explode)
+    # and df-based term pruning (the CCNet boilerplate-removal shape)
+    "chunk_documents_200_50",
+    "strip_high_df_terms",
+    # r3-only greens, one representative per family, re-verified (the
+    # last two now sit just past the 50-slot window; they keep their r3
+    # rows and stay first in line if the window ever widens)
     "json_decode",
     "grouping_sets_revenue",
     "join_theta",

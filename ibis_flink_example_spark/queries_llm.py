@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
+from ibis_flink_example_spark.operators import chunking as CH
 from ibis_flink_example_spark.operators import dedup as D
 from ibis_flink_example_spark.operators import similarity as S
 from ibis_flink_example_spark.operators import text as X
@@ -1100,3 +1101,78 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(
         em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
     ).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# X4 extension: context-window chunking + df-based term pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_documents_200_50",
+    # stride = 200 - 50 = 150; k = max(1, ceil((len - 50) / 150)) via the
+    # same integer ceil-div as the Spark side.
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, text,
+    greatest(1, (length(text) - 50 + 149) // 150) AS k
+  FROM documents
+), ex AS (
+  SELECT doc_id, text,
+    CAST(unnest(generate_series(0, k - 1)) AS INTEGER) AS chunk_idx
+  FROM base
+)
+SELECT doc_id, chunk_idx,
+  CAST(chunk_idx AS BIGINT) * 150 AS chunk_start,
+  substr(text, chunk_idx * 150 + 1, 200) AS chunk_text,
+  CAST(length(substr(text, chunk_idx * 150 + 1, 200)) AS INTEGER) AS chunk_len
+FROM ex
+""",
+)
+def chunk_documents_200_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 context-window chunking: 200-char pieces overlapping by 50 —
+    the 1:N reshaping that turns documents into training-context inputs.
+    Plan: Project → Generate(posexplode) → Project, zero exchanges;
+    parallelism equals scan parallelism at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CH.chunk_documents(docs, chunk_size=200, overlap=50)
+
+
+@query(
+    "strip_high_df_terms",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS sl FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sl) AS line,
+    CAST(unnest(range(len(sl))) AS INTEGER) AS line_idx
+  FROM d
+), dfq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM ex
+  WHERE length(trim(line)) >= 1 GROUP BY 1
+), kept AS (
+  SELECT ex.doc_id, ex.line_idx, ex.line
+  FROM ex LEFT JOIN dfq USING (line)
+  WHERE coalesce(dfq.df, 0) <= 150
+), re AS (
+  SELECT doc_id,
+    string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+  coalesce(re.clean_text, '') AS clean_text,
+  CAST(coalesce(re.n_kept, 0) AS INTEGER) AS n_kept_lines
+FROM d LEFT JOIN re USING (doc_id)
+""",
+)
+def strip_high_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 document-frequency pruning (sklearn ``max_df`` flavor of the
+    CCNet boilerplate-removal shape): drop terms present in >150 documents,
+    reassemble each document in original token order. Two high-cardinality
+    shuffles (term df, doc reassembly) — no skew hotspot, no driver data;
+    with delimiter='\\n' the same operator strips boilerplate lines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CH.strip_boilerplate_lines(
+        docs, max_df=150, extra_cols=("lang",), delimiter=" "
+    )

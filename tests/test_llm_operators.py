@@ -440,3 +440,54 @@ def test_funnel_requires_strict_order(spark):
     assert out[1][2] is not None and out[1][1] == DT(2024, 1, 1, 0, 0, 3)
     assert out[2][0] is not None and out[2][1] is None
     assert out[3][1] is not None and out[3][2] is None
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk math at the boundaries: empty doc -> one empty chunk; doc
+    exactly chunk_size -> one chunk; one char over the last stride
+    boundary -> extra (truncated) chunk; overlap bytes shared between
+    consecutive chunks."""
+    from ibis_flink_example_spark.operators.chunking import chunk_documents
+
+    rows = [(1, ""), (2, "a" * 200), (3, "a" * 199 + "b" * 152)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=200, overlap=50)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_text"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (0, "")
+    assert got[(2, 0)] == (0, "a" * 200) and (2, 1) not in got
+    # doc 3: len 351 -> k = ceil((351-50)/150) = ceil(301/150) = 3
+    assert got[(3, 0)][1] == "a" * 199 + "b"
+    assert got[(3, 1)] == (150, "a" * 49 + "b" * 151)
+    assert got[(3, 2)] == (300, "b" * 51)
+    # overlap: last 50 chars of chunk 0 == first 50 of chunk 1
+    assert got[(3, 0)][1][-50:] == got[(3, 1)][1][:50]
+
+
+def test_strip_boilerplate_lines_newline_path(spark):
+    """The '\\n' configuration (CCNet boilerplate removal): a footer line
+    shared by every doc is stripped, unique lines survive in original
+    order, and a doc that is ALL boilerplate comes back empty (not
+    dropped)."""
+    from ibis_flink_example_spark.operators.chunking import (
+        strip_boilerplate_lines,
+    )
+
+    footer = "(c) example corp - all rights reserved"
+    rows = [
+        (1, f"alpha beta\n{footer}\ngamma"),
+        (2, f"delta\n{footer}"),
+        (3, f"{footer}"),
+        (4, f"epsilon\nzeta\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept_lines"])
+        for r in strip_boilerplate_lines(df, max_df=2, delimiter="\n").collect()
+    }
+    assert out[1] == ("alpha beta\ngamma", 2)
+    assert out[2] == ("delta", 1)
+    assert out[3] == ("", 0)
+    assert out[4] == ("epsilon\nzeta", 2)

@@ -227,3 +227,25 @@ def test_cohort_retention_reuses_user_partitioning(spark, sf_dir):
     assert exchange_count(df) <= 3
     ops = plan_ops(df)
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+
+
+def test_chunking_is_explode_only(spark, sf_dir):
+    """Context-window chunking must be Project -> Generate -> Project with
+    ZERO exchanges — parallelism equals scan parallelism at any corpus
+    size — and read only (doc_id, text)."""
+    df = QUERIES["chunk_documents_200_50"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    ops = plan_ops(df)
+    assert ops["Generate"] == 1
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_strip_high_df_terms_two_keyed_shuffles(spark, sf_dir):
+    """df-pruning pipeline: term-df aggregation + doc reassembly are the
+    only wide stages (plus AQE-planned join exchanges on the same keys);
+    no cartesian fallback, no driver-side data."""
+    df = QUERIES["strip_high_df_terms"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+    assert exchange_count(df) <= 5
