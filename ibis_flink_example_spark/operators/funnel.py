@@ -142,3 +142,103 @@ def cohort_retention(
     return joined.groupBy(f"cohort_{period}", f"{period}_offset").agg(
         F.countDistinct(user_col).alias("n_active_users")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's ordered event
+    journey: (event_type, next_event, n_transitions, p_transition).
+
+    ``lead`` over (user, ts, tiebreak) pairs each event with its successor
+    — one user-keyed exchange; the (from, to) rollup then moves only the
+    paired rows, and the per-source probability window runs over the tiny
+    |event_types|² aggregate. ``p_transition`` is one deterministic double
+    division of two exact counts, so it is engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    paired = events.select(
+        F.col(type_col).alias("event_type"),
+        F.lead(type_col).over(w).alias("next_event"),
+    ).where(F.col("next_event").isNotNull())
+    counts = paired.groupBy("event_type", "next_event").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_source = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_event",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_source).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def trailing_anomaly_flags(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 20,
+    min_prior: int = 5,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Per-event anomaly flag against the user's own trailing history: the
+    event is anomalous iff its value deviates from the mean of the previous
+    ``lookback`` events by more than ``z_threshold`` population standard
+    deviations (given at least ``min_prior`` prior events).
+
+    The streaming-monitor companion of the reference's trailing-window SUM
+    (window_aggregation.py:73-80) — same ROWS-frame shape, different
+    statistic.
+
+    Engine-exactness: float stddev is order-dependent, so the z-test is
+    evaluated ENTIRELY in integer cents. With x = cents, s = Σ prior cents,
+    q = Σ prior cents², n = prior count, μ = s/n and population variance
+    σ² = (n·q − s²)/n²:
+
+        z² = (x − μ)²/σ² = (n·x − s)² / (n·q − s²)
+        z² > T²  ⇔  (n·x − s)² > T² · (n·q − s²)
+
+    — both sides exact BIGINTs (≲ lookback²·cents² ≈ 10¹⁵ ≪ 2⁶³ for
+    2-decimal values up to 10⁴), so the flag is bit-identical in any
+    engine at any partition order.
+
+    One user-keyed exchange; everything else is map-side window math
+    inside whole-stage codegen.
+    """
+    # value is 2-decimal quantized; round() kills the float representation
+    # error before the integer cast (exact in any engine).
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(cents).over(w)
+    q = F.sum(cents * cents).over(w)
+    x = cents
+    dev2 = (n * x - s) * (n * x - s)  # n²·(x − μ)²
+    var_n2 = n * q - s * s  # n²·σ² (≥ 0 by Cauchy–Schwarz)
+    is_anomaly = (n >= min_prior) & (
+        dev2 > F.lit(z_threshold * z_threshold) * var_n2
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(value_col),
+        n.cast("int").alias("n_prior"),
+        is_anomaly.alias("is_anomaly"),
+    )

@@ -80,3 +80,70 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, offset) rollup."""
     events = load_table(spark, sf_dir, "events")
     return FN.cohort_retention(events, period="week")
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH o AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS next_event
+  FROM events
+), c AS (
+  SELECT event_type, next_event, COUNT(*) AS n_transitions
+  FROM o WHERE next_event IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_event, n_transitions,
+  CAST(n_transitions AS DOUBLE) /
+    CAST(CAST(SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+      AS DOUBLE) AS p_transition
+FROM c
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: lead()
+    pairing on one user-keyed exchange, (from, to) rollup, per-source
+    probability over the |event_types|² aggregate. p_transition is one
+    double division of two exact counts — engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    return FN.event_transitions(events)
+
+
+@query(
+    "events_anomaly_zscore",
+    # Integer-cents z-test: z² > 3² ⇔ (n·x − s)² > 9·(n·q − s²); see
+    # operators/funnel.py:trailing_anomaly_flags for the derivation.
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts, value,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT event_id, user_id, value, cents,
+    COUNT(*) OVER win AS n,
+    CAST(COALESCE(SUM(cents) OVER win, 0) AS BIGINT) AS s,
+    CAST(COALESCE(SUM(cents * cents) OVER win, 0) AS BIGINT) AS q
+  FROM c
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, user_id, value,
+  CAST(n AS INTEGER) AS n_prior,
+  (n >= 5 AND
+   (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)) AS is_anomaly
+FROM w
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event tested against the
+    mean ± 3σ of the user's previous 20 events — the monitoring companion
+    of the reference's trailing SUM (same ROWS frame; reference
+    window_aggregation.py:73-80). The z-test runs entirely in integer
+    cents, so the flag is bit-identical across engines and partition
+    orders. One user-keyed exchange; window math stays in codegen."""
+    events = load_table(spark, sf_dir, "events")
+    return FN.trailing_anomaly_flags(events)

@@ -491,3 +491,81 @@ def test_strip_boilerplate_lines_newline_path(spark):
     assert out[2] == ("delta", 1)
     assert out[3] == ("", 0)
     assert out[4] == ("epsilon\nzeta", 2)
+
+
+def test_trailing_anomaly_flags_planted_spike(spark):
+    """A user with a flat history gets flagged exactly on the planted
+    spike; the first min_prior events are never flagged (insufficient
+    history); a constant-value user (zero variance) is flagged on any
+    deviation."""
+    from datetime import datetime as DT
+
+    from ibis_flink_example_spark.operators.funnel import trailing_anomaly_flags
+
+    rows = []
+    # u1: 10.00 +/- 0.02 for 10 events, then a 500.00 spike
+    for i in range(10):
+        rows.append((i, 1, DT(2024, 1, 1, 0, 0, i), 10.0 + 0.02 * (i % 2)))
+    rows.append((10, 1, DT(2024, 1, 1, 0, 0, 10), 500.0))
+    # u2: constant 5.00 x6 then 5.01 (zero variance -> any deviation flags)
+    for i in range(6):
+        rows.append((100 + i, 2, DT(2024, 1, 1, 0, 1, i), 5.0))
+    rows.append((106, 2, DT(2024, 1, 1, 0, 1, 6), 5.01))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r for r in trailing_anomaly_flags(df).collect()}
+    assert out[10]["is_anomaly"] and out[10]["n_prior"] == 10
+    for i in range(5):  # fewer than min_prior=5 prior events
+        assert not out[i]["is_anomaly"]
+    assert out[106]["is_anomaly"]
+    assert not out[105]["is_anomaly"]
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, sf_dir):
+    """Per-source transition probabilities must sum to 1 and counts must
+    equal (#events of that type that have a successor)."""
+    from ibis_flink_example_spark.operators.funnel import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    rows = event_transitions(events).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["event_type"], []).append(r)
+    for src, rs in by_src.items():
+        assert abs(sum(r["p_transition"] for r in rs) - 1.0) < 1e-12, src
+
+
+def test_scd2_collapses_intervals(spark):
+    """Consecutive equal states merge; changes open new intervals with
+    correct validity chaining; A->B->A yields three intervals; the last
+    interval is current."""
+    from datetime import datetime as DT
+
+    from ibis_flink_example_spark.operators.scd import scd2_from_changes
+
+    rows = [
+        (1, "gold", DT(2024, 1, 1), 1),
+        (1, "gold", DT(2024, 1, 5), 2),
+        (1, "silver", DT(2024, 2, 1), 3),
+        (1, "gold", DT(2024, 3, 1), 4),
+        (2, "bronze", DT(2024, 1, 1), 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, state string, ts timestamp, tb long"
+    )
+    out = scd2_from_changes(
+        df, key_col="k", state_col="state", ts_col="ts", tiebreak_col="tb"
+    ).collect()
+    k1 = sorted(
+        [r for r in out if r["k"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert [(r["state"], r["n_observations"]) for r in k1] == [
+        ("gold", 2), ("silver", 1), ("gold", 1)
+    ]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    assert not k1[0]["is_current"]
+    (k2,) = [r for r in out if r["k"] == 2]
+    assert k2["is_current"] and k2["n_observations"] == 1

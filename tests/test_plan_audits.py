@@ -249,3 +249,24 @@ def test_strip_high_df_terms_two_keyed_shuffles(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
     assert exchange_count(df) <= 5
+
+
+def test_anomaly_zscore_single_user_exchange(spark, sf_dir):
+    """The trailing z-test is window math on ONE user-keyed exchange —
+    no joins, no extra shuffles, scan pruned to the 4 input columns."""
+    df = QUERIES["events_anomaly_zscore"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"event_id", "user_id", "ts", "value"}
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """The whole SCD2 build (change flag, segment sum, interval groupBy,
+    valid_to lead) must share ONE custkey exchange — hash(custkey)
+    satisfies the (custkey, segment) clustering, so no re-shuffle."""
+    df = QUERIES["scd2_customer_priority"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
