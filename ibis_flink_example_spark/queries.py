@@ -131,6 +131,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # and df-based term pruning (the CCNet boilerplate-removal shape)
     "chunk_documents_200_50",
     "strip_high_df_terms",
+    # new this round — journey transition matrix + integer-exact trailing
+    # z-score anomaly flags (the monitoring face of the flagship's frame)
+    "event_transitions",
+    "events_anomaly_zscore",
+    # new this round — SCD2 interval build (gaps-and-islands, 1 exchange)
+    "scd2_customer_priority",
     # r3-only greens, one representative per family, re-verified (the
     # last two now sit just past the 50-slot window; they keep their r3
     # rows and stay first in line if the window ever widens)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
 from ibis_flink_example_spark.functions.exact import money
+from ibis_flink_example_spark.operators.scd import scd2_from_changes
 from ibis_flink_example_spark.queries import query
 
 _SINK_TABLE = "warehouse_pricing_summary_sink"
@@ -241,4 +242,54 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("updated")
             .alias("merge_action"),
         )
+    )
+
+
+@query(
+    "scd2_customer_priority",
+    oracle="""
+WITH ch AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS tb
+  FROM orders
+), flag AS (
+  SELECT custkey, priority, ts, tb,
+    CASE WHEN lag(priority) OVER w IS NULL
+           OR priority <> lag(priority) OVER w THEN 1 ELSE 0 END AS chg
+  FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY ts ASC, tb ASC)
+), seg AS (
+  SELECT custkey, priority, ts,
+    CAST(SUM(chg) OVER (
+      PARTITION BY custkey ORDER BY ts ASC, tb ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS segid
+  FROM flag
+), iv AS (
+  SELECT custkey, segid, MIN(priority) AS priority, MIN(ts) AS valid_from,
+    CAST(COUNT(*) AS INTEGER) AS n_observations
+  FROM seg GROUP BY 1, 2
+)
+SELECT custkey, priority, valid_from,
+  LEAD(valid_from) OVER w2 AS valid_to,
+  (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+  n_observations
+FROM iv WINDOW w2 AS (PARTITION BY custkey ORDER BY segid ASC)
+""",
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from a change stream: each customer's order
+    priority collapsed into effective-dated intervals (gaps-and-islands).
+    Every window and the interval groupBy are keyed by custkey, so
+    Catalyst plans ONE exchange for the whole build — no self-joins, no
+    driver state (operators/scd.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    return scd2_from_changes(
+        changes, key_col="custkey", state_col="priority", ts_col="ts",
+        tiebreak_col="tb",
     )
