@@ -137,6 +137,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     # new this round — SCD2 interval build (gaps-and-islands, 1 exchange)
     "scd2_customer_priority",
+    # new this round — single-pass Deequ-style audit + exact centroid build
+    "data_quality_audit",
+    "embedding_centroid_by_label",
     # r3-only greens, one representative per family, re-verified (the
     # last two now sit just past the 50-slot window; they keep their r3
     # rows and stay first in line if the window ever widens)

@@ -1103,6 +1103,54 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+@query(
+    "embedding_centroid_by_label",
+    # Cross-row float sums are order-dependent, so each component is first
+    # quantized to integer micro-units with the engine-stable
+    # floor(x*1e6 + 0.5) idiom (see embedding_quantize), summed exactly,
+    # and divided ONCE at the end — bit-identical at any partition order.
+    oracle=r"""
+WITH ex AS (
+  SELECT label,
+    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim_idx,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS micro
+  FROM embeddings
+)
+SELECT label, dim_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS centroid
+FROM ex GROUP BY 1, 2
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 per-cluster centroid build (the reduce step of IVF training /
+    SemDeDup cluster assignment) emitted as scalar (label, dim_idx) rows.
+    posexplode → fixed-point micro-units → one (label, dim) shuffle with
+    map-side partial sums; the only float op is a single final division.
+    At 100 TB: aggregation cardinality is |labels|·dim — tiny — and the
+    partial aggs reduce each partition to that size before the exchange."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim_idx", "v"),
+    ).select(
+        "label",
+        "dim_idx",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return ex.groupBy("label", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum("micro").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+        ).alias("centroid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4 extension: context-window chunking + df-based term pruning
 # ---------------------------------------------------------------------------

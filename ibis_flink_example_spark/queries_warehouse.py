@@ -293,3 +293,85 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes, key_col="custkey", state_col="priority", ts_col="ts",
         tiebreak_col="tb",
     )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+WITH a AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS nulls_custkey,
+    CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nulls_totalprice,
+    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status,
+    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS distinct_priority,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_custkey,
+    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_totalprice,
+    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_totalprice,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS violations_nonpositive_price,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                    OR o_orderdate >= TIMESTAMP '1999-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS violations_date_range
+  FROM orders
+)
+SELECT metric, value FROM (
+  SELECT 'n_rows' AS metric, CAST(n_rows AS DOUBLE) AS value FROM a
+  UNION ALL SELECT 'nulls_custkey', CAST(nulls_custkey AS DOUBLE) FROM a
+  UNION ALL SELECT 'nulls_totalprice', CAST(nulls_totalprice AS DOUBLE) FROM a
+  UNION ALL SELECT 'distinct_status', CAST(distinct_status AS DOUBLE) FROM a
+  UNION ALL SELECT 'distinct_priority', CAST(distinct_priority AS DOUBLE) FROM a
+  UNION ALL SELECT 'distinct_custkey', CAST(distinct_custkey AS DOUBLE) FROM a
+  UNION ALL SELECT 'min_totalprice', min_totalprice FROM a
+  UNION ALL SELECT 'max_totalprice', max_totalprice FROM a
+  UNION ALL SELECT 'violations_nonpositive_price',
+    CAST(violations_nonpositive_price AS DOUBLE) FROM a
+  UNION ALL SELECT 'violations_date_range',
+    CAST(violations_date_range AS DOUBLE) FROM a
+)
+""",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass constraint audit over a fact table:
+    completeness (null counts), cardinality (exact distincts), range
+    (min/max through DECIMAL for bit-exactness), and rule violations —
+    all metrics from ONE aggregation pass (multi-distinct plans via
+    Catalyst's Expand), reshaped map-only to long (metric, value) rows.
+    At 100 TB this reads the table once instead of once per metric."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nulls_custkey"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nulls_totalprice"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.countDistinct("o_orderpriority").alias("distinct_priority"),
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+        F.min(money("o_totalprice")).cast("double").alias("min_totalprice"),
+        F.max(money("o_totalprice")).cast("double").alias("max_totalprice"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("violations_nonpositive_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("violations_date_range"),
+    )
+    metrics = [
+        "n_rows", "nulls_custkey", "nulls_totalprice", "distinct_status",
+        "distinct_priority", "distinct_custkey", "min_totalprice",
+        "max_totalprice", "violations_nonpositive_price",
+        "violations_date_range",
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value"),
+            )
+            for m in metrics
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("x")).select("x.*")

@@ -270,3 +270,76 @@ def test_scd2_single_key_exchange(spark, sf_dir):
     assert exchange_count(df) == 1
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """100 TB scale check: Spark's runtime bloom-filter injection (on by
+    default, gated by size thresholds that only trip on large scans) must
+    fire for our fact-join shape — a selective dim side planted as a
+    bloom filter on the fact scan cuts shuffle volume before the join.
+    Locally we lower the application-side threshold to observe the
+    injection; on a cluster the default 10 GB gate makes it automatic."""
+    from ibis_flink_example_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {}
+    for k in [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]:
+        # adaptive.autoBroadcastJoinThreshold defaults to unset (None),
+        # which conf.set() rejects on restore — track unset separately
+        saved[k] = conf.get(k, None)
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # logical-plan size estimates over-state the tiny local dim side;
+        # on a cluster the default 10 MB creation gate is the right guard
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").count()
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized or "bloom_filter" in optimized, (
+            "runtime bloom filter did not inject:\n" + optimized[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_data_quality_audit_single_pass(spark, sf_dir):
+    """All 10 audit metrics must come from one aggregation pipeline over a
+    single scan of the table (multi-distinct via Expand) — never one pass
+    per metric."""
+    df = QUERIES["data_quality_audit"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert len(scan_columns(df)) == 1  # one scan of orders
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_embedding_centroid_partial_aggs(spark, sf_dir):
+    """Centroid build: explode stays in the scan stage; ONE (label, dim)
+    exchange with map-side partial sums; no join, no driver data."""
+    df = QUERIES["embedding_centroid_by_label"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["Generate"] == 1
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
