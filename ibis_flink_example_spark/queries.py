@@ -54,8 +54,8 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-5 rotation: a small pinned sentinel set (flagship + one per major
-# family, all r4-green — so regressions still surface), then the four
+# Round-5 rotation: two pinned sentinels (flagship + dedup, r4-green — so
+# regressions still surface; the local gate guards the rest), then the four
 # round-3 error rows fixed post-r3 that never got a green row, then the 17
 # queries added in rounds 3/4 at positions 51+ that have NEVER had a driver
 # row, then every query whose implementation or oracle CHANGED this round
@@ -68,8 +68,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (r4-green; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    "streaming_sink_roundtrip",
-    "tpch_q21_suppliers_who_kept_waiting",
     # round-3 error rows (TIMESTAMP_NTZ drift), fixed in r4 commit 48709b7
     # but never re-checked by the driver since
     "over_range_sum_1h",
@@ -101,9 +99,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_quantiles_value",
     "cosine_topk_lsh",
     # changed this round: hot-bucket caps threaded through pair generation
+    # (the full-oracle exact leg; the rows-only estimator legs
+    # dedup_minhash / dedup_simhash_pairs keep their r4 rows-only rows
+    # and sit just past the window — a repeat rows-only row adds nothing)
     "ngram_jaccard_pairs",
-    "dedup_minhash",
-    "dedup_simhash_pairs",
     # new this round: estimator quality companions
     "ann_recall_ivf",
     "minhash_vs_exact_pairs",
@@ -140,9 +139,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round — single-pass Deequ-style audit + exact centroid build
     "data_quality_audit",
     "embedding_centroid_by_label",
-    # r3-only greens, one representative per family, re-verified (the
-    # last two now sit just past the 50-slot window; they keep their r3
-    # rows and stay first in line if the window ever widens)
+    # new this round — stateful streaming twin of the anomaly monitor
+    # (rows-only: ROWS frames under arbitrary arrival order are not
+    # SQL-expressible; exact batch equality is pinned in tests)
+    "streaming_anomaly_zscore",
+    # displaced to fit the 50-slot window (all carry green/rows-only r4
+    # rows and stay first in line if the window ever widens): two r4
+    # sentinels whose regressions the local gate still catches, the two
+    # rows-only estimator legs, then r3-only-green family representatives
+    "streaming_sink_roundtrip",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
     "json_decode",
     "grouping_sets_revenue",
     "join_theta",

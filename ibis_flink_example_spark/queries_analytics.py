@@ -111,11 +111,11 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FN.event_transitions(events)
 
 
-@query(
-    "events_anomaly_zscore",
-    # Integer-cents z-test: z² > 3² ⇔ (n·x − s)² > 9·(n·q − s²); see
-    # operators/funnel.py:trailing_anomaly_flags for the derivation.
-    oracle="""
+# Integer-cents z-test: z² > 3² ⇔ (n·x − s)² > 9·(n·q − s²); see
+# operators/funnel.py:trailing_anomaly_flags for the derivation. Shared by
+# the batch query and the streaming twin (queries_streaming.py) — both
+# reproduce the batch semantics exactly on a drained in-order run.
+ANOMALY_ZSCORE_ORACLE = """
 WITH c AS (
   SELECT event_id, user_id, ts, value,
     CAST(round(value * 100) AS BIGINT) AS cents
@@ -136,8 +136,10 @@ SELECT event_id, user_id, value,
   (n >= 5 AND
    (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)) AS is_anomaly
 FROM w
-""",
-)
+"""
+
+
+@query("events_anomaly_zscore", oracle=ANOMALY_ZSCORE_ORACLE)
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: each event tested against the
     mean ± 3σ of the user's previous 20 events — the monitoring companion

@@ -617,3 +617,32 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=_STATE_PARTS,
     )
     return out
+
+
+@query("streaming_anomaly_zscore", oracle=None)
+def streaming_anomaly_zscore_rowsonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_anomaly_zscore``: per-key ROWS-frame
+    mean±3σ flags via a custom stateful operator
+    (streaming/stateful.py:stateful_rows_anomaly — O(lookback) state per
+    key, integer-cents z-test). A drained in-order run reproduces the
+    batch semantics row-for-row; tests/test_streaming.py asserts exact
+    equality against the batch operator, and the registry twin carries
+    the full SQL oracle. Registered rows-only because ROWS-frame results
+    under arbitrary arrival order are not SQL-expressible (the batch
+    oracle assumes the replay's total order)."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+    from ibis_flink_example_spark.streaming.stateful import stateful_rows_anomaly
+
+    stream = _events_stream(spark, sf_dir)
+    flagged = stateful_rows_anomaly(
+        stream,
+        key="user_id",
+        time_col="ts",
+        measure="value",
+        row_id="event_id",
+        lookback=20,
+        min_prior=5,
+        z_threshold=3,
+        delay_seconds=15,
+    )
+    return run_available_now(flagged, output_mode="append", state_partitions=_STATE_PARTS)

@@ -156,3 +156,145 @@ def stateful_range_over_sum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_rows_anomaly(
+    stream: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    measure: str,
+    row_id: str,
+    lookback: int = 20,
+    min_prior: int = 5,
+    z_threshold: int = 3,
+    delay_seconds: float = 15.0,
+) -> DataFrame:
+    """Streaming twin of ``operators/funnel.py:trailing_anomaly_flags``:
+    per-key ROWS-frame z-test (|x − μ| > z·σ over the previous ``lookback``
+    events) as a custom stateful operator — the monitoring pipeline shape
+    (payment-fraud flags over the reference's payment stream).
+
+    State per key is O(lookback): the last ``lookback`` (ts_us, id, cents)
+    triples plus a lifetime counter (so ``n_prior`` matches the batch
+    semantics before the buffer fills). The z-test runs in integer cents —
+    identical to the batch operator, so a drained in-order run equals the
+    batch oracle row-for-row. Late rows: ROWS frames are arrival-
+    order-sensitive, so rows more than ``delay_seconds`` behind the key's
+    max event time are dropped (same per-key watermark contract as
+    ``stateful_range_over_sum``); rows within the delay are merged into
+    (ts, id) order with the retained buffer before framing.
+    """
+    delay_us = int(delay_seconds * 1_000_000)
+    t2 = z_threshold * z_threshold
+
+    in_schema = stream.schema
+    out_schema = T.StructType(
+        [
+            T.StructField(row_id, in_schema[row_id].dataType),
+            T.StructField(key, in_schema[key].dataType),
+            T.StructField(measure, T.DoubleType()),
+            T.StructField("n_prior", T.IntegerType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_ts, s_ids, s_cents, n_seen = state.get
+            buf_ts = np.asarray(s_ts, dtype=np.int64)
+            buf_ids = np.asarray(s_ids, dtype=np.int64)
+            buf_cents = np.asarray(s_cents, dtype=np.int64)
+            n_seen = int(n_seen)
+        else:
+            buf_ts = np.empty(0, dtype=np.int64)
+            buf_ids = np.empty(0, dtype=np.int64)
+            buf_cents = np.empty(0, dtype=np.int64)
+            n_seen = 0
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([time_col, row_id], kind="mergesort")
+        row_ts = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        row_ids = pdf[row_id].to_numpy(dtype=np.int64)
+        row_cents = np.rint(pdf[measure].to_numpy() * 100).astype(np.int64)
+        row_vals = pdf[measure].to_numpy()
+
+        keep = (
+            row_ts >= buf_ts[-1] - delay_us
+            if len(buf_ts)
+            else np.ones(len(row_ts), dtype=bool)
+        )
+        k_ts, k_ids = row_ts[keep], row_ids[keep]
+        k_cents, k_vals = row_cents[keep], row_vals[keep]
+
+        # Merge buffer + batch into (ts, id) order. In-order replay appends;
+        # a within-delay straggler lands in its exact batch-semantics slot.
+        all_ts = np.concatenate([buf_ts, k_ts])
+        all_ids = np.concatenate([buf_ids, k_ids])
+        all_cents = np.concatenate([buf_cents, k_cents])
+        order = np.lexsort((all_ids, all_ts))
+        all_ts, all_ids, all_cents = all_ts[order], all_ids[order], all_cents[order]
+
+        cum_s = np.concatenate([[0], np.cumsum(all_cents)])
+        cum_q = np.concatenate([[0], np.cumsum(all_cents * all_cents)])
+        # merged position of each new row (positions of batch entries in the
+        # merged order = where their concat-indices ended up)
+        pos_of = np.empty(len(order), dtype=np.int64)
+        pos_of[order] = np.arange(len(order))
+        new_pos = pos_of[len(buf_ts):]
+
+        # prior-`lookback` frame in merged coordinates; rows that predate the
+        # retained buffer are already beyond lookback by construction
+        hidden = n_seen - len(buf_ts)  # evicted history (all older than buffer)
+        total_before = new_pos + hidden
+        n = np.minimum(total_before, lookback).astype(np.int64)
+        lo = new_pos - n
+        s = cum_s[new_pos] - cum_s[lo]
+        q = cum_q[new_pos] - cum_q[lo]
+        x = all_cents[new_pos]
+        dev = n * x - s
+        flagged = (n >= min_prior) & (dev * dev > t2 * (n * q - s * s))
+
+        n_seen += len(k_ts)
+        cut = max(0, len(all_ts) - lookback)
+        state.update(
+            (
+                all_ts[cut:].tolist(),
+                all_ids[cut:].tolist(),
+                all_cents[cut:].tolist(),
+                n_seen,
+            )
+        )
+
+        yield pd.DataFrame(
+            {
+                row_id: k_ids,
+                key: np.repeat(key_tuple[0], len(k_ids)),
+                measure: k_vals,
+                # n/flagged are indexed by concat order = batch sorted
+                # order, so they align with k_ids element-wise
+                "n_prior": n.astype(np.int32),
+                "is_anomaly": flagged,
+            }
+        )
+
+    watermarked = stream.select(row_id, key, time_col, measure).withWatermark(
+        time_col, f"{delay_seconds} seconds"
+    )
+    return watermarked.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -357,3 +357,27 @@ def test_payment_pipeline_end_to_end(spark):
     sample = encode_json_value(got.limit(1)).collect()
     assert sample and sample[0]["value"].startswith('{"province_id"')
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_anomaly_equals_batch(spark, sf_dir):
+    """Drained in-order run of the stateful ROWS-frame anomaly operator
+    must equal the batch trailing_anomaly_flags output row-for-row
+    (same integer-cents z-test, same (ts, id) ordering)."""
+    from ibis_flink_example_spark.operators.funnel import trailing_anomaly_flags
+    from ibis_flink_example_spark.catalog import load_table
+    from ibis_flink_example_spark.queries import QUERIES
+
+    batch = {
+        r["event_id"]: (r["n_prior"], r["is_anomaly"])
+        for r in trailing_anomaly_flags(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    streamed = QUERIES["streaming_anomaly_zscore"](spark, sf_dir).collect()
+    assert len(streamed) == len(batch)
+    mismatches = [
+        r["event_id"]
+        for r in streamed
+        if batch[r["event_id"]] != (r["n_prior"], r["is_anomaly"])
+    ]
+    assert not mismatches, f"{len(mismatches)} rows diverge: {mismatches[:10]}"
