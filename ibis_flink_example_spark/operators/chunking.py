@@ -114,6 +114,7 @@ def strip_boilerplate_lines(
     min_line_chars: int = 1,
     extra_cols: tuple[str, ...] = (),
     delimiter: str = "\n",
+    max_broadcast_hot: int = 1_000_000,
 ) -> DataFrame:
     """Remove units appearing in more than ``max_df`` documents and
     reassemble each document in original order. With ``delimiter='\\n'``
@@ -121,38 +122,58 @@ def strip_boilerplate_lines(
     menus, license footers); with ``delimiter=' '`` it is df-based term
     pruning (sklearn ``max_df`` stopword elimination).
 
-    Pipeline: explode lines → df count (shuffle 1, keyed by line text) →
-    left join back (same key — the exchange is reused) → filter df<=max_df
-    → groupBy doc, ``array_sort(collect_list(struct(line_idx, line)))`` →
-    concat (shuffle 2, keyed by doc id). Documents whose every line is
-    boilerplate survive with empty text (the downstream quality filter is
-    the right place to drop them — this operator only removes lines).
+    Pipeline (100 TB shape): explode units → df count (shuffle 1, keyed by
+    unit text) → filter to the HOT units only (df > max_df — rare by
+    definition: boilerplate is the tail, not the body) → broadcast-join
+    the hot set back onto the exploded units as a kept/dropped marker
+    (map-side; the full-df-table alternative would shuffle the entire
+    corpus a second time on unit text) → groupBy doc with conditional
+    ``array_sort(collect_list(...))`` (shuffle 2, keyed by doc id). The
+    doc rollup aggregates ALL unit rows (dropped ones contribute only to
+    the marker), so documents whose every unit is boilerplate survive
+    with empty text — no final join against the doc table is needed, and
+    ``extra_cols`` ride the explode (their per-unit duplication is
+    column-pruned to the grouping's first()).
+
+    The broadcast is guarded: if the hot set exceeds
+    ``max_broadcast_hot`` the join falls back to a shuffle hash join
+    (same result, one extra exchange) instead of an unbounded broadcast —
+    the decontaminate_ngram guard pattern.
     """
-    lines = split_lines(docs, text_col, id_col, delimiter)
-    df_counts = line_document_frequency(lines, id_col, min_line_chars)
-    kept = (
-        lines.join(df_counts, "line", "left")
-        .where(F.coalesce(F.col("df"), F.lit(0)) <= max_df)
+    lines = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "line_idx", "line"
+        ),
     )
-    reassembled = kept.groupBy(id_col).agg(
+    df_counts = line_document_frequency(lines, id_col, min_line_chars)
+    hot = df_counts.where(F.col("df") > max_df).select(
+        "line", F.lit(True).alias("__hot")
+    )
+    if hot.count() <= max_broadcast_hot:
+        hot = F.broadcast(hot)
+    marked = lines.join(hot, "line", "left").withColumn(
+        "__kept", F.col("__hot").isNull()
+    )
+    reassembled = marked.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in extra_cols],
         F.array_join(
             # struct sort-order is field order, so (line_idx, line) sorts by
-            # position; transform strips the idx after ordering.
+            # position; transform strips the idx after ordering. Dropped
+            # units yield NULL structs, which collect_list skips.
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__kept"), F.struct("line_idx", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             delimiter,
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.sum(F.col("__kept").cast("int")).cast("int").alias("n_kept_lines"),
     )
-    base = docs.select(id_col, *extra_cols)
-    out = base.join(reassembled, id_col, "left")
-    return out.select(
-        id_col,
-        *extra_cols,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("int").alias(
-            "n_kept_lines"
-        ),
+    return reassembled.select(
+        id_col, *extra_cols, "clean_text", "n_kept_lines"
     )

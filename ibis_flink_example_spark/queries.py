@@ -143,6 +143,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (rows-only: ROWS frames under arbitrary arrival order are not
     # SQL-expressible; exact batch equality is pinned in tests)
     "streaming_anomaly_zscore",
+    # new this round — ORC roundtrip (S8's second columnar format): first
+    # in line for the next rotation; csv/jsonl represent the roundtrip
+    # family inside this round's window
+    "orc_roundtrip",
     # displaced to fit the 50-slot window (all carry green/rows-only r4
     # rows and stay first in line if the window ever widens): two r4
     # sentinels whose regressions the local gate still catches, the two

@@ -1217,9 +1217,11 @@ FROM d LEFT JOIN re USING (doc_id)
 def strip_high_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 document-frequency pruning (sklearn ``max_df`` flavor of the
     CCNet boilerplate-removal shape): drop terms present in >150 documents,
-    reassemble each document in original token order. Two high-cardinality
-    shuffles (term df, doc reassembly) — no skew hotspot, no driver data;
-    with delimiter='\\n' the same operator strips boilerplate lines."""
+    reassemble each document in original token order. Two wide stages
+    (term-df aggregation, doc reassembly); the hot-term set itself rides a
+    guarded BROADCAST back onto the corpus — no second corpus-wide shuffle,
+    no skew hotspot, no driver data. With delimiter='\\n' the same operator
+    strips boilerplate lines."""
     docs = load_table(spark, sf_dir, "documents")
     return CH.strip_boilerplate_lines(
         docs, max_df=150, extra_cols=("lang",), delimiter=" "

@@ -375,3 +375,54 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(pairs).alias("x")).select("x.*")
+
+
+@query(
+    "orc_roundtrip",
+    # Value-invisible roundtrip: the oracle computes the same rollup
+    # straight from the parquet fixture.
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  MIN(l_shipdate) AS min_shipdate,
+  MAX(l_shipdate) AS max_shipdate
+FROM lineitem WHERE l_orderkey % 50 = 0
+GROUP BY l_returnflag
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 ORC source end-to-end: write a lineitem slice as ORC, read it
+    back through the declared-schema ORC reader, aggregate with
+    DECIMAL-exact money sums. Exercises the second columnar format's
+    timestamp round-trip under the UTC-pinned session (ORC stores
+    zone-adjusted µs — values must come back bit-identical)."""
+    import tempfile
+
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.sources.files import read_orc
+
+    sl = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
+    )
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    sl.write.mode("overwrite").orc(d)
+    back = read_orc(
+        spark,
+        d,
+        mk_schema(
+            {
+                "l_orderkey": "int64",
+                "l_returnflag": "string",
+                "l_extendedprice": "float64",
+                "l_shipdate": "timestamp",
+            }
+        ),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )

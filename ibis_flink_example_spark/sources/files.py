@@ -94,6 +94,14 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC with a declared schema (S8 family; same never-infer contract as
+    CSV/JSONL). ORC stores µs timestamps with zone metadata — under the
+    UTC-pinned session (session.py) values round-trip bit-exactly, and the
+    columnar reader keeps pruning/pushdown like parquet."""
+    return spark.read.schema(schema).orc(path)
+
+
 def stream_parquet_dir(
     spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int | None = None
 ) -> DataFrame:

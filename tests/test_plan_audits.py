@@ -241,14 +241,17 @@ def test_chunking_is_explode_only(spark, sf_dir):
     assert set(cols) == {"doc_id", "text"}
 
 
-def test_strip_high_df_terms_two_keyed_shuffles(spark, sf_dir):
-    """df-pruning pipeline: term-df aggregation + doc reassembly are the
-    only wide stages (plus AQE-planned join exchanges on the same keys);
-    no cartesian fallback, no driver-side data."""
+def test_strip_high_df_terms_broadcasts_hot_set(spark, sf_dir):
+    """df-pruning pipeline: the HOT units (df > cap — rare by definition)
+    attach to the exploded corpus via BROADCAST, never a corpus-wide
+    shuffle join on unit text; the only wide stages are the df aggregation
+    and the doc reassembly."""
     df = QUERIES["strip_high_df_terms"](spark, sf_dir)
     ops = plan_ops(df)
+    assert broadcast_join_count(df) >= 1
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
-    assert exchange_count(df) <= 5
+    assert exchange_count(df) <= 3
 
 
 def test_anomaly_zscore_single_user_exchange(spark, sf_dir):
