@@ -147,6 +147,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # in line for the next rotation; csv/jsonl represent the roundtrip
     # family inside this round's window
     "orc_roundtrip",
+    # new this round — iterative BPE tokenizer training (rows-only: SQL
+    # cannot express iteration; exact equality vs a pure-Python reference
+    # BPE is pinned in tests)
+    "bpe_learn_merges",
     # displaced to fit the 50-slot window (all carry green/rows-only r4
     # rows and stay first in line if the window ever widens): two r4
     # sentinels whose regressions the local gate still catches, the two

@@ -1226,3 +1226,17 @@ def strip_high_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CH.strip_boilerplate_lines(
         docs, max_df=150, extra_cols=("lang",), delimiter=" "
     )
+
+
+@query("bpe_learn_merges", oracle=None)
+def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer training: the first 8 BPE merge rules learned from the
+    corpus — the repo's representative ITERATIVE algorithm (driver-bounded
+    loop; per-iteration distributed pair counts; one-row argmax collects;
+    eager localCheckpoint lineage truncation). Rows-only by design (SQL
+    cannot express iteration); tests pin exact equality against a pure-
+    Python reference BPE on the same corpus (operators/bpe.py)."""
+    from ibis_flink_example_spark.operators.bpe import bpe_merges_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_df(docs, n_merges=8)

@@ -569,3 +569,44 @@ def test_scd2_collapses_intervals(spark):
     assert not k1[0]["is_current"]
     (k2,) = [r for r in out if r["k"] == 2]
     assert k2["is_current"] and k2["n_observations"] == 1
+
+
+def test_bpe_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE loop must produce EXACTLY the merge sequence of
+    a pure-Python reference BPE (same greedy rewrite, same
+    count-desc/lexicographic tie-break) on the same corpus."""
+    from collections import Counter
+
+    from ibis_flink_example_spark.operators.bpe import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bpe_learn_merges(docs, n_merges=6)
+
+    words = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split():
+            words[w] += 1
+    vocab = {w: [list(w), c] for w, c in words.items()}
+
+    expected = []
+    for rank in range(6):
+        pairs = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, l, r, c))
+        for entry in vocab.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    assert got == expected

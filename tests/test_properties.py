@@ -181,3 +181,44 @@ def test_oph_scan_signatures_track_true_jaccard(spark, base, edit):
         # OPH+densification variance is slightly above k-permutation MinHash
         # on short docs; 0.45 is still a many-sigma bound for 64 slots
         assert abs(est - true_j) <= 0.45
+
+
+@_slow
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=1200), min_size=1, max_size=8),
+    chunk=st.integers(min_value=2, max_value=300),
+    overlap=st.integers(min_value=0, max_value=299),
+)
+def test_chunk_documents_covers_exactly(spark, lengths, chunk, overlap):
+    """For ANY doc length and any chunk/overlap with stride > 0: chunks
+    concatenated with the overlap removed reconstruct the document exactly
+    (coverage, no gaps, no extra), every non-final chunk is full-size, and
+    consecutive chunks share exactly `overlap` chars."""
+    from ibis_flink_example_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    import string
+
+    alphabet = string.ascii_letters + string.digits
+    rows = [
+        (i, "".join(alphabet[(i * 31 + j) % len(alphabet)] for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=chunk, overlap=overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = chunk - overlap
+    for i, text in rows:
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start"] == 0
+        rebuilt = chunks[0]["chunk_text"]
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + stride
+            assert prev["chunk_text"][-overlap:] == cur["chunk_text"][:overlap] or overlap == 0
+            rebuilt += cur["chunk_text"][overlap:]
+        assert rebuilt == text
+        for c in chunks[:-1]:
+            assert c["chunk_len"] == chunk
