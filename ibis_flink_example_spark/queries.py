@@ -91,7 +91,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "sample_hash_10pct",
     "pack_sequences_2k",
-    "tumble_1m",
+    # grouped-agg pandas UDAF — the one §2.10 surface with no prior row
+    # (displaces tumble_1m, whose family is already represented in-window
+    # by slide_5m_1m r4-green and streaming_tumble_1m)
+    "udaf_gini_by_priority",
     # changed this round: append-mode migration (new oracles)
     "streaming_tumble_1m",
     "streaming_session_30m",
@@ -151,6 +154,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # cannot express iteration; exact equality vs a pure-Python reference
     # BPE is pinned in tests)
     "bpe_learn_merges",
+    "tumble_1m",
     # displaced to fit the 50-slot window (all carry green/rows-only r4
     # rows and stay first in line if the window ever widens): two r4
     # sentinels whose regressions the local gate still catches, the two

@@ -426,3 +426,47 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_shipdate"),
         F.max("l_shipdate").alias("max_shipdate"),
     )
+
+
+@query(
+    "udaf_gini_by_priority",
+    # The same integer-cents Gini algebra as a window formulation:
+    # G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)). Within tied x the
+    # rank sum is permutation-invariant, so ordering by cents alone is
+    # deterministic.
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS priority,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+    ) AS i
+  FROM orders
+)
+SELECT priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
+       AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE))
+    AS gini
+FROM r GROUP BY 1
+""",
+)
+def udaf_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 grouped-aggregate pandas UDAF: Gini concentration of order
+    value per priority class. A genuine UDAF case — needs the group's full
+    sorted distribution, inexpressible as a composition of built-in
+    aggregates — yet plans like any aggregate: ONE keyed exchange, Arrow
+    batches per group, no driver data. Integer-cents math inside makes the
+    scalar engine-exact (functions/udafs.py)."""
+    from ibis_flink_example_spark.functions.udafs import gini_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    grouped = orders.groupBy(F.col("o_orderpriority").alias("priority"))
+    # Spark forbids mixing a grouped-agg pandas UDF with built-in
+    # aggregates in one agg(); the count rides a second aggregation over
+    # the same key (partitioning reused) and joins on the tiny result.
+    gini = grouped.agg(gini_cents(F.col("o_totalprice")).alias("gini"))
+    counts = grouped.agg(F.count(F.lit(1)).alias("n_orders"))
+    return counts.join(gini, "priority").select("priority", "n_orders", "gini")
