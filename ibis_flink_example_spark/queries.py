@@ -88,7 +88,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram",
     "multimodal_meta",
     "multimodal_resize_plan",
-    "multimodal_frame_sample",
+    # streaming funnel (full join-chain oracle) takes the slot of the
+    # third multimodal plan variant (family has two in-window rows plus
+    # r4-green multimodal_features)
+    "streaming_funnel",
     "sample_hash_10pct",
     "pack_sequences_2k",
     # grouped-agg pandas UDAF — the one §2.10 surface with no prior row
@@ -155,6 +158,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # BPE is pinned in tests)
     "bpe_learn_merges",
     "tumble_1m",
+    "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4
     # rows and stay first in line if the window ever widens): two r4
     # sentinels whose regressions the local gate still catches, the two

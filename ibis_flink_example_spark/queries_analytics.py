@@ -20,12 +20,11 @@ from ibis_flink_example_spark.queries import query
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
-@query(
-    "funnel_view_click_purchase",
-    # Independent join-chain formulation of the same funnel semantics:
-    # t1 = min(view); t2 = min(click with ts > t1); t3 = min(purchase with
-    # ts > t2); stage count = users with t_k non-null.
-    oracle="""
+# Independent join-chain formulation of the funnel semantics: t1 =
+# min(view); t2 = min(click with ts > t1); t3 = min(purchase with ts >
+# t2); stage count = users with t_k non-null. Shared by the batch query
+# and the streaming twin (queries_streaming.py).
+FUNNEL_ORACLE = """
 WITH t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
 ), t2 AS (
@@ -44,8 +43,10 @@ UNION ALL
 SELECT 'click', 2, (SELECT COUNT(*) FROM t2)
 UNION ALL
 SELECT 'purchase', 3, (SELECT COUNT(*) FROM t3)
-""",
-)
+"""
+
+
+@query("funnel_view_click_purchase", oracle=FUNNEL_ORACLE)
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel view → click → purchase: users counted at
     each stage, where each stage's event must occur strictly after the

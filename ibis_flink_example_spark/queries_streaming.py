@@ -646,3 +646,55 @@ def streaming_anomaly_zscore_rowsonly(spark: SparkSession, sf_dir: str) -> DataF
         delay_seconds=15,
     )
     return run_available_now(flagged, output_mode="append", state_partitions=_STATE_PARTS)
+
+
+def _FUNNEL_ORACLE_REF() -> str:
+    from ibis_flink_example_spark.queries_analytics import FUNNEL_ORACLE
+
+    return FUNNEL_ORACLE
+
+
+@query("streaming_funnel", oracle=_FUNNEL_ORACLE_REF())
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel: per-user stage-completion times as O(1) keyed
+    state (streaming/stateful.py:stateful_funnel_stages), drained snapshot
+    rolled up to (stage, stage_idx, n_users). A drained in-order run
+    equals the batch funnel exactly (pinned in tests), so it carries the
+    same independent join-chain SQL oracle as the batch query — the
+    drained-run contract every streaming entry in this registry uses."""
+    from ibis_flink_example_spark.operators.funnel import funnel_counts  # noqa: F401
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+    from ibis_flink_example_spark.streaming.stateful import stateful_funnel_stages
+
+    steps = ["view", "click", "purchase"]
+    stream = _events_stream(spark, sf_dir)
+    staged = stateful_funnel_stages(
+        stream, steps, key="user_id", time_col="ts", type_col="event_type"
+    )
+    drained = run_available_now(
+        staged, output_mode="append", state_partitions=_STATE_PARTS
+    )
+    # final snapshot per user = the max-update_seq emission
+    final = drained.groupBy("user_id").agg(
+        *[
+            F.max_by(f"t_{s}_us", "update_seq").alias(f"t_{s}_us")
+            for s in steps
+        ]
+    )
+    counts = final.agg(
+        *[
+            F.count(F.when(F.col(f"t_{s}_us") != -1, 1)).alias(f"n_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.lit(i + 1).alias("stage_idx"),
+                F.col(f"n_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("x")).select("x.*")

@@ -298,3 +298,92 @@ def stateful_rows_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_funnel_stages(
+    stream: DataFrame,
+    steps: list[str],
+    *,
+    key: str,
+    time_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Streaming funnel (operators/funnel.py semantics): per-key stage
+    completion times maintained as keyed state — t_1 = min ts of a step-1
+    event; t_{k+1} = min ts of a step-(k+1) event strictly after t_k.
+
+    Processing each micro-batch in event-time order makes the sequential
+    update equal the batch definition on a drained in-order run (the
+    prefix-min argument in funnel_stage_times' docstring). State per key is
+    k timestamps — O(1), watermark-free by design (a funnel stage, once
+    reached, never un-happens; there is nothing to evict).
+
+    Emits the CURRENT (t_1..t_k) per key per micro-batch (epoch-µs, -1 for
+    unreached) plus a monotone batch sequence ``update_seq``; the drained
+    snapshot is the max-``update_seq`` row per key (run_available_now
+    output post-processed with max_by).
+    """
+    n_steps = len(steps)
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("update_seq", T.LongType()),
+            *[
+                T.StructField(f"t_{s}_us", T.LongType())
+                for s in steps
+            ],
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("times", T.ArrayType(T.LongType())),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            times_list, seq = state.get
+            times = list(times_list)
+            seq = int(seq)
+        else:
+            times = [-1] * n_steps
+            seq = 0
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        ts_us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        types = pdf[type_col].to_numpy()
+
+        step_idx = {s: i for i, s in enumerate(steps)}
+        for t, ty in zip(ts_us, types):
+            i = step_idx.get(ty)
+            if i is None:
+                continue
+            if i == 0:
+                if times[0] == -1 or t < times[0]:
+                    times[0] = int(t)
+            else:
+                prev = times[i - 1]
+                if prev != -1 and t > prev and (times[i] == -1 or t < times[i]):
+                    times[i] = int(t)
+
+        seq += 1
+        state.update((times, seq))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "update_seq": [seq],
+                **{f"t_{s}_us": [times[i]] for i, s in enumerate(steps)},
+            }
+        )
+
+    return stream.select(key, time_col, type_col).groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -381,3 +381,19 @@ def test_streaming_anomaly_equals_batch(spark, sf_dir):
         if batch[r["event_id"]] != (r["n_prior"], r["is_anomaly"])
     ]
     assert not mismatches, f"{len(mismatches)} rows diverge: {mismatches[:10]}"
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir):
+    """The drained streaming funnel snapshot must reproduce the batch
+    funnel stage counts exactly."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    batch = {
+        r["stage"]: (r["stage_idx"], r["n_users"])
+        for r in QUERIES["funnel_view_click_purchase"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r["stage"]: (r["stage_idx"], r["n_users"])
+        for r in QUERIES["streaming_funnel"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
