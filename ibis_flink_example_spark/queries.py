@@ -157,6 +157,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # cannot express iteration; exact equality vs a pure-Python reference
     # BPE is pinned in tests)
     "bpe_learn_merges",
+    # new this round — last-touch attribution (window IGNORE NULLS) and
+    # Z-order layout stats (Morton interleave, pure codegen): full
+    # oracles, first in line for the next rotation
+    "attribution_last_touch",
+    "zorder_bucket_stats",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

@@ -12,6 +12,7 @@ cross-checks the semantics, not just the arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
 from ibis_flink_example_spark.operators import funnel as FN
@@ -150,3 +151,69 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders. One user-keyed exchange; window math stays in codegen."""
     events = load_table(spark, sf_dir, "events")
     return FN.trailing_anomaly_flags(events)
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS touch_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS touch_ts
+  FROM events
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN touch_ts IS NOT NULL
+        AND ts - touch_ts <= INTERVAL 7 DAY THEN touch_type END
+    AS attributed_to,
+  (touch_ts IS NOT NULL AND ts - touch_ts <= INTERVAL 7 DAY)
+    AS is_attributed
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credited to the user's LAST
+    preceding non-purchase touch within a 7-day window. last_value(...
+    IGNORE NULLS) over a ROWS prefix frame finds the touch in one pass on
+    the same user-keyed exchange the journey operators share — no
+    self-join, no per-purchase subquery (which would be quadratic at
+    100 TB). The purchase filter happens after the window (Catalyst cannot
+    push it through), but column pruning holds the scan to 4 columns."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touch_type = F.last(
+        F.when(non_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(non_purchase, F.col("ts")), ignorenulls=True
+    ).over(w)
+    in_window = touch_ts.isNotNull() & (
+        F.col("ts").cast("long") - touch_ts.cast("long") <= 7 * 24 * 3600
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.when(in_window, touch_type).alias("attributed_to"),
+            in_window.alias("is_attributed"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )

@@ -470,3 +470,82 @@ def udaf_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = grouped.agg(gini_cents(F.col("o_totalprice")).alias("gini"))
     counts = grouped.agg(F.count(F.lit(1)).alias("n_orders"))
     return counts.join(gini, "priority").select("priority", "n_orders", "gini")
+
+
+def _zorder_cols():
+    """Morton bit-spread (16 -> 32 bits) as Spark column algebra — the
+    standard mask ladder; identical integer ops exist in DuckDB, so the
+    oracle mirrors it literally."""
+    def spread(x):
+        x = x.bitwiseAND(F.lit(0xFFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    a = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    b = F.floor(F.col("o_totalprice") / 16).cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+_ZORDER_SPREAD_SQL = """
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    ((sa4 | (sa4 << 1)) & 1431655765)
+      | (((sb4 | (sb4 << 1)) & 1431655765) << 1) AS zval
+  FROM (
+    SELECT *, ((sa3 | (sa3 << 2)) & 858993459) AS sa4,
+              ((sb3 | (sb3 << 2)) & 858993459) AS sb4
+    FROM (
+      SELECT *, ((sa2 | (sa2 << 4)) & 252645135) AS sa3,
+                ((sb2 | (sb2 << 4)) & 252645135) AS sb3
+      FROM (
+        SELECT *, ((sa1 | (sa1 << 8)) & 16711935) AS sa2,
+                  ((sb1 | (sb1 << 8)) & 16711935) AS sb2
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            (o_custkey & 65535) AS sa1,
+            (CAST(floor(o_totalprice / 16) AS BIGINT) & 65535) AS sb1
+          FROM orders
+        )
+      )
+    )
+  )
+"""
+
+
+@query(
+    "zorder_bucket_stats",
+    oracle=f"""
+WITH z AS ({_ZORDER_SPREAD_SQL})
+SELECT CAST(zval >> 22 AS BIGINT) AS z_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM z GROUP BY 1
+""",
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys for 2-dimensional data clustering —
+    the write-side optimization that lets BOTH customer- and price-range
+    predicates prune files at 100 TB (interleaved bits keep each z-range
+    rectangular in (custkey, price) space). The spread is the classic
+    shift/mask ladder — pure codegen, no UDF — and the query reports
+    per-z-bucket row counts and dimension envelopes, i.e. exactly the
+    min/max file statistics a lakehouse write would persist. Sorting by
+    zval (repartitionByRange at write time) is the deployment step; the
+    stats here verify the clustering property itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    z = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", _zorder_cols().alias("zval")
+    )
+    return z.groupBy(
+        F.shiftrightunsigned(F.col("zval"), 22).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.min(money("o_totalprice")).cast("double").alias("min_price"),
+        F.max(money("o_totalprice")).cast("double").alias("max_price"),
+    )

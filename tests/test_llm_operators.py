@@ -610,3 +610,24 @@ def test_bpe_matches_reference_implementation(spark, sf_dir):
                     i += 1
             entry[0] = out
     assert got == expected
+
+
+def test_zorder_interleave_known_values(spark):
+    """The Morton spread must interleave bits exactly: for custkey=a,
+    floor(price/16)=b, zval's even bits are a and odd bits are b."""
+    from ibis_flink_example_spark.queries_warehouse import _zorder_cols
+
+    rows = [(1, 0b1011, 0b0110 * 16.0), (2, 0, 0.0), (3, 0xFFFF, float(0xFFFF * 16))]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_custkey long, o_totalprice double")
+    out = {r["o_orderkey"]: r["z"] for r in df.select("o_orderkey", _zorder_cols().alias("z")).collect()}
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out[1] == morton(0b1011, 0b0110)
+    assert out[2] == 0
+    assert out[3] == morton(0xFFFF, 0xFFFF)

@@ -346,3 +346,24 @@ def test_embedding_centroid_partial_aggs(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["Generate"] == 1
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """Last-touch attribution is window math on ONE user-keyed exchange —
+    no self-join, no per-purchase subquery; scan pruned to 4 columns."""
+    df = QUERIES["attribution_last_touch"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"event_id", "user_id", "ts", "event_type"}
+
+
+def test_zorder_stats_single_agg_pass(spark, sf_dir):
+    """Z-order bucket stats: the Morton spread is pure codegen (no UDF,
+    no join); one aggregation exchange over one scan."""
+    df = QUERIES["zorder_bucket_stats"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    assert len(scan_columns(df)) == 1
