@@ -150,3 +150,56 @@ def bpe_merges_df(
         "merge_rank int, left string, right string, pair_count bigint"
     )
     return spark.createDataFrame(merges or [], schema)
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merge rules to the corpus and count the resulting
+    BPE tokens per document — the encode side of tokenizer training.
+
+    The merge table rides into the Arrow-batched closure (tiny — ship by
+    value, the moral equivalent of a broadcast variable); per-word results
+    are memoized per batch, so cost scales with DISTINCT words per batch,
+    not total words. Standard encode: repeatedly merge the lowest-rank
+    adjacent pair until none applies.
+    """
+    ranks = {(l, r): rank for rank, l, r, _ in merges}
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    rk = ranks.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, best_i = rk, i
+                if best is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            memo[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            counts = [
+                sum(n_tokens(w) for w in (t.split() if t else []))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "n_tokens_bpe": counts})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("n_tokens_bpe", T.LongType()),
+        ]
+    )
+    return docs.select(id_col, text_col).mapInPandas(encode, schema=schema)

@@ -162,6 +162,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # oracles, first in line for the next rotation
     "attribution_last_touch",
     "zorder_bucket_stats",
+    "doc_rare_bigram_score",
+    "bpe_token_counts",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

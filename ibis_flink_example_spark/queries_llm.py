@@ -1240,3 +1240,87 @@ def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges_df(docs, n_merges=8)
+
+
+@query(
+    "doc_rare_bigram_score",
+    # Log-free corpus-LM quality signal: transcendental log() differs in
+    # final ulps across libm implementations, so the score is the RARE
+    # fraction — pure integer counts plus one final division, engine-exact.
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS bigram
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), cf AS (
+  SELECT bigram, COUNT(*) AS corpus_count FROM bg GROUP BY 1
+)
+SELECT bg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CASE WHEN cf.corpus_count < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rare,
+  CAST(CAST(SUM(CASE WHEN cf.corpus_count < 5 THEN 1 ELSE 0 END) AS BIGINT)
+       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+FROM bg JOIN cf USING (bigram)
+GROUP BY bg.doc_id
+""",
+)
+def doc_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus-LM quality scoring (the log-free face of CCNet-style
+    perplexity filtering): each document scored by the fraction of its
+    word bigrams that are RARE in the whole corpus (count < 5) — high
+    rare_frac flags gibberish/OCR noise, near-zero flags boilerplate.
+    Plan: in-row bigram arrays (no per-word explode of positions), one
+    bigram-keyed count shuffle, a bigram join back (same key — exchange
+    reused), one doc rollup. All counts integer; the only float op is
+    the final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    cf = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_count"))
+    rare = F.when(F.col("corpus_count") < 5, 1).otherwise(0)
+    return (
+        bigrams.join(cf, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+            (
+                F.sum(rare).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rare_frac"),
+        )
+    )
+
+
+@query("bpe_token_counts", oracle=None)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 tokenizer encode: per-document BPE token counts under the 8
+    merge rules learned by bpe_learn_merges — the learn→apply pair that
+    feeds pack_sequences_2k's real token budget. Merge table ships by
+    value into the Arrow-batched encoder; per-word memoization bounds
+    work by distinct words per batch. Rows-only (depends on the
+    iterative learn step); tests pin exact equality against a
+    pure-Python encode."""
+    from ibis_flink_example_spark.operators.bpe import (
+        bpe_encode_token_counts,
+        bpe_learn_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    return bpe_encode_token_counts(docs, merges)

@@ -631,3 +631,38 @@ def test_zorder_interleave_known_values(spark):
     assert out[1] == morton(0b1011, 0b0110)
     assert out[2] == 0
     assert out[3] == morton(0xFFFF, 0xFFFF)
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Distributed BPE encode must equal a pure-Python greedy encode
+    under the same learned merges for every document."""
+    from ibis_flink_example_spark.operators.bpe import (
+        bpe_encode_token_counts,
+        bpe_learn_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    merges = bpe_learn_merges(docs, n_merges=5)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+
+    def ref_word(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cands = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_encode_token_counts(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        expected = sum(ref_word(w) for w in row["text"].split())
+        assert got[row["doc_id"]] == expected, row["doc_id"]

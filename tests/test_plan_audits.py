@@ -367,3 +367,13 @@ def test_zorder_stats_single_agg_pass(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
     assert len(scan_columns(df)) == 1
+
+
+def test_rare_bigram_score_reuses_bigram_exchange(spark, sf_dir):
+    """Corpus-LM scoring: bigram count + join share the bigram key; with
+    the doc rollup that is at most 4 exchanges, no cartesian, one scan
+    family."""
+    df = QUERIES["doc_rare_bigram_score"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+    assert exchange_count(df) <= 4
