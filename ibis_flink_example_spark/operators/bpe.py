@@ -95,16 +95,20 @@ def bpe_learn_merges(
     the argmax pair breaks count ties by (left, right) lexicographic order.
     Stops early if no adjacent pair remains.
     """
-    vocab = word_vocab(docs, text_col)
+    # Checkpoint FIRST (the single corpus-scale pass materializes here),
+    # then count the cached table (cheap) and coalesce narrowly over the
+    # cached blocks — counting the un-checkpointed plan would run the
+    # corpus explode+groupBy twice.
+    base = word_vocab(docs, text_col).localCheckpoint(eager=True)
     # Size the iteration state to the VOCABULARY, not the corpus: the loop
     # touches this table ~3 jobs per merge, so partition-count is pure
     # per-iteration overhead once partitions are small. ~50k words per
     # partition keeps tasks meaningful; a 100M-word web-scale vocabulary
     # still fans out to thousands of tasks.
-    n_words = vocab.count()
+    n_words = base.count()
     parts = max(1, min(docs.sparkSession.sparkContext.defaultParallelism,
                        -(-n_words // 50_000)))
-    vocab = vocab.coalesce(parts).localCheckpoint(eager=True)
+    vocab = base.coalesce(parts)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (
@@ -130,12 +134,16 @@ def bpe_learn_merges(
             break
         l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rank, l, r, int(c)))
-        old = vocab
+        # release the superseded checkpoint's blocks deterministically —
+        # plain unpersist() on a localCheckpointed frame is a silent no-op
+        # (see dedup._release_local_checkpoint)
+        from ibis_flink_example_spark.operators.dedup import (
+            _release_local_checkpoint,
+        )
+
+        old = base if rank == 0 else vocab
         vocab = _merge_pair_in_vocab(vocab, l, r).localCheckpoint(eager=True)
-        try:  # best-effort release of the superseded checkpoint's blocks
-            old.unpersist()
-        except Exception:
-            pass
+        _release_local_checkpoint(old)
     return merges
 
 

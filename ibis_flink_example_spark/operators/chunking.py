@@ -148,8 +148,14 @@ def strip_boilerplate_lines(
         ),
     )
     df_counts = line_document_frequency(lines, id_col, min_line_chars)
-    hot = df_counts.where(F.col("df") > max_df).select(
-        "line", F.lit(True).alias("__hot")
+    # Materialize the tiny hot set before probing its size — the count()
+    # guard and the join would otherwise each run the corpus-wide
+    # explode + df aggregation from scratch (the most expensive stage,
+    # twice). localCheckpoint keeps the join input on the cached result.
+    hot = (
+        df_counts.where(F.col("df") > max_df)
+        .select("line", F.lit(True).alias("__hot"))
+        .localCheckpoint(eager=True)
     )
     if hot.count() <= max_broadcast_hot:
         hot = F.broadcast(hot)

@@ -124,14 +124,21 @@ def cohort_retention(
 
     Plan: one groupBy(user) for first-event times, joined back on the user
     key (partitioning reused), then a (cohort, offset) rollup over
-    |user-periods| rows. ``period`` is any ``date_trunc`` unit.
+    |user-periods| rows. ``period`` is 'week' or 'day' (fixed-length
+    units whose offsets are exact day arithmetic; month/quarter would
+    need months_between, not datediff).
 
     Returns (cohort_<period>, <period>_offset, n_active_users).
     """
+    days_per = {"week": 7, "day": 1}
+    if period not in days_per:
+        raise ValueError(
+            f"period must be one of {sorted(days_per)} (got {period!r})"
+        )
     first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
     cohort = F.date_trunc(period, F.col("__first_ts"))
     activity = F.date_trunc(period, F.col(ts_col))
-    days = {"week": 7, "day": 1}[period]
+    days = days_per[period]
     joined = events.join(first, on=user_col).select(
         F.col(user_col),
         cohort.alias(f"cohort_{period}"),

@@ -343,10 +343,13 @@ def tfidf_top_terms(
     """Per-document top-k characteristic terms by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1).
 
-    Ranking is by the INTEGER triple (tf DESC, df ASC, term ASC) — the same
-    ordering TF-IDF induces for fixed N, but exactly reproducible in any
-    engine because no float comparison decides the cut. The float tfidf
-    score is emitted (rounded) for consumers, never compared.
+    Ranking is by the INTEGER triple (tf DESC, df ASC, term ASC) — NOT the
+    float score's total order (a low-tf/very-rare term can out-score a
+    high-tf/common one yet rank lower here). The deliberate trade: the
+    integer triple is a well-defined characteristic-term ordering of its
+    own, exactly reproducible in any engine because no float comparison
+    decides the cut; the float tfidf score is emitted (rounded) for
+    consumers, never compared. The oracle ranks by the same triple.
 
     Plan shape at scale: groupBy(id, term) → groupBy(term) for document
     frequency → shuffle join back on term → per-doc window. The df table is

@@ -202,8 +202,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch_ts = F.last(
         F.when(non_purchase, F.col("ts")), ignorenulls=True
     ).over(w)
+    # exact-µs comparison — cast("long") would truncate to seconds and
+    # diverge from the oracle's INTERVAL arithmetic for sub-second gaps
     in_window = touch_ts.isNotNull() & (
-        F.col("ts").cast("long") - touch_ts.cast("long") <= 7 * 24 * 3600
+        F.unix_micros(F.col("ts")) - F.unix_micros(touch_ts)
+        <= 7 * 24 * 3600 * 1_000_000
     )
     return (
         events.select(

@@ -258,6 +258,12 @@ def stateful_rows_anomaly(
         hidden = n_seen - len(buf_ts)  # evicted history (all older than buffer)
         total_before = new_pos + hidden
         n = np.minimum(total_before, lookback).astype(np.int64)
+        # A straggler sorting before retained-buffer entries can have a
+        # frame extending into EVICTED history; clamp to the retained
+        # horizon (lo >= 0) — without this, negative lo wraps the numpy
+        # prefix arrays and corrupts s/q. In-order arrival never clamps
+        # (new rows sort after the whole buffer, so new_pos >= n always).
+        n = np.minimum(n, new_pos)
         lo = new_pos - n
         s = cum_s[new_pos] - cum_s[lo]
         q = cum_q[new_pos] - cum_q[lo]
