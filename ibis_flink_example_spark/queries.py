@@ -164,6 +164,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zorder_bucket_stats",
     "doc_rare_bigram_score",
     "bpe_token_counts",
+    # new this round — explicit session-ID assignment + per-session stats
+    # (gaps-and-islands) and a foreachBatch-MERGE materialized view
+    "sessionize_stats",
+    "streaming_upsert_totals",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

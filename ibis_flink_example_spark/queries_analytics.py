@@ -220,3 +220,65 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .drop("event_type")
     )
+
+
+@query(
+    "sessionize_stats",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2
+""",
+)
+def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit session-ID assignment (30-min inactivity gap) + per-session
+    stats — the row-level complement of the session_window aggregate
+    (which emits windows, not session membership). Gaps-and-islands on the
+    user key: gap flag (lag) → running-sum session sequence → session
+    rollup, all sharing ONE user-keyed exchange (hash(user) clusters
+    (user, session) for free — same plan shape as the SCD2 build)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    from ibis_flink_example_spark.functions.exact import money
+
+    ordered = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(ordered)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("int")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_seq = events.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_session).over(running).alias("session_seq"),
+    )
+    return with_seq.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("sum_value"),
+    )
