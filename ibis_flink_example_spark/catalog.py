@@ -41,6 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, table_path(sf_dir, name))
 
 
+def drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """DROP TABLE plus removal of any orphaned managed location. With the
+    default in-memory catalog, DROP TABLE in a NEW session can't see a
+    table a previous session created — but its managed directory survives
+    and makes a later CTAS fail with LOCATION_ALREADY_EXISTS. Driver-side
+    metadata op; a Hive/production metastore wouldn't orphan it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    orphan = os.path.join(wh.path or wh.netloc, name)
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
 ) -> dict[str, DataFrame]:

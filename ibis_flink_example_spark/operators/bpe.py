@@ -109,6 +109,15 @@ def bpe_learn_merges(
     parts = max(1, min(docs.sparkSession.sparkContext.defaultParallelism,
                        -(-n_words // 50_000)))
     vocab = base.coalesce(parts)
+    # the checkpoint whose blocks back `vocab` — released when superseded
+    # by the next iteration's checkpoint, and at loop exit (plain
+    # unpersist() on a localCheckpointed frame is a silent no-op; see
+    # dedup._release_local_checkpoint)
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    backing_ckpt = base
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (
@@ -134,16 +143,12 @@ def bpe_learn_merges(
             break
         l, r, c = top[0]["left"], top[0]["right"], top[0]["pair_count"]
         merges.append((rank, l, r, int(c)))
-        # release the superseded checkpoint's blocks deterministically —
-        # plain unpersist() on a localCheckpointed frame is a silent no-op
-        # (see dedup._release_local_checkpoint)
-        from ibis_flink_example_spark.operators.dedup import (
-            _release_local_checkpoint,
-        )
-
-        old = base if rank == 0 else vocab
         vocab = _merge_pair_in_vocab(vocab, l, r).localCheckpoint(eager=True)
-        _release_local_checkpoint(old)
+        _release_local_checkpoint(backing_ckpt)
+        backing_ckpt = vocab
+    # release the final iteration state too (nothing downstream reads it —
+    # the result is the driver-side merge list)
+    _release_local_checkpoint(backing_ckpt)
     return merges
 
 

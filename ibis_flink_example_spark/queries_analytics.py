@@ -257,9 +257,9 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, session) for free — same plan shape as the SCD2 build)."""
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
-    from ibis_flink_example_spark.functions.exact import money
+    from ibis_flink_example_spark.functions.exact import dec_sum
 
+    events = load_table(spark, sf_dir, "events")
     ordered = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -280,5 +280,5 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(money("value")).cast("double").alias("sum_value"),
+        dec_sum("value", "sum_value"),
     )

@@ -298,18 +298,11 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once contract the reference runs with). Returned rows are the
     RE-READ sink table, so the oracle checks the whole write path, not the
     in-memory stream."""
-    import os as _os
-    import shutil as _shutil
-    from urllib.parse import urlparse as _urlparse
-
+    from ibis_flink_example_spark.catalog import drop_table_and_location
     from ibis_flink_example_spark.functions.exact import money
     from ibis_flink_example_spark.streaming.runtime import foreach_batch
 
-    spark.sql(f"DROP TABLE IF EXISTS {_SINK_ROUNDTRIP_TABLE}")
-    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    orphan = _os.path.join(wh.path or wh.netloc, _SINK_ROUNDTRIP_TABLE)
-    if _os.path.isdir(orphan):
-        _shutil.rmtree(orphan, ignore_errors=True)
+    drop_table_and_location(spark, _SINK_ROUNDTRIP_TABLE)
     spark.sql(
         f"""CREATE TABLE {_SINK_ROUNDTRIP_TABLE}
         (window_start TIMESTAMP, event_type STRING, n_events BIGINT,
@@ -720,20 +713,13 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg MERGE; each batch applies exactly once in a drained
     availableNow run). The per-batch cost is |batch keys| + |view| — the
     incremental-view pattern that replaces full recomputation at 100 TB."""
+    from ibis_flink_example_spark.catalog import drop_table_and_location
     from ibis_flink_example_spark.functions.exact import money
     from ibis_flink_example_spark.streaming.runtime import foreach_batch
 
     tables = ["streaming_upsert_totals_a", "streaming_upsert_totals_b"]
-    import os as _os
-    import shutil as _shutil
-    from urllib.parse import urlparse as _urlparse
-
-    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
     for t in tables:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        orphan = _os.path.join(wh.path or wh.netloc, t)
-        if _os.path.isdir(orphan):
-            _shutil.rmtree(orphan, ignore_errors=True)
+        drop_table_and_location(spark, t)
     state = {"cur": None}
 
     def apply_batch(bdf, bid):
@@ -756,10 +742,18 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(partial.alias("s"), F.col("t.user_id") == F.col("s.user_id"), "full_outer")
                 .select(
                     F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
-                    (
+                    # SUM semantics: an all-NULL key stays NULL (matching
+                    # the oracle); only coalesce to 0 when at least one
+                    # side carries a real sum
+                    F.when(
+                        F.col("t.total_dec").isNull() & F.col("s.delta").isNull(),
+                        F.lit(None).cast("decimal(18,2)"),
+                    )
+                    .otherwise(
                         F.coalesce(F.col("t.total_dec"), zero)
                         + F.coalesce(F.col("s.delta"), zero)
-                    ).alias("total_dec"),
+                    )
+                    .alias("total_dec"),
                     (
                         F.coalesce(F.col("t.n_events"), F.lit(0))
                         + F.coalesce(F.col("s.n"), F.lit(0))
@@ -781,6 +775,10 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if state["cur"] is None:  # zero micro-batches: empty view, not a crash
+        return spark.createDataFrame(
+            [], "user_id long, total_value double, n_events bigint"
+        )
     final = spark.table(state["cur"])
     return final.select(
         "user_id",

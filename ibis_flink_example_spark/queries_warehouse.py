@@ -63,19 +63,9 @@ def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, then scan the table back. Returns the re-read rows, which must
     equal the direct rollup (the oracle) — proving the sink round-trips
     values, schema, and row multiplicity exactly."""
-    spark.sql(f"DROP TABLE IF EXISTS {_SINK_TABLE}")
-    # With the default in-memory catalog, DROP TABLE in a NEW session can't
-    # see a table a previous session created — but its managed location on
-    # disk survives and makes CTAS fail with LOCATION_ALREADY_EXISTS. Clear
-    # the orphaned location (driver-side metadata op; a Hive/production
-    # metastore wouldn't orphan it in the first place).
-    import shutil
-    from urllib.parse import urlparse
+    from ibis_flink_example_spark.catalog import drop_table_and_location
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    orphan = os.path.join(wh.path or wh.netloc, _SINK_TABLE)
-    if os.path.isdir(orphan):
-        shutil.rmtree(orphan, ignore_errors=True)
+    drop_table_and_location(spark, _SINK_TABLE)
     _pricing_slice(spark, sf_dir, returned=True).write.saveAsTable(
         _SINK_TABLE, mode="overwrite"
     )

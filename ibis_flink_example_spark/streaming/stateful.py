@@ -183,7 +183,11 @@ def stateful_rows_anomaly(
     order-sensitive, so rows more than ``delay_seconds`` behind the key's
     max event time are dropped (same per-key watermark contract as
     ``stateful_range_over_sum``); rows within the delay are merged into
-    (ts, id) order with the retained buffer before framing.
+    (ts, id) order with the retained buffer before framing. A straggler
+    whose frame would extend past the retained buffer into EVICTED
+    history is tested (and reports ``n_prior``) over the retained
+    horizon only — a truncated-but-consistent frame, never corrupted
+    state; in-order arrival never truncates.
     """
     delay_us = int(delay_seconds * 1_000_000)
     t2 = z_threshold * z_threshold
