@@ -397,3 +397,58 @@ def test_streaming_funnel_equals_batch(spark, sf_dir):
         for r in QUERIES["streaming_funnel"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_incremental_upsert_across_restarts(spark, tmp_path):
+    """Restart semantics (T5): a foreachBatch-MERGE view maintained across
+    TWO availableNow runs sharing one checkpoint must (a) not reprocess
+    the first run's files after restart, and (b) end exactly equal to the
+    batch rollup over all data — the incremental-processing contract a
+    100 TB pipeline relies on (process only what arrived since the last
+    run)."""
+    import pyspark.sql.functions as F
+
+    from ibis_flink_example_spark.functions.exact import money
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, 10.0), (1, 5.0), (2, 7.0)]
+    rows2 = [(1, 2.0), (3, 4.0)]
+    schema = "user_id long, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+
+    state = {"totals": {}, "runs": 0}
+
+    def apply_batch(bdf, bid):
+        state["runs"] += 1
+        for r in (
+            bdf.groupBy("user_id").agg(F.sum(money("value")).alias("d")).collect()
+        ):
+            cur = state["totals"].get(r["user_id"], 0)
+            state["totals"][r["user_id"]] = cur + r["d"]
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = foreach_batch(stream, apply_batch, checkpoint=ckpt, available_now=True)
+        q.awaitTermination()
+
+    run_once()
+    after_first = dict(state["totals"])
+    assert after_first == {1: 15, 2: 7}
+    runs_after_first = state["runs"]
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "batch2")
+    )
+    run_once()  # restart from the same checkpoint
+    # only the NEW file was processed (no double-counting of batch1)
+    assert state["totals"] == {1: 17, 2: 7, 3: 4}
+    assert state["runs"] > runs_after_first
