@@ -801,3 +801,31 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Ingest-time dedup: keep incoming rows whose normalized content is
+    (a) absent from the already-accepted corpus and (b) the min-id copy
+    within the incoming batch itself.
+
+    Shape at 100 TB: the existing corpus contributes ONLY its digest
+    column (narrow scan), the anti-join and the in-batch winner semi-join
+    are both digest-keyed — each side moves one hash + id per row, full
+    incoming rows move only for survivors. This is the daily-ingest
+    complement of the one-shot ``exact_dedup``: the corpus is deduped
+    once, then every new batch checks against digests, never re-reading
+    accepted text.
+    """
+    inc = incoming.withColumn("__digest", content_digest(text_col))
+    seen = existing.select(content_digest(text_col).alias("__digest"))
+    fresh = inc.join(seen, "__digest", "left_anti")
+    winners = fresh.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return fresh.join(winners, on=["__digest", id_col], how="left_semi").drop(
+        "__digest"
+    )

@@ -168,6 +168,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (gaps-and-islands) and a foreachBatch-MERGE materialized view
     "sessionize_stats",
     "streaming_upsert_totals",
+    # new this round — ingest-time dedup vs an accepted corpus, and the
+    # lang-id confusion-matrix QA rollup
+    "dedup_incremental",
+    "langid_confusion",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

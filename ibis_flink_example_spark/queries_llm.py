@@ -1324,3 +1324,82 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8)
     return bpe_encode_token_counts(docs, merges)
+
+
+@query(
+    "dedup_incremental",
+    # incoming = odd doc_ids, existing corpus = even doc_ids; keep odd
+    # docs whose normalized digest is new AND min-id within incoming.
+    oracle=r"""
+WITH dg AS (
+  SELECT doc_id, lang, source, n_chars,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS digest
+  FROM documents
+), inc AS (SELECT * FROM dg WHERE doc_id % 2 = 1),
+ex AS (SELECT DISTINCT digest FROM dg WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT inc.* FROM inc LEFT JOIN ex USING (digest) WHERE ex.digest IS NULL
+), w AS (
+  SELECT digest, MIN(doc_id) AS doc_id FROM fresh GROUP BY 1
+)
+SELECT f.doc_id, f.lang, f.source, f.n_chars
+FROM fresh f JOIN w ON f.digest = w.digest AND f.doc_id = w.doc_id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 ingest-time dedup: an incoming batch (odd doc_ids) checked
+    against the accepted corpus (even doc_ids) — digest-only anti-join
+    against the corpus plus min-id dedup within the batch
+    (operators/dedup.py:incremental_dedup). The daily-ingest complement
+    of exact_dedup: accepted text is never re-read, only its digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    return D.incremental_dedup(
+        incoming, existing, text_col="text", id_col="doc_id"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "langid_confusion",
+    # Reuses text_lang_id's exact SQL twin of the marker-lexicon argmax
+    # (same lexicons, same declaration-order tie-break, 'und' fallback).
+    oracle=r"""
+WITH w AS (
+  SELECT lang,
+         list_transform(regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS ws
+  FROM documents
+), scores AS (
+  SELECT lang,
+    len(list_filter(ws, w -> list_contains(['the','of','and','to','in','is','a'], w))) AS s_en,
+    len(list_filter(ws, w -> list_contains(['el','la','de','que','y','en','los'], w))) AS s_es,
+    len(list_filter(ws, w -> list_contains(['der','die','und','das','ist','nicht','ein'], w))) AS s_de,
+    len(list_filter(ws, w -> list_contains(['le','la','les','de','et','est','une'], w))) AS s_fr
+  FROM w
+), pred AS (
+  SELECT lang,
+    CASE
+      WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+      WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+      WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+      ELSE 'fr'
+    END AS lang_pred
+  FROM scores
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 evaluation-style rollup: confusion matrix of the heuristic
+    lang-id (operators/text.py:lang_id) against the fixture's ground-truth
+    lang labels — the QA report every classifier-driven curation step
+    needs. One aggregation over a map-side predicted column; the oracle
+    re-derives the identical marker heuristic in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
