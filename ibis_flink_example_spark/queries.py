@@ -172,6 +172,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # lang-id confusion-matrix QA rollup
     "dedup_incremental",
     "langid_confusion",
+    # new this round — exact rolling 7-day active users (day-offset
+    # expansion of deduplicated day-user pairs)
+    "rolling_wau",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

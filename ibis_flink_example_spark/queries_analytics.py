@@ -282,3 +282,53 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", "sum_value"),
     )
+
+
+@query(
+    "rolling_wau",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), ex AS (
+  SELECT day + CAST(o.o AS INTEGER) AS obs_day, user_id
+  FROM d, (SELECT unnest(range(0, 7)) AS o) o
+), days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS obs_day FROM events)
+SELECT CAST(ex.obs_day AS TIMESTAMP) AS obs_day,
+  CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS wau
+FROM ex JOIN days USING (obs_day)
+GROUP BY 1
+""",
+)
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the exact distributed form:
+    each (day, user) pair is expanded to the 7 observation days it
+    counts toward (a bounded map-side ×7 explode of the DEDUPLICATED
+    day-user pairs, not raw events), then one (day → distinct user)
+    rollup. The interval-join alternative re-scans events per day; a
+    per-day HLL loses exactness. Observation days are restricted to days
+    that actually occur in the data (same as the oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    day_user = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    expanded = day_user.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+        "user_id",
+    ).select(F.date_add(F.col("day"), F.col("o")).alias("obs_day"), "user_id")
+    days = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("obs_day")
+    ).distinct()
+    return (
+        expanded.join(F.broadcast(days), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        # DATE maps to pandas object on the Spark side but datetime64 via
+        # DuckDB — emit TIMESTAMP on both sides for a comparable dtype
+        .select(
+            F.col("obs_day").cast("timestamp").alias("obs_day"), "wau"
+        )
+    )
