@@ -175,6 +175,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new this round — exact rolling 7-day active users (day-offset
     # expansion of deduplicated day-user pairs)
     "rolling_wau",
+    "market_basket_pairs",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

@@ -332,3 +332,52 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("obs_day").cast("timestamp").alias("obs_day"), "wau"
         )
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 50
+""",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: top co-purchased part pairs with support
+    >= 2 orders. The within-order self-join is NATURALLY bounded (a TPC-H
+    order has <= 7 line items → <= 21 pairs), so unlike document-shingle
+    joins no hot-key cap is needed — the orderkey join key's fan-out is
+    structurally limited. Pair counting shuffles on (part_a, part_b) with
+    map-side partials; the top-50 plans as TakeOrderedAndProject, never a
+    global sort over the pair space."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(
+            F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(50)
+    )
