@@ -377,3 +377,35 @@ def test_rare_bigram_score_reuses_bigram_exchange(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
     assert exchange_count(df) <= 4
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Gaps-and-islands sessionization shares ONE user-keyed exchange
+    across the gap window, the running sum, and the session rollup
+    (hash(user) clusters (user, session) for free)."""
+    df = QUERIES["sessionize_stats"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+
+
+def test_dedup_incremental_digest_only_corpus_scan(spark, sf_dir):
+    """Ingest-time dedup reads ONLY (doc_id, text) [digest inputs] from
+    the corpus side and never plans a cartesian; full incoming rows move
+    only for survivors."""
+    df = QUERIES["dedup_incremental"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+    for cols in scan_columns(df):
+        assert "text" in cols or set(cols) <= {
+            "doc_id", "text", "lang", "source", "n_chars"
+        }
+
+
+def test_market_basket_top_k_no_global_sort(spark, sf_dir):
+    """The top-50 pair cut must plan as TakeOrderedAndProject, never a
+    global sort of the whole pair space."""
+    df = QUERIES["market_basket_pairs"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["TakeOrderedAndProject"] >= 1
+    assert ops["CartesianProduct"] == 0
