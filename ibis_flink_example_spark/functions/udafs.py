@@ -28,8 +28,10 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("double")
 def gini_cents(v: pd.Series) -> float:
-    """Gini coefficient of a 2-decimal money column (grouped-agg UDAF)."""
-    cents = sorted(int(c) for c in (v * 100).round().astype("int64"))
+    """Gini coefficient of a 2-decimal money column (grouped-agg UDAF).
+    NULLs arrive as NaN and are skipped, matching built-in aggregate
+    semantics (astype would otherwise raise on non-finite values)."""
+    cents = sorted(int(c) for c in (v.dropna() * 100).round().astype("int64"))
     n = len(cents)
     s0 = sum(cents)
     if n == 0 or s0 == 0:

@@ -73,6 +73,16 @@ def chunk_documents(
     )
 
 
+def _literal_pattern(delimiter: str) -> str:
+    r"""Quote a delimiter for Java-regex LITERAL matching (\Q...\E): the
+    reassembly side (array_join) treats the delimiter as a literal, so the
+    split side must too — a caller passing '|' or '.' would otherwise
+    split between every character and silently corrupt output."""
+    if "\\E" in delimiter:
+        raise ValueError(r"delimiter may not contain \E (Java \Q quoting)")
+    return "\\Q" + delimiter + "\\E"
+
+
 def split_lines(
     docs: DataFrame,
     text_col: str = "text",
@@ -84,11 +94,9 @@ def split_lines(
     '\\n' for boilerplate lines, ' ' for df-based term pruning."""
     return docs.select(
         F.col(id_col),
-        # F.split's pattern is a Java regex; the delimiters used here
-        # ('\n', ' ') are regex-safe literals.
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "line_idx", "line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _literal_pattern(delimiter))
+        ).alias("line_idx", "line"),
     )
 
 
@@ -143,15 +151,17 @@ def strip_boilerplate_lines(
     lines = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "line_idx", "line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _literal_pattern(delimiter))
+        ).alias("line_idx", "line"),
     )
     df_counts = line_document_frequency(lines, id_col, min_line_chars)
     # Materialize the tiny hot set before probing its size — the count()
     # guard and the join would otherwise each run the corpus-wide
     # explode + df aggregation from scratch (the most expensive stage,
-    # twice). localCheckpoint keeps the join input on the cached result.
+    # twice). The checkpoint's blocks live as long as the returned lazy
+    # plan references them (callers that loop should materialize the
+    # result and release via dedup._release_local_checkpoint).
     hot = (
         df_counts.where(F.col("df") > max_df)
         .select("line", F.lit(True).alias("__hot"))

@@ -27,6 +27,11 @@ from pyspark.sql import types as T
 
 _LOG = logging.getLogger(__name__)
 
+# Above this many hot keys the skew-guard anti-join falls back from
+# broadcast to shuffle (a few hundred MB of 8-byte keys is where
+# broadcasts start endangering executors).
+_MAX_BROADCAST_HOT_KEYS = 10_000_000
+
 
 def drop_hot_keys(
     df: DataFrame,
@@ -48,24 +53,37 @@ def drop_hot_keys(
 
     Plan shape: one partial-aggregated count keyed exactly like the
     downstream self-join, filtered to the (tiny) hot-key set, then a
-    BROADCAST anti-join — the probe side never re-shuffles. ``None``
-    disables the cap. ``log_dropped=True`` spends one extra (small) action
-    to log how many keys were dropped — keep it off in benchmarked paths.
+    BROADCAST anti-join — the probe side never re-shuffles. The broadcast
+    is itself GUARDED: the hot set is counted (cheap — it is the filtered
+    output of an aggregation), an empty set skips the anti-join entirely,
+    and a set larger than ``max_broadcast_keys`` falls back to a shuffle
+    anti-join instead of an unbounded broadcast (at ~10^12 banded rows a
+    degenerate corpus could exceed the cap on millions of keys at once).
+    ``None`` disables the cap. ``log_dropped=True`` logs how many keys
+    were dropped.
     """
     if max_rows_per_key is None:
         return df
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__kn"))
-    hot = counts.filter(F.col("__kn") > max_rows_per_key).select(*key_cols)
+    hot = (
+        counts.filter(F.col("__kn") > max_rows_per_key)
+        .select(*key_cols)
+        .localCheckpoint(eager=True)  # count + anti-join share one run
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        _release_local_checkpoint(hot)
+        return df
     if log_dropped:
-        n_hot = hot.count()
-        if n_hot:
-            _LOG.warning(
-                "drop_hot_keys: dropping %d %s key(s) with > %d rows each",
-                n_hot,
-                what,
-                max_rows_per_key,
-            )
-    return df.join(F.broadcast(hot), key_cols, "left_anti")
+        _LOG.warning(
+            "drop_hot_keys: dropping %d %s key(s) with > %d rows each",
+            n_hot,
+            what,
+            max_rows_per_key,
+        )
+    if n_hot <= _MAX_BROADCAST_HOT_KEYS:
+        hot = F.broadcast(hot)
+    return df.join(hot, key_cols, "left_anti")
 
 
 def perm_hash(h: Column, j: int) -> Column:

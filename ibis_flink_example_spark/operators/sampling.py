@@ -183,15 +183,26 @@ def temperature_balanced_sample(
     keeps the identical row set.
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_l"))
+    # sqrt weights quantized to integer micro-units BEFORE the cross-row
+    # sum: SUM(double) is partition-order dependent, and a 1-ulp sum_w
+    # difference could flip a stratum's floor()ed threshold. Integer sums
+    # are exact at any partition order; the remaining float chain is a
+    # fixed sequence of correctly-rounded IEEE ops on identical operands,
+    # mirrored in the SQL oracle. (floor(x+0.5), not round(): engines
+    # disagree on round()'s half-tie direction.)
+    w_l = F.floor(F.sqrt(F.col("n_l")) * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    counts = counts.withColumn("w_l", w_l)
     tot = counts.agg(
-        F.sum(F.sqrt(F.col("n_l"))).alias("sum_w"),
+        F.sum("w_l").alias("sum_w"),
         F.sum("n_l").alias("n_docs"),
     )
     rate = F.least(
         F.lit(1.0),
         F.lit(target_frac)
         * F.col("n_docs")
-        * F.sqrt(F.col("n_l"))
+        * F.col("w_l")
         / F.col("sum_w")
         / F.col("n_l"),
     )

@@ -229,7 +229,12 @@ def decontaminate_ngram_overlap(
             id_col, F.explode(word_shingles(words(text_col), n)).alias("gram")
         )
 
-    ev = grams(eval_docs).select("gram").distinct()
+    # Materialize the eval gram set once: the count() guard and the join
+    # probe would otherwise each run the explode+distinct pipeline from
+    # scratch. The checkpoint's blocks live as long as the returned lazy
+    # plan (callers that loop should materialize the result and release
+    # via dedup._release_local_checkpoint).
+    ev = grams(eval_docs).select("gram").distinct().localCheckpoint(eager=True)
     n_eval_grams = ev.count()
     # Over budget: pin the shuffle strategy with a merge hint — we have
     # just MEASURED the cardinality, so don't let size-estimate stats (or

@@ -69,11 +69,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_JACCARD_ORACLE = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
     UNNEST(list_transform(range(1, len(ws) - 1),
                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle
   FROM w
+), keepable AS (
+  -- mirror the operator's document-frequency cap (max_doc_freq=50000):
+  -- the Jaccard is DEFINED over the capped shingle space at every scale,
+  -- so the oracle must cap identically (inert at oracle SFs)
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50000
+), sh AS (
+  SELECT sh0.* FROM sh0 JOIN keepable USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
 ), inter AS (
@@ -425,7 +432,19 @@ def simhash_exact_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(planted)
     zero = (
-        D.simhash_neardup_pairs(aug, id_col="doc_id", text_col="text", max_hamming=3)
+        # UNCAPPED probe: the pigeonhole coverage guarantee holds for the
+        # uncapped operator; the production bucket cap deliberately
+        # sacrifices mega-clusters (> cap identical docs), so asserting
+        # TRUE against a capped run would be wrong at scale. The cap's
+        # bounding behavior is verified separately
+        # (test_hot_bucket_caps_bound_pair_generation).
+        D.simhash_neardup_pairs(
+            aug,
+            id_col="doc_id",
+            text_col="text",
+            max_hamming=3,
+            max_bucket_size=None,
+        )
         .filter(F.col("hamming") == 0)
         .select("id_a", "id_b")
     )

@@ -119,16 +119,20 @@ def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_lang_balanced",
-    # The float expression tree (sqrt → · → ÷ → ÷ → floor·16^8) is mirrored
-    # exactly: every op is IEEE-correctly-rounded, so the per-lang hex
-    # thresholds — and therefore the kept row SET — are engine-identical.
+    # sqrt weights are integer-quantized before the cross-row sum (order-
+    # exact); the remaining float chain (· → ÷ → ÷ → floor·16^8) is
+    # mirrored exactly op-for-op, so the per-lang hex thresholds — and
+    # therefore the kept row SET — are engine-identical.
     oracle=r"""
 WITH c AS (
-  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1
+  SELECT lang, COUNT(*) AS n_l,
+    CAST(floor(sqrt(n_l) * 1000000.0 + 0.5) AS BIGINT) AS w_l
+  FROM documents GROUP BY 1
 ), t AS (
-  SELECT SUM(sqrt(n_l)) AS sum_w, SUM(n_l) AS n_docs FROM c
+  SELECT CAST(SUM(w_l) AS BIGINT) AS sum_w, CAST(SUM(n_l) AS BIGINT) AS n_docs
+  FROM c
 ), r AS (
-  SELECT lang, LEAST(1.0, 0.5 * n_docs * sqrt(n_l) / sum_w / n_l) AS rate
+  SELECT lang, LEAST(1.0, 0.5 * n_docs * w_l / sum_w / n_l) AS rate
   FROM c CROSS JOIN t
 ), h AS (
   SELECT lang, rate,

@@ -432,15 +432,23 @@ WITH r AS (
       PARTITION BY o_orderpriority
       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
     ) AS i
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
-SELECT priority,
-  CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
-       AS DOUBLE)
-    / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE))
-    AS gini
-FROM r GROUP BY 1
+, g AS (
+  SELECT priority,
+    CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
+         AS DOUBLE)
+      / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE))
+      AS gini
+  FROM r GROUP BY 1
+), n AS (
+  -- n_orders counts ALL orders of the priority; only the Gini itself
+  -- skips NULL prices (mirroring the UDAF's dropna)
+  SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT n.priority, n.n_orders, g.gini
+FROM n JOIN g USING (priority)
 """,
 )
 def udaf_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
