@@ -176,6 +176,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # expansion of deduplicated day-user pairs)
     "rolling_wau",
     "market_basket_pairs",
+    # new this round — per-nation revenue Pareto (integer-cents cumulative
+    # share inside nation partitions; no global sort)
+    "pareto_customers_by_nation",
     "tumble_1m",
     "multimodal_frame_sample",
     # displaced to fit the 50-slot window (all carry green/rows-only r4

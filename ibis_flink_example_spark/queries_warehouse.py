@@ -547,3 +547,74 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(money("o_totalprice")).cast("double").alias("min_price"),
         F.max(money("o_totalprice")).cast("double").alias("max_price"),
     )
+
+
+@query(
+    "pareto_customers_by_nation",
+    # Integer-cents cumulative share: cum*5 >= total*4 is the exact 80%
+    # test without float division.
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nationkey, custkey, cents,
+    CAST(SUM(cents) OVER (
+      PARTITION BY nationkey ORDER BY cents DESC, custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum,
+    CAST(SUM(cents) OVER (PARTITION BY nationkey) AS BIGINT) AS total,
+    ROW_NUMBER() OVER (
+      PARTITION BY nationkey ORDER BY cents DESC, custkey ASC
+    ) AS rnk
+  FROM rev
+)
+SELECT nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rnk END) AS BIGINT)
+    AS n_for_80pct
+FROM ranked GROUP BY 1
+""",
+)
+def pareto_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) per nation: the minimum number of
+    top customers covering >= 80% of the nation's order revenue. The
+    cumulative-share window runs INSIDE nation partitions — never a
+    global sort — and the 80% test is the integer inequality
+    cum*5 >= total*4 over exact cents, so the boundary rank is
+    engine-exact. Two keyed exchanges (customer revenue rollup, nation
+    window+rollup reusing one nation exchange)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg((F.sum(money("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    order_w = Window.partitionBy("nationkey").orderBy(
+        F.col("cents").desc(), F.col("custkey").asc()
+    )
+    ranked = rev.select(
+        "nationkey",
+        F.sum("cents")
+        .over(order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cents").over(Window.partitionBy("nationkey")).alias("total"),
+        F.row_number().over(order_w).alias("rnk"),
+    )
+    return ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rnk"))
+        ).alias("n_for_80pct"),
+    )
