@@ -591,8 +591,10 @@ def pareto_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     rev = (
+        # customer is a LARGE dim (scales with the corpus) — no broadcast
+        # hint; AQE broadcasts at test scale and shuffle-joins at 100 TB
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .groupBy(
