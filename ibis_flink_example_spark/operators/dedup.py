@@ -61,6 +61,13 @@ def drop_hot_keys(
     degenerate corpus could exceed the cap on millions of keys at once).
     ``None`` disables the cap. ``log_dropped=True`` logs how many keys
     were dropped.
+
+    Checkpoint lifetime (caller-release contract, same as chunking/text):
+    when the hot set is non-empty its eager ``localCheckpoint`` blocks are
+    referenced by the RETURNED lazy plan and live until the caller drops
+    the plan or calls ``_release_local_checkpoint`` on it after
+    materializing — callers looping over many banded self-joins in one
+    session should release per iteration to keep block-manager memory flat.
     """
     if max_rows_per_key is None:
         return df

@@ -3,11 +3,13 @@
 resize / frame-sample stages as Arrow-batched ``mapInPandas`` operators.
 
 Spark-side design (all REAL and tested): schema convention, partitioning,
-UDF signatures, batch shapes. The pixel/sample decode itself is STUBBED —
-the container has no image/audio libraries — behind an import-try that
-raises ``NotImplementedError`` for real decoding and otherwise uses a
-clearly-marked deterministic fake derived from the payload bytes, so every
-downstream stage (schema, batching, aggregation) is exercised for real.
+UDF signatures, batch shapes. Pixel decode has TWO arms: a real
+Pillow-backed branch (``use_real_decoder=True`` — open → convert("L") →
+numpy channel stats + actual dims, used whenever PIL is importable on the
+worker, per-row fallback on corrupt payloads) and a clearly-marked
+deterministic fake derived from the payload bytes (used when no image
+library is present, as in this container), so every downstream stage
+(schema, batching, aggregation) is exercised for real either way.
 
 Scale notes: payloads ride the scan as binary; metadata is a pruned struct
 so metadata-only queries never touch bytes (columnar parquet). mapInPandas
@@ -74,15 +76,30 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 # --- decode stub ------------------------------------------------------------
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - no lib in container
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode requires Pillow; container has no image libs "
-            "(STUB — deterministic fake path is used instead)"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
+def _decode_image_real(payload: bytes) -> tuple[float, int, int, int, int]:
+    """Real image decode: grayscale channel stats + actual pixel dims.
+
+    Returns ``(mean, min, max, width, height)``. Raises ImportError when no
+    image library is present (callers choose fake-fallback vs strict) and
+    lets decode errors (corrupt payload) propagate for per-row handling.
+    """
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        arr = np.asarray(gray, dtype=np.uint8)
+        if arr.size == 0:
+            return (0.0, 0, 0, int(img.width), int(img.height))
+        return (
+            float(arr.mean()),
+            int(arr.min()),
+            int(arr.max()),
+            int(img.width),
+            int(img.height),
+        )
 
 
 def real_decoder_available() -> bool:
@@ -169,21 +186,49 @@ def extract_features(
                     RuntimeWarning,
                     stacklevel=2,
                 )
-        for pdf in batches:
-            if real:  # pragma: no cover - no image libs in this container
-                raise NotImplementedError(
-                    "wire PIL.Image.open(io.BytesIO(payload)) here"
+        def real_stats(p):
+            # (mean, min, max, width, height) from actual decoded pixels;
+            # inlined (not the module-level _decode_image_real) so the
+            # closure stays self-contained for pickling
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(p)) as img:
+                arr = np.asarray(img.convert("L"), dtype=np.uint8)
+                if arr.size == 0:
+                    return (0.0, 0, 0, int(img.width), int(img.height))
+                return (
+                    float(arr.mean()),
+                    int(arr.min()),
+                    int(arr.max()),
+                    int(img.width),
+                    int(img.height),
                 )
-            stats = [fake_stats(p) for p in pdf["payload"]]
+
+        for pdf in batches:
+            rows = []
+            for p, m in zip(pdf["payload"], pdf["metadata"]):
+                if real and p:
+                    try:
+                        mean, lo, hi, w, h = real_stats(p)
+                        rows.append((mean, lo, hi, w, h))
+                        continue
+                    except Exception:
+                        # corrupt/undecodable payload: per-row fallback to
+                        # byte stats + declared metadata dims
+                        pass
+                mean, lo, hi = fake_stats(p)
+                rows.append((mean, lo, hi, m["width"], m["height"]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "mean_byte": [s[0] for s in stats],
-                    "min_byte": [s[1] for s in stats],
-                    "max_byte": [s[2] for s in stats],
-                    "width": [m["width"] for m in pdf["metadata"]],
-                    "height": [m["height"] for m in pdf["metadata"]],
+                    "mean_byte": [r[0] for r in rows],
+                    "min_byte": [r[1] for r in rows],
+                    "max_byte": [r[2] for r in rows],
+                    "width": [r[3] for r in rows],
+                    "height": [r[4] for r in rows],
                 }
             )
 

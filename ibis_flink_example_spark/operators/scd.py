@@ -45,9 +45,14 @@ def scd2_from_changes(
     ordered = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
+    # null-safe comparison: a NULL state must open its own segment, not
+    # silently merge into the preceding one (plain != yields NULL, which
+    # the running SUM would skip). The first row of a key is "changed" too
+    # unless its state is NULL and so is the (absent) predecessor — cover
+    # it with an explicit row_number()==1 test rather than lag().isNull().
+    first_row = F.row_number().over(ordered) == 1
     changed = (
-        F.lag(state_col).over(ordered).isNull()
-        | (F.col(state_col) != F.lag(state_col).over(ordered))
+        first_row | ~F.col(state_col).eqNullSafe(F.lag(state_col).over(ordered))
     ).cast("int")
     running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seg = changes.select(

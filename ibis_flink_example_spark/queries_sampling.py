@@ -132,7 +132,11 @@ WITH c AS (
   SELECT CAST(SUM(w_l) AS BIGINT) AS sum_w, CAST(SUM(n_l) AS BIGINT) AS n_docs
   FROM c
 ), r AS (
-  SELECT lang, LEAST(1.0, 0.5 * n_docs * w_l / sum_w / n_l) AS rate
+  -- every binary op forced to DOUBLE so the chain matches Spark's IEEE
+  -- rounding at ANY scale (DuckDB would otherwise keep 0.5*n_docs*w_l in
+  -- exact DECIMAL until the division, diverging once it exceeds 2^53)
+  SELECT lang, LEAST(1.0, 0.5 * CAST(n_docs AS DOUBLE) * CAST(w_l AS DOUBLE)
+                          / CAST(sum_w AS DOUBLE) / CAST(n_l AS DOUBLE)) AS rate
   FROM c CROSS JOIN t
 ), h AS (
   SELECT lang, rate,

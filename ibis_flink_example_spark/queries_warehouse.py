@@ -436,10 +436,13 @@ WITH r AS (
 )
 , g AS (
   SELECT priority,
-    CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
-         AS DOUBLE)
-      / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE))
-      AS gini
+    -- SUM(cents)=0 (or an all-NULL-price group, which never reaches r)
+    -- maps to 0.0, mirroring the UDAF's n==0 / s0==0 -> 0.0 convention
+    CASE WHEN SUM(cents) = 0 THEN 0.0 ELSE
+      CAST(CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS HUGEINT)
+           AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE))
+    END AS gini
   FROM r GROUP BY 1
 ), n AS (
   -- n_orders counts ALL orders of the priority; only the Gini itself
@@ -447,8 +450,8 @@ WITH r AS (
   SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1
 )
-SELECT n.priority, n.n_orders, g.gini
-FROM n JOIN g USING (priority)
+SELECT n.priority, n.n_orders, COALESCE(g.gini, 0.0) AS gini
+FROM n LEFT JOIN g USING (priority)
 """,
 )
 def udaf_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,7 +106,10 @@ def stateful_range_over_sum(
         pdf = pdf.sort_values(time_col, kind="mergesort")
         # normalize to µs regardless of pandas datetime unit (ns or µs)
         row_ts = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
-        row_cents = np.rint(pdf[measure].to_numpy() * 100).astype(np.int64)
+        # half-up quantization — the SAME idiom as the batch twins and SQL
+        # oracles (np.rint is half-to-even and would diverge on exact .5
+        # products if the 2-decimal input contract were ever violated)
+        row_cents = np.floor(pdf[measure].to_numpy() * 100 + 0.5).astype(np.int64)
 
         # per-key watermark drop (T2): more than `delay` behind the key's max
         keep = (
@@ -230,7 +233,10 @@ def stateful_rows_anomaly(
         pdf = pdf.sort_values([time_col, row_id], kind="mergesort")
         row_ts = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         row_ids = pdf[row_id].to_numpy(dtype=np.int64)
-        row_cents = np.rint(pdf[measure].to_numpy() * 100).astype(np.int64)
+        # half-up quantization — the SAME idiom as the batch twins and SQL
+        # oracles (np.rint is half-to-even and would diverge on exact .5
+        # products if the 2-decimal input contract were ever violated)
+        row_cents = np.floor(pdf[measure].to_numpy() * 100 + 0.5).astype(np.int64)
         row_vals = pdf[measure].to_numpy()
 
         keep = (

@@ -166,6 +166,52 @@ def test_real_decoder_degrades_gracefully(spark, sf_dir):
             M.extract_features(media, use_real_decoder=True, strict=True)
 
 
+def test_real_decoder_branch_with_fake_pil():
+    """The real decode arm (open -> convert('L') -> numpy stats + actual
+    dims) exercised via an injected minimal PIL so the wiring is verified
+    even in this Pillow-less container. On a worker WITH Pillow the inline
+    copy of this logic in extract_features runs the same steps."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from ibis_flink_example_spark.operators.multimodal import _decode_image_real
+
+    pixels = np.array([[0, 255], [10, 20]], dtype=np.uint8)  # 2x2 grayscale
+
+    class FakeImg:
+        width, height = 2, 2
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return pixels
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        mean, lo, hi, w, h = _decode_image_real(b"\x89PNG fake payload")
+        assert (lo, hi, w, h) == (0, 255, 2, 2)
+        assert abs(mean - pixels.mean()) < 1e-9
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
 def test_ivf_topk_vs_bruteforce(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 5)
