@@ -60,6 +60,29 @@ def main() -> None:
         print(f"warmup failed: {exc}", file=sys.stderr)
     warmup_sec = time.perf_counter() - t0
 
+    # Machine-load normalization: wall timings on a shared machine swing
+    # ±50% with background load, so raw round-over-round totals are not
+    # comparable. Re-time the two pinned sentinel queries (best of 3, after
+    # warmup) and report the ratio against their IDLE-machine reference
+    # (the committed round-5 snapshot, bench_out.json @ af876a8). The
+    # normalized total divides out uniform machine load; per-query drift
+    # still shows in the raw per-query timings.
+    SENTINEL_REF_SEC = {"over_range_sum_10s": 0.56, "dedup_exact": 2.37}
+    sentinel_sec = {}
+    for name in SENTINEL_REF_SEC:
+        try:
+            sentinel_sec[name] = min(run_once(name) for _ in range(3))
+        except Exception as exc:
+            print(f"sentinel {name} failed: {exc}", file=sys.stderr)
+    load_factor = (
+        round(
+            sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC[n] for n in sentinel_sec),
+            4,
+        )
+        if sentinel_sec
+        else None
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in QUERIES:
@@ -80,6 +103,11 @@ def main() -> None:
         "errors": errors,
         "warmup_sec": round(warmup_sec, 4),
         "cpus": int(cpus),
+        # sentinel-normalized seconds: raw total divided by the measured
+        # machine-load factor (1.0 == the idle reference machine state)
+        "sentinel_sec": {k: round(v, 4) for k, v in sentinel_sec.items()},
+        "load_factor": load_factor,
+        "value_load_normalized": round(total / load_factor, 4) if load_factor else None,
     }
     spark.stop()
     # Durable copy first: the driver's stdout capture truncates long tails,

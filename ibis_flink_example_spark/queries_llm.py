@@ -314,31 +314,34 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_recall_ivf",
-    # The IVF index is built from a seeded, deterministic k-means on the
-    # corpus — not reproducible in SQL (the centroids depend on the data),
-    # so the oracle instead verifies a STATEMENT about the approximate
-    # path: recall@5 against the exact brute-force baseline clears a fixed
-    # floor. n_queries comes from the data; the booleans are the claim
-    # (measured recall 0.64–0.72 across sf0.001/0.01/0.1 — threshold 0.5
-    # holds with margin at every fixture SF).
-    oracle="""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_half
-FROM embeddings WHERE vec_id IN (0,1,2,3,4)
-""",
-)
-def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 companion: deterministic recall@5 of the IVF path vs the exact
-    brute-force top-5, emitted as a hash-matchable scalar row — the
-    driver-visible quality bound for an estimator that cannot carry a
-    per-row SQL oracle."""
-    em = load_table(spark, sf_dir, "embeddings")
+def _qa_sample(df: DataFrame, id_col: str, sample_fraction: float | None, seed: int) -> DataFrame:
+    """Seeded deterministic subsample for estimator-QA queries: keep rows
+    whose xxhash64(id, seed) falls under the fraction threshold — a
+    map-only filter, reproducible across runs/partitionings (unlike
+    ``DataFrame.sample``, whose output depends on partition layout). At
+    100 TB the exact legs of the QA companions run on this bounded sample
+    instead of the full corpus; ``None`` keeps the full input."""
+    if sample_fraction is None or sample_fraction >= 1.0:
+        return df
+    thr = int(sample_fraction * 1_000_000)
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) < thr
+    )
+
+
+def ann_recall_ivf_impl(
+    em: DataFrame, sample_fraction: float | None = None, seed: int = 7
+) -> DataFrame:
+    """Recall@5 of the IVF path vs exact brute-force top-5 over the (maybe
+    sampled) corpus; both legs see the SAME sample so the ratio stays an
+    unbiased estimate of retrieval quality on that subcorpus. Query vectors
+    are never sampled out (they are the probe set, not the corpus)."""
+    corpus = _qa_sample(em, "vec_id", sample_fraction, seed)
     queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     kw = dict(id_col="vec_id", vec_col="embedding", query_id_col="vec_id", k=5)
-    exact = S.cosine_topk(em, queries, **kw).select("query_id", "vec_id")
+    exact = S.cosine_topk(corpus, queries, **kw).select("query_id", "vec_id")
     approx = S.ivf_topk(
-        em, queries, n_lists=16, n_probe=4, fit_fraction=0.3, max_iter=5, **kw
+        corpus, queries, n_lists=16, n_probe=4, fit_fraction=0.3, max_iter=5, **kw
     ).select("query_id", "vec_id")
     hits = approx.join(exact, ["query_id", "vec_id"], "inner").agg(
         F.count(F.lit(1)).alias("__n_hits")
@@ -351,29 +354,56 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries",
         F.lit(5).alias("k"),
         (F.col("__n_hits") / F.col("__n_exact") >= 0.5).alias("recall_ge_half"),
+        F.floor(F.col("__n_hits") / F.col("__n_exact") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("recall_x1e6"),
     )
 
 
 @query(
-    "minhash_vs_exact_pairs",
-    # Ground truth = the exact n-gram Jaccard pairs (same shingle universe
-    # as the MinHash signatures), whose pair count IS SQL-computable; the
-    # estimator's retrieval quality against it is asserted as fixed floors
-    # (measured recall = precision = 1.0 at sf0.001/0.01/0.1 — the banded
-    # LSH + 64-hash estimate loses nothing at a 0.5 threshold on these
-    # fixtures; 0.9 leaves margin).
-    oracle=f"""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-       TRUE AS recall_ge_90pct, TRUE AS precision_ge_90pct
-FROM ({_NGRAM_JACCARD_ORACLE})
+    "ann_recall_ivf",
+    # The IVF index is built from a seeded, deterministic k-means on the
+    # corpus — not reproducible in SQL (the centroids depend on the data),
+    # so the oracle verifies STATEMENTS about the approximate path:
+    # recall@5 against the exact brute-force baseline clears a fixed floor
+    # (boolean), AND equals the measured per-fixture value (recall_x1e6 —
+    # the Spark side computes it from data; the oracle pins the known
+    # value per fixture, keyed by an order-independent md5 fingerprint of
+    # the label sequence, so ANY recall drift flips the driver hash).
+    oracle="""
+WITH fp AS (
+  SELECT substr(md5(string_agg(CAST(label AS VARCHAR), ',' ORDER BY vec_id)), 1, 8) AS f
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ge_half,
+       (SELECT CASE f WHEN '7dbac953' THEN CAST(640000 AS BIGINT)  -- sf0.001
+                      WHEN 'e56ef39f' THEN CAST(720000 AS BIGINT)  -- sf0.01
+                      WHEN 'efe059b5' THEN CAST(680000 AS BIGINT)  -- sf0.1
+        END FROM fp) AS recall_x1e6
+FROM embeddings WHERE vec_id IN (0,1,2,3,4)
 """,
 )
-def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 companion: retrieval quality of the MinHash+LSH candidate pairs
-    (est_jaccard >= 0.5) against the EXACT n-gram Jaccard pairs at the same
-    threshold, as driver-hashable scalars — closes the 'estimators are
-    rows-only forever' gap without pretending the estimate is exact."""
-    docs = load_table(spark, sf_dir, "documents")
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 companion: deterministic recall@5 of the IVF path vs the exact
+    brute-force top-5, emitted as hash-matchable scalars (boolean floor +
+    measured fixed-point recall) — the driver-visible quality bound for an
+    estimator that cannot carry a per-row SQL oracle. At scale, run
+    ``ann_recall_ivf_impl(em, sample_fraction=...)`` to bound the exact
+    brute-force leg."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_ivf_impl(em)
+
+
+def minhash_vs_exact_pairs_impl(
+    docs: DataFrame, sample_fraction: float | None = None, seed: int = 11
+) -> DataFrame:
+    """Retrieval quality (recall/precision at est_jaccard >= 0.5) of the
+    MinHash+LSH candidate pairs against exact n-gram Jaccard over the same
+    (maybe sampled) corpus — both legs see the identical sample, so the
+    ratios estimate the full-corpus quality. At 100 TB the exact all-pairs
+    leg MUST be bounded: pass ``sample_fraction`` to run the probe on a
+    seeded subcorpus (a quality probe, not a pipeline stage)."""
+    docs = _qa_sample(docs, "doc_id", sample_fraction, seed)
     est = D.minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text", shingle_n=3
     ).filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
@@ -385,6 +415,9 @@ def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_est = est.agg(F.count(F.lit(1)).alias("__n_est"))
+    fixed = lambda num, den: (  # noqa: E731 - local fixed-point idiom
+        F.floor(num / den * 1_000_000 + 0.5).cast("bigint")
+    )
     return (
         n_ex.crossJoin(n_est)
         .crossJoin(inter)
@@ -396,8 +429,37 @@ def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n_inter") / F.col("__n_est") >= 0.9).alias(
                 "precision_ge_90pct"
             ),
+            fixed(F.col("__n_inter"), F.col("n_exact_pairs")).alias("recall_x1e6"),
+            fixed(F.col("__n_inter"), F.col("__n_est")).alias("precision_x1e6"),
         )
     )
+
+
+@query(
+    "minhash_vs_exact_pairs",
+    # Ground truth = the exact n-gram Jaccard pairs (same shingle universe
+    # as the MinHash signatures), whose pair count IS SQL-computable; the
+    # estimator's retrieval quality against it is pinned BOTH as floors
+    # and as measured fixed-point values (recall = precision = 1.0 at
+    # sf0.001/0.01/0.1 — the banded LSH + 64-hash estimate loses nothing
+    # at a 0.5 threshold on these fixtures — so the literals are
+    # 1000000; any quality drift flips the driver hash).
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ge_90pct, TRUE AS precision_ge_90pct,
+       CAST(1000000 AS BIGINT) AS recall_x1e6,
+       CAST(1000000 AS BIGINT) AS precision_x1e6
+FROM ({_NGRAM_JACCARD_ORACLE})
+""",
+)
+def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 companion: retrieval quality of the MinHash+LSH candidate pairs
+    (est_jaccard >= 0.5) against the EXACT n-gram Jaccard pairs at the same
+    threshold, as driver-hashable scalars (floors + measured fixed-point
+    values) — closes the 'estimators are rows-only forever' gap without
+    pretending the estimate is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_vs_exact_pairs_impl(docs)
 
 
 @query(

@@ -159,6 +159,13 @@ def _stream_dir_for(path: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture replayed through the streaming file source.
 
+    The stream is built on a ``state_scoped_session`` CLONE of the caller's
+    session (shared context/catalog, private SQLConf) carrying
+    ``_STATE_PARTS`` shuffle/state partitions — every downstream stage and
+    ``run_available_now``/``foreach_batch`` inherit it through the
+    DataFrame, so no streaming query ever mutates the caller's session
+    conf (concurrency-safe; the decode flags below also land on the clone).
+
     The physical timestamp unit of the fixture decides the decode path
     (mirrors the batch reader, sources/files.py): TIMESTAMP(NANOS) fixtures
     are read as int64-ns under ``nanosAsLong`` then lowered with ``div
@@ -167,7 +174,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ibis_flink_example_spark.schema import EVENTS_SCHEMA, schema as mk_schema
     from ibis_flink_example_spark.sources.files import _nanos_timestamp_columns
+    from ibis_flink_example_spark.streaming.runtime import state_scoped_session
 
+    spark = state_scoped_session(spark, _STATE_PARTS)
     path = table_path(sf_dir, "events")
     if "ts" in _nanos_timestamp_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -227,7 +236,7 @@ def streaming_tumble_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["event_type"],
     )
-    return run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(agged, output_mode="append")
 
 
 _STREAMING_OVER_ORACLE = """
@@ -266,7 +275,7 @@ def streaming_over_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay_seconds=15,
         out_col="value_sum_10s",
     )
-    return run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(agged, output_mode="append")
 
 
 _SINK_ROUNDTRIP_TABLE = "streaming_sink_roundtrip_tbl"
@@ -322,19 +331,14 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    # Scope state partitions to the stateful agg's tiny key space (same
-    # sizing rationale as run_available_now's state_partitions knob).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTS))
-    try:
-        q = foreach_batch(
-            agged,
-            lambda bdf, bid: bdf.write.insertInto(_SINK_ROUNDTRIP_TABLE),
-            available_now=True,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # State partitions are scoped to the stream's private session clone
+    # (see _events_stream) — the caller's session conf is never touched.
+    q = foreach_batch(
+        agged,
+        lambda bdf, bid: bdf.write.insertInto(_SINK_ROUNDTRIP_TABLE),
+        available_now=True,
+    )
+    q.awaitTermination()
     return spark.table(_SINK_ROUNDTRIP_TABLE)
 
 
@@ -385,7 +389,6 @@ def streaming_over_range_sum_join(spark: SparkSession, sf_dir: str) -> DataFrame
             out_col="value_sum_10s",
         ),
         output_mode="append",
-        state_partitions=_STATE_PARTS,
     )
 
 
@@ -411,7 +414,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_available_now(stream, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(stream, output_mode="append")
 
 
 @query(
@@ -466,7 +469,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     ).select("purchase_id", "view_id", "view_value")
-    return run_available_now(joined, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(joined, output_mode="append")
 
 
 @query(
@@ -525,7 +528,7 @@ def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         keys=["user_id"],
     )
-    out = run_available_now(agged, output_mode="append", state_partitions=_STATE_PARTS)
+    out = run_available_now(agged, output_mode="append")
     return out.select("user_id", "window_start", "window_end", "n_events", "sum_value")
 
 
@@ -557,7 +560,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(F.broadcast(dim), "user_id").select(
         "event_id", "user_id", "cohort", "value"
     )
-    return run_available_now(joined, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(joined, output_mode="append")
 
 
 @query(
@@ -607,7 +610,6 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         ),
         output_mode="append",
-        state_partitions=_STATE_PARTS,
     )
     return out
 
@@ -638,7 +640,7 @@ def streaming_anomaly_zscore_rowsonly(spark: SparkSession, sf_dir: str) -> DataF
         z_threshold=3,
         delay_seconds=15,
     )
-    return run_available_now(flagged, output_mode="append", state_partitions=_STATE_PARTS)
+    return run_available_now(flagged, output_mode="append")
 
 
 def _FUNNEL_ORACLE_REF() -> str:
@@ -664,9 +666,7 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stateful_funnel_stages(
         stream, steps, key="user_id", time_col="ts", type_col="event_type"
     )
-    drained = run_available_now(
-        staged, output_mode="append", state_partitions=_STATE_PARTS
-    )
+    drained = run_available_now(staged, output_mode="append")
     # final snapshot per user = the max-update_seq emission
     final = drained.groupBy("user_id").agg(
         *[
@@ -691,6 +691,63 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return counts.select(F.explode(stages).alias("x")).select("x.*")
+
+
+@query(
+    "streaming_sessionize",
+    # The stateful op emits a session exactly when a SUCCESSOR event closes
+    # it (> 30 min later), so a drained run = the batch gaps-and-islands
+    # sessionize minus each user's final (still-open) session — a
+    # deterministic contract independent of the final watermark value.
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_seq
+  FROM g
+), r AS (
+  SELECT user_id, session_seq,
+    MIN(ts) AS session_start,
+    MAX(ts) AS session_end,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM s GROUP BY 1, 2
+)
+SELECT * FROM r
+QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+""",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session-ID assignment (30-min gap) + per-session stats —
+    the streaming twin of the batch sessionize_stats, via O(1)-per-key
+    ``applyInPandasWithState`` (streaming/stateful.py:stateful_sessionize).
+    Unlike session_window (which emits anonymous windows), this carries the
+    batch query's EXPLICIT session_seq numbering into streaming; sessions
+    emit when closed by a successor event, so the drained run hash-matches
+    the batch oracle restricted to non-final sessions."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    stream = _events_stream(spark, sf_dir)
+    sessions = stateful_sessionize(
+        stream,
+        key="user_id",
+        time_col="ts",
+        measure="value",
+        tiebreak_col="event_id",
+        gap_seconds=30 * 60,
+        delay_seconds=15,
+    )
+    return run_available_now(sessions, output_mode="append")
 
 
 @query(
@@ -764,17 +821,15 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").saveAsTable(nxt)
         state["cur"] = nxt
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTS))
-    try:
-        q = foreach_batch(
-            _events_stream(spark, sf_dir).select("user_id", "value"),
-            apply_batch,
-            available_now=True,
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # State partitions ride the stream's private session clone (see
+    # _events_stream); apply_batch's partial aggs inherit it via
+    # bdf.sparkSession — no mutation of the caller's session.
+    q = foreach_batch(
+        _events_stream(spark, sf_dir).select("user_id", "value"),
+        apply_batch,
+        available_now=True,
+    )
+    q.awaitTermination()
     if state["cur"] is None:  # zero micro-batches: empty view, not a crash
         return spark.createDataFrame(
             [], "user_id long, total_value double, n_events bigint"

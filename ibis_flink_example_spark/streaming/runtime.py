@@ -21,6 +21,27 @@ def with_watermark(df: DataFrame, time_col: str, delay_seconds: float) -> DataFr
     return df.withWatermark(time_col, f"{delay_seconds} seconds")
 
 
+def state_scoped_session(spark, state_partitions: int):
+    """Conf-isolated clone of ``spark`` for ONE streaming query: shares the
+    SparkContext and (persistent-table) catalog, owns its SQLConf — so
+    per-query state-partition sizing, and any decode flags the file source
+    sets, never mutate the caller's session. This is the concurrency-safe
+    replacement for the mutate/restore pattern: queries build their stream
+    ON the clone, and the clone's ``spark.sql.shuffle.partitions`` is
+    latched into the query's state checkpoint at first start.
+
+    ``newSession()`` does NOT inherit runtime-set conf (only SparkConf
+    defaults), so the package conventions (UTC timezone, Arrow, NTZ-off)
+    are re-applied to the clone before the state-partition override.
+    """
+    from ibis_flink_example_spark.session import apply_session_conf
+
+    s = spark.newSession()
+    apply_session_conf(s)
+    s.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    return s
+
+
 def run_available_now(
     df: DataFrame,
     *,

@@ -403,3 +403,123 @@ def stateful_funnel_stages(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    measure: str,
+    tiebreak_col: str,
+    gap_seconds: float,
+    delay_seconds: float,
+) -> DataFrame:
+    """Streaming session assignment with EXPLICIT session IDs — the
+    streaming twin of the batch gaps-and-islands sessionize
+    (queries_analytics.py:sessionize_stats; W3 session semantics carried on
+    T3 keyed state instead of session_window, which emits windows but not
+    session membership/sequence numbers).
+
+    Per-key state is ONE open session: (seq, start_us, last_us, n, cents) —
+    O(1) per key, unlike the buffer ops. Rows are processed in (ts,
+    tiebreak) order; a row more than ``gap_seconds`` after the open
+    session's last event CLOSES it (emit) and opens seq+1. Sessions are
+    therefore emitted exactly when closed by a successor event — a
+    deterministic contract independent of the final watermark, so the
+    drained-run oracle is simply the batch sessionize restricted to each
+    user's non-last sessions. The still-open last session lives in state
+    and is never emitted (its batch row is excluded by the same rule).
+
+    Late data (T2): rows more than ``delay_seconds`` behind the key's max
+    seen event time are dropped (per-key watermark, same contract as
+    stateful_range_over_sum); a within-delay straggler that still belongs
+    to the open session folds into it (start/min, n, sum all update).
+
+    Output: (key, session_seq, session_start, session_end, n_events,
+    sum_value) — identical column contract to the batch query; sums carry
+    integer cents internally (2-decimal-exact, order-independent).
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    delay_us = int(delay_seconds * 1_000_000)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("session_seq", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, start_us, last_us, n, cents = (int(x) for x in state.get)
+        else:
+            seq, start_us, last_us, n, cents = 0, -1, -1, 0, 0
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+        row_ts = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        # half-up — same idiom as every 2-decimal money path in the package
+        row_cents = np.floor(pdf[measure].to_numpy() * 100 + 0.5).astype(np.int64)
+
+        closed: list[tuple[int, int, int, int, int]] = []
+        max_seen = last_us
+        for t, c in zip(row_ts, row_cents):
+            t, c = int(t), int(c)
+            if max_seen != -1 and t < max_seen - delay_us:
+                continue  # beyond the per-key lateness budget: drop
+            max_seen = max(max_seen, t)
+            if n == 0:
+                seq, start_us, last_us, n, cents = seq + 1, t, t, 1, c
+            elif t - last_us > gap_us:
+                closed.append((seq, start_us, last_us, n, cents))
+                seq, start_us, last_us, n, cents = seq + 1, t, t, 1, c
+            else:
+                # straggler before session start folds in via min()
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
+                cents += c
+        state.update((seq, start_us, last_us, n, cents))
+
+        yield pd.DataFrame(
+            {
+                key: np.repeat(key_tuple[0], len(closed)),
+                "session_seq": np.array([s[0] for s in closed], dtype=np.int64),
+                "session_start": np.array(
+                    [s[1] for s in closed], dtype="datetime64[us]"
+                ),
+                "session_end": np.array(
+                    [s[2] for s in closed], dtype="datetime64[us]"
+                ),
+                "n_events": np.array([s[3] for s in closed], dtype=np.int64),
+                "sum_value": np.array([s[4] for s in closed], dtype=np.float64)
+                / 100.0,
+            }
+        )
+
+    watermarked = stream.select(key, time_col, tiebreak_col, measure).withWatermark(
+        time_col, f"{delay_seconds} seconds"
+    )
+    return watermarked.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -166,6 +166,42 @@ def test_real_decoder_degrades_gracefully(spark, sf_dir):
             M.extract_features(media, use_real_decoder=True, strict=True)
 
 
+def test_qa_sampled_mode_within_tolerance(spark, sf_dir):
+    """The seeded sample_fraction mode of the estimator-QA companions:
+    deterministic (same seed -> same rows), bounded (sample strictly
+    smaller), and the sampled quality estimate stays within tolerance of
+    the full-corpus value (both legs see the same subcorpus, so the ratio
+    remains a quality measurement, not noise)."""
+    from ibis_flink_example_spark.queries_llm import (
+        _qa_sample,
+        ann_recall_ivf_impl,
+        minhash_vs_exact_pairs_impl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = _qa_sample(docs, "doc_id", 0.5, seed=11)
+    s2 = _qa_sample(docs, "doc_id", 0.5, seed=11)
+    n_full, n_half = docs.count(), s1.count()
+    assert 0 < n_half < n_full
+    assert 0.3 * n_full < n_half < 0.7 * n_full  # hash split is near-uniform
+    assert s1.exceptAll(s2).count() == 0  # deterministic, not rng-per-run
+
+    full = minhash_vs_exact_pairs_impl(docs).first()
+    sampled = minhash_vs_exact_pairs_impl(docs, sample_fraction=0.5).first()
+    assert sampled["n_exact_pairs"] <= full["n_exact_pairs"]
+    # planted dups dominate the pair set; the sampled probe must agree on
+    # estimator quality within 10 points even at half the corpus
+    assert abs(sampled["recall_x1e6"] - full["recall_x1e6"]) <= 100_000
+    assert abs(sampled["precision_x1e6"] - full["precision_x1e6"]) <= 100_000
+
+    em = load_table(spark, sf_dir, "embeddings")
+    r = ann_recall_ivf_impl(em, sample_fraction=0.5).first()
+    assert r["n_queries"] == 5 and 0 <= r["recall_x1e6"] <= 1_000_000
+    # a smaller corpus makes exact top-5 easier to match, not harder, for
+    # the IVF probe at fixed n_lists/n_probe; assert the floor still holds
+    assert r["recall_ge_half"]
+
+
 def test_real_decoder_branch_with_fake_pil():
     """The real decode arm (open -> convert('L') -> numpy stats + actual
     dims) exercised via an injected minimal PIL so the wiring is verified

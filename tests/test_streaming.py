@@ -169,6 +169,114 @@ def test_selfjoin_over_window_watermark_semantics(spark, sf_dir, events_replay_d
     assert not missing, f"{len(missing)} watermark-passed rows never emitted"
 
 
+def test_stateful_sessionize_multibatch_equals_batch(spark, sf_dir, events_replay_dir):
+    """Multi-batch replay of stateful_sessionize == batch gaps-and-islands
+    sessionize restricted to each user's non-final (closed) sessions —
+    session_seq numbering, bounds, counts, and exact sums all match."""
+    from pyspark.sql.window import Window
+
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    streamed = run_available_now(
+        stateful_sessionize(
+            _stream_events(spark, events_replay_dir),
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            tiebreak_col="event_id",
+            gap_seconds=30 * 60,
+            delay_seconds=15,
+        ),
+        output_mode="append",
+    )
+    e = load_table(spark, sf_dir, "events")
+    ordered = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(ordered)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000)
+    ).cast("int")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        e.select(
+            "user_id", "ts", "value",
+            F.sum(new_session).over(running).alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .withColumn(
+            "max_seq",
+            F.max("session_seq").over(Window.partitionBy("user_id")),
+        )
+        .where(F.col("session_seq") < F.col("max_seq"))
+        .drop("max_seq")
+    )
+    cols = ["user_id", "session_seq", "session_start", "session_end", "n_events", "sum_value"]
+    assert len(streamed.columns) == len(cols)
+    assert _sorted_pdf(batch, cols).equals(_sorted_pdf(streamed, cols))
+
+
+def test_stateful_sessionize_straggler_folds_into_open_session(spark):
+    """A within-delay straggler older than the open session's last event
+    folds into the session (count/sum/start update); a beyond-delay row is
+    dropped. Single-key micro-scenario over two micro-batches."""
+    import json
+    import time as _time
+
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    d = tempfile.mkdtemp(prefix="sess_late_")
+    base = 1_700_000_000_000_000  # µs
+    b1 = [  # batch 1: two events 5 s apart
+        {"event_id": 1, "ts": base, "user_id": 1, "value": 1.00},
+        {"event_id": 2, "ts": base + 5_000_000, "user_id": 1, "value": 2.00},
+    ]
+    b2 = [
+        # straggler 3 s behind the max — within the 15 s delay: folds in
+        {"event_id": 3, "ts": base + 2_000_000, "user_id": 1, "value": 4.00},
+        # 40 min later: closes session 1, opens session 2
+        {"event_id": 4, "ts": base + 2_400_000_000, "user_id": 1, "value": 8.00},
+    ]
+    now = _time.time()
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(d, f"{i}.jsonl")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now + 2 * i, now + 2 * i))
+    stream = (
+        spark.readStream.schema("event_id long, ts long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    out = run_available_now(
+        stateful_sessionize(
+            stream,
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            tiebreak_col="event_id",
+            gap_seconds=30 * 60,
+            delay_seconds=15,
+        ),
+        output_mode="append",
+    ).collect()
+    shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1  # session 1 closed by event 4; session 2 still open
+    row = out[0]
+    assert row["session_seq"] == 1
+    assert row["n_events"] == 3  # straggler included
+    assert abs(row["sum_value"] - 7.00) < 1e-9
+    assert row["session_start"].timestamp() * 1_000_000 == base
+
+
 def test_late_rows_dropped_by_watermark(spark):
     """T2 semantics: a row later than the watermark delay is excluded from
     its window's aggregate (reference: 15 s allowed delay).
