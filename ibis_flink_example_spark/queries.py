@@ -65,134 +65,82 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # pinned sentinels (r4-green; regression tripwires)
+    # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # round-3 error rows (TIMESTAMP_NTZ drift), fixed in r4 commit 48709b7
-    # but never re-checked by the driver since
-    "over_range_sum_1h",
-    "range_join_events",
-    "asof_join_clicks",
-    "window_lag_lead",
-    # never driver-checked (added at positions 51+ in rounds 3/4)
-    "window_distribution",
-    "filtered_aggs",
-    "exists_subquery_customers",
-    "posexplode_priorities",
-    "agg_salted_skew",
-    "join_null_safe",
-    "embedding_quantize",
-    "text_fingerprint",
-    "text_repetition",
-    "text_winnow_sketch",
-    "decontaminate_ngram",
-    "multimodal_meta",
-    "multimodal_resize_plan",
-    # streaming funnel (full join-chain oracle) takes the slot of the
-    # third multimodal plan variant (family has two in-window rows plus
-    # r4-green multimodal_features)
-    "streaming_funnel",
-    "sample_hash_10pct",
-    "pack_sequences_2k",
-    # grouped-agg pandas UDAF — the one §2.10 surface with no prior row
-    # (displaces tumble_1m, whose family is already represented in-window
-    # by slide_5m_1m r4-green and streaming_tumble_1m)
-    "udaf_gini_by_priority",
-    # changed this round: append-mode migration (new oracles)
-    "streaming_tumble_1m",
-    "streaming_session_30m",
-    # changed this round: restored full value oracles
-    "approx_quantiles_value",
-    "cosine_topk_lsh",
-    # changed this round: hot-bucket caps threaded through pair generation
-    # (the full-oracle exact leg; the rows-only estimator legs
-    # dedup_minhash / dedup_simhash_pairs keep their r4 rows-only rows
-    # and sit just past the window — a repeat rows-only row adds nothing)
-    "ngram_jaccard_pairs",
-    # new this round: estimator quality companions
-    "ann_recall_ivf",
-    "minhash_vs_exact_pairs",
-    # new this round — PII redaction, S8 source roundtrips, SimHash
-    # coverage floor (never-checked > re-verified: displaced r3-only greens
-    # keep their r3 rows and rotate back next round)
-    "text_pii_redact",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "simhash_exact_dup_coverage",
-    # new this round — corpus term statistics (TF-IDF / heavy hitters /
-    # length histogram), semantic dedup (recursive-CTE oracle),
-    # temperature-balanced sampling, MERGE-upsert
-    "text_tfidf_top_terms",
-    "term_heavy_hitters",
-    "token_length_histogram",
-    "semantic_dedup",
-    "sample_lang_balanced",
-    "merge_upsert_customers",
-    # new this round — event-journey analytics (funnel semantics
-    # cross-checked against an independent join-chain oracle formulation)
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    # new this round — context-window chunking (zero-exchange 1:N explode)
-    # and df-based term pruning (the CCNet boilerplate-removal shape)
-    "chunk_documents_200_50",
-    "strip_high_df_terms",
-    # new this round — journey transition matrix + integer-exact trailing
-    # z-score anomaly flags (the monitoring face of the flagship's frame)
-    "event_transitions",
-    "events_anomaly_zscore",
-    # new this round — SCD2 interval build (gaps-and-islands, 1 exchange)
-    "scd2_customer_priority",
-    # new this round — single-pass Deequ-style audit + exact centroid build
-    "data_quality_audit",
-    "embedding_centroid_by_label",
-    # new this round — stateful streaming twin of the anomaly monitor
-    # (rows-only: ROWS frames under arbitrary arrival order are not
-    # SQL-expressible; exact batch equality is pinned in tests)
-    "streaming_anomaly_zscore",
-    # new this round — ORC roundtrip (S8's second columnar format): first
-    # in line for the next rotation; csv/jsonl represent the roundtrip
-    # family inside this round's window
-    "orc_roundtrip",
-    # new this round — iterative BPE tokenizer training (rows-only: SQL
-    # cannot express iteration; exact equality vs a pure-Python reference
-    # BPE is pinned in tests)
-    "bpe_learn_merges",
-    # new this round — last-touch attribution (window IGNORE NULLS) and
-    # Z-order layout stats (Morton interleave, pure codegen): full
-    # oracles, first in line for the next rotation
+    # the 15 round-5 additions that have never had a driver row (landed at
+    # positions 51+ last round): 13 full oracles + the 2 rows-only BPE
+    # queries. First priority this round — converts locally-green to
+    # externally-verified at zero implementation cost.
+    "pareto_customers_by_nation",
+    "rolling_wau",
+    "market_basket_pairs",
+    "sessionize_stats",
+    "dedup_incremental",
+    "langid_confusion",
     "attribution_last_touch",
     "zorder_bucket_stats",
     "doc_rare_bigram_score",
-    "bpe_token_counts",
-    # new this round — explicit session-ID assignment + per-session stats
-    # (gaps-and-islands) and a foreachBatch-MERGE materialized view
-    "sessionize_stats",
     "streaming_upsert_totals",
-    # new this round — ingest-time dedup vs an accepted corpus, and the
-    # lang-id confusion-matrix QA rollup
-    "dedup_incremental",
-    "langid_confusion",
-    # new this round — exact rolling 7-day active users (day-offset
-    # expansion of deduplicated day-user pairs)
-    "rolling_wau",
-    "market_basket_pairs",
-    # new this round — per-nation revenue Pareto (integer-cents cumulative
-    # share inside nation partitions; no global sort)
-    "pareto_customers_by_nation",
+    "orc_roundtrip",
     "tumble_1m",
     "multimodal_frame_sample",
-    # displaced to fit the 50-slot window (all carry green/rows-only r4
-    # rows and stay first in line if the window ever widens): two r4
-    # sentinels whose regressions the local gate still catches, the two
-    # rows-only estimator legs, then r3-only-green family representatives
+    "bpe_learn_merges",
+    "bpe_token_counts",
+    # new in round 6 — all land INSIDE the window (never-checked set must
+    # shrink, not grow): the streaming sessionize twin, bivariate stats,
+    # timeseries regularization (spine/LOCF/cumulative-distinct),
+    # funnel latency, Welch t-test, ntile buckets, corpus-LM surprisal
+    "streaming_sessionize",
+    "stats_corr_price_qty",
+    "date_spine_daily_revenue",
+    "gap_fill_locf",
+    "running_distinct_users",
+    "conversion_latency_stats",
+    "ab_value_ttest",
+    "ntile_acctbal_quartiles",
+    "doc_unigram_surprisal",
+    # changed this round: estimator companions now pin MEASURED fixed-point
+    # recall/precision (new columns + per-fixture oracle values), the gini
+    # oracle gained null/zero guards, the sampling oracle's double chain
+    # was made scale-exact, SCD2 got a null-safe change flag
+    "ann_recall_ivf",
+    "minhash_vs_exact_pairs",
+    "udaf_gini_by_priority",
+    "sample_lang_balanced",
+    "scd2_customer_priority",
+    # changed this round: streaming queries migrated to conf-isolated
+    # session clones (state sizing without session mutation) and the
+    # stateful ops' quantization idiom unified — re-verify one
+    # representative per streaming shape
+    "streaming_over_range_sum",
     "streaming_sink_roundtrip",
+    "streaming_tumble_1m",
+    "streaming_session_30m",
+    "streaming_anomaly_zscore",
+    # rotate-back re-verifies (displaced in r5; r3/r4-green): TPC-H joins,
+    # decode, grouping sets, theta join
     "tpch_q21_suppliers_who_kept_waiting",
-    "dedup_minhash",
-    "dedup_simhash_pairs",
+    "tpch_q3_shipping_priority",
     "json_decode",
     "grouping_sets_revenue",
     "join_theta",
-    "tpch_q3_shipping_priority",
+    # r3-only-green family representatives (oldest external rows in the
+    # registry — refresh one per operator family)
+    "join_broadcast_dims",
+    "topk_orders",
+    "set_ops_multiset",
+    "string_funcs",
+    "date_funcs",
+    "udtf_props_kv",
+    "window_ranking",
+    "cube_platform_province",
+    "nested_struct_json",
+    # displaced to positions 51+ (every one carries a green or rows-only
+    # driver row from r3-r5; the local oracle gate re-checks all of them
+    # every CI run): dedup_minhash / dedup_simhash_pairs (rows-only
+    # estimator legs), the remaining r4/r5 greens, and the rest of the
+    # registry in registration order
 )
 
 

@@ -381,3 +381,493 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "stats_corr_price_qty",
+    # Bivariate statistics via exact integer moments: every cross-row sum
+    # is DECIMAL over integer cents (order-independent, engine-exact); the
+    # closing corr/cov/slope formulas are an IDENTICAL double chain in both
+    # engines (each sum cast to DOUBLE first, ops in the same order), so
+    # the floats match bit-for-bit — the package's standard exactness idiom
+    # extended to second moments.
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sx,
+    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sy,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round(l_quantity * 100) AS BIGINT)) AS sxy,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxx,
+    SUM(CAST(round(l_quantity * 100) AS BIGINT)
+        * CAST(round(l_quantity * 100) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+     / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS covar_samp,
+  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+     / (CAST(n AS DOUBLE) - 1.0))
+    / sqrt(
+        ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0))
+        * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0))
+      ) AS corr_price_qty,
+  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+     / (CAST(n AS DOUBLE) - 1.0))
+    / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS regr_slope_price_on_qty
+FROM m
+""",
+)
+def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregate statistics (corr / sample covariance / OLS
+    slope) of extended price vs quantity per return flag. Spark's builtin
+    corr()/covar_samp() accumulate doubles in partition order
+    (nondeterministic across runs, unmatchable across engines), so the
+    moments are computed as exact DECIMAL sums of integer cents — one
+    partial-aggregated groupBy, map-side combine, 6 numeric columns over
+    the scan — and the closing formulas run an identical double chain in
+    both engines. covar/slope rescaled to dollar/unit terms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    px, qy = cents("l_extendedprice"), cents("l_quantity")
+    dec = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(px).alias("sx"),
+        dec(qy).alias("sy"),
+        dec(px * qy).alias("sxy"),
+        dec(px * px).alias("sxx"),
+        dec(qy * qy).alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_cents = (dsxy - dsx * dsy / dn) / (dn - F.lit(1.0))
+    var_x = (dsxx - dsx * dsx / dn) / (dn - F.lit(1.0))
+    var_y = (dsyy - dsy * dsy / dn) / (dn - F.lit(1.0))
+    return m.select(
+        "l_returnflag",
+        "n",
+        (cov_cents / F.lit(10000.0)).alias("covar_samp"),
+        (cov_cents / F.sqrt(var_x * var_y)).alias("corr_price_qty"),
+        (cov_cents / var_y / F.lit(100.0)).alias("regr_slope_price_on_qty"),
+    )
+
+
+@query(
+    "date_spine_daily_revenue",
+    # The gap-filling shape: a generated calendar spine LEFT-joined with
+    # the daily rollup so zero-activity days appear with explicit zeros.
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('day', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(spine.day AS TIMESTAMP) AS day,
+  COALESCE(d.revenue, 0.0) AS revenue,
+  COALESCE(d.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN d USING (day)
+""",
+)
+def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: daily order revenue over the FULL
+    min..max date range, zero-filled for days with no orders — the
+    timeseries-regularization step every downstream window/forecast op
+    assumes. The spine is generated from the (1-row) bounds aggregate with
+    sequence+explode — no driver collect — and stays tiny (days, not rows),
+    so it broadcasts to the daily rollup; the only data-sized shuffle is
+    the rollup's own day-keyed exchange."""
+    from ibis_flink_example_spark.functions.exact import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).cast("date")
+    bounds = orders.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = orders.groupBy(day.alias("day")).agg(
+        dec_sum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "gap_fill_locf",
+    # Forward fill (last observation carried forward) on the user x day
+    # grid: per-user daily closing value, holes filled from the most
+    # recent prior day. Pure picks (no cross-row float arithmetic).
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+  FROM events
+), spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), u AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+      ROW_NUMBER() OVER (
+        PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY ts DESC, event_id DESC
+      ) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+  last_value(d.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value_filled,
+  d.value IS NOT NULL AS is_observed
+FROM (SELECT u.user_id, spine.day FROM u CROSS JOIN spine) g
+LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward fill: each user's daily closing event value carried
+    forward across no-activity days on the full calendar spine. Daily
+    close = max of the (ts, event_id, value) struct — one keyed exchange
+    with map-side partials, deterministic tiebreak — then the user x day
+    grid (the op's inherent output size) left-joins observations and a
+    per-user ordered window fills holes with last(ignorenulls). Days
+    before a user's first observation stay NULL (nothing to carry)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        events.groupBy("user_id", day.alias("day"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "day", F.col("m.value").alias("value"))
+    )
+    bounds = events.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    users = events.select("user_id").distinct()
+    grid = users.join(F.broadcast(spine))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+@query(
+    "running_distinct_users",
+    # Cumulative distinct = rollup of FIRST-SEEN days (each user counted
+    # on exactly one day), then a running sum over the tiny day axis —
+    # the exact distributed form; a naive per-day COUNT(DISTINCT u WHERE
+    # day <= d) rescans events once per day.
+    oracle="""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+  FROM events GROUP BY 1
+), nu AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY 1
+), days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+)
+SELECT CAST(days.day AS TIMESTAMP) AS day,
+  COALESCE(nu.new_users, 0) AS new_users,
+  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (
+    ORDER BY days.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN nu USING (day)
+""",
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per active day. The distinct-over-prefix
+    is rewritten as first-seen-day attribution (min(day) per user — one
+    user-keyed exchange over deduplicated pairs) + a day-level rollup;
+    the final running sum orders only the DAY axis (bounded cardinality —
+    an unpartitioned window over the post-aggregation frame, not over
+    events)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("day"))
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = events.select(day.alias("day")).distinct()
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nu = F.coalesce("new_users", F.lit(0).cast("long"))
+    return (
+        days.join(new_users, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            nu.alias("new_users"),
+            F.sum(nu).over(w).alias("cumulative_users"),
+        )
+    )
+
+
+@query(
+    "conversion_latency_stats",
+    # Funnel latency distribution: per converting user the view -> first
+    # subsequent purchase delay; percentiles are DISCRETE order statistics
+    # (rank selection on exact integer microseconds — engine-exact, no
+    # interpolation ulp risk), the mean is one double division at the end.
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t1.t
+  GROUP BY 1
+), d AS (
+  SELECT epoch_us(t2.t) - epoch_us(t1.t) AS delay_us
+  FROM t2 JOIN t1 ON t2.user_id = t1.user_id
+), r AS (
+  SELECT delay_us, ROW_NUMBER() OVER (ORDER BY delay_us) AS rk FROM d
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+    CAST(MIN(delay_us) AS DOUBLE) / 1000000.0 AS min_s,
+    CAST(MAX(delay_us) AS DOUBLE) / 1000000.0 AS max_s,
+    CAST(SUM(delay_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS avg_s
+  FROM d
+)
+SELECT a.n_converted, a.min_s,
+  (SELECT CAST(delay_us AS DOUBLE) / 1000000.0 FROM r
+    WHERE rk = (a.n_converted + 1) // 2) AS p50_s,
+  (SELECT CAST(delay_us AS DOUBLE) / 1000000.0 FROM r
+    WHERE rk = (9 * a.n_converted + 9) // 10) AS p90_s,
+  a.max_s, a.avg_s
+FROM a
+""",
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first view -> first subsequent
+    purchase): count, min/max, discrete p50/p90, mean — the funnel-health
+    scalar row next to funnel_view_click_purchase's stage counts. Delays
+    are exact integer microseconds; percentiles select order statistics by
+    rank (ceil(q*n) with integer arithmetic), so no interpolation ever
+    mixes floats. The rank window orders only the per-user delay frame
+    (one row per converting user, post-aggregation)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    t1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.join(t1, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    delays = (
+        t2.join(t1, "user_id")
+        .select(
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("delay_us")
+        )
+    )
+    ranked = delays.select(
+        "delay_us",
+        F.row_number().over(Window.orderBy(F.col("delay_us").asc())).alias("rk"),
+    )
+    aggs = delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.min("delay_us").cast("double") / 1_000_000.0).alias("min_s"),
+        (F.max("delay_us").cast("double") / 1_000_000.0).alias("max_s"),
+        (
+            F.sum("delay_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1_000_000.0
+        ).alias("avg_s"),
+    )
+    sec = (F.col("delay_us").cast("double") / 1_000_000.0)
+    p50 = (
+        aggs.select(((F.col("n_converted") + 1) / 2).cast("long").alias("rk"))
+        .join(ranked, "rk")
+        .select(sec.alias("p50_s"))
+    )
+    p90 = (
+        aggs.select(((9 * F.col("n_converted") + 9) / 10).cast("long").alias("rk"))
+        .join(ranked, "rk")
+        .select(sec.alias("p90_s"))
+    )
+    return (
+        aggs.crossJoin(p50)
+        .crossJoin(p90)
+        .select("n_converted", "min_s", "p50_s", "p90_s", "max_s", "avg_s")
+    )
+
+
+@query(
+    "ab_value_ttest",
+    # Welch two-sample t over exact integer-cents moments: one conditional-
+    # aggregation pass splits variants, every cross-row sum is DECIMAL, and
+    # the t/df formulas are the identical double chain in both engines.
+    oracle="""
+WITH m AS (
+  SELECT
+    COUNT(*) FILTER (user_id % 2 = 0) AS na,
+    COUNT(*) FILTER (user_id % 2 = 1) AS nb,
+    SUM(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 = 0) AS sa,
+    SUM(CAST(round(value * 100) AS BIGINT)) FILTER (user_id % 2 = 1) AS sb,
+    SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+      FILTER (user_id % 2 = 0) AS ssa,
+    SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+      FILTER (user_id % 2 = 1) AS ssb
+  FROM events
+), v AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
+    ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+       / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS va_n,
+    ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS vb_n
+  FROM m
+)
+SELECT n_a, n_b, mean_a, mean_b,
+  (mean_a - mean_b) / sqrt((va_n + vb_n) / 10000.0) AS t_stat,
+  (va_n + vb_n) * (va_n + vb_n)
+    / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1.0)
+       + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1.0)) AS df_welch
+FROM v
+""",
+)
+def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-statistic for
+    event value between two deterministic user buckets (user_id parity —
+    the assignment rule is part of the query so the oracle reproduces it).
+    ONE conditional-aggregation pass over events computes both variants'
+    exact integer-cents moments (no per-variant rescan, no shuffle beyond
+    the single global agg); means/variances/t/df close with an identical
+    double chain in both engines. The cents scale cancels in t via the
+    /10000 under the sqrt."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    dec = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
+    m = events.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.count(F.when(~is_a, 1)).alias("nb"),
+        dec(F.when(is_a, cents)).alias("sa"),
+        dec(F.when(~is_a, cents)).alias("sb"),
+        dec(F.when(is_a, cents * cents)).alias("ssa"),
+        dec(F.when(~is_a, cents * cents)).alias("ssb"),
+    )
+    dna, dnb = F.col("na").cast("double"), F.col("nb").cast("double")
+    dsa, dsb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    dssa, dssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    va_n = ((dssa - dsa * dsa / dna) / (dna - F.lit(1.0))) / dna
+    vb_n = ((dssb - dsb * dsb / dnb) / (dnb - F.lit(1.0))) / dnb
+    mean_a = dsa / dna / F.lit(100.0)
+    mean_b = dsb / dnb / F.lit(100.0)
+    v = m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        va_n.alias("va_n"),
+        vb_n.alias("vb_n"),
+    )
+    se = F.col("va_n") + F.col("vb_n")
+    return v.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se / F.lit(10000.0))).alias(
+            "t_stat"
+        ),
+        (
+            se * se
+            / (
+                F.col("va_n") * F.col("va_n") / (F.col("n_a").cast("double") - F.lit(1.0))
+                + F.col("vb_n") * F.col("vb_n") / (F.col("n_b").cast("double") - F.lit(1.0))
+            )
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "ntile_acctbal_quartiles",
+    # ntile inside nation partitions (SQL-standard larger-groups-first
+    # split, deterministic under the total (acctbal, custkey) order), then
+    # a per-(nation, quartile) rollup.
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+    ntile(4) OVER (
+      PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+    ) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+  MIN(c_acctbal) AS min_acctbal,
+  MAX(c_acctbal) AS max_acctbal
+FROM q GROUP BY 1, 2
+""",
+)
+def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles per nation via ntile(4) — the bucketing
+    window the distribution family (percent_rank/cume_dist in
+    window_distribution) doesn't cover. Partitioned by nation so the sort
+    is per-partition (never a global total order); custkey tiebreak makes
+    tile assignment deterministic; quartile rollup reuses the same
+    nation-keyed exchange."""
+    from pyspark.sql.window import Window
+
+    from ibis_flink_example_spark.functions.exact import dec_sum
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    q = cust.select(
+        "c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dec_sum("c_acctbal", "sum_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )

@@ -1484,3 +1484,65 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "doc_unigram_surprisal",
+    # Corpus-LM quality score with INTEGER-EXACT surprisal: per token
+    # occurrence, whole-bit surprisal = floor(log2(total)) - floor(log2(cnt)).
+    # floor(log2(k)) is engine-safe for integer k < 2^40: log2 of a power
+    # of two is exact in any correctly-rounded libm, and a non-power's
+    # irrational log2 sits >= 1/(k·ln2) ≈ 2^-41 away from every integer —
+    # orders of magnitude beyond double ulp — so the floor can never flip
+    # between engines. Per-doc sums are then BIGINT (order-independent);
+    # one final double division yields bits/token.
+    oracle=rf"""
+WITH {_TF_CTE}, vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(floor(log2(COUNT(*))) AS BIGINT) AS total_bits
+  FROM toks
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(tot.total_bits - CAST(floor(log2(v.cnt)) AS BIGINT)) AS BIGINT)
+    AS surprisal_bits,
+  CAST(SUM(tot.total_bits - CAST(floor(log2(v.cnt)) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS bits_per_token
+FROM toks t JOIN vocab v USING (term) CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus-unigram LM scoring — the distributed form of perplexity-
+    based quality filtering (docs whose tokens are uniformly corpus-common
+    score low; rare-token-heavy docs score high, the complement of
+    doc_rare_bigram_score's bigram lens). Token occurrences (zero-exchange
+    explode, same tokenizer as the TF-IDF family) join the vocabulary
+    counts on the term key — shuffle volume is occurrences x 8-byte count,
+    text never reshuffles — then ONE doc-keyed rollup. Whole-bit integer
+    surprisal keeps every cross-row sum exact; a true float -log2(p) chain
+    would be order-dependent."""
+    from ibis_flink_example_spark.operators.text import doc_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_terms(docs, id_col="doc_id", text_col="text")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.floor(F.log2(F.count(F.lit(1)))).cast("long").alias("total_bits"),
+    )
+    bits = F.col("total_bits") - F.floor(F.log2(F.col("cnt"))).cast("long")
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).alias("surprisal_bits"),
+            (
+                F.sum(bits).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("bits_per_token"),
+        )
+    )
