@@ -63,11 +63,12 @@ def main() -> None:
     # Machine-load normalization: wall timings on a shared machine swing
     # ±50% with background load, so raw round-over-round totals are not
     # comparable. Re-time the two pinned sentinel queries (best of 3, after
-    # warmup) and report the ratio against their IDLE-machine reference
-    # (the committed round-5 snapshot, bench_out.json @ af876a8). The
+    # warmup) and report the ratio against their IDLE-machine reference —
+    # measured the SAME way (warm, best-of-3) on an idle round-6 machine
+    # (load avg 1.5/32), so load_factor ~= 1.0 means idle-equivalent. The
     # normalized total divides out uniform machine load; per-query drift
     # still shows in the raw per-query timings.
-    SENTINEL_REF_SEC = {"over_range_sum_10s": 0.56, "dedup_exact": 2.37}
+    SENTINEL_REF_SEC = {"over_range_sum_10s": 0.40, "dedup_exact": 0.64}
     sentinel_sec = {}
     for name in SENTINEL_REF_SEC:
         try:
