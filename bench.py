@@ -69,18 +69,21 @@ def main() -> None:
     # normalized total divides out uniform machine load; per-query drift
     # still shows in the raw per-query timings.
     SENTINEL_REF_SEC = {"over_range_sum_10s": 0.40, "dedup_exact": 0.64}
-    sentinel_sec = {}
+    sentinel_sec: dict[str, float] = {}
+    sentinel_errors: dict[str, str] = {}
     for name in SENTINEL_REF_SEC:
         try:
             sentinel_sec[name] = min(run_once(name) for _ in range(3))
         except Exception as exc:
+            sentinel_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"sentinel {name} failed: {exc}", file=sys.stderr)
+    # Publish a load factor ONLY when every sentinel ran: a partial basis
+    # (one sentinel) has different load sensitivity than the two-sentinel
+    # reference, so normalized values computed from it would silently
+    # compare incommensurables across rounds.
     load_factor = (
-        round(
-            sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC[n] for n in sentinel_sec),
-            4,
-        )
-        if sentinel_sec
+        round(sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC.values()), 4)
+        if len(sentinel_sec) == len(SENTINEL_REF_SEC)
         else None
     )
 
@@ -107,6 +110,7 @@ def main() -> None:
         # sentinel-normalized seconds: raw total divided by the measured
         # machine-load factor (1.0 == the idle reference machine state)
         "sentinel_sec": {k: round(v, 4) for k, v in sentinel_sec.items()},
+        "sentinel_errors": sentinel_errors,
         "load_factor": load_factor,
         "value_load_normalized": round(total / load_factor, 4) if load_factor else None,
     }

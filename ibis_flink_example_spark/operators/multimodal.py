@@ -149,8 +149,11 @@ def extract_features(
     ``use_real_decoder=True`` degrades GRACEFULLY when no image library is
     importable: a single warning per worker, then the deterministic
     fake-decode path — so the operator is runnable (not just declarable) in
-    any environment. Pass ``strict=True`` to fail fast on the driver
-    instead (pipelines that must not silently ship fake features).
+    any environment. ``strict=True`` means fake features NEVER ship: it
+    fails fast on the driver when no decoder is importable, AND raises on
+    the worker for any individual payload the real decoder cannot handle
+    (without strict, a corrupt payload degrades per-row to byte stats +
+    declared metadata dims).
     """
     if use_real_decoder and strict and not real_decoder_available():
         raise NotImplementedError(
@@ -159,9 +162,11 @@ def extract_features(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # NB: self-contained closure (numpy only) — module-level helpers
-        # would be pickled by reference and require the package on the
-        # workers' sys.path; the closure must survive any driver cwd.
+        # The real decoder is the ONE module-level implementation
+        # (_decode_image_real — the code the unit test pins), imported on
+        # the worker: ship_package_to_workers (called by apply_session_conf)
+        # makes the package importable there; if that import fails the
+        # worker treats it as decoder-absent (warn or strict-raise).
         import numpy as np
 
         def fake_stats(p):
@@ -170,54 +175,45 @@ def extract_features(
             arr = np.frombuffer(p, dtype=np.uint8)
             return (float(arr.mean()), int(arr.min()), int(arr.max()))
 
-        real = False
+        real_stats = None
         if use_real_decoder:
             try:
                 import PIL.Image  # noqa: F401
 
-                real = True
+                from ibis_flink_example_spark.operators.multimodal import (
+                    _decode_image_real as real_stats,
+                )
             except ImportError:
+                if strict:
+                    raise NotImplementedError(
+                        "strict real decode: Pillow or the package is not "
+                        "importable on this worker"
+                    )
                 import warnings
 
                 warnings.warn(
-                    "real image decode requested but Pillow is not "
-                    "importable on this worker — degrading to the "
-                    "deterministic fake-decode path",
+                    "real image decode requested but Pillow (or the "
+                    "package) is not importable on this worker — degrading "
+                    "to the deterministic fake-decode path",
                     RuntimeWarning,
                     stacklevel=2,
-                )
-        def real_stats(p):
-            # (mean, min, max, width, height) from actual decoded pixels;
-            # inlined (not the module-level _decode_image_real) so the
-            # closure stays self-contained for pickling
-            import io
-
-            import PIL.Image
-
-            with PIL.Image.open(io.BytesIO(p)) as img:
-                arr = np.asarray(img.convert("L"), dtype=np.uint8)
-                if arr.size == 0:
-                    return (0.0, 0, 0, int(img.width), int(img.height))
-                return (
-                    float(arr.mean()),
-                    int(arr.min()),
-                    int(arr.max()),
-                    int(img.width),
-                    int(img.height),
                 )
 
         for pdf in batches:
             rows = []
-            for p, m in zip(pdf["payload"], pdf["metadata"]):
-                if real and p:
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["metadata"]):
+                if real_stats is not None and p:
                     try:
                         mean, lo, hi, w, h = real_stats(p)
                         rows.append((mean, lo, hi, w, h))
                         continue
-                    except Exception:
+                    except Exception as exc:
+                        if strict:
+                            raise ValueError(
+                                f"strict real decode failed for media_id={mid}"
+                            ) from exc
                         # corrupt/undecodable payload: per-row fallback to
                         # byte stats + declared metadata dims
-                        pass
                 mean, lo, hi = fake_stats(p)
                 rows.append((mean, lo, hi, m["width"], m["height"]))
             yield pd.DataFrame(

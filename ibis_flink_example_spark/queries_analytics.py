@@ -488,9 +488,11 @@ def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     min..max date range, zero-filled for days with no orders — the
     timeseries-regularization step every downstream window/forecast op
     assumes. The spine is generated from the (1-row) bounds aggregate with
-    sequence+explode — no driver collect — and stays tiny (days, not rows),
-    so it broadcasts to the daily rollup; the only data-sized shuffle is
-    the rollup's own day-keyed exchange."""
+    sequence+explode — no driver collect — and both join sides are
+    day-cardinality, so the daily rollup broadcasts to the preserved spine
+    (the non-preserved side is the only one a BroadcastHashJoin can
+    build); the only data-sized shuffle is the rollup's own day-keyed
+    exchange."""
     from ibis_flink_example_spark.functions.exact import dec_sum
 
     orders = load_table(spark, sf_dir, "orders")
@@ -505,9 +507,12 @@ def date_spine_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice", "revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    # spine is the PRESERVED side of the outer join, and BroadcastHashJoin
+    # can only build the NON-preserved side — so the broadcast hint goes on
+    # daily (equally day-cardinality, so equally tiny). A hint on spine
+    # would be silently ignored and plan a shuffle join.
     return (
-        F.broadcast(spine)
-        .join(daily, "day", "left")
+        spine.join(F.broadcast(daily), "day", "left")
         .select(
             F.col("day").cast("timestamp").alias("day"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
@@ -683,10 +688,14 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer microseconds; percentiles select order statistics by
     rank (ceil(q*n) with integer arithmetic), so no interpolation ever
     mixes floats. The rank window orders only the per-user delay frame
-    (one row per converting user, post-aggregation)."""
+    (one row per converting user, post-aggregation). Always returns
+    exactly ONE row — zero conversions yield NULL stats, not zero rows."""
+    return conversion_latency_impl(load_table(spark, sf_dir, "events"))
+
+
+def conversion_latency_impl(events: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    events = load_table(spark, sf_dir, "events")
     t1 = (
         events.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -698,11 +707,16 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
+    # Materialize the (tiny: one row per converting user) delay frame once —
+    # aggs + both rank probes reuse it instead of re-running the events
+    # scan and joins per branch. Caller-release contract as elsewhere: the
+    # checkpoint blocks live as long as the returned plan.
     delays = (
         t2.join(t1, "user_id")
         .select(
             (F.unix_micros("t2") - F.unix_micros("t1")).alias("delay_us")
         )
+        .localCheckpoint(eager=True)
     )
     ranked = delays.select(
         "delay_us",
@@ -719,14 +733,16 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_s"),
     )
     sec = (F.col("delay_us").cast("double") / 1_000_000.0)
+    # LEFT joins so zero conversions still yields the oracle's single row
+    # (rk=0 matches nothing -> NULL percentiles, like the scalar subqueries)
     p50 = (
         aggs.select(((F.col("n_converted") + 1) / 2).cast("long").alias("rk"))
-        .join(ranked, "rk")
+        .join(ranked, "rk", "left")
         .select(sec.alias("p50_s"))
     )
     p90 = (
         aggs.select(((9 * F.col("n_converted") + 9) / 10).cast("long").alias("rk"))
-        .join(ranked, "rk")
+        .join(ranked, "rk", "left")
         .select(sec.alias("p90_s"))
     )
     return (

@@ -695,10 +695,12 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sessionize",
-    # The stateful op emits a session exactly when a SUCCESSOR event closes
-    # it (> 30 min later), so a drained run = the batch gaps-and-islands
-    # sessionize minus each user's final (still-open) session — a
-    # deterministic contract independent of the final watermark value.
+    # WATERMARK-FINAL emission: a session is emitted once the key's
+    # watermark (max seen ts - 15 s) passes session_end + 30 min — only
+    # then can no admissible straggler extend or bridge it. A drained
+    # in-order run therefore equals the batch gaps-and-islands sessionize
+    # restricted to sessions final under each user's end-of-stream
+    # watermark.
     oracle="""
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -721,19 +723,25 @@ WITH g AS (
     CAST(COUNT(*) AS BIGINT) AS n_events,
     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM s GROUP BY 1, 2
+), m AS (
+  SELECT user_id, MAX(ts) AS mx FROM events GROUP BY 1
 )
-SELECT * FROM r
-QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+SELECT r.user_id, r.session_seq, r.session_start, r.session_end,
+       r.n_events, r.sum_value
+FROM r JOIN m USING (user_id)
+WHERE epoch_us(m.mx) - 15000000 > epoch_us(r.session_end) + 1800000000
 """,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session-ID assignment (30-min gap) + per-session stats —
-    the streaming twin of the batch sessionize_stats, via O(1)-per-key
+    the streaming twin of the batch sessionize_stats, via bounded-state
     ``applyInPandasWithState`` (streaming/stateful.py:stateful_sessionize).
     Unlike session_window (which emits anonymous windows), this carries the
-    batch query's EXPLICIT session_seq numbering into streaming; sessions
-    emit when closed by a successor event, so the drained run hash-matches
-    the batch oracle restricted to non-final sessions."""
+    batch query's EXPLICIT session_seq numbering into streaming; emission
+    is watermark-final (never before max_seen - delay passes end + gap),
+    so emitted rows can never diverge from the batch result — a
+    within-delay straggler that would bridge two sessions still merges
+    them in state."""
     from ibis_flink_example_spark.streaming.runtime import run_available_now
     from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
 

@@ -421,20 +421,24 @@ def stateful_sessionize(
     T3 keyed state instead of session_window, which emits windows but not
     session membership/sequence numbers).
 
-    Per-key state is ONE open session: (seq, start_us, last_us, n, cents) —
-    O(1) per key, unlike the buffer ops. Rows are processed in (ts,
-    tiebreak) order; a row more than ``gap_seconds`` after the open
-    session's last event CLOSES it (emit) and opens seq+1. Sessions are
-    therefore emitted exactly when closed by a successor event — a
-    deterministic contract independent of the final watermark, so the
-    drained-run oracle is simply the batch sessionize restricted to each
-    user's non-last sessions. The still-open last session lives in state
-    and is never emitted (its batch row is excluded by the same rule).
+    Emission is WATERMARK-FINAL: a session is emitted only once the key's
+    watermark (max seen event time − ``delay_seconds``) passes
+    ``session_end + gap_seconds`` — at that point no admissible straggler
+    can extend or bridge it, so every emitted row is identical to the
+    batch gaps-and-islands result over the same admitted events. (Emitting
+    eagerly when a successor merely exceeds the gap would be wrong: a
+    within-delay straggler landing in the tail of the gap window can
+    BRIDGE the emitted session with the open one — batch would merge them,
+    append-mode cannot retract.)
 
-    Late data (T2): rows more than ``delay_seconds`` behind the key's max
-    seen event time are dropped (per-key watermark, same contract as
-    stateful_range_over_sum); a within-delay straggler that still belongs
-    to the open session folds into it (start/min, n, sum all update).
+    Per-key state is the list of UNSETTLED sessions (start, last, n,
+    cents) — those the watermark hasn't finalized — plus the count of
+    sessions already emitted (for seq numbering). A new row merges into an
+    adjacent session (within gap on either side), bridges two into one, or
+    opens its own; rows more than ``delay_seconds`` behind the key's max
+    are dropped (per-key watermark, same T2 contract as
+    stateful_range_over_sum). Unsettled sessions per key are bounded by
+    delay/gap ratio + 1 — O(1) state for any fixed configuration.
 
     Output: (key, session_seq, session_start, session_end, n_events,
     sum_value) — identical column contract to the batch query; sums carry
@@ -453,13 +457,15 @@ def stateful_sessionize(
             T.StructField("sum_value", T.DoubleType()),
         ]
     )
+    # parallel arrays over unsettled sessions, in start order
     state_schema = T.StructType(
         [
-            T.StructField("seq", T.LongType()),
-            T.StructField("start_us", T.LongType()),
-            T.StructField("last_us", T.LongType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("cents", T.LongType()),
+            T.StructField("starts", T.ArrayType(T.LongType())),
+            T.StructField("lasts", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
+            T.StructField("emitted_seq", T.LongType()),
+            T.StructField("max_seen", T.LongType()),
         ]
     )
 
@@ -467,9 +473,14 @@ def stateful_sessionize(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            seq, start_us, last_us, n, cents = (int(x) for x in state.get)
+            s_starts, s_lasts, s_ns, s_cents, emitted_seq, max_seen = state.get
+            sessions = [
+                [int(a), int(b), int(c), int(d)]
+                for a, b, c, d in zip(s_starts, s_lasts, s_ns, s_cents)
+            ]
+            emitted_seq, max_seen = int(emitted_seq), int(max_seen)
         else:
-            seq, start_us, last_us, n, cents = 0, -1, -1, 0, 0
+            sessions, emitted_seq, max_seen = [], 0, -(1 << 62)
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
@@ -477,38 +488,70 @@ def stateful_sessionize(
         # half-up — same idiom as every 2-decimal money path in the package
         row_cents = np.floor(pdf[measure].to_numpy() * 100 + 0.5).astype(np.int64)
 
-        closed: list[tuple[int, int, int, int, int]] = []
-        max_seen = last_us
+        import bisect
+
         for t, c in zip(row_ts, row_cents):
             t, c = int(t), int(c)
-            if max_seen != -1 and t < max_seen - delay_us:
+            if t < max_seen - delay_us:
                 continue  # beyond the per-key lateness budget: drop
             max_seen = max(max_seen, t)
-            if n == 0:
-                seq, start_us, last_us, n, cents = seq + 1, t, t, 1, c
-            elif t - last_us > gap_us:
-                closed.append((seq, start_us, last_us, n, cents))
-                seq, start_us, last_us, n, cents = seq + 1, t, t, 1, c
+            # position of the first session starting after t
+            i = bisect.bisect_right([s[0] for s in sessions], t)
+            prev = sessions[i - 1] if i > 0 else None
+            nxt = sessions[i] if i < len(sessions) else None
+            # t >= prev[0] by bisect, so prev-adjacency is just the gap test
+            # (a t inside prev's [start, last] span gives t - last <= 0)
+            near_prev = prev is not None and t - prev[1] <= gap_us
+            near_next = nxt is not None and nxt[0] - t <= gap_us
+            if near_prev and near_next:
+                # bridges two unsettled sessions into one
+                prev[1] = max(prev[1], nxt[1])
+                prev[2] += nxt[2] + 1
+                prev[3] += nxt[3] + c
+                del sessions[i]
+            elif near_prev:
+                prev[1] = max(prev[1], t)
+                prev[2] += 1
+                prev[3] += c
+            elif near_next:
+                nxt[0] = min(nxt[0], t)
+                nxt[2] += 1
+                nxt[3] += c
             else:
-                # straggler before session start folds in via min()
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-                cents += c
-        state.update((seq, start_us, last_us, n, cents))
+                sessions.insert(i, [t, t, 1, c])
+
+        # finalize: watermark passed end+gap -> no admissible row can join
+        wm = max_seen - delay_us
+        n_final = 0
+        while n_final < len(sessions) and sessions[n_final][1] + gap_us < wm:
+            n_final += 1
+        finals = sessions[:n_final]
+        sessions = sessions[n_final:]
+        state.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+                [s[3] for s in sessions],
+                emitted_seq + n_final,
+                max_seen,
+            )
+        )
 
         yield pd.DataFrame(
             {
-                key: np.repeat(key_tuple[0], len(closed)),
-                "session_seq": np.array([s[0] for s in closed], dtype=np.int64),
+                key: np.repeat(key_tuple[0], n_final),
+                "session_seq": np.arange(
+                    emitted_seq + 1, emitted_seq + n_final + 1, dtype=np.int64
+                ),
                 "session_start": np.array(
-                    [s[1] for s in closed], dtype="datetime64[us]"
+                    [s[0] for s in finals], dtype="datetime64[us]"
                 ),
                 "session_end": np.array(
-                    [s[2] for s in closed], dtype="datetime64[us]"
+                    [s[1] for s in finals], dtype="datetime64[us]"
                 ),
-                "n_events": np.array([s[3] for s in closed], dtype=np.int64),
-                "sum_value": np.array([s[4] for s in closed], dtype=np.float64)
+                "n_events": np.array([s[2] for s in finals], dtype=np.int64),
+                "sum_value": np.array([s[3] for s in finals], dtype=np.float64)
                 / 100.0,
             }
         )

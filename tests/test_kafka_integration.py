@@ -103,7 +103,17 @@ def test_payment_pipeline_against_live_broker(spark, sf_dir):
             .save()
         )
     except Exception as exc:  # pragma: no cover - classpath-dependent
-        if "DATA_SOURCE_NOT_FOUND" in str(exc) or "kafka" in str(exc).lower():
+        # Skip ONLY for a missing connector (classpath problem). Anything
+        # else — broker down, auth, timeout — must FAIL: the module
+        # contract is green-wherever-a-broker-exists, and a down broker
+        # reported as a skip would hide exactly the failures this test is
+        # for.
+        msg = str(exc)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source: kafka" in msg
+            or "ClassNotFoundException" in msg
+        ):
             pytest.skip(
                 "spark-sql-kafka connector not on the classpath — start the "
                 "session with --packages org.apache.spark:spark-sql-kafka-0-10_2.13 "

@@ -92,3 +92,29 @@ def test_local_checkpoint_release(spark):
     _release_local_checkpoint(ck)
     after = cached_block_rdd_ids()
     assert not (held & after), f"blocks not released: {held & after}"
+
+
+def test_conversion_latency_zero_conversions_yields_one_row(spark):
+    """Driver-robustness edge: with no view->purchase conversions the
+    query must return the oracle's single row of NULL stats (its scalar
+    subqueries always produce one row), not zero rows — LEFT rank joins,
+    not inner."""
+    import ibis_flink_example_spark.queries  # noqa: F401 - registry first (import order)
+    from ibis_flink_example_spark.queries_analytics import conversion_latency_impl
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+            # purchase BEFORE the first view: not a conversion
+            (3, "2024-01-01 00:00:00", 2, "purchase", 1.0, "{}"),
+            (4, "2024-01-01 00:05:00", 2, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = conversion_latency_impl(events).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_converted"] == 0
+    assert r["p50_s"] is None and r["p90_s"] is None
+    assert r["min_s"] is None and r["max_s"] is None and r["avg_s"] is None

@@ -171,8 +171,9 @@ def test_selfjoin_over_window_watermark_semantics(spark, sf_dir, events_replay_d
 
 def test_stateful_sessionize_multibatch_equals_batch(spark, sf_dir, events_replay_dir):
     """Multi-batch replay of stateful_sessionize == batch gaps-and-islands
-    sessionize restricted to each user's non-final (closed) sessions —
-    session_seq numbering, bounds, counts, and exact sums all match."""
+    sessionize restricted to sessions that are FINAL under each user's
+    end-of-stream watermark (max ts - delay > end + gap) — session_seq
+    numbering, bounds, counts, and exact sums all match."""
     from pyspark.sql.window import Window
 
     from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
@@ -212,11 +213,14 @@ def test_stateful_sessionize_multibatch_equals_batch(spark, sf_dir, events_repla
             dec_sum("value", "sum_value"),
         )
         .withColumn(
-            "max_seq",
-            F.max("session_seq").over(Window.partitionBy("user_id")),
+            "max_ts_us",
+            F.max(F.unix_micros("session_end")).over(Window.partitionBy("user_id")),
         )
-        .where(F.col("session_seq") < F.col("max_seq"))
-        .drop("max_seq")
+        .where(
+            F.col("max_ts_us") - 15 * 1_000_000
+            > F.unix_micros("session_end") + 30 * 60 * 1_000_000
+        )
+        .drop("max_ts_us")
     )
     cols = ["user_id", "session_seq", "session_start", "session_end", "n_events", "sum_value"]
     assert len(streamed.columns) == len(cols)
@@ -275,6 +279,66 @@ def test_stateful_sessionize_straggler_folds_into_open_session(spark):
     assert row["n_events"] == 3  # straggler included
     assert abs(row["sum_value"] - 7.00) < 1e-9
     assert row["session_start"].timestamp() * 1_000_000 == base
+
+
+def test_stateful_sessionize_bridging_straggler_merges(spark):
+    """The watermark-final guarantee: a within-delay straggler landing in
+    the tail of a gap window BRIDGES the two sessions it sits between —
+    they must be merged in state (batch semantics), not split because the
+    earlier one was already emitted. Exactly the case eager emit-on-close
+    gets wrong."""
+    import json
+    import time as _time
+
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    d = tempfile.mkdtemp(prefix="sess_bridge_")
+    base = 1_700_000_000_000_000  # µs
+    s = 1_000_000
+    b1 = [  # session A (two events), then B's opener 1805 s later (> 30 min gap)
+        {"event_id": 1, "ts": base, "user_id": 1, "value": 1.00},
+        {"event_id": 2, "ts": base + 5 * s, "user_id": 1, "value": 2.00},
+        {"event_id": 3, "ts": base + 1805 * s, "user_id": 1, "value": 4.00},
+    ]
+    b2 = [
+        # straggler at 1795 s: within delay (>= 1805 - 15) and within gap of
+        # BOTH A.last (1790 <= 1800) and B.start (10 <= 1800) -> bridges
+        {"event_id": 4, "ts": base + 1795 * s, "user_id": 1, "value": 8.00},
+        # far-future event finalizes the merged session
+        {"event_id": 5, "ts": base + 4000 * s, "user_id": 1, "value": 16.00},
+    ]
+    now = _time.time()
+    for i, rows in enumerate([b1, b2]):
+        p = os.path.join(d, f"{i}.jsonl")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now + 2 * i, now + 2 * i))
+    stream = (
+        spark.readStream.schema("event_id long, ts long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    out = run_available_now(
+        stateful_sessionize(
+            stream,
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            tiebreak_col="event_id",
+            gap_seconds=30 * 60,
+            delay_seconds=15,
+        ),
+        output_mode="append",
+    ).collect()
+    shutil.rmtree(d, ignore_errors=True)
+    assert len(out) == 1  # ONE merged session (A + straggler + B), batch-equal
+    row = out[0]
+    assert row["session_seq"] == 1
+    assert row["n_events"] == 4
+    assert abs(row["sum_value"] - 15.00) < 1e-9
+    assert row["session_start"].timestamp() * 1_000_000 == base
+    assert row["session_end"].timestamp() * 1_000_000 == base + 1805 * s
 
 
 def test_late_rows_dropped_by_watermark(spark):
