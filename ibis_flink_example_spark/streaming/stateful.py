@@ -405,69 +405,21 @@ def stateful_funnel_stages(
     )
 
 
-def stateful_sessionize(
-    stream: DataFrame,
+def make_sessionize_update(
     *,
     key: str,
     time_col: str,
     measure: str,
     tiebreak_col: str,
-    gap_seconds: float,
-    delay_seconds: float,
-) -> DataFrame:
-    """Streaming session assignment with EXPLICIT session IDs — the
-    streaming twin of the batch gaps-and-islands sessionize
-    (queries_analytics.py:sessionize_stats; W3 session semantics carried on
-    T3 keyed state instead of session_window, which emits windows but not
-    session membership/sequence numbers).
-
-    Emission is WATERMARK-FINAL: a session is emitted only once the key's
-    watermark (max seen event time − ``delay_seconds``) passes
-    ``session_end + gap_seconds`` — at that point no admissible straggler
-    can extend or bridge it, so every emitted row is identical to the
-    batch gaps-and-islands result over the same admitted events. (Emitting
-    eagerly when a successor merely exceeds the gap would be wrong: a
-    within-delay straggler landing in the tail of the gap window can
-    BRIDGE the emitted session with the open one — batch would merge them,
-    append-mode cannot retract.)
-
-    Per-key state is the list of UNSETTLED sessions (start, last, n,
-    cents) — those the watermark hasn't finalized — plus the count of
-    sessions already emitted (for seq numbering). A new row merges into an
-    adjacent session (within gap on either side), bridges two into one, or
-    opens its own; rows more than ``delay_seconds`` behind the key's max
-    are dropped (per-key watermark, same T2 contract as
-    stateful_range_over_sum). Unsettled sessions per key are bounded by
-    delay/gap ratio + 1 — O(1) state for any fixed configuration.
-
-    Output: (key, session_seq, session_start, session_end, n_events,
-    sum_value) — identical column contract to the batch query; sums carry
-    integer cents internally (2-decimal-exact, order-independent).
-    """
-    gap_us = int(gap_seconds * 1_000_000)
-    delay_us = int(delay_seconds * 1_000_000)
-
-    out_schema = T.StructType(
-        [
-            T.StructField(key, stream.schema[key].dataType),
-            T.StructField("session_seq", T.LongType()),
-            T.StructField("session_start", T.TimestampType()),
-            T.StructField("session_end", T.TimestampType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("sum_value", T.DoubleType()),
-        ]
-    )
-    # parallel arrays over unsettled sessions, in start order
-    state_schema = T.StructType(
-        [
-            T.StructField("starts", T.ArrayType(T.LongType())),
-            T.StructField("lasts", T.ArrayType(T.LongType())),
-            T.StructField("ns", T.ArrayType(T.LongType())),
-            T.StructField("cents", T.ArrayType(T.LongType())),
-            T.StructField("emitted_seq", T.LongType()),
-            T.StructField("max_seen", T.LongType()),
-        ]
-    )
+    gap_us: int,
+    delay_us: int,
+):
+    """Build the per-key ``applyInPandasWithState`` update function for
+    stateful_sessionize. Factored out so the property tests can drive the
+    EXACT production merge/finalize logic against an independent batch
+    reference with a fake GroupState — no duplicated algorithm copies (the
+    returned closure is still self-contained for pickling; cloudpickle
+    serializes nested closures by value)."""
 
     def update(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -556,6 +508,83 @@ def stateful_sessionize(
             }
         )
 
+    return update
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    measure: str,
+    tiebreak_col: str,
+    gap_seconds: float,
+    delay_seconds: float,
+) -> DataFrame:
+    """Streaming session assignment with EXPLICIT session IDs — the
+    streaming twin of the batch gaps-and-islands sessionize
+    (queries_analytics.py:sessionize_stats; W3 session semantics carried on
+    T3 keyed state instead of session_window, which emits windows but not
+    session membership/sequence numbers).
+
+    Emission is WATERMARK-FINAL: a session is emitted only once the key's
+    watermark (max seen event time − ``delay_seconds``) passes
+    ``session_end + gap_seconds`` — at that point no admissible straggler
+    can extend or bridge it, so every emitted row is identical to the
+    batch gaps-and-islands result over the same admitted events. (Emitting
+    eagerly when a successor merely exceeds the gap would be wrong: a
+    within-delay straggler landing in the tail of the gap window can
+    BRIDGE the emitted session with the open one — batch would merge them,
+    append-mode cannot retract.)
+
+    Per-key state is the list of UNSETTLED sessions (start, last, n,
+    cents) — those the watermark hasn't finalized — plus the count of
+    sessions already emitted (for seq numbering). A new row merges into an
+    adjacent session (within gap on either side), bridges two into one, or
+    opens its own; rows more than ``delay_seconds`` behind the key's max
+    are dropped (per-key watermark, same T2 contract as
+    stateful_range_over_sum). Unsettled sessions per key are bounded by
+    delay/gap ratio + 1 — O(1) state for any fixed configuration.
+    Randomized equivalence against an independent batch reference is
+    pinned in tests/test_properties.py.
+
+    Output: (key, session_seq, session_start, session_end, n_events,
+    sum_value) — identical column contract to the batch query; sums carry
+    integer cents internally (2-decimal-exact, order-independent).
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    delay_us = int(delay_seconds * 1_000_000)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("session_seq", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    # parallel arrays over unsettled sessions, in start order
+    state_schema = T.StructType(
+        [
+            T.StructField("starts", T.ArrayType(T.LongType())),
+            T.StructField("lasts", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
+            T.StructField("emitted_seq", T.LongType()),
+            T.StructField("max_seen", T.LongType()),
+        ]
+    )
+
+    update = make_sessionize_update(
+        key=key,
+        time_col=time_col,
+        measure=measure,
+        tiebreak_col=tiebreak_col,
+        gap_us=gap_us,
+        delay_us=delay_us,
+    )
     watermarked = stream.select(key, time_col, tiebreak_col, measure).withWatermark(
         time_col, f"{delay_seconds} seconds"
     )

@@ -409,3 +409,46 @@ def test_market_basket_top_k_no_global_sort(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["TakeOrderedAndProject"] >= 1
     assert ops["CartesianProduct"] == 0
+
+
+def test_stats_corr_is_single_exchange_scan_agg(spark, sf_dir):
+    """Bivariate moments: one partial-aggregated keyed exchange over one
+    pruned scan — no joins, no second pass for the five sums."""
+    df = QUERIES["stats_corr_price_qty"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert exchange_count(df) == 1
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"l_returnflag", "l_extendedprice", "l_quantity"}
+
+
+def test_ab_ttest_is_single_pass(spark, sf_dir):
+    """Both variants' moments come from ONE conditional-aggregation pass:
+    a single global-agg exchange, no per-variant rescan or join."""
+    df = QUERIES["ab_value_ttest"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] + ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert exchange_count(df) == 1
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"user_id", "value"}
+
+
+def test_date_spine_broadcasts_daily_rollup(spark, sf_dir):
+    """The daily rollup broadcasts to the preserved spine side (a hint on
+    the preserved side of an outer join is silently unusable); the only
+    keyed exchange is the rollup's own."""
+    df = QUERIES["date_spine_daily_revenue"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert plan_ops(df)["SortMergeJoin"] == 0
+
+
+def test_unigram_surprisal_shuffles_counts_not_text(spark, sf_dir):
+    """Vocab join + doc rollup: text never reshuffles — every exchange
+    carries (id/term, count)-shaped rows only; no cartesian ops."""
+    df = QUERIES["doc_unigram_surprisal"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] == 0
+    # explode -> (vocab agg) + (total agg, broadcast) + (term join) +
+    # (doc rollup): bounded exchange count, no global sort
+    assert exchange_count(df) <= 4
+    assert ops["Sort"] == 0 or ops["TakeOrderedAndProject"] == 0

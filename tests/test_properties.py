@@ -222,3 +222,116 @@ def test_chunk_documents_covers_exactly(spark, lengths, chunk, overlap):
         assert rebuilt == text
         for c in chunks[:-1]:
             assert c["chunk_len"] == chunk
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving applyInPandasWithState update
+    functions as pure logic (no streaming runtime)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _reference_sessionize(admitted, gap_us, final_max, delay_us):
+    """Independent batch gaps-and-islands over the admitted (ts, cents)
+    events + watermark-final cut — a different formulation (global sort
+    then split) than the incremental insert/merge under test."""
+    out = []
+    for t, c in sorted(admitted):
+        if out and t - out[-1][1] <= gap_us:
+            s = out[-1]
+            s[1] = max(s[1], t)
+            s[2] += 1
+            s[3] += c
+        else:
+            out.append([t, t, 1, c])
+    wm = final_max - delay_us
+    return [tuple(s) for s in out if s[1] + gap_us < wm]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3000),  # event time (s-ish units)
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_batches=st.integers(min_value=1, max_value=6),
+    demote=st.lists(st.integers(min_value=0, max_value=59), max_size=10),
+    gap=st.integers(min_value=1, max_value=200),
+    delay=st.integers(min_value=0, max_value=100),
+)
+def test_sessionize_update_equals_batch_reference(data, n_batches, demote, gap, delay):
+    """The production sessionize update function (insert/merge/bridge +
+    watermark finalize), driven over random multi-batch splits WITH random
+    stragglers, emits exactly the independent batch reference's final
+    sessions — counts, bounds, sums, and 1-based seq numbering."""
+    import math
+
+    import pandas as pd
+
+    from ibis_flink_example_spark.streaming.stateful import make_sessionize_update
+
+    gap_us, delay_us = gap, delay  # treat units as µs directly
+    events = sorted((t, i, c) for i, (t, c) in enumerate(data))
+    # batch assignment: contiguous time-ordered chunks, then demote some
+    # events one batch later -> genuine cross-batch stragglers
+    per = math.ceil(len(events) / n_batches)
+    batches = [[] for _ in range(n_batches + 1)]
+    for i, ev in enumerate(events):
+        b = i // per
+        if i in set(demote):
+            b += 1
+        batches[b].append(ev)
+
+    update = make_sessionize_update(
+        key="user_id", time_col="ts", measure="value",
+        tiebreak_col="event_id", gap_us=gap_us, delay_us=delay_us,
+    )
+    state = _FakeGroupState()
+    emitted = []
+    # replicate the operator's own admission rule to build the reference's
+    # admitted set (drop iff ts < running max_seen - delay at processing
+    # time, batches processed in (ts, id) order within each batch)
+    admitted, max_seen = [], -(1 << 62)
+    for b in batches:
+        if not b:
+            continue
+        rows = sorted(b, key=lambda e: (e[0], e[1]))
+        for t, _i, c in rows:
+            if t >= max_seen - delay_us:
+                admitted.append((t, c))
+                max_seen = max(max_seen, t)
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _i, _c in b], unit="us"),
+                "event_id": [i for _t, i, _c in b],
+                "user_id": [1] * len(b),
+                "value": [c / 100.0 for _t, _i, c in b],
+            }
+        )
+        for out in update((1,), iter([pdf]), state):
+            emitted.extend(out.to_dict("records"))
+
+    want = _reference_sessionize(admitted, gap_us, max_seen, delay_us)
+    assert len(emitted) == len(want)
+    for k, (row, ref) in enumerate(zip(emitted, want), start=1):
+        assert row["session_seq"] == k
+        assert row["session_start"].value // 1000 == ref[0]  # exact ns -> µs
+        assert row["session_end"].value // 1000 == ref[1]
+        assert row["n_events"] == ref[2]
+        assert abs(row["sum_value"] - ref[3] / 100.0) < 1e-9
