@@ -100,6 +100,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ab_value_ttest",
     "ntile_acctbal_quartiles",
     "doc_unigram_surprisal",
+    # new in round 6 (second batch): item-item similarity, relational
+    # division, exact mode, clickstream paths, Benford DQ screen, dup
+    # cluster-size reporting
+    "item_similarity_topk",
+    "relational_division_customers",
+    "mode_priority_by_nation",
+    "top_event_paths",
+    "benford_leading_digit",
+    "dup_cluster_size_histogram",
     # changed this round: estimator companions now pin MEASURED fixed-point
     # recall/precision (new columns + per-fixture oracle values), the gini
     # oracle gained null/zero guards, the sampling oracle's double chain
@@ -126,16 +135,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "join_theta",
     # r3-only-green family representatives (oldest external rows in the
-    # registry — refresh one per operator family)
+    # registry — refresh one per operator family; six more reps were
+    # displaced by this round's second query batch and keep their r3 rows)
     "join_broadcast_dims",
     "topk_orders",
-    "set_ops_multiset",
-    "string_funcs",
-    "date_funcs",
     "udtf_props_kv",
-    "window_ranking",
-    "cube_platform_province",
-    "nested_struct_json",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r5; the local oracle gate re-checks all of them
     # every CI run): dedup_minhash / dedup_simhash_pairs (rows-only

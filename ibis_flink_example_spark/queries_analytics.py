@@ -887,3 +887,293 @@ def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").alias("min_acctbal"),
         F.max("c_acctbal").alias("max_acctbal"),
     )
+
+
+@query(
+    "item_similarity_topk",
+    # Cosine similarity between parts from co-purchase counts:
+    # sim = co / sqrt(n_a * n_b) — all three inputs exact integers, one
+    # identical double chain per pair; the float orders only the top-k cut
+    # and ties break on the integer key pair.
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), np AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+), co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT co.part_a, co.part_b, co.n_co,
+  CAST(co.n_co AS DOUBLE)
+    / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS cosine_sim
+FROM co JOIN np na ON co.part_a = na.l_partkey
+        JOIN np nb ON co.part_b = nb.l_partkey
+ORDER BY cosine_sim DESC, part_a ASC, part_b ASC LIMIT 20
+""",
+)
+def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity: cosine between parts over the
+    order-basket incidence (the recommender building block on top of the
+    market-basket pairs). Pair generation is structurally bounded (<= 21
+    pairs/order); per-part counts join back broadcast-eligible; the top-20
+    plans as TakeOrderedAndProject — never a global pair-space sort."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    np_ = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 2)
+    )
+    na = np_.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    nb = np_.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    sim = (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            (
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine_sim"),
+        )
+    )
+    return sim.orderBy(
+        F.col("cosine_sim").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+@query(
+    "relational_division_customers",
+    # Relational division ("FOR ALL"): customers whose orders span EVERY
+    # priority class — the set-containment quotient, via the standard
+    # distinct-count == universe-count rewrite (no nested NOT EXISTS).
+    oracle="""
+WITH u AS (
+  SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_all FROM orders
+), pc AS (
+  SELECT o_custkey,
+    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+  FROM orders GROUP BY 1
+)
+SELECT pc.o_custkey, pc.n_priorities
+FROM pc CROSS JOIN u WHERE pc.n_priorities = u.n_all
+""",
+)
+def relational_division_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers who have ordered under ALL existing
+    priority classes. The double-NOT-EXISTS formulation re-correlates per
+    candidate; the scalable rewrite is two aggregations over ONE scan
+    shape — per-customer distinct-priority counts vs the (1-row,
+    cross-joined) universe count."""
+    orders = load_table(spark, sf_dir, "orders")
+    universe = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .where(F.col("n_priorities") == F.col("n_all"))
+        .select("o_custkey", "n_priorities")
+    )
+
+
+@query(
+    "mode_priority_by_nation",
+    # Exact MODE with a deterministic tiebreak (highest count, then
+    # lexicographically smallest value) — the argmax idiom that stays
+    # engine-exact where a builtin mode()'s tie choice would not.
+    oracle="""
+WITH cnt AS (
+  SELECT c.c_nationkey, o.o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, o_orderpriority AS mode_priority, n_orders
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_nationkey ORDER BY n_orders DESC, o_orderpriority ASC
+  ) AS rk FROM cnt
+) WHERE rk = 1
+""",
+)
+def mode_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common order priority per customer nation — exact mode via
+    count + rank-1 selection with a total tiebreak order (count desc,
+    value asc), so ties resolve identically in any engine. The orders →
+    customer join broadcasts the dimension side; the mode window rides the
+    count aggregation's nation partitioning."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cnt = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "top_event_paths",
+    # Clickstream path analysis: the first 3 event types of every session
+    # (30-min gaps) concatenated into a path string, global top-20 paths.
+    # concat_ws skips NULLs identically in both engines, so short sessions
+    # fold to their natural prefix.
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), seq AS (
+  SELECT user_id, event_id, ts, event_type,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_seq
+  FROM g
+), s AS (
+  SELECT user_id, event_type, session_seq,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id, session_seq ORDER BY ts ASC, event_id ASC
+    ) AS rn
+  FROM seq
+), p AS (
+  SELECT user_id, session_seq,
+    concat_ws('>',
+      MAX(CASE WHEN rn = 1 THEN event_type END),
+      MAX(CASE WHEN rn = 2 THEN event_type END),
+      MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM s WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+""",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening event paths (first 3 event types per 30-min
+    session) — the clickstream path-analysis rollup on the same
+    gaps-and-islands frame as sessionize_stats. Path assembly is
+    conditional-aggregation (MAX(CASE rn)) — never an order-sensitive
+    collect_list — and the top-20 plans as TakeOrderedAndProject. All
+    session work shares ONE user-keyed exchange."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ordered = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(ordered)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("int")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_session).over(running).alias("session_seq"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_seq").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+    )
+    first3 = with_seq.withColumn("rn", rn).where(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "benford_leading_digit",
+    # Benford's-law data-quality screen: leading-digit distribution of
+    # order totals. Digit extraction goes through INTEGER cents rendered
+    # as a decimal string (float-to-string formatting differs between
+    # engines; integer formatting does not).
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS frac
+FROM d CROSS JOIN t GROUP BY digit, t.total
+""",
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals — the classic fraud /
+    synthetic-data smell test, as a one-exchange digit rollup. The digit
+    comes from the integer-cents decimal rendering (engine-stable, unlike
+    float formatting); frac closes with one double division against the
+    cross-joined total."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("total").cast("double")).alias(
+                "frac"
+            ),
+        )
+    )

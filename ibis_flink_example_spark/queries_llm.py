@@ -1546,3 +1546,46 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    # Dedup REPORTING: distribution of exact-duplicate cluster sizes over
+    # the planted-duplicate corpus (every doc_id % 50 == 0 re-added under
+    # doc_id + 1000000, mirroring the SimHash coverage fixture) — the
+    # dashboard rollup every dedup pipeline ships next to the dedup
+    # itself.
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), grp AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM aug GROUP BY 1
+)
+SELECT cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM grp GROUP BY 1
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 companion: the duplicate-cluster size histogram (how many
+    clusters of size 1, 2, ... and how many docs they hold) over a corpus
+    with planted exact duplicates. Two digest-keyed rollups; document text
+    never shuffles (the md5 digest rides the exchange) — the exact-dedup
+    plan shape reused for reporting instead of pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    grp = aug.select(F.md5("text").alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return grp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
