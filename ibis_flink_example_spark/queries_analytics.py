@@ -222,6 +222,28 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_session_seq(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The ONE definition of batch session assignment (gaps-and-islands on
+    the user key): gap flag (lag) → running-sum session sequence. Shared
+    by sessionize_stats, top_event_paths, and mirrored by the streaming
+    twin — the 30-min session rule must never fork. Returns the events
+    frame plus a ``session_seq`` column; all stages share one user-keyed
+    exchange."""
+    from pyspark.sql.window import Window
+
+    ordered = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(ordered)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
+    ).cast("int")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_seq", F.sum(new_session).over(running))
+
+
 @query(
     "sessionize_stats",
     oracle="""
@@ -255,26 +277,11 @@ def sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     user key: gap flag (lag) → running-sum session sequence → session
     rollup, all sharing ONE user-keyed exchange (hash(user) clusters
     (user, session) for free — same plan shape as the SCD2 build)."""
-    from pyspark.sql.window import Window
-
     from ibis_flink_example_spark.functions.exact import dec_sum
 
     events = load_table(spark, sf_dir, "events")
-    ordered = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap_us = 30 * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(ordered)
-    new_session = (
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
-    ).cast("int")
-    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_seq = events.select(
-        "user_id",
-        "ts",
-        "value",
-        F.sum(new_session).over(running).alias("session_seq"),
+    with_seq = with_session_seq(events).select(
+        "user_id", "ts", "value", "session_seq"
     )
     return with_seq.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
@@ -1097,22 +1104,8 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
-    ordered = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap_us = 30 * 60 * 1_000_000
-    prev_ts = F.lag("ts").over(ordered)
-    new_session = (
-        prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_us)
-    ).cast("int")
-    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_seq = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(new_session).over(running).alias("session_seq"),
+    with_seq = with_session_seq(events).select(
+        "user_id", "ts", "event_id", "event_type", "session_seq"
     )
     rn = F.row_number().over(
         Window.partitionBy("user_id", "session_seq").orderBy(
@@ -1157,23 +1150,23 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law screen over order totals — the classic fraud /
     synthetic-data smell test, as a one-exchange digit rollup. The digit
     comes from the integer-cents decimal rendering (engine-stable, unlike
-    float formatting); frac closes with one double division against the
-    cross-joined total."""
+    float formatting); the denominator is the SUM over the <=9-row digit
+    rollup (an unpartitioned window over the post-aggregation frame), so
+    the table is scanned exactly once."""
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     d = orders.select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
     )
-    t = d.agg(F.count(F.lit(1)).alias("total"))
+    total = F.sum("n_orders").over(Window.partitionBy())
     return (
         d.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .crossJoin(F.broadcast(t))
         .select(
             "digit",
             "n_orders",
-            (F.col("n_orders").cast("double") / F.col("total").cast("double")).alias(
-                "frac"
-            ),
+            (F.col("n_orders").cast("double") / total.cast("double")).alias("frac"),
         )
     )

@@ -462,6 +462,18 @@ def minhash_vs_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_vs_exact_pairs_impl(docs)
 
 
+def _with_planted_dups(docs: DataFrame) -> DataFrame:
+    """The planted-duplicate corpus shared by the dedup QA queries: every
+    doc with doc_id % 50 == 0 re-added verbatim under doc_id + 1000000
+    (mirrored exactly in the SQL oracles). One definition so the estimator
+    floor and its reporting companion can never drift apart."""
+    docs = docs.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
 @query(
     "simhash_exact_dup_coverage",
     # SimHash itself hashes with xxhash64 (no DuckDB equivalent), so its
@@ -488,11 +500,7 @@ def simhash_exact_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate at hamming 0 (pigeonhole guarantee), checked against the
     SQL-computable identical-text pair set over a planted-duplicate
     corpus — the driver-hashable floor under the rows-only estimator."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    aug = docs.unionByName(planted)
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
     zero = (
         # UNCAPPED probe: the pigeonhole coverage guarantee holds for the
         # uncapped operator; the production bucket cap deliberately
@@ -1576,12 +1584,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted exact duplicates. Two digest-keyed rollups; document text
     never shuffles (the md5 digest rides the exchange) — the exact-dedup
     plan shape reused for reporting instead of pruning."""
-    docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", "text").unionAll(
-        docs.where(F.col("doc_id") % 50 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    )
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
     grp = aug.select(F.md5("text").alias("h")).groupBy("h").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
