@@ -927,11 +927,19 @@ def item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-basket incidence (the recommender building block on top of the
     market-basket pairs). Pair generation is structurally bounded (<= 21
     pairs/order); per-part counts join back broadcast-eligible; the top-20
-    plans as TakeOrderedAndProject — never a global pair-space sort."""
+    plans as TakeOrderedAndProject — never a global pair-space sort.
+
+    The deduplicated incidence is localCheckpoint-ed: it feeds FOUR plan
+    subtrees (both self-join sides + both count joins) and Spark plans no
+    ReusedExchange across them, so without materialization the table would
+    be scanned and deduplicated four times. 16 bytes/row held once beats
+    4x the scan at any scale; blocks live as long as the returned plan
+    (caller-release contract as elsewhere)."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     np_ = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a, b = items.alias("a"), items.alias("b")
