@@ -134,12 +134,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "json_decode",
     "grouping_sets_revenue",
     "join_theta",
-    # r3-only-green family representatives (oldest external rows in the
-    # registry — refresh one per operator family; six more reps were
-    # displaced by this round's second query batch and keep their r3 rows)
-    "join_broadcast_dims",
-    "topk_orders",
-    "udtf_props_kv",
+    # new in round 6 (third batch): sweep-line interval algebra,
+    # distribution-drift TVD monitor, CDC snapshot diff — these take the
+    # last three slots from the r3-green family re-verifies (which keep
+    # their r3 rows and stay first in line if the window ever widens)
+    "concurrent_sessions_peak",
+    "lang_distribution_drift",
+    "snapshot_diff_orders",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r5; the local oracle gate re-checks all of them
     # every CI run): dedup_minhash / dedup_simhash_pairs (rows-only

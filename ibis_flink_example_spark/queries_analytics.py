@@ -1178,3 +1178,147 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_orders").cast("double") / total.cast("double")).alias("frac"),
         )
     )
+
+
+@query(
+    "concurrent_sessions_peak",
+    # Sweep-line interval algebra: peak concurrent sessions per day.
+    # Session intervals ([start, end+gap)) become +1/-1 boundary events; a
+    # running sum over each day's ordered boundaries is the concurrency
+    # curve, whose max is the peak. Ends sort before starts at the same
+    # instant (half-open intervals — an end and a start at t do not
+    # overlap), mirrored exactly in the oracle via the delta sort key.
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+      AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), seq AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_seq
+  FROM g
+), iv AS (
+  SELECT user_id, session_seq, MIN(ts) AS s,
+    MAX(ts) + INTERVAL 30 MINUTE AS e
+  FROM seq GROUP BY 1, 2
+), b AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM iv
+), curve AS (
+  SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+    CAST(SUM(delta) OVER (
+      PARTITION BY CAST(date_trunc('day', t) AS DATE)
+      ORDER BY t ASC, delta ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS concurrent
+  FROM b
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+  CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM curve GROUP BY 1
+""",
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval-algebra
+    rollup (capacity planning over session intervals). Intervals come from
+    the shared with_session_seq frame; each contributes a +1 (start) and
+    -1 (end+gap) boundary, and the day-partitioned running sum's max is
+    the peak. Boundary volume is 2x sessions (already aggregated), and
+    the sweep window partitions by DAY — never one global ordered pass.
+    Half-open semantics: at an exact boundary tie the -1 sorts first, so
+    back-to-back sessions never double-count."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    iv = (
+        with_session_seq(events)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("s"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias("e"),
+        )
+    )
+    b = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    day = F.date_trunc("day", F.col("t")).cast("date")
+    sweep = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = b.withColumn("day", day).select(
+        "day", F.sum("delta").over(sweep).alias("concurrent")
+    )
+    return curve.groupBy("day").agg(
+        F.max("concurrent").alias("peak_concurrent")
+    ).select(F.col("day").cast("timestamp").alias("day"), "peak_concurrent")
+
+
+@query(
+    "lang_distribution_drift",
+    # Distribution-drift monitor: total variation distance between the
+    # language mixes of two deterministic corpus halves (doc_id parity —
+    # the split rule is part of the query). TVD = 0.5 * sum |pa - pb|;
+    # each |pa - pb| is quantized to integer 1e-9 units BEFORE the
+    # cross-language sum, so the aggregate is order-exact; one double
+    # division closes.
+    oracle="""
+WITH h AS (
+  SELECT lang,
+    CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS na,
+    CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS nb
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM h
+), q AS (
+  SELECT CAST(floor(abs(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                        - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                   * 1000000000.0 + 0.5) AS BIGINT) AS d_x1e9
+  FROM h CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+  CAST(SUM(d_x1e9) AS BIGINT) AS sum_absdiff_x1e9,
+  CAST(SUM(d_x1e9) AS DOUBLE) / 2000000000.0 AS tvd
+FROM q
+""",
+)
+def lang_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring: total variation distance between the
+    language distributions of two halves of the corpus (the
+    snapshot-vs-snapshot shape of training-mix drift detection). One
+    conditional-aggregation pass computes both halves' counts per
+    language; per-language |pa - pb| is fixed-point quantized before the
+    cross-language sum so the scalar is engine- and order-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_a = F.col("doc_id") % 2 == 0
+    h = docs.groupBy("lang").agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.count(F.when(~is_a, 1)).alias("nb"),
+    )
+    t = h.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    d = (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            F.floor(
+                F.abs(
+                    F.col("na").cast("double") / F.col("ta").cast("double")
+                    - F.col("nb").cast("double") / F.col("tb").cast("double")
+                )
+                * 1_000_000_000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("d_x1e9")
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum("d_x1e9").alias("sum_absdiff_x1e9"),
+        (F.sum("d_x1e9").cast("double") / 2_000_000_000.0).alias("tvd"),
+    )

@@ -623,3 +623,87 @@ def pareto_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rnk"))
         ).alias("n_for_80pct"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    # CDC-style snapshot diff: snapshot B is derived from orders by a
+    # DETERMINISTIC mutation (drop keys %97==0, bump priority on %100==0,
+    # insert re-keyed copies of %250==0), mirrored exactly in SQL; the
+    # diff is a full-outer join on the key comparing row digests.
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+), b AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 100 = 0 THEN '0-BUMPED' ELSE o_orderpriority END
+      AS o_orderpriority,
+    o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 250 = 0
+), j AS (
+  SELECT
+    COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+    CASE
+      WHEN a.o_orderkey IS NULL THEN 'added'
+      WHEN b.o_orderkey IS NULL THEN 'removed'
+      WHEN a.o_orderpriority <> b.o_orderpriority
+        OR CAST(round(a.o_totalprice * 100) AS BIGINT)
+           <> CAST(round(b.o_totalprice * 100) AS BIGINT) THEN 'changed'
+      ELSE 'unchanged'
+    END AS change_type
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY 1
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC/reconciliation primitive): classify every
+    key across two table versions as added / removed / changed /
+    unchanged. Snapshot B is a deterministic mutation of the fixture
+    (delete + update + insert classes), so the oracle reproduces it; the
+    diff itself is ONE key-keyed full-outer join comparing integer-cents
+    digests — the shape that reconciles two 100 TB snapshots in a single
+    co-partitioned pass (bucket both snapshots on the key to elide even
+    that exchange)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit("0-BUMPED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            "o_totalprice",
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 250 == 0).select(
+                (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+    )
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    a, bb = orders.alias("a"), b.alias("b")
+    j = a.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+            | (cents(F.col("a.o_totalprice")) != cents(F.col("b.o_totalprice"))),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
