@@ -24,15 +24,33 @@ from ibis_flink_example_spark.session import REFERENCE_TIMESTAMP_FORMAT
 
 @functools.lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as TIMESTAMP(NANOS) in the parquet footer (driver-side
-    metadata read — one footer, not data)."""
+    """Columns PHYSICALLY stored as INT64 TIMESTAMP(NANOS) in the parquet
+    footer (driver-side metadata read — one footer, not data).
+
+    The physical type matters: pyarrow reports Spark's default INT96
+    timestamps as ``timestamp[ns]`` too, but Spark reads INT96 natively as
+    TimestampType — routing INT96 files down the nanosAsLong+div-1000
+    lowering would crash on a TIMESTAMP/BIGINT type mismatch. Only the
+    INT64-nanos annotation (what the round-≤3 fixtures used) needs the
+    lowering."""
     import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
     import pyarrow.types as pt
 
-    schema = ds.dataset(path, format="parquet").schema
-    return tuple(
-        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
-    )
+    dataset = ds.dataset(path, format="parquet")
+    ns_logical = {
+        f.name for f in dataset.schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+    if not ns_logical:
+        return ()
+    # one footer decides; fixtures/sinks are schema-homogeneous
+    meta = pq.ParquetFile(next(iter(dataset.files))).metadata.schema
+    int64_cols = {
+        meta.column(i).name
+        for i in range(len(meta))
+        if meta.column(i).physical_type == "INT64"
+    }
+    return tuple(c for c in ns_logical if c in int64_cols)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -118,3 +118,42 @@ def test_conversion_latency_zero_conversions_yields_one_row(spark):
     assert r["n_converted"] == 0
     assert r["p50_s"] is None and r["p90_s"] is None
     assert r["min_s"] is None and r["max_s"] is None and r["avg_s"] is None
+
+
+def test_concurrent_sessions_half_open_tie(spark, tmp_path):
+    """Adversarial mini-fixture for the sweep-line half-open rule: user 2's
+    session starts EXACTLY where user 1's session window ends (end+gap ==
+    start) — back-to-back sessions must NOT double-count (peak 1, not 2),
+    and Spark must agree with the DuckDB oracle on the same fixture."""
+    import glob
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    base = 1_700_000_000_000_000  # µs; keep everything inside one day
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        # user 1: one session [base, base+60s] -> interval ends base+60s+gap
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + 60_000_000, 1, "view", 1.0, "{}"),
+        # user 2: starts exactly at user 1's interval end (tie: -1 first)
+        (3, base + 60_000_000 + gap_us, 2, "view", 1.0, "{}"),
+        # user 3: genuinely overlaps user 2 -> peak 2
+        (4, base + 60_000_000 + gap_us + 10_000_000, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    d = str(tmp_path / "mini")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(src, os.path.join(d, "events.parquet"))
+
+    got = QUERIES["concurrent_sessions_peak"](spark, d).toPandas()
+    want = run_oracle(ORACLES["concurrent_sessions_peak"], d)
+    assert not compare_frames(got, want)
+    assert int(got["peak_concurrent"].max()) == 2  # overlap yes, tie no
