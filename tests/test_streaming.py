@@ -624,3 +624,92 @@ def test_incremental_upsert_across_restarts(spark, tmp_path):
     # only the NEW file was processed (no double-counting of batch1)
     assert state["totals"] == {1: 17, 2: 7, 3: 4}
     assert state["runs"] > runs_after_first
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """T5 for the sessionize operator: the unsettled-session array state
+    must round-trip through the state store across a checkpointed restart
+    — two availableNow runs over one checkpoint (stopping mid-corpus with
+    an OPEN session and a pending finalization) must emit exactly what one
+    drained run over all data emits."""
+    import json
+    import time as _time
+
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    base = 1_700_000_000_000_000
+    s = 1_000_000
+    # session A (2 events), then B opener — A stays UNSETTLED at the end of
+    # run 1 (watermark = B.start - 15 s < A.end + gap): restart must carry it
+    b1 = [
+        {"event_id": 1, "ts": base, "user_id": 1, "value": 1.00},
+        {"event_id": 2, "ts": base + 5 * s, "user_id": 1, "value": 2.00},
+        {"event_id": 3, "ts": base + 1805 * s, "user_id": 1, "value": 4.00},
+    ]
+    # bridging straggler (merges A+B) + a far event closing the merged one
+    # + another far event (stays open)
+    b2 = [
+        {"event_id": 4, "ts": base + 1795 * s, "user_id": 1, "value": 8.00},
+        {"event_id": 5, "ts": base + 4000 * s, "user_id": 1, "value": 16.00},
+        {"event_id": 6, "ts": base + 8000 * s, "user_id": 1, "value": 32.00},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows, mtime):
+        p = str(src / name)
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (mtime, mtime))
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        # file sink: the one built-in sink with full checkpoint recovery
+        # (memory sink refuses to recover from a checkpoint)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+            .withColumn("ts", F.timestamp_micros(F.col("ts")))
+        )
+        sess = stateful_sessionize(
+            stream,
+            key="user_id",
+            time_col="ts",
+            measure="value",
+            tiebreak_col="event_id",
+            gap_seconds=30 * 60,
+            delay_seconds=15,
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "user_id long, session_seq long, session_start timestamp, "
+            "session_end timestamp, n_events long, sum_value double"
+        ).parquet(sink)
+
+    now = _time.time()
+    write_batch("0.jsonl", b1, now)
+    out1 = run_once().collect()
+    assert out1 == []  # nothing final yet: A still bridgeable
+
+    write_batch("1.jsonl", b2, now + 2)
+    out2 = run_once().collect()
+    # restart processed ONLY b2, but carried A in state: the bridging
+    # straggler merged A+B (seq 1, 4 events), then event 5's watermark
+    # finalized it; session at 4000s closed by event 6's watermark (seq 2)
+    got = sorted(
+        (r["session_seq"], r["n_events"], r["sum_value"]) for r in out2
+    )
+    assert got == [(1, 4, 15.0), (2, 1, 16.0)]
