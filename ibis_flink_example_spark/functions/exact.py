@@ -27,6 +27,16 @@ def money(col: Column | str) -> Column:
     return c.cast(MONEY)
 
 
+def cents(col: Column | str) -> Column:
+    """2-decimal money → integer cents with HALF-UP rounding — the one
+    definition of the package's quantization idiom (Spark's round() is
+    half-even on doubles and DuckDB's is half-away; floor(x*100+0.5)
+    agrees with the SQL oracles' CAST(round(x*100) AS BIGINT) for the
+    non-negative-tie inputs the 2-decimal contract guarantees)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
 def dec_sum(col: Column | str, alias: str | None = None) -> Column:
     """Exact SUM of a 2-decimal-quantized double, returned as double."""
     out = F.sum(money(col)).cast("double")

@@ -392,12 +392,14 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_corr_price_qty",
-    # Bivariate statistics via exact integer moments: every cross-row sum
-    # is DECIMAL over integer cents (order-independent, engine-exact); the
-    # closing corr/cov/slope formulas are an IDENTICAL double chain in both
-    # engines (each sum cast to DOUBLE first, ops in the same order), so
-    # the floats match bit-for-bit — the package's standard exactness idiom
-    # extended to second moments.
+    # Bivariate statistics with NO catastrophic cancellation: every sum is
+    # DECIMAL over integer cents, and the centered second moments are the
+    # EXACT integer differences Dxy = n*sxy - sx*sy (DECIMAL(38,0) /
+    # HUGEINT — fits: |n*sxy| < 2e24), computed BEFORE any double cast.
+    # A float `sxx - sx*sx/n` chain would cancel catastrophically on
+    # near-constant columns (sx^2 > 2^53); here each D suffers exactly one
+    # rounding (the final int->double cast), and the closing divisions are
+    # the identical chain in both engines — bit-equal AND accurate.
     oracle="""
 WITH m AS (
   SELECT l_returnflag,
@@ -411,23 +413,18 @@ WITH m AS (
     SUM(CAST(round(l_quantity * 100) AS BIGINT)
         * CAST(round(l_quantity * 100) AS BIGINT)) AS syy
   FROM lineitem GROUP BY 1
+), d AS (
+  SELECT l_returnflag, n,
+    CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+    CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+  FROM m
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-     / (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS covar_samp,
-  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-     / (CAST(n AS DOUBLE) - 1.0))
-    / sqrt(
-        ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-           / (CAST(n AS DOUBLE) - 1.0))
-        * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-           / (CAST(n AS DOUBLE) - 1.0))
-      ) AS corr_price_qty,
-  ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-     / (CAST(n AS DOUBLE) - 1.0))
-    / ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-         / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS regr_slope_price_on_qty
-FROM m
+  dxy / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0 AS covar_samp,
+  dxy / sqrt(dxx * dyy) AS corr_price_qty,
+  dxy / dyy / 100.0 AS regr_slope_price_on_qty
+FROM d
 """,
 )
 def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,12 +432,15 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope) of extended price vs quantity per return flag. Spark's builtin
     corr()/covar_samp() accumulate doubles in partition order
     (nondeterministic across runs, unmatchable across engines), so the
-    moments are computed as exact DECIMAL sums of integer cents — one
-    partial-aggregated groupBy, map-side combine, 6 numeric columns over
-    the scan — and the closing formulas run an identical double chain in
-    both engines. covar/slope rescaled to dollar/unit terms."""
+    moments are exact DECIMAL sums of integer cents — one partial-
+    aggregated groupBy, map-side combine, 6 numeric columns over the scan —
+    and the centered differences n*sxy - sx*sy stay in EXACT integer
+    arithmetic until one final cast (no raw-moment cancellation; the
+    algebra-vs-numpy agreement is property-tested). covar/slope rescaled
+    to dollar/unit terms; corr's scale factors cancel."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    from ibis_flink_example_spark.functions.exact import cents
+
     px, qy = cents("l_extendedprice"), cents("l_quantity")
     dec = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
     m = li.groupBy("l_returnflag").agg(
@@ -451,19 +451,21 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(px * px).alias("sxx"),
         dec(qy * qy).alias("syy"),
     )
-    dn = F.col("n").cast("double")
-    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    dsxy = F.col("sxy").cast("double")
-    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    cov_cents = (dsxy - dsx * dsy / dn) / (dn - F.lit(1.0))
-    var_x = (dsxx - dsx * dsx / dn) / (dn - F.lit(1.0))
-    var_y = (dsyy - dsy * dsy / dn) / (dn - F.lit(1.0))
-    return m.select(
+    nd = F.col("n").cast("decimal(38,0)")
+    d = m.select(
         "l_returnflag",
         "n",
-        (cov_cents / F.lit(10000.0)).alias("covar_samp"),
-        (cov_cents / F.sqrt(var_x * var_y)).alias("corr_price_qty"),
-        (cov_cents / var_y / F.lit(100.0)).alias("regr_slope_price_on_qty"),
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("dxx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("dyy"),
+    )
+    dn = F.col("n").cast("double")
+    return d.select(
+        "l_returnflag",
+        "n",
+        (F.col("dxy") / (dn * (dn - F.lit(1.0))) / F.lit(10000.0)).alias("covar_samp"),
+        (F.col("dxy") / F.sqrt(F.col("dxx") * F.col("dyy"))).alias("corr_price_qty"),
+        (F.col("dxy") / F.col("dyy") / F.lit(100.0)).alias("regr_slope_price_on_qty"),
     )
 
 
@@ -762,8 +764,11 @@ def conversion_latency_impl(events: DataFrame) -> DataFrame:
 @query(
     "ab_value_ttest",
     # Welch two-sample t over exact integer-cents moments: one conditional-
-    # aggregation pass splits variants, every cross-row sum is DECIMAL, and
-    # the t/df formulas are the identical double chain in both engines.
+    # aggregation pass splits variants; the centered moments Da = na*ssa -
+    # sa^2 and the mean-difference numerator Dm = sa*nb - sb*na stay in
+    # EXACT DECIMAL/HUGEINT integer arithmetic until a single double cast
+    # (no raw-moment or mean-difference cancellation), then an identical
+    # double chain closes t and the Welch df in both engines.
     oracle="""
 WITH m AS (
   SELECT
@@ -780,14 +785,18 @@ WITH m AS (
   SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a,
     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
-    ((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
-       / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS va_n,
-    ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
-       / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS vb_n
+    CAST(na * ssa - sa * sa AS DOUBLE)
+      / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+      AS va_n,
+    CAST(nb * ssb - sb * sb AS DOUBLE)
+      / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+      AS vb_n,
+    CAST(sa * nb - sb * na AS DOUBLE)
+      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS dm_cents
   FROM m
 )
 SELECT n_a, n_b, mean_a, mean_b,
-  (mean_a - mean_b) / sqrt((va_n + vb_n) / 10000.0) AS t_stat,
+  dm_cents / sqrt(va_n + vb_n) AS t_stat,
   (va_n + vb_n) * (va_n + vb_n)
     / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1.0)
        + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1.0)) AS df_welch
@@ -800,35 +809,46 @@ def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment rule is part of the query so the oracle reproduces it).
     ONE conditional-aggregation pass over events computes both variants'
     exact integer-cents moments (no per-variant rescan, no shuffle beyond
-    the single global agg); means/variances/t/df close with an identical
-    double chain in both engines. The cents scale cancels in t via the
-    /10000 under the sqrt."""
+    the single global agg); the centered moments and the mean-difference
+    numerator stay in exact integer arithmetic until one double cast
+    (cancellation-free — property-tested against numpy), and the t/df
+    chain is identical in both engines. The cents scale cancels inside t
+    (both dm_cents and sqrt(v) carry cents)."""
+    from ibis_flink_example_spark.functions.exact import cents
+
     events = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = cents("value")
     is_a = F.col("user_id") % 2 == 0
     dec = lambda col: F.sum(col.cast("decimal(38,0)"))  # noqa: E731
     m = events.agg(
         F.count(F.when(is_a, 1)).alias("na"),
         F.count(F.when(~is_a, 1)).alias("nb"),
-        dec(F.when(is_a, cents)).alias("sa"),
-        dec(F.when(~is_a, cents)).alias("sb"),
-        dec(F.when(is_a, cents * cents)).alias("ssa"),
-        dec(F.when(~is_a, cents * cents)).alias("ssb"),
+        dec(F.when(is_a, c)).alias("sa"),
+        dec(F.when(~is_a, c)).alias("sb"),
+        dec(F.when(is_a, c * c)).alias("ssa"),
+        dec(F.when(~is_a, c * c)).alias("ssb"),
+    )
+    nad, nbd = (
+        F.col("na").cast("decimal(38,0)"),
+        F.col("nb").cast("decimal(38,0)"),
     )
     dna, dnb = F.col("na").cast("double"), F.col("nb").cast("double")
-    dsa, dsb = F.col("sa").cast("double"), F.col("sb").cast("double")
-    dssa, dssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
-    va_n = ((dssa - dsa * dsa / dna) / (dna - F.lit(1.0))) / dna
-    vb_n = ((dssb - dsb * dsb / dnb) / (dnb - F.lit(1.0))) / dnb
-    mean_a = dsa / dna / F.lit(100.0)
-    mean_b = dsb / dnb / F.lit(100.0)
     v = m.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        mean_a.alias("mean_a"),
-        mean_b.alias("mean_b"),
-        va_n.alias("va_n"),
-        vb_n.alias("vb_n"),
+        (F.col("sa").cast("double") / dna / F.lit(100.0)).alias("mean_a"),
+        (F.col("sb").cast("double") / dnb / F.lit(100.0)).alias("mean_b"),
+        (
+            (nad * F.col("ssa") - F.col("sa") * F.col("sa")).cast("double")
+            / (dna * dna * (dna - F.lit(1.0)))
+        ).alias("va_n"),
+        (
+            (nbd * F.col("ssb") - F.col("sb") * F.col("sb")).cast("double")
+            / (dnb * dnb * (dnb - F.lit(1.0)))
+        ).alias("vb_n"),
+        (
+            (F.col("sa") * nbd - F.col("sb") * nad).cast("double") / (dna * dnb)
+        ).alias("dm_cents"),
     )
     se = F.col("va_n") + F.col("vb_n")
     return v.select(
@@ -836,9 +856,7 @@ def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "mean_a",
         "mean_b",
-        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se / F.lit(10000.0))).alias(
-            "t_stat"
-        ),
+        (F.col("dm_cents") / F.sqrt(se)).alias("t_stat"),
         (
             se * se
             / (
@@ -1163,10 +1181,13 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table is scanned exactly once."""
     from pyspark.sql.window import Window
 
+    from ibis_flink_example_spark.functions.exact import cents
+
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     d = orders.select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
     )
     total = F.sum("n_orders").over(Window.partitionBy())
     return (
@@ -1183,11 +1204,17 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "concurrent_sessions_peak",
     # Sweep-line interval algebra: peak concurrent sessions per day.
-    # Session intervals ([start, end+gap)) become +1/-1 boundary events; a
-    # running sum over each day's ordered boundaries is the concurrency
-    # curve, whose max is the peak. Ends sort before starts at the same
-    # instant (half-open intervals — an end and a start at t do not
-    # overlap), mirrored exactly in the oracle via the delta sort key.
+    # Session intervals ([start, end+gap)) become +1/-1 boundary events;
+    # within each day the running boundary sum gives the intra-day curve,
+    # and the day's true peak adds the CARRY-IN (sessions still open at
+    # day start = cumulative net delta of all earlier days) — without it,
+    # intervals crossing midnight are dropped from the next day's count
+    # and an ends-only day would report a negative "peak". peak(day) =
+    # carry_in + max(0, max intra-day running sum): the max(0,..) term
+    # covers the day-start instant itself (an ends-only day's peak is the
+    # carry-in, before any boundary fires). Ends sort before starts at the
+    # same instant (half-open intervals — an end and a start at t do not
+    # overlap).
     oracle="""
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -1212,28 +1239,41 @@ WITH g AS (
   UNION ALL
   SELECT e AS t, -1 AS delta FROM iv
 ), curve AS (
-  SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+  SELECT CAST(date_trunc('day', t) AS DATE) AS day, delta,
     CAST(SUM(delta) OVER (
       PARTITION BY CAST(date_trunc('day', t) AS DATE)
       ORDER BY t ASC, delta ASC
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS BIGINT) AS concurrent
+    ) AS BIGINT) AS running
   FROM b
+), per_day AS (
+  SELECT day,
+    CAST(MAX(running) AS BIGINT) AS day_max,
+    CAST(SUM(delta) AS BIGINT) AS day_net
+  FROM curve GROUP BY 1
+), carried AS (
+  SELECT day, day_max,
+    CAST(COALESCE(SUM(day_net) OVER (
+      ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS BIGINT) AS carry_in
+  FROM per_day
 )
 SELECT CAST(day AS TIMESTAMP) AS day,
-  CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
-FROM curve GROUP BY 1
+  CAST(carry_in + GREATEST(day_max, 0) AS BIGINT) AS peak_concurrent
+FROM carried
 """,
 )
 def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak concurrent sessions per day — the sweep-line interval-algebra
-    rollup (capacity planning over session intervals). Intervals come from
-    the shared with_session_seq frame; each contributes a +1 (start) and
-    -1 (end+gap) boundary, and the day-partitioned running sum's max is
-    the peak. Boundary volume is 2x sessions (already aggregated), and
-    the sweep window partitions by DAY — never one global ordered pass.
-    Half-open semantics: at an exact boundary tie the -1 sorts first, so
-    back-to-back sessions never double-count."""
+    """Peak concurrent sessions per boundary-active day — the sweep-line
+    interval-algebra rollup (capacity planning over session intervals).
+    Intervals come from the shared with_session_seq frame (materialized
+    once — they feed both union branches and Spark plans no ReusedExchange
+    across them); each contributes a +1 (start) and -1 (end+gap) boundary.
+    The running sum partitions by DAY (never one global ordered pass) and
+    each day's peak adds the carry-in of sessions still open from earlier
+    days (the day-axis cumulative is over the tiny post-aggregation day
+    frame). Half-open tie rule (-1 before +1 at the same instant) and the
+    midnight carry are both pinned by mini-fixture tests."""
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -1244,6 +1284,7 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("s"),
             (F.max("ts") + F.expr("interval 30 minutes")).alias("e"),
         )
+        .localCheckpoint(eager=True)  # feeds both boundary branches
     )
     b = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
@@ -1253,11 +1294,22 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").asc(), F.col("delta").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = b.withColumn("day", day).select(
-        "day", F.sum("delta").over(sweep).alias("concurrent")
+        "day", "delta", F.sum("delta").over(sweep).alias("running")
     )
-    return curve.groupBy("day").agg(
-        F.max("concurrent").alias("peak_concurrent")
-    ).select(F.col("day").cast("timestamp").alias("day"), "peak_concurrent")
+    per_day = curve.groupBy("day").agg(
+        F.max("running").alias("day_max"),
+        F.sum("delta").alias("day_net"),
+    )
+    carry = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        (
+            F.coalesce(F.sum("day_net").over(carry), F.lit(0))
+            + F.greatest(F.col("day_max"), F.lit(0).cast("long"))
+        ).alias("peak_concurrent"),
+    )
 
 
 @query(

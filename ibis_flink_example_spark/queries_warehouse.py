@@ -629,8 +629,8 @@ def pareto_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff_orders",
     # CDC-style snapshot diff: snapshot B is derived from orders by a
     # DETERMINISTIC mutation (drop keys %97==0, bump priority on %100==0,
-    # insert re-keyed copies of %250==0), mirrored exactly in SQL; the
-    # diff is a full-outer join on the key comparing row digests.
+    # insert copies re-keyed above max(o_orderkey)), mirrored exactly in
+    # SQL; the diff is a full-outer join on the key comparing row digests.
     oracle="""
 WITH a AS (
   SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
@@ -641,7 +641,10 @@ WITH a AS (
     o_totalprice
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 3000000, o_orderpriority, o_totalprice
+  -- inserted keys live ABOVE the existing key space (offset derived from
+  -- the data, not a constant that could collide at larger SFs)
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+         o_orderpriority, o_totalprice
   FROM orders WHERE o_orderkey % 250 = 0
 ), j AS (
   SELECT
@@ -682,14 +685,25 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .unionByName(
-            orders.where(F.col("o_orderkey") % 250 == 0).select(
-                (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+            # inserted keys live ABOVE the existing key space: offset =
+            # max(o_orderkey)+1 from the data (a constant offset would
+            # silently collide with real keys at larger SFs and fan out
+            # the full-outer join); the 1-row max broadcasts
+            orders.where(F.col("o_orderkey") % 250 == 0)
+            .crossJoin(
+                F.broadcast(
+                    orders.agg((F.max("o_orderkey") + 1).alias("__off"))
+                )
+            )
+            .select(
+                (F.col("o_orderkey") + F.col("__off")).alias("o_orderkey"),
                 "o_orderpriority",
                 "o_totalprice",
             )
         )
     )
-    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    from ibis_flink_example_spark.functions.exact import cents
+
     a, bb = orders.alias("a"), b.alias("b")
     j = a.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
     change = (

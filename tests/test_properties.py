@@ -337,7 +337,6 @@ def test_sessionize_update_equals_batch_reference(data, n_batches, demote, gap, 
         assert abs(row["sum_value"] - ref[3] / 100.0) < 1e-9
 
 
-@_slow
 @given(
     xy=st.lists(
         st.tuples(
@@ -348,54 +347,61 @@ def test_sessionize_update_equals_batch_reference(data, n_batches, demote, gap, 
         max_size=120,
     )
 )
-def test_exact_moment_corr_matches_numpy(spark, xy):
-    """The DECIMAL-moment corr/covar/slope algebra in stats_corr_price_qty
-    is the textbook definition: spot-check the closing formula against
-    numpy on random integer-cents data (the oracle proves cross-engine
-    bit-equality; this proves the algebra computes what it claims)."""
+@settings(max_examples=50, deadline=None)
+def test_exact_moment_corr_matches_numpy(xy):
+    """The exact-difference corr/covar/slope algebra in
+    stats_corr_price_qty (Dxy = n*sxy - sx*sy held in INTEGER arithmetic
+    until one double cast) matches numpy's centered formulas tightly even
+    on near-constant large-valued draws — the case where a raw-moment
+    float chain (sxx - sx^2/n in doubles) cancels catastrophically. Pure
+    algebra check; the oracle separately proves cross-engine bit-equality."""
     import numpy as np
 
-    x = np.array([a for a, _ in xy], dtype=np.float64)
-    y = np.array([b for _, b in xy], dtype=np.float64)
-    if np.all(x == x[0]) or np.all(y == y[0]):
+    xi = [a for a, _ in xy]
+    yi = [b for _, b in xy]
+    if len(set(xi)) == 1 or len(set(yi)) == 1:
         return  # zero variance: corr undefined, query would emit NaN either way
-    n = len(x)
-    sx, sy = x.sum(), y.sum()
-    sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
-    cov = (sxy - sx * sy / n) / (n - 1.0)
-    var_x = (sxx - sx * sx / n) / (n - 1.0)
-    var_y = (syy - sy * sy / n) / (n - 1.0)
-    corr = cov / np.sqrt(var_x * var_y)
-    slope = cov / var_y
-    assert abs(cov - np.cov(x, y, ddof=1)[0, 1]) <= 1e-6 * abs(cov) + 1e-6
-    assert abs(corr - np.corrcoef(x, y)[0, 1]) <= 1e-9 + 1e-9 * abs(corr)
-    # OLS slope of x on y == cov/var_y
+    n = len(xi)
+    # exact integer moments, exactly as the query holds them
+    sx, sy = sum(xi), sum(yi)
+    sxy = sum(a * b for a, b in xy)
+    sxx = sum(a * a for a in xi)
+    syy = sum(b * b for b in yi)
+    dxy = float(n * sxy - sx * sy)  # single rounding, like the one CAST
+    dxx = float(n * sxx - sx * sx)
+    dyy = float(n * syy - sy * sy)
+    cov = dxy / (n * (n - 1.0))
+    corr = dxy / np.sqrt(dxx * dyy)
+    slope = dxy / dyy
+    x = np.array(xi, dtype=np.float64)
+    y = np.array(yi, dtype=np.float64)
+    assert abs(cov - np.cov(x, y, ddof=1)[0, 1]) <= 1e-9 * max(1.0, abs(cov))
+    assert abs(corr - np.corrcoef(x, y)[0, 1]) <= 1e-9
     want_slope = np.polyfit(y, x, 1)[0]
     assert abs(slope - want_slope) <= 1e-6 * max(1.0, abs(want_slope))
 
 
-@_slow
 @given(
     a=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=3, max_size=80),
     b=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=3, max_size=80),
 )
-def test_welch_ttest_algebra_matches_numpy(spark, a, b):
-    """ab_value_ttest's moment-based Welch t and df equal the standard
+@settings(max_examples=50, deadline=None)
+def test_welch_ttest_algebra_matches_numpy(a, b):
+    """ab_value_ttest's exact-difference Welch t and df (Da = na*ssa -
+    sa^2 and Dm = sa*nb - sb*na in integer arithmetic) equal the standard
     definitions computed directly with numpy variances."""
     import numpy as np
 
     xa, xb = np.array(a, dtype=np.float64), np.array(b, dtype=np.float64)
-    if np.all(xa == xa[0]) and np.all(xb == xb[0]):
-        return  # both zero-variance: t undefined (0/0)
-    na, nb = len(xa), len(xb)
-    sa, sb = xa.sum(), xb.sum()
-    ssa, ssb = (xa * xa).sum(), (xb * xb).sum()
-    va_n = ((ssa - sa * sa / na) / (na - 1.0)) / na
-    vb_n = ((ssb - sb * sb / nb) / (nb - 1.0)) / nb
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    ssa, ssb = sum(v * v for v in a), sum(v * v for v in b)
+    va_n = float(na * ssa - sa * sa) / (na * na * (na - 1.0))
+    vb_n = float(nb * ssb - sb * sb) / (nb * nb * (nb - 1.0))
     se2 = va_n + vb_n
     if se2 == 0:
-        return
-    t = (sa / na - sb / nb) / np.sqrt(se2)
+        return  # both variants constant: t undefined (0/0)
+    t = (float(sa * nb - sb * na) / (na * nb)) / np.sqrt(se2)
     df = se2 * se2 / (va_n * va_n / (na - 1.0) + vb_n * vb_n / (nb - 1.0))
     ref_va_n = np.var(xa, ddof=1) / na
     ref_vb_n = np.var(xb, ddof=1) / nb

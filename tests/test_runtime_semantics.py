@@ -157,3 +157,46 @@ def test_concurrent_sessions_half_open_tie(spark, tmp_path):
     want = run_oracle(ORACLES["concurrent_sessions_peak"], d)
     assert not compare_frames(got, want)
     assert int(got["peak_concurrent"].max()) == 2  # overlap yes, tie no
+
+
+def test_concurrent_sessions_midnight_carry(spark, tmp_path):
+    """A session open across midnight must count toward the next day's
+    peak (carry-in), and a day containing only carried-over end boundaries
+    must report the carry-in, never a negative 'peak'."""
+    import glob
+    import os
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    day0 = 1_699_920_000_000_000  # 2023-11-14 00:00:00 UTC in µs
+    h = 3600 * 1_000_000
+    rows = [
+        # user 1: session 23:40 -> 23:50 day 1; interval ends 00:20 day 2
+        (1, day0 + 23 * h + 40 * 60_000_000, 1, "view", 1.0, "{}"),
+        (2, day0 + 23 * h + 50 * 60_000_000, 1, "view", 1.0, "{}"),
+        # user 2: session at 00:05 day 2 — true concurrency 2 with user 1
+        (3, day0 + 24 * h + 5 * 60_000_000, 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    d = str(tmp_path / "mini")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+                os.path.join(d, "events.parquet"))
+
+    got = QUERIES["concurrent_sessions_peak"](spark, d).toPandas()
+    want = run_oracle(ORACLES["concurrent_sessions_peak"], d)
+    assert not compare_frames(got, want)
+    by_day = {
+        r["day"].strftime("%Y-%m-%d"): int(r["peak_concurrent"])
+        for _, r in got.iterrows()
+    }
+    assert by_day["2023-11-14"] == 1  # only user 1's session on day 1
+    # day 2: user 1 carried over + user 2 overlapping -> peak 2 (the old
+    # per-day-only sweep reported 1 and could go negative)
+    assert by_day["2023-11-15"] == 2
+    assert all(v >= 0 for v in by_day.values())
