@@ -1239,7 +1239,7 @@ WITH g AS (
   UNION ALL
   SELECT e AS t, -1 AS delta FROM iv
 ), curve AS (
-  SELECT CAST(date_trunc('day', t) AS DATE) AS day, delta,
+  SELECT CAST(date_trunc('day', t) AS DATE) AS day, delta, t,
     CAST(SUM(delta) OVER (
       PARTITION BY CAST(date_trunc('day', t) AS DATE)
       ORDER BY t ASC, delta ASC
@@ -1249,17 +1249,24 @@ WITH g AS (
 ), per_day AS (
   SELECT day,
     CAST(MAX(running) AS BIGINT) AS day_max,
-    CAST(SUM(delta) AS BIGINT) AS day_net
+    CAST(SUM(delta) AS BIGINT) AS day_net,
+    MIN(t) AS min_t
   FROM curve GROUP BY 1
 ), carried AS (
-  SELECT day, day_max,
+  SELECT day, day_max, min_t,
     CAST(COALESCE(SUM(day_net) OVER (
       ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
     ), 0) AS BIGINT) AS carry_in
   FROM per_day
 )
 SELECT CAST(day AS TIMESTAMP) AS day,
-  CAST(carry_in + GREATEST(day_max, 0) AS BIGINT) AS peak_concurrent
+  -- the bare carry_in is the concurrency over [00:00, first boundary) —
+  -- an EMPTY interval when the first boundary fires exactly at midnight
+  -- (a session ending at 00:00 is already closed at the day-start
+  -- instant, half-open), so the floor applies only when min_t > 00:00
+  CAST(carry_in + CASE WHEN min_t > CAST(day AS TIMESTAMP)
+                       THEN GREATEST(day_max, 0) ELSE day_max END
+       AS BIGINT) AS peak_concurrent
 FROM carried
 """,
 )
@@ -1294,20 +1301,27 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").asc(), F.col("delta").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     curve = b.withColumn("day", day).select(
-        "day", "delta", F.sum("delta").over(sweep).alias("running")
+        "day", "delta", "t", F.sum("delta").over(sweep).alias("running")
     )
     per_day = curve.groupBy("day").agg(
         F.max("running").alias("day_max"),
         F.sum("delta").alias("day_net"),
+        F.min("t").alias("min_t"),
     )
     carry = Window.orderBy(F.col("day").asc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # bare carry_in = concurrency over [00:00, first boundary): an empty
+    # interval when the first boundary is exactly midnight (half-open — a
+    # session ending at 00:00 is closed at the day-start instant)
+    floor_applies = F.col("min_t") > F.col("day").cast("timestamp")
+    day_candidate = F.when(
+        floor_applies, F.greatest(F.col("day_max"), F.lit(0).cast("long"))
+    ).otherwise(F.col("day_max"))
     return per_day.select(
         F.col("day").cast("timestamp").alias("day"),
         (
-            F.coalesce(F.sum("day_net").over(carry), F.lit(0))
-            + F.greatest(F.col("day_max"), F.lit(0).cast("long"))
+            F.coalesce(F.sum("day_net").over(carry), F.lit(0)) + day_candidate
         ).alias("peak_concurrent"),
     )
 

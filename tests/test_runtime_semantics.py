@@ -120,43 +120,85 @@ def test_conversion_latency_zero_conversions_yields_one_row(spark):
     assert r["min_s"] is None and r["max_s"] is None and r["avg_s"] is None
 
 
-def test_concurrent_sessions_half_open_tie(spark, tmp_path):
-    """Adversarial mini-fixture for the sweep-line half-open rule: user 2's
-    session starts EXACTLY where user 1's session window ends (end+gap ==
-    start) — back-to-back sessions must NOT double-count (peak 1, not 2),
-    and Spark must agree with the DuckDB oracle on the same fixture."""
+def _write_mini_events(spark, tmp_path, rows, sub="mini"):
+    """Write a hand-crafted events.parquet fixture dir for the registered
+    query + oracle to run against (rows: (event_id, ts_us, user_id, type,
+    value, props))."""
     import glob
+    import os
     import shutil
 
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    d = str(tmp_path / sub)
+    stage = str(tmp_path / f"{sub}_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(
+        glob.glob(os.path.join(stage, "*.parquet"))[0],
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def _peak_by_day(spark, d):
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
     from tests.oracle import compare_frames, run_oracle
-
-    base = 1_700_000_000_000_000  # µs; keep everything inside one day
-    gap_us = 30 * 60 * 1_000_000
-    rows = [
-        # user 1: one session [base, base+60s] -> interval ends base+60s+gap
-        (1, base, 1, "view", 1.0, "{}"),
-        (2, base + 60_000_000, 1, "view", 1.0, "{}"),
-        # user 2: starts exactly at user 1's interval end (tie: -1 first)
-        (3, base + 60_000_000 + gap_us, 2, "view", 1.0, "{}"),
-        # user 3: genuinely overlaps user 2 -> peak 2
-        (4, base + 60_000_000 + gap_us + 10_000_000, 3, "view", 1.0, "{}"),
-    ]
-    df = spark.createDataFrame(
-        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    d = str(tmp_path / "mini")
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
-    import os
-
-    os.makedirs(d, exist_ok=True)
-    src = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
-    shutil.copy(src, os.path.join(d, "events.parquet"))
 
     got = QUERIES["concurrent_sessions_peak"](spark, d).toPandas()
     want = run_oracle(ORACLES["concurrent_sessions_peak"], d)
     assert not compare_frames(got, want)
-    assert int(got["peak_concurrent"].max()) == 2  # overlap yes, tie no
+    return {
+        r["day"].strftime("%Y-%m-%d"): int(r["peak_concurrent"])
+        for _, r in got.iterrows()
+    }
+
+
+def test_concurrent_sessions_half_open_tie(spark, tmp_path):
+    """Adversarial mini-fixtures for the sweep-line half-open rule.
+
+    Fixture A (users 1+2 ONLY): user 2's session starts EXACTLY where user
+    1's interval ends (end+gap == start) — peak MUST be 1; a broken tie
+    order (+1 before -1) would report 2, so this pins the rule. Fixture B
+    adds user 3 overlapping user 2 — genuine concurrency 2."""
+    base = 1_700_000_000_000_000  # µs; everything inside one day
+    gap_us = 30 * 60 * 1_000_000
+    u1 = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + 60_000_000, 1, "view", 1.0, "{}"),
+    ]
+    u2 = [(3, base + 60_000_000 + gap_us, 2, "view", 1.0, "{}")]
+    u3 = [(4, base + 60_000_000 + gap_us + 10_000_000, 3, "view", 1.0, "{}")]
+
+    d_tie = _write_mini_events(spark, tmp_path, u1 + u2, sub="tie")
+    by_day = _peak_by_day(spark, d_tie)
+    assert list(by_day.values()) == [1], (
+        "back-to-back sessions double-counted: the -1-before-+1 tie rule "
+        f"is broken (got {by_day})"
+    )
+
+    d_overlap = _write_mini_events(spark, tmp_path, u1 + u2 + u3, sub="overlap")
+    assert max(_peak_by_day(spark, d_overlap).values()) == 2  # real overlap
+
+
+def test_concurrent_sessions_end_exactly_at_midnight(spark, tmp_path):
+    """A session whose half-open interval ends EXACTLY at midnight is
+    closed at the next day's first instant: the next day must not report
+    it (no phantom peak from the carry-in floor)."""
+    day0 = 1_699_920_000_000_000  # 2023-11-14 00:00:00 UTC in µs
+    h = 3600 * 1_000_000
+    rows = [
+        # session 22:30 -> 23:30; interval ends 23:30 + 30min = 00:00 sharp
+        (1, day0 + 22 * h + 30 * 60_000_000, 1, "view", 1.0, "{}"),
+        (2, day0 + 23 * h + 30 * 60_000_000, 1, "view", 1.0, "{}"),
+    ]
+    by_day = _peak_by_day(spark, _write_mini_events(spark, tmp_path, rows))
+    assert by_day["2023-11-14"] == 1
+    # day 2 exists (it holds the end boundary) but its peak is 0 — the
+    # session is closed at the 00:00 instant (half-open)
+    assert by_day.get("2023-11-15", 0) == 0
 
 
 def test_concurrent_sessions_midnight_carry(spark, tmp_path):
