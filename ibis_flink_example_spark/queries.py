@@ -126,7 +126,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_sink_roundtrip",
     "streaming_tumble_1m",
     "streaming_session_30m",
-    "streaming_anomaly_zscore",
+    # group-aware split + leakage audit takes the slot of
+    # streaming_anomaly_zscore (rows-only by design: a fresh rows-only row
+    # would add nothing over its r5 row, and the op's exact batch equality
+    # is pinned in tests — the quantization change this round included)
+    "split_group_aware_events",
     # rotate-back re-verifies (displaced in r5; r3/r4-green): TPC-H joins,
     # decode, grouping sets, theta join
     "tpch_q21_suppliers_who_kept_waiting",

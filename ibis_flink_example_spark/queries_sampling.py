@@ -158,3 +158,59 @@ def sample_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.temperature_balanced_sample(
         docs, stratum_col="lang", key_col="doc_id", target_frac=0.5
     ).select("doc_id", "lang")
+
+
+@query(
+    "split_group_aware_events",
+    # Group-aware split + leakage audit: the hash is taken on the GROUP
+    # key (user), so every event of a user lands in ONE split — the
+    # leakage guard row-level hashing cannot give (a user's events
+    # straddling train and test leaks behavior into evaluation). The
+    # leakage_groups column is COMPUTED from the row-level assignment
+    # (users with >1 distinct split), not assumed zero — the audit a
+    # pipeline runs on any delivered split.
+    oracle=r"""
+WITH a AS (
+  SELECT user_id, event_id,
+    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+         WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test' END AS split
+  FROM events
+), lk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leakage_groups FROM (
+    SELECT user_id FROM a GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT a.split, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_rows, lk.leakage_groups
+FROM a CROSS JOIN lk GROUP BY a.split, lk.leakage_groups
+""",
+)
+def split_group_aware_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/val/test split (80/10/10 by md5 of user_id) with
+    a computed leakage audit — the assignment shape that prevents a
+    user's history from straddling train and eval. Same map-only
+    hash-threshold idiom as split_train_val_test, keyed on the group; the
+    audit distinct-counts splits per user (one user-keyed exchange) and
+    must report zero leaking groups."""
+    events = load_table(spark, sf_dir, "events")
+    assigned = SA.hash_split(
+        events.select("user_id", "event_id"),
+        "user_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leakage_groups"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_users", "n_rows", "leakage_groups")
+    )
