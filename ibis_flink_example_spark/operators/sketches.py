@@ -1,0 +1,86 @@
+"""Count-Min sketch (SURVEY.md §2.11 X4 companion family): mergeable
+approximate frequency counts with a one-sided error guarantee.
+
+The CMS completes the repo's sketch inventory (MinHash/SimHash for
+similarity, winnowing for containment, HLL via approx_count_distinct for
+cardinality, GK for quantiles) with the FREQUENCY sketch: estimate(x) >=
+true(x) always, and estimate(x) <= true(x) + eps*N with probability
+1 - delta for width = ceil(e/eps), depth = ceil(ln(1/delta)).
+
+Spark-first shape: the sketch IS a (depth x width) count table built by
+one aggregation — each item row explodes to ``depth`` (row, bucket) cells
+(map-side combine collapses them immediately), so sketch construction is a
+single partial-aggregated exchange of at most depth*width rows regardless
+of corpus size, and two sketches merge by unioning cell tables and summing
+(the property that makes CMS the standard distributed-telemetry counter).
+Point estimates join the query keys against the cell table and take
+``min`` over depths — never a scan of the raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(item: Column, depth_idx: Column | int, width: int) -> Column:
+    """Row ``depth_idx``'s bucket for ``item``: xxhash64(item, row) — the
+    same seeded-rehash family as MinHash's perm_hash (dedup.py:96);
+    pmod keeps the bucket non-negative."""
+    return F.pmod(F.xxhash64(item, F.lit(depth_idx) if isinstance(depth_idx, int) else depth_idx), F.lit(width))
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch cell table (depth_idx, bucket, cnt) from item rows
+    (one row per occurrence, or weighted via ``weight_col``).
+
+    Plan: explode to ``depth`` cells per row (zero-exchange Generate in
+    the scan stage), then ONE aggregation whose partial side collapses
+    every partition to <= depth*width cells — the shuffle is bounded by
+    the sketch size, not the data size.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = items.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_idx"),
+        F.col(item_col).alias("__item"),
+        w.alias("__w"),
+    ).select(
+        "depth_idx",
+        _bucket(F.col("__item"), F.col("depth_idx"), width).alias("bucket"),
+        "__w",
+    )
+    return cells.groupBy("depth_idx", "bucket").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for the query items: min over the depth
+    rows of each item's bucket count. The (tiny: <= depth*width rows)
+    sketch broadcasts; the query side explodes to its depth probes and
+    never touches the raw corpus. Output: (item_col, est)."""
+    probes = queries.select(
+        F.col(item_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_idx"),
+    ).select(
+        item_col,
+        "depth_idx",
+        _bucket(F.col(item_col), F.col("depth_idx"), width).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth_idx", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

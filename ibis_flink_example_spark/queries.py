@@ -54,14 +54,12 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-5 rotation: two pinned sentinels (flagship + dedup, r4-green — so
-# regressions still surface; the local gate guards the rest), then the four
-# round-3 error rows fixed post-r3 that never got a green row, then the 17
-# queries added in rounds 3/4 at positions 51+ that have NEVER had a driver
-# row, then every query whose implementation or oracle CHANGED this round
-# (append-mode streaming, hot-bucket caps, restored quantile oracle, the
-# new LSH full oracle), then this round's new estimator-companion queries.
-# Remaining slots re-verify r3-only greens, one per operator family.
+# Round-6 rotation: two pinned sentinels, then the 15 round-5 additions
+# that never had a driver row, then EVERY round-6 addition (all 19 land
+# inside the window so the never-checked set stays ~0 instead of growing),
+# then every query whose implementation or oracle changed this round
+# (measured estimator values, gini/sampling oracle hardening, session-
+# scoped streaming, unified quantization), then rotate-back re-verifies.
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -145,9 +143,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "concurrent_sessions_peak",
     "lang_distribution_drift",
     "snapshot_diff_orders",
+    # position 51+: FIRST IN LINE for the round-7 rotation — added after
+    # this round's window filled (local oracle green at sf0.001/0.01/0.1)
+    "cms_term_counts",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r5; the local oracle gate re-checks all of them
-    # every CI run): dedup_minhash / dedup_simhash_pairs (rows-only
+    # every CI run): streaming_anomaly_zscore (rows-only, displaced by the
+    # group-aware split), dedup_minhash / dedup_simhash_pairs (rows-only
     # estimator legs), the remaining r4/r5 greens, and the rest of the
     # registry in registration order
 )

@@ -1592,3 +1592,59 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "cms_term_counts",
+    # Count-Min sketch QA: the probe set is the EXACT top-20 terms (the
+    # SQL-computable heavy hitters), each carrying its exact count from
+    # SQL plus two claims the Spark side computes from the sketch: the
+    # one-sided guarantee est >= exact (structural — never false for any
+    # hashing), and the eps-bound est - exact <= ceil(e/width * N) with
+    # N = total occurrences (holds deterministically for these fixtures
+    # and seeds; per-item failure prob is e^-depth in general).
+    oracle=rf"""
+WITH {_TF_CTE}, tot AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS exact_tf FROM tf GROUP BY 1
+)
+SELECT term, exact_tf, TRUE AS est_ge_exact, TRUE AS overest_within_eps
+FROM tot ORDER BY exact_tf DESC, term ASC LIMIT 20
+""",
+)
+def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over corpus term occurrences (width 1024 x depth
+    4 — a ~32 KB mergeable frequency counter replacing a vocabulary-sized
+    exact table at 100 TB), probed at the exact top-20 heavy hitters. The
+    sketch build is ONE bounded aggregation (shuffle <= depth*width cells
+    regardless of corpus size); estimates join the broadcast cell table.
+    Emitted claims: one-sided est >= exact, and the standard eps*N
+    overestimate bound — both computed from data, so any hashing or merge
+    regression flips the driver hash."""
+    import math
+
+    from ibis_flink_example_spark.operators.sketches import cms_build, cms_estimate
+    from ibis_flink_example_spark.operators.text import doc_terms
+
+    width, depth = 1024, 4
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_terms(docs, id_col="doc_id", text_col="text").localCheckpoint(
+        eager=True
+    )  # feeds sketch build, exact counts, and N — three consumers
+    sketch = cms_build(toks, "term", width=width, depth=depth)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_tf"))
+    top = exact.orderBy(F.col("exact_tf").desc(), F.col("term").asc()).limit(20)
+    est = cms_estimate(sketch, top.select("term"), "term", width=width, depth=depth)
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    eps_bound = F.ceil(F.lit(math.e / width) * F.col("n_total")).cast("long")
+    return (
+        top.join(est, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            "exact_tf",
+            (F.col("est") >= F.col("exact_tf")).alias("est_ge_exact"),
+            ((F.col("est") - F.col("exact_tf")) <= eps_bound).alias(
+                "overest_within_eps"
+            ),
+        )
+    )

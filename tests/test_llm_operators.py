@@ -748,3 +748,49 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     for row in docs.select("doc_id", "text").collect():
         expected = sum(ref_word(w) for w in row["text"].split())
         assert got[row["doc_id"]] == expected, row["doc_id"]
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """Count-Min laws on a skewed fixture: (a) est >= true count for every
+    key (structural, any hashing); (b) building one sketch over the union
+    equals merging two half-sketches cell-wise (the distributed-telemetry
+    merge property); (c) estimates never touch the raw data (probe joins
+    the cell table only)."""
+    from ibis_flink_example_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 50
+        + [(f"cold_{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "term string")
+    w, d = 64, 4  # deliberately tight width so collisions actually occur
+    sketch = cms_build(df, "term", width=w, depth=d)
+    assert sketch.count() <= w * d
+    keys = df.distinct()
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(sketch, keys, "term", width=w, depth=d).collect()
+    }
+    true = {r["term"]: r["cnt"] for r in df.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[k] >= true[k] for k in true)  # one-sided, every key
+    assert est["hot"] >= 500
+
+    # merge property: sum of half-sketch cells == full-corpus sketch cells
+    # (halves built from the literal row lists — limit() picks arbitrary
+    # rows per evaluation and cannot define a deterministic partition)
+    h1 = cms_build(
+        spark.createDataFrame(rows[:300], "term string"), "term", width=w, depth=d
+    )
+    h2 = cms_build(
+        spark.createDataFrame(rows[300:], "term string"), "term", width=w, depth=d
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
