@@ -1,6 +1,7 @@
 from ibis_flink_example_spark.plans.audit import (  # noqa: F401
     broadcast_join_count,
     exchange_count,
+    executed_scan_metrics,
     formatted_plan,
     plan_ops,
     pushed_filter_scan_count,

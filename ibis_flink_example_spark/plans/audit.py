@@ -56,3 +56,40 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
         cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
         out.append(cols)
     return out
+
+
+def executed_scan_metrics(df: DataFrame) -> list[dict]:
+    """RUNTIME scan metrics (one dict per file scan) from an already-executed
+    DataFrame — walks the adaptive executed plan into its query stages via
+    py4j. Keys of interest for partition-pruning audits: ``numPartitions`` /
+    ``numFiles`` (what the scan actually read after static + dynamic
+    pruning) vs ``staticFilesNum`` (the pre-pruning file count). Unlike the
+    ``formatted_plan`` helpers this requires the query to have RUN (dynamic
+    pruning only resolves at execution time)."""
+    out: list[dict] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "FileSourceScan" in cls or ("Scan" in node.nodeName() and "Batch" in cls):
+            metrics = node.metrics()
+            it = metrics.keysIterator()
+            d = {}
+            while it.hasNext():
+                k = it.next()
+                d[k] = metrics.apply(k).value()
+            out.append(d)
+        # adaptive wrappers hide the materialized plan behind accessors
+        for accessor in ("executedPlan", "plan"):
+            if "AdaptiveSparkPlan" in cls and accessor == "executedPlan" or (
+                "QueryStage" in cls and accessor == "plan"
+            ):
+                try:
+                    walk(getattr(node, accessor)())
+                except Exception:
+                    pass
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -43,13 +43,32 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     }
     if not ns_logical:
         return ()
-    # one footer decides; fixtures/sinks are schema-homogeneous
-    meta = pq.ParquetFile(next(iter(dataset.files))).metadata.schema
-    int64_cols = {
-        meta.column(i).name
-        for i in range(len(meta))
-        if meta.column(i).physical_type == "INT64"
-    }
+
+    def physical_int64(file_path: str) -> frozenset[str]:
+        meta = pq.ParquetFile(file_path).metadata.schema
+        return frozenset(
+            meta.column(i).name
+            for i in range(len(meta))
+            if meta.column(i).physical_type == "INT64"
+        ) & ns_logical
+
+    # Every footer must agree on which ns-logical columns are physically
+    # INT64: a multi-file dataset with heterogeneous writers (some INT96,
+    # some INT64-nanos) cannot take a single decode path — half the files
+    # would crash or silently corrupt timestamps. Footer reads are
+    # driver-side metadata only (no data I/O); at 100 TB this is one
+    # ~KB-scale read per file, the same cost planning already pays for
+    # row-group pruning. Raising beats guessing.
+    decisions = {f: physical_int64(f) for f in dataset.files}
+    distinct = set(decisions.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            f"heterogeneous parquet timestamp physical types under {path}: "
+            f"files disagree on INT64-nanos columns "
+            f"({dict(list(decisions.items())[:4])} ...); re-write the "
+            "dataset with one writer configuration"
+        )
+    int64_cols = next(iter(distinct)) if distinct else frozenset()
     return tuple(c for c in ns_logical if c in int64_cols)
 
 

@@ -794,3 +794,29 @@ def test_cms_one_sided_and_mergeable(spark):
     full = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     got = {(r["depth_idx"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == full
+
+
+def test_qa_guard_fraction_bounds_exact_legs(spark):
+    """The row-count guard on the registered estimator-QA queries: at or
+    under the threshold the input runs unsampled (None — fixture pins stay
+    valid); above it the seeded hash-sample targets ~max_rows rows, and the
+    sampled row set is deterministic across repartitionings."""
+    from ibis_flink_example_spark.queries_llm import _qa_guard_fraction, _qa_sample
+
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    assert _qa_guard_fraction(small, max_rows=100) is None
+
+    big = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    frac = _qa_guard_fraction(big, max_rows=1_000)
+    assert frac is not None and abs(frac - 0.1) < 1e-9
+
+    sampled = _qa_sample(big, "doc_id", frac, seed=11)
+    n = sampled.count()
+    assert 700 <= n <= 1300  # hash-threshold targets ~1000 of 10000
+    # deterministic under repartitioning (hash threshold, not .sample())
+    ids_a = {r["doc_id"] for r in sampled.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in _qa_sample(big.repartition(7), "doc_id", frac, seed=11).collect()
+    }
+    assert ids_a == ids_b

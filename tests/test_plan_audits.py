@@ -455,3 +455,24 @@ def test_unigram_surprisal_shuffles_counts_not_text(spark, sf_dir):
     # scale or an accidental orderBy)
     assert exchange_count(df) <= 4
     assert ops["Sort"] == 0
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic partition pruning, proven at RUNTIME: the month-partitioned
+    fact scan must carry a dynamicpruningexpression in its PartitionFilters
+    AND its executed metrics must show partitions-read << total partition
+    files (a plan-string check alone could pass while pruning silently
+    no-ops). 1996-Q2 = 3 of ~80 month partitions."""
+    from ibis_flink_example_spark.plans import executed_scan_metrics, formatted_plan
+    from ibis_flink_example_spark.queries_warehouse import dpp_partitioned_orders_impl
+
+    df = dpp_partitioned_orders_impl(spark, sf_dir)
+    assert "dynamicpruning" in formatted_plan(df)
+    df.collect()
+    scans = executed_scan_metrics(df)
+    fact_scans = [m for m in scans if "staticFilesNum" in m]
+    assert fact_scans, f"no partition-pruned scan found in {scans}"
+    m = fact_scans[0]
+    assert m["numPartitions"] == 3, m
+    assert m["staticFilesNum"] >= 20, m  # ~80 months in the fixture
+    assert m["numFiles"] < m["staticFilesNum"], m

@@ -242,3 +242,61 @@ def test_concurrent_sessions_midnight_carry(spark, tmp_path):
     # per-day-only sweep reported 1 and could go negative)
     assert by_day["2023-11-15"] == 2
     assert all(v >= 0 for v in by_day.values())
+
+
+def test_scd2_null_state_segments(spark, tmp_path):
+    """Adversarial NULL-state mini-fixture for SCD2 (gaps-and-islands):
+    a NULL state must open its OWN segment (either direction of a
+    NULL<->non-NULL transition is a change), while consecutive NULLs merge
+    into one segment. Runs the REGISTERED query against its REGISTERED
+    oracle so any implementation/oracle divergence on NULL semantics flips
+    this test before it flips a driver hash (ADVICE r6 #1)."""
+    import glob
+    import os
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    rows = [
+        # cust 1: NULL-first (opens seg 1; next NULL merges into it), then
+        # NULL->A (change), A->A (merge), A->NULL (change), NULL->NULL
+        # (merge), NULL->B (change)
+        (1, None, "1994-01-01", 10),
+        (1, None, "1994-01-02", 11),
+        (1, "A", "1994-01-03", 12),
+        (1, "A", "1994-01-04", 13),
+        (1, None, "1994-01-05", 14),
+        (1, None, "1994-01-06", 15),
+        (1, "B", "1994-01-07", 16),
+        # cust 2: all NULL — exactly one segment, is_current true
+        (2, None, "1994-01-01", 20),
+        (2, None, "1994-01-02", 21),
+        # cust 3: same-timestamp flip resolved by tiebreak o_orderkey
+        (3, "X", "1994-01-01", 30),
+        (3, "Y", "1994-01-01", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderpriority string, o_orderdate string, o_orderkey long"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    d = str(tmp_path / "mini")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                os.path.join(d, "orders.parquet"))
+
+    got = QUERIES["scd2_customer_priority"](spark, d).toPandas()
+    want = run_oracle(ORACLES["scd2_customer_priority"], d)
+    assert not compare_frames(got, want)
+    # cust 1: segments NULL(2), A(2), NULL(2), B(1) = 4 intervals
+    c1 = got[got["custkey"] == 1].sort_values("valid_from")
+    assert list(c1["priority"]) == [None, "A", None, "B"]
+    assert list(c1["n_observations"]) == [2, 2, 2, 1]
+    # cust 2: ONE all-NULL segment, current
+    c2 = got[got["custkey"] == 2]
+    assert len(c2) == 1 and c2.iloc[0]["priority"] is None
+    assert bool(c2.iloc[0]["is_current"])
+    # cust 3: tiebreak makes X the first segment, Y current
+    c3 = got[got["custkey"] == 3].sort_values("n_observations")
+    assert len(c3) == 2

@@ -236,3 +236,38 @@ def test_pack_sequences_stable_under_repartition(spark, sf_dir):
     assert (a["pack_offset"] >= 0).all() and (a["pack_offset"] < 512).all()
     # every pack's docs reconstruct a contiguous token prefix: min offset 0
     assert (a.groupby("pack_id")["pack_offset"].min() == 0).all()
+
+
+def test_nanos_detection_rejects_heterogeneous_footers(tmp_path):
+    """_nanos_timestamp_columns decides the INT64-vs-INT96 decode path from
+    parquet footers; a dataset whose files DISAGREE (mixed writers) must
+    raise instead of routing half the files down the wrong path (ADVICE r6
+    #2). Homogeneous datasets — either flavor — still resolve."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ibis_flink_example_spark.sources.files import _nanos_timestamp_columns
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"])
+    t = pa.table({"ts": pa.array(ts, type=pa.timestamp("ns")), "x": [1, 2]})
+
+    het = tmp_path / "het"
+    het.mkdir()
+    pq.write_table(t, str(het / "a.parquet"))  # INT64 nanos
+    pq.write_table(t, str(het / "b.parquet"), use_deprecated_int96_timestamps=True)
+    with _pytest.raises(ValueError, match="heterogeneous"):
+        _nanos_timestamp_columns(str(het))
+
+    homo = tmp_path / "homo"
+    homo.mkdir()
+    pq.write_table(t, str(homo / "a.parquet"))
+    pq.write_table(t, str(homo / "b.parquet"))
+    assert _nanos_timestamp_columns(str(homo)) == ("ts",)
+
+    int96 = tmp_path / "int96"
+    int96.mkdir()
+    pq.write_table(t, str(int96 / "a.parquet"), use_deprecated_int96_timestamps=True)
+    pq.write_table(t, str(int96 / "b.parquet"), use_deprecated_int96_timestamps=True)
+    assert _nanos_timestamp_columns(str(int96)) == ()
