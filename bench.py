@@ -68,24 +68,40 @@ def main() -> None:
     # (load avg 1.5/32), so load_factor ~= 1.0 means idle-equivalent. The
     # normalized total divides out uniform machine load; per-query drift
     # still shows in the raw per-query timings.
+    #
+    # Robustness (round-7): TWO calibration passes bracket the query loop
+    # (load at the start of a 3-minute run is not load at the end), each
+    # sentinel takes the MEDIAN of its per-pass best-of-3 values, and the
+    # normalized value is published only on a machine matching the
+    # reference basis (the idle refs are meaningless on different
+    # hardware). Raw sentinel seconds from both passes ship in the output
+    # so any two benches can be compared in raw space too.
     SENTINEL_REF_SEC = {"over_range_sum_10s": 0.40, "dedup_exact": 0.64}
-    sentinel_sec: dict[str, float] = {}
+    # hardware the SENTINEL_REF_SEC numbers were measured on — normalized
+    # values computed on any other machine silently compare
+    # incommensurables, so we null them out on a basis mismatch
+    REF_BASIS = {"cpus": 32, "os_cpu_count": 32, "machine": "x86_64"}
+    basis = {
+        "cpus": int(cpus),
+        "os_cpu_count": os.cpu_count(),
+        "machine": __import__("platform").machine(),
+    }
+    basis_match = basis == REF_BASIS
+
+    sentinel_passes: list[dict[str, float]] = []
     sentinel_errors: dict[str, str] = {}
-    for name in SENTINEL_REF_SEC:
-        try:
-            sentinel_sec[name] = min(run_once(name) for _ in range(3))
-        except Exception as exc:
-            sentinel_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"sentinel {name} failed: {exc}", file=sys.stderr)
-    # Publish a load factor ONLY when every sentinel ran: a partial basis
-    # (one sentinel) has different load sensitivity than the two-sentinel
-    # reference, so normalized values computed from it would silently
-    # compare incommensurables across rounds.
-    load_factor = (
-        round(sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC.values()), 4)
-        if len(sentinel_sec) == len(SENTINEL_REF_SEC)
-        else None
-    )
+
+    def calibration_pass() -> None:
+        sec: dict[str, float] = {}
+        for name in SENTINEL_REF_SEC:
+            try:
+                sec[name] = min(run_once(name) for _ in range(3))
+            except Exception as exc:
+                sentinel_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"sentinel {name} failed: {exc}", file=sys.stderr)
+        sentinel_passes.append(sec)
+
+    calibration_pass()  # pass 1: before the query loop
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -94,6 +110,25 @@ def main() -> None:
             timings[name] = round(run_once(name), 4)
         except Exception as exc:  # one broken query must not sink the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    calibration_pass()  # pass 2: after the query loop
+
+    import statistics
+
+    sentinel_sec = {
+        name: statistics.median(p[name] for p in sentinel_passes if name in p)
+        for name in SENTINEL_REF_SEC
+        if any(name in p for p in sentinel_passes)
+    }
+    # Publish a load factor ONLY when every sentinel ran AND the machine
+    # matches the reference basis: a partial sentinel set or different
+    # hardware has different load sensitivity than the reference, so
+    # normalized values from it would silently compare incommensurables.
+    load_factor = (
+        round(sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC.values()), 4)
+        if basis_match and len(sentinel_sec) == len(SENTINEL_REF_SEC)
+        else None
+    )
 
     total = round(sum(timings.values()), 4)
     result = {
@@ -108,9 +143,16 @@ def main() -> None:
         "warmup_sec": round(warmup_sec, 4),
         "cpus": int(cpus),
         # sentinel-normalized seconds: raw total divided by the measured
-        # machine-load factor (1.0 == the idle reference machine state)
+        # machine-load factor (1.0 == the idle reference machine state);
+        # sentinel_sec = per-sentinel MEDIAN across both bracketing passes,
+        # sentinel_passes = the raw per-pass best-of-3 values
         "sentinel_sec": {k: round(v, 4) for k, v in sentinel_sec.items()},
+        "sentinel_passes": [
+            {k: round(v, 4) for k, v in p.items()} for p in sentinel_passes
+        ],
         "sentinel_errors": sentinel_errors,
+        "calibration_basis": basis,
+        "calibration_basis_match": basis_match,
         "load_factor": load_factor,
         "value_load_normalized": round(total / load_factor, 4) if load_factor else None,
     }

@@ -133,6 +133,11 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("max_byte", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # provenance: True iff the REAL pixel decode produced this row's
+        # stats. Fake-path and per-row corrupt-payload fallbacks emit
+        # byte stats in the same columns — without this flag downstream
+        # aggregates silently mix incommensurable units (ADVICE r6 #3).
+        T.StructField("decoded_real", T.BooleanType()),
     ]
 )
 
@@ -205,7 +210,7 @@ def extract_features(
                 if real_stats is not None and p:
                     try:
                         mean, lo, hi, w, h = real_stats(p)
-                        rows.append((mean, lo, hi, w, h))
+                        rows.append((mean, lo, hi, w, h, True))
                         continue
                     except Exception as exc:
                         if strict:
@@ -213,9 +218,10 @@ def extract_features(
                                 f"strict real decode failed for media_id={mid}"
                             ) from exc
                         # corrupt/undecodable payload: per-row fallback to
-                        # byte stats + declared metadata dims
+                        # byte stats + declared metadata dims — marked
+                        # decoded_real=False so consumers can filter it
                 mean, lo, hi = fake_stats(p)
-                rows.append((mean, lo, hi, m["width"], m["height"]))
+                rows.append((mean, lo, hi, m["width"], m["height"], False))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -225,6 +231,7 @@ def extract_features(
                     "max_byte": [r[2] for r in rows],
                     "width": [r[3] for r in rows],
                     "height": [r[4] for r in rows],
+                    "decoded_real": [r[5] for r in rows],
                 }
             )
 

@@ -54,104 +54,87 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-6 rotation: two pinned sentinels, then the 15 round-5 additions
-# that never had a driver row, then EVERY round-6 addition (all 19 land
-# inside the window so the never-checked set stays ~0 instead of growing),
-# then every query whose implementation or oracle changed this round
-# (measured estimator values, gini/sampling oracle hardening, session-
-# scoped streaming, unified quantization), then rotate-back re-verifies.
+# Round-7 rotation: two pinned sentinels, then cms_term_counts (the last
+# never-checked entry — the set is now EMPTY once it lands), then every
+# round-7 addition (DPP, streaming CMS, HLL/KLL sketch artifacts,
+# chi-square, bucketed join), then every query whose implementation or
+# oracle changed this round (scd2 null-safe oracle, QA-leg guards,
+# multimodal decoded_real column), then the ENTIRE streaming family —
+# every stateful query now runs on the RocksDB state-store provider, so
+# each shape re-verifies under it — then 25 of the oldest r3-era greens
+# (none of the window's green rows is older than r3 after this pass).
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # the 15 round-5 additions that have never had a driver row (landed at
-    # positions 51+ last round): 13 full oracles + the 2 rows-only BPE
-    # queries. First priority this round — converts locally-green to
-    # externally-verified at zero implementation cost.
-    "pareto_customers_by_nation",
-    "rolling_wau",
-    "market_basket_pairs",
-    "sessionize_stats",
-    "dedup_incremental",
-    "langid_confusion",
-    "attribution_last_touch",
-    "zorder_bucket_stats",
-    "doc_rare_bigram_score",
-    "streaming_upsert_totals",
-    "orc_roundtrip",
-    "tumble_1m",
-    "multimodal_frame_sample",
-    "bpe_learn_merges",
-    "bpe_token_counts",
-    # new in round 6 — all land INSIDE the window (never-checked set must
-    # shrink, not grow): the streaming sessionize twin, bivariate stats,
-    # timeseries regularization (spine/LOCF/cumulative-distinct),
-    # funnel latency, Welch t-test, ntile buckets, corpus-LM surprisal
-    "streaming_sessionize",
-    "stats_corr_price_qty",
-    "date_spine_daily_revenue",
-    "gap_fill_locf",
-    "running_distinct_users",
-    "conversion_latency_stats",
-    "ab_value_ttest",
-    "ntile_acctbal_quartiles",
-    "doc_unigram_surprisal",
-    # new in round 6 (second batch): item-item similarity, relational
-    # division, exact mode, clickstream paths, Benford DQ screen, dup
-    # cluster-size reporting
-    "item_similarity_topk",
-    "relational_division_customers",
-    "mode_priority_by_nation",
-    "top_event_paths",
-    "benford_leading_digit",
-    "dup_cluster_size_histogram",
-    # changed this round: estimator companions now pin MEASURED fixed-point
-    # recall/precision (new columns + per-fixture oracle values), the gini
-    # oracle gained null/zero guards, the sampling oracle's double chain
-    # was made scale-exact, SCD2 got a null-safe change flag
+    # the single never-driver-checked entry (registered at position 51
+    # after the r6 window filled; locally green at sf0.001/0.01/0.1)
+    "cms_term_counts",
+    # new in round 7: partitioned layout + dynamic partition pruning,
+    # incremental CMS maintenance, mergeable HLL/KLL sketch artifacts,
+    # exact fixed-point chi-square, bucketed co-located join
+    "dpp_partitioned_orders",
+    "streaming_cms_user_counts",
+    "hll_daily_users_merge",
+    "kll_daily_value_quantiles",
+    "chisq_event_dow",
+    "bucketed_order_sizes",
+    # changed this round: scd2 oracle now mirrors the operator's null-safe
+    # change flag; the estimator-QA pair gained the row-count exact-leg
+    # guard; multimodal features emit the decoded_real provenance column
+    "scd2_customer_priority",
     "ann_recall_ivf",
     "minhash_vs_exact_pairs",
-    "udaf_gini_by_priority",
-    "sample_lang_balanced",
-    "scd2_customer_priority",
-    # changed this round: streaming queries migrated to conf-isolated
-    # session clones (state sizing without session mutation) and the
-    # stateful ops' quantization idiom unified — re-verify one
-    # representative per streaming shape
+    "multimodal_features",
+    # changed this round: every streaming query now plans its stateful
+    # operators on the RocksDB state store (state_scoped_session default) —
+    # re-verify each streaming shape under the new provider
     "streaming_over_range_sum",
-    "streaming_sink_roundtrip",
+    "streaming_sessionize",
     "streaming_tumble_1m",
     "streaming_session_30m",
-    # group-aware split + leakage audit takes the slot of
-    # streaming_anomaly_zscore (rows-only by design: a fresh rows-only row
-    # would add nothing over its r5 row, and the op's exact batch equality
-    # is pinned in tests — the quantization change this round included)
-    "split_group_aware_events",
-    # rotate-back re-verifies (displaced in r5; r3/r4-green): TPC-H joins,
-    # decode, grouping sets, theta join
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q3_shipping_priority",
-    "json_decode",
-    "grouping_sets_revenue",
-    "join_theta",
-    # new in round 6 (third batch): sweep-line interval algebra,
-    # distribution-drift TVD monitor, CDC snapshot diff — these take the
-    # last three slots from the r3-green family re-verifies (which keep
-    # their r3 rows and stay first in line if the window ever widens)
-    "concurrent_sessions_peak",
-    "lang_distribution_drift",
-    "snapshot_diff_orders",
-    # position 51+: FIRST IN LINE for the round-7 rotation — added after
-    # this round's window filled (local oracle green at sf0.001/0.01/0.1)
-    "cms_term_counts",
+    "streaming_sink_roundtrip",
+    "streaming_upsert_totals",
+    "streaming_dedup_events",
+    "streaming_stream_join",
+    "streaming_static_join",
+    "streaming_chained_windows",
+    "streaming_over_range_sum_join",
+    "streaming_funnel",
+    # oldest-green re-verification (r3-era rows whose code has since been
+    # through multiple refactor/review passes): relational core, joins,
+    # set ops, window functions, scalar function families
+    "project_rename",
+    "ordered_limit",
+    "filter_shipped",
+    "scalar_case_expr",
+    "groupby_pricing_summary",
+    "agg_stats_by_nation",
+    "count_distinct_status",
+    "rollup_nation_region",
+    "cube_platform_province",
+    "join_customer_orders",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "topk_orders",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "window_ranking",
+    "window_lag_lead",
+    "window_rows_moving_avg",
+    "string_funcs",
+    "date_funcs",
+    "math_funcs",
     # displaced to positions 51+ (every one carries a green or rows-only
-    # driver row from r3-r5; the local oracle gate re-checks all of them
-    # every CI run): streaming_anomaly_zscore (rows-only, displaced by the
-    # group-aware split), dedup_minhash / dedup_simhash_pairs (rows-only
-    # estimator legs), the remaining r4/r5 greens, and the rest of the
-    # registry in registration order
+    # driver row from r3-r6; the local oracle gate re-checks all of them
+    # every CI run): the r4-r6 greens, the remaining rows-only estimator
+    # legs, and the rest of the registry in registration order
 )
 
 

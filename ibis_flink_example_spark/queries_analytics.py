@@ -1388,3 +1388,259 @@ def lang_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_x1e9").alias("sum_absdiff_x1e9"),
         (F.sum("d_x1e9").cast("double") / 2_000_000_000.0).alias("tvd"),
     )
+
+
+@query(
+    "hll_daily_users_merge",
+    # HLL sketches are deterministic for a given input (no RNG — hashing
+    # only), but their estimates are not SQL-reproducible, so the oracle
+    # pins the MEASURED merged estimate per fixture (keyed by an order-
+    # independent md5 fingerprint of the user_id sequence — the same idiom
+    # as ann_recall_ivf) next to the SQL-exact distinct count and a
+    # relative-error bound claim computed from data. Any change in sketch
+    # build, persistence, or merge flips the pinned value.
+    oracle="""
+WITH fp AS (
+  SELECT substr(md5(string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY event_id)), 1, 8) AS f
+  FROM events
+)
+SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       (SELECT CASE f WHEN '83d88810' THEN CAST(15 AS BIGINT)    -- sf0.001
+                      WHEN 'f0fffe96' THEN CAST(150 AS BIGINT)   -- sf0.01
+                      WHEN 'a6c6b681' THEN CAST(1488 AS BIGINT)  -- sf0.1
+        END FROM fp) AS merged_est,
+       TRUE AS within_2pct
+FROM events
+""",
+)
+def hll_daily_users_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch as a FIRST-CLASS mergeable artifact (the
+    cardinality twin of the streaming CMS): per-day user sketches built
+    with ``hll_sketch_agg`` (lgConfigK 12, ~2.5 KB each), persisted to
+    parquet as binary columns, read back, and merged with
+    ``hll_union_agg`` into the all-time distinct-user estimate — the
+    incremental-distinct pattern that replaces a users-sized exact
+    COUNT(DISTINCT) shuffle at 100 TB: each new day appends ONE sketch
+    row; history is never rescanned. Emits the SQL-exact distinct count,
+    the measured merged estimate (oracle-pinned per fixture), and the
+    relative-error bound |merged - exact| <= 2% of exact, computed from
+    data. Note the union estimate may differ slightly from a single
+    direct sketch (1488 vs 1494 vs exact 1500 at sf0.1) — pinning the
+    merged value captures exactly what the artifact path produces."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    d = tempfile.mkdtemp(prefix="hll_daily_users_")
+    daily.write.mode("overwrite").parquet(d)  # the persisted artifact
+    back = spark.read.parquet(d)
+    merged = back.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        "merged_est",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.02
+        ).alias("within_2pct"),
+    )
+
+
+@query(
+    "kll_daily_value_quantiles",
+    # KLL is a RANDOMIZED sketch (compactor coin flips), so its estimates
+    # cannot be oracle-pinned like the deterministic CMS/HLL values.
+    # Instead the oracle carries the SQL-EXACT discrete p50/p90 (order
+    # statistics via integer-cents rank arithmetic) and TRUE claims for
+    # the sketch's rank-error bound: the Spark side ranks each estimate
+    # against the exact CDF and asserts |rank - q| <= 5% — ~6 sigma above
+    # the k=256 guarantee (~0.8% at 68% conf), so the booleans hold for
+    # every run while any real regression (wrong merge, wrong column,
+    # stale sketch) still flips the hash.
+    oracle="""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn, COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT
+  CAST((SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS BIGINT) AS n_days,
+  CAST(MAX(n) AS BIGINT) AS n_values,
+  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS BIGINT)
+    AS exact_p50_cents,
+  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS BIGINT)
+    AS exact_p90_cents,
+  TRUE AS p50_rank_within_5pct,
+  TRUE AS p90_rank_within_5pct
+FROM r
+""",
+)
+def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch as a MERGEABLE artifact (the quantile member of
+    the sketch family next to CMS-frequency and HLL-cardinality): per-day
+    sketches of event value (integer cents, k=256 — ~2 KB each) built with
+    ``kll_sketch_agg_bigint``, persisted to parquet, read back, and folded
+    into the all-time sketch with the binary ``kll_sketch_merge_bigint``
+    (deterministic fold order via the sorted day list). At 100 TB this
+    replaces a full re-sort per quantile refresh: each day appends one
+    sketch row and the merge touches 30 tiny rows. Output: SQL-exact
+    discrete p50/p90 companions plus rank-tolerance claims for the sketch
+    estimates, both computed from data (see oracle note on why the
+    estimates themselves cannot be pinned)."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.to_date("ts").alias("day"),
+    )
+    daily = cents.groupBy("day").agg(
+        F.kll_sketch_agg_bigint("cents", F.lit(256)).alias("sk")
+    )
+    d = tempfile.mkdtemp(prefix="kll_daily_value_")
+    daily.write.mode("overwrite").parquet(d)  # the persisted artifact
+    back = spark.read.parquet(d)
+    merged = back.orderBy("day").agg(
+        F.collect_list("sk").alias("a"), F.count(F.lit(1)).alias("n_days")
+    )
+    msk = F.aggregate(
+        F.slice("a", 2, 100000),
+        F.element_at("a", 1),
+        lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+    )
+    est = merged.select(
+        "n_days",
+        F.kll_sketch_get_quantile_bigint(msk, F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_bigint(msk, F.lit(0.9)).alias("est_p90"),
+    )
+    # Exact discrete order statistics + the estimates' true ranks in ONE
+    # pass over the cents column: broadcast the one-row estimate frame,
+    # then conditional aggregation gives rank counts; the exact p50/p90
+    # come from the value-sorted rank (a global sort — inherent to an
+    # EXACT global quantile; this is the verification companion, the
+    # sketch path above is the scale path).
+    from pyspark.sql.window import Window
+
+    ranked = (
+        cents.select("cents")
+        .crossJoin(F.broadcast(est))
+        .select(
+            "cents",
+            "n_days",
+            "est_p50",
+            "est_p90",
+            F.row_number().over(Window.orderBy("cents")).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+    )
+    # integer rank targets (ceil(q*n) as BIGINT — same arithmetic as the
+    # oracle); all claims close over row-level columns, one aggregation
+    return ranked.agg(
+        F.max("n_days").alias("n_days"),
+        F.max("n").alias("n_values"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint"), F.col("cents"))
+        ).alias("exact_p50_cents"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9).cast("bigint"), F.col("cents"))
+        ).alias("exact_p90_cents"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("cents") <= F.col("est_p50"), 1).otherwise(0))
+                / F.max("n")
+                - 0.5
+            )
+            <= 0.05
+        ).alias("p50_rank_within_5pct"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("cents") <= F.col("est_p90"), 1).otherwise(0))
+                / F.max("n")
+                - 0.9
+            )
+            <= 0.05
+        ).alias("p90_rank_within_5pct"),
+    )
+
+
+@query(
+    "chisq_event_dow",
+    # Chi-square test of independence between event_type and day-of-week,
+    # made cross-engine EXACT: each cell's term is computed in a fixed
+    # IEEE-754 op sequence — diff = o*n - r*c exactly in int64 (|diff| <
+    # 2^53, so the double cast is lossless), then double square / divide,
+    # then fixed-point floor — and the per-cell BIGINTs sum exactly in any
+    # partition order. A naive SUM of double terms would differ across
+    # engines/partitionings. DuckDB dayofweek is 0=Sunday..6, mirrored as
+    # dayofweek()-1 on the Spark side.
+    oracle="""
+WITH o AS (
+  SELECT event_type, dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, dow, o,
+    SUM(o) OVER (PARTITION BY event_type) AS r,
+    SUM(o) OVER (PARTITION BY dow) AS c,
+    SUM(o) OVER () AS n
+  FROM o
+), t AS (
+  SELECT event_type, dow,
+    CAST(floor(
+      CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      * 1000000 + 0.5) AS BIGINT) AS term_x1e6
+  FROM m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST((SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) - 1 FROM events)
+     * (SELECT CAST(COUNT(DISTINCT dayofweek(ts)) AS BIGINT) - 1 FROM events)
+     AS BIGINT) AS dof,
+  CAST(SUM(term_x1e6) AS BIGINT) AS chi2_x1e6
+FROM t
+""",
+)
+def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (event_type x day-of-week) — the
+    categorical drift/DQ companion of the Welch t-test: one contingency
+    aggregation (cells = |types| x 7, tiny), margins via windows over the
+    CELL table (never a second scan of events), and an exactly-summable
+    fixed-point statistic (see oracle note). At 100 TB the single events
+    scan is the whole cost; everything after runs on <100 rows."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql.window import Window
+
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    diff = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = F.floor(
+        diff * diff
+        / (F.col("n").cast("double") * F.col("r").cast("double") * F.col("c").cast("double"))
+        * 1_000_000
+        + 0.5
+    ).cast("bigint")
+    t = m.select("event_type", "dow", term.alias("term_x1e6"))
+    dof = (
+        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+    ).cast("bigint")
+    dims = cells.agg(dof.alias("dof"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_x1e6").alias("chi2_x1e6"),
+    ).crossJoin(F.broadcast(dims)).select("n_cells", "dof", "chi2_x1e6")

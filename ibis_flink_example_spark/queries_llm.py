@@ -1052,7 +1052,8 @@ SELECT doc_id AS media_id,
   CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE list_aggregate(cps, 'min') END AS INTEGER) AS min_byte,
   CAST(CASE WHEN n_bytes = 0 THEN 0 ELSE list_aggregate(cps, 'max') END AS INTEGER) AS max_byte,
   CAST((n_chars % 64) + 1 AS INTEGER) AS width,
-  CAST((n_chars % 48) + 1 AS INTEGER) AS height
+  CAST((n_chars % 48) + 1 AS INTEGER) AS height,
+  FALSE AS decoded_real
 FROM cp
 """,
 )

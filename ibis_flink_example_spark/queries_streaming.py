@@ -848,3 +848,110 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_dec").cast("double").alias("total_value"),
         "n_events",
     )
+
+
+@query(
+    "streaming_cms_user_counts",
+    # Incremental Count-Min maintenance QA: probe set = the exact top-20
+    # users by event count (SQL-computable), each carrying its exact count
+    # plus THREE claims the Spark side computes from data: the one-sided
+    # CMS guarantee est >= exact, the eps*N overestimate bound, and cell-
+    # table EQUALITY between the incrementally-merged sketch and a one-shot
+    # batch build over the same rows (mergeability is the point of the
+    # sketch — sketches of parts sum to the sketch of the whole).
+    oracle="""
+WITH tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1
+)
+SELECT user_id, exact_n, TRUE AS est_ge_exact, TRUE AS overest_within_eps,
+       TRUE AS matches_batch_sketch
+FROM tot ORDER BY exact_n DESC, user_id ASC LIMIT 20
+""",
+)
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch maintenance (the frequency twin of the
+    streaming_upsert_totals incremental view): each micro-batch builds its
+    own partial sketch (ONE bounded aggregation, shuffle <= depth*width
+    cells) and foreachBatch merges cell tables by per-cell SUM into a
+    ping-pong managed table — per-batch cost is O(sketch size), never
+    O(corpus). The drained sketch is probed at the exact top-20 heavy
+    users and must (a) satisfy est >= exact, (b) stay within the eps*N
+    overestimate bound, and (c) equal the batch-built sketch cell-for-cell
+    (CMS linearity: sum of partial sketches == sketch of the union). At
+    100 TB this is the standard telemetry counter: a ~32 KB artifact
+    maintained incrementally instead of a vocabulary-sized exact table."""
+    import math
+
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.operators.sketches import cms_build, cms_estimate
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    width, depth = 1024, 4
+    tables = ["streaming_cms_cells_a", "streaming_cms_cells_b"]
+    for t in tables:
+        drop_table_and_location(spark, t)
+    state = {"cur": None}
+
+    def apply_batch(bdf, bid):
+        partial = cms_build(bdf, "user_id", width=width, depth=depth)
+        if state["cur"] is None:
+            merged, nxt = partial, tables[0]
+        else:
+            prev = bdf.sparkSession.table(state["cur"])
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("depth_idx", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            nxt = tables[1] if state["cur"] == tables[0] else tables[0]
+        merged.write.mode("overwrite").saveAsTable(nxt)
+        state["cur"] = nxt
+
+    q = foreach_batch(
+        _events_stream(spark, sf_dir).select("user_id"), apply_batch,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    events = load_table(spark, sf_dir, "events")
+    if state["cur"] is None:  # zero micro-batches: empty probe set
+        return spark.createDataFrame(
+            [],
+            "user_id long, exact_n bigint, est_ge_exact boolean, "
+            "overest_within_eps boolean, matches_batch_sketch boolean",
+        )
+    streamed_sketch = spark.table(state["cur"])
+
+    # mergeability: incremental cells == one-shot batch cells, exactly
+    batch_sketch = cms_build(events, "user_id", width=width, depth=depth)
+    diff = (
+        streamed_sketch.withColumn("src", F.lit(1))
+        .unionByName(batch_sketch.withColumn("src", F.lit(-1)))
+        .groupBy("depth_idx", "bucket")
+        .agg(F.sum(F.col("src") * F.col("cnt")).alias("d"))
+        .agg(
+            F.coalesce(F.sum(F.abs(F.col("d"))), F.lit(0)).alias("total_abs_diff")
+        )
+    )
+
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc()).limit(20)
+    est = cms_estimate(
+        streamed_sketch, top.select("user_id"), "user_id", width=width, depth=depth
+    )
+    n_total = events.agg(F.count(F.lit(1)).alias("n_total"))
+    eps_bound = F.ceil(F.lit(math.e / width) * F.col("n_total")).cast("long")
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("est_ge_exact"),
+            ((F.col("est") - F.col("exact_n")) <= eps_bound).alias(
+                "overest_within_eps"
+            ),
+            (F.col("total_abs_diff") == 0).alias("matches_batch_sketch"),
+        )
+    )

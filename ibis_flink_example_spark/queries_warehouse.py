@@ -808,3 +808,61 @@ def dpp_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     numPartitions read << staticFilesNum). The oracle is the equivalent
     unpartitioned rollup — layout must be value-invisible."""
     return dpp_partitioned_orders_impl(spark, sf_dir)
+
+
+def bucketed_order_sizes_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the bucketed layout + exchange-free join/agg chain (shared by
+    the registered query and the plan audit)."""
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.operators.bucketing import write_bucketed
+
+    for t in ("bq_orders", "bq_lineitem"):
+        drop_table_and_location(spark, t)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "bq_orders", bucket_col="o_orderkey", n_buckets=8)
+    write_bucketed(li, "bq_lineitem", bucket_col="o_orderkey", n_buckets=8)
+    # merge hint (not a conf mutation): without it AQE would broadcast the
+    # small fixture side and hide the property under audit — the co-located
+    # sort-merge path is what a 100 TB fact-fact join runs
+    per_order = (
+        spark.table("bq_orders")
+        .hint("merge")
+        .join(spark.table("bq_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey")  # same key: reuses the bucket layout too
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    # histogram over the per-order sizes: the only exchange in the whole
+    # plan is this final tiny aggregation over <= ~7 distinct sizes
+    return per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "bucketed_order_sizes",
+    # value-invisibility of the bucketed layout: the oracle computes the
+    # same order-size histogram from the plain (unbucketed) join
+    oracle="""
+WITH per_order AS (
+  SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+)
+SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY 1
+""",
+)
+def bucketed_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join, driven end-to-end as a
+    registered query (the write-once-shuffle-never 100 TB lever,
+    operators/bucketing.py): orders and lineitem written ``bucketBy(8,
+    orderkey)``, then join AND per-order aggregation run exchange-free on
+    the bucket layout (plan-audited: the only Exchange is the final
+    histogram reduce over ~7 rows). One write-time shuffle amortized
+    across every subsequent orderkey join/agg — at 100 TB this is the
+    difference between re-shuffling 100 TB per query and reading
+    co-located buckets."""
+    return bucketed_order_sizes_impl(spark, sf_dir)

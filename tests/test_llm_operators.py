@@ -161,6 +161,9 @@ def test_real_decoder_degrades_gracefully(spark, sf_dir):
     }
     got = M.extract_features(media, use_real_decoder=True).collect()
     assert {r["media_id"]: r.asDict() for r in got} == want
+    # provenance: every fallback/fake row is marked NOT-real so consumers
+    # never mix byte stats with pixel stats unknowingly
+    assert all(r["decoded_real"] is False for r in got)
     if not M.real_decoder_available():
         with pytest.raises(NotImplementedError):
             M.extract_features(media, use_real_decoder=True, strict=True)

@@ -476,3 +476,18 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     assert m["numPartitions"] == 3, m
     assert m["staticFilesNum"] >= 20, m  # ~80 months in the fixture
     assert m["numFiles"] < m["staticFilesNum"], m
+
+
+def test_bucketed_order_sizes_single_exchange(spark, sf_dir):
+    """The registered bucketed co-located join query: both scans bucketed,
+    the fact-fact join AND the per-order aggregation exchange-free on the
+    bucket layout — the ONLY Exchange is the final histogram reduce over
+    ~7 distinct order sizes."""
+    from ibis_flink_example_spark.plans import exchange_count, formatted_plan, plan_ops
+    from ibis_flink_example_spark.queries_warehouse import bucketed_order_sizes_impl
+
+    df = bucketed_order_sizes_impl(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan_ops(df)["SortMergeJoin"] == 1
+    assert exchange_count(df) == 1, plan
