@@ -76,7 +76,12 @@ def main() -> None:
     # reference basis (the idle refs are meaningless on different
     # hardware). Raw sentinel seconds from both passes ship in the output
     # so any two benches can be compared in raw space too.
-    SENTINEL_REF_SEC = {"over_range_sum_10s": 0.40, "dedup_exact": 0.64}
+    # Reference values re-measured under the round-7 TWO-PASS method (the
+    # round-6 refs 0.40/0.64 were single-pre-loop-pass measurements — not
+    # commensurable with a bracketing median, so they were retired when
+    # the method changed): idle round-7 machine (load ~2/32), median of
+    # the bracketing passes, best-of-3 within each pass.
+    SENTINEL_REF_SEC = {"over_range_sum_10s": 0.43, "dedup_exact": 0.54}
     # hardware the SENTINEL_REF_SEC numbers were measured on — normalized
     # values computed on any other machine silently compare
     # incommensurables, so we null them out on a basis mismatch
@@ -92,13 +97,17 @@ def main() -> None:
     sentinel_errors: dict[str, str] = {}
 
     def calibration_pass() -> None:
+        idx = len(sentinel_passes) + 1
         sec: dict[str, float] = {}
         for name in SENTINEL_REF_SEC:
             try:
                 sec[name] = min(run_once(name) for _ in range(3))
             except Exception as exc:
-                sentinel_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-                print(f"sentinel {name} failed: {exc}", file=sys.stderr)
+                # keyed per pass: a pass-2 failure must not erase pass-1's
+                sentinel_errors[f"{name}_pass{idx}"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+                print(f"sentinel {name} pass {idx} failed: {exc}", file=sys.stderr)
         sentinel_passes.append(sec)
 
     calibration_pass()  # pass 1: before the query loop
@@ -115,15 +124,19 @@ def main() -> None:
 
     import statistics
 
+    # A sentinel's median is only meaningful when BOTH bracketing passes
+    # ran — a single surviving pass is an unbracketed measurement with a
+    # different load basis, so it must not feed the published factor.
     sentinel_sec = {
-        name: statistics.median(p[name] for p in sentinel_passes if name in p)
+        name: statistics.median(p[name] for p in sentinel_passes)
         for name in SENTINEL_REF_SEC
-        if any(name in p for p in sentinel_passes)
+        if all(name in p for p in sentinel_passes)
     }
-    # Publish a load factor ONLY when every sentinel ran AND the machine
-    # matches the reference basis: a partial sentinel set or different
-    # hardware has different load sensitivity than the reference, so
-    # normalized values from it would silently compare incommensurables.
+    # Publish a load factor ONLY when every sentinel ran in every pass AND
+    # the machine matches the reference basis: a partial sentinel set or
+    # different hardware has different load sensitivity than the
+    # reference, so normalized values from it would silently compare
+    # incommensurables.
     load_factor = (
         round(sum(sentinel_sec.values()) / sum(SENTINEL_REF_SEC.values()), 4)
         if basis_match and len(sentinel_sec) == len(SENTINEL_REF_SEC)

@@ -122,3 +122,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if _num_scan_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def scratch_dir(name: str, sf_dir: str) -> str:
+    """Stable per-(query, fixture) scratch directory for queries that
+    materialize intermediate layouts (partitioned/bucketed/sketch
+    artifacts). A fresh ``mkdtemp`` per execution leaks one table-sized
+    directory per run — bench + oracle gate + tests each re-execute every
+    registered query, so the leak is unbounded; a deterministic path with
+    ``mode("overwrite")`` caps disk at ONE copy per query/fixture."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{digest}")
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -1428,13 +1428,13 @@ def hll_daily_users_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Note the union estimate may differ slightly from a single
     direct sketch (1488 vs 1494 vs exact 1500 at sf0.1) — pinning the
     merged value captures exactly what the artifact path produces."""
-    import tempfile
+    from ibis_flink_example_spark.catalog import scratch_dir
 
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
     )
-    d = tempfile.mkdtemp(prefix="hll_daily_users_")
+    d = scratch_dir("hll_daily_users", sf_dir)
     daily.write.mode("overwrite").parquet(d)  # the persisted artifact
     back = spark.read.parquet(d)
     merged = back.agg(
@@ -1495,7 +1495,7 @@ def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete p50/p90 companions plus rank-tolerance claims for the sketch
     estimates, both computed from data (see oracle note on why the
     estimates themselves cannot be pinned)."""
-    import tempfile
+    from ibis_flink_example_spark.catalog import scratch_dir
 
     events = load_table(spark, sf_dir, "events")
     cents = events.select(
@@ -1505,11 +1505,19 @@ def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = cents.groupBy("day").agg(
         F.kll_sketch_agg_bigint("cents", F.lit(256)).alias("sk")
     )
-    d = tempfile.mkdtemp(prefix="kll_daily_value_")
+    d = scratch_dir("kll_daily_value", sf_dir)
     daily.write.mode("overwrite").parquet(d)  # the persisted artifact
     back = spark.read.parquet(d)
-    merged = back.orderBy("day").agg(
-        F.collect_list("sk").alias("a"), F.count(F.lit(1)).alias("n_days")
+    # collect_list has NO ordering contract after a shuffle, so the fold
+    # order is fixed by sorting the collected (day, sk) structs — the
+    # fold order feeds the randomized KLL merge, and an unordered fold
+    # would make the merged sketch vary run-to-run
+    merged = back.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "sk"))),
+            lambda s: s["sk"],
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n_days"),
     )
     msk = F.aggregate(
         F.slice("a", 2, 100000),

@@ -323,9 +323,16 @@ def _qa_sample(df: DataFrame, id_col: str, sample_fraction: float | None, seed: 
     instead of the full corpus; ``None`` keeps the full input."""
     if sample_fraction is None or sample_fraction >= 1.0:
         return df
-    thr = int(sample_fraction * 1_000_000)
+    # 1e12 modulus + round-half-up + floor-at-1: an int(frac * 1e6)
+    # threshold truncates to 0 for fractions under 1e-6 — exactly the
+    # >1e11-row regime the row-count guard produces — which would silently
+    # EMPTY the exact leg (and 0/0 the recall ratio). With 1e12 the
+    # threshold resolves fractions down to 1e-12 (~1e17 input rows) and
+    # never goes below one part-per-modulus.
+    modulus = 1_000_000_000_000
+    thr = max(1, int(sample_fraction * modulus + 0.5))
     return df.filter(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) < thr
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(modulus)) < thr
     )
 
 

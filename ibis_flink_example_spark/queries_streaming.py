@@ -785,9 +785,13 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = ["streaming_upsert_totals_a", "streaming_upsert_totals_b"]
     for t in tables:
         drop_table_and_location(spark, t)
-    state = {"cur": None}
+    state = {"cur": None, "last_bid": None}
 
     def apply_batch(bdf, bid):
+        # at-least-once re-delivery guard (see streaming_cms_user_counts):
+        # a re-delivered batch must not upsert its deltas a second time
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
         partial = bdf.groupBy("user_id").agg(
             F.sum(money("value")).alias("delta"),
             F.count(F.lit(1)).alias("n"),
@@ -828,6 +832,7 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = tables[1] if state["cur"] == tables[0] else tables[0]
         merged.write.mode("overwrite").saveAsTable(nxt)
         state["cur"] = nxt
+        state["last_bid"] = bid
 
     # State partitions ride the stream's private session clone (see
     # _events_stream); apply_batch's partial aggs inherit it via
@@ -890,9 +895,17 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = ["streaming_cms_cells_a", "streaming_cms_cells_b"]
     for t in tables:
         drop_table_and_location(spark, t)
-    state = {"cur": None}
+    state = {"cur": None, "last_bid": None}
 
     def apply_batch(bdf, bid):
+        # foreachBatch is at-least-once: a batch whose table write committed
+        # but whose completion marker didn't can be RE-delivered, and a
+        # second merge would double its cells (flipping the sketch-equality
+        # claim). Applied-batch tracking makes the merge idempotent; a
+        # failed (uncommitted) write leaves last_bid unset so the retry
+        # still applies, and mode("overwrite") discards any partial files.
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
         partial = cms_build(bdf, "user_id", width=width, depth=depth)
         if state["cur"] is None:
             merged, nxt = partial, tables[0]
@@ -906,6 +919,7 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt = tables[1] if state["cur"] == tables[0] else tables[0]
         merged.write.mode("overwrite").saveAsTable(nxt)
         state["cur"] = nxt
+        state["last_bid"] = bid
 
     q = foreach_batch(
         _events_stream(spark, sf_dir).select("user_id"), apply_batch,

@@ -731,10 +731,10 @@ def dpp_partitioned_orders_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the month-partitioned layout + calendar dim, return the DPP
     join (shared by the registered query and the plan-audit test, which
     additionally inspects the executed scan metrics)."""
-    import tempfile
+    from ibis_flink_example_spark.catalog import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders")
-    fact_dir = tempfile.mkdtemp(prefix="dpp_orders_fact_")
+    fact_dir = scratch_dir("dpp_orders_fact", sf_dir)
     # One file per month partition: repartition BY the partition column
     # before partitionBy, so a 1000-executor write emits one file per
     # (month, task-owning-that-month) instead of n_tasks × n_months small
@@ -755,7 +755,7 @@ def dpp_partitioned_orders_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read), which is exactly what forces DYNAMIC partition pruning — the
     # dim scan executes first and its month keys prune fact partitions
     # before the fact scan starts.
-    dim_dir = tempfile.mkdtemp(prefix="dpp_orders_dim_")
+    dim_dir = scratch_dir("dpp_orders_dim", sf_dir)
     (
         orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .distinct()
