@@ -1652,3 +1652,74 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.sum("term_x1e6").alias("chi2_x1e6"),
     ).crossJoin(F.broadcast(dims)).select("n_cells", "dof", "chi2_x1e6")
+
+
+@query(
+    "stats_mad_value",
+    # Exact median absolute deviation via DISCRETE order statistics
+    # (rank = ceil(q*n), integer cents end-to-end — the interpolation-free
+    # idiom every exact percentile in this repo uses): median in pass 1,
+    # |x - median| re-ranked in pass 2. No floats anywhere until the
+    # driver reads the integer cents.
+    oracle="""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM v
+), med AS (
+  SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN c END) AS m FROM r
+), d AS (
+  SELECT abs(c - (SELECT m FROM med)) AS ad FROM v
+), r2 AS (
+  SELECT ad, row_number() OVER (ORDER BY ad) AS rn, COUNT(*) OVER () AS n FROM d
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_values,
+  (SELECT m FROM med) AS median_cents,
+  (SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN ad END) FROM r2)
+    AS mad_cents
+""",
+)
+def stats_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: exact median absolute deviation of event value —
+    the outlier-resistant sigma for anomaly thresholds (1.4826*MAD), next
+    to the moment-based corr/t-test family. Two discrete-order-statistic
+    passes (median, then median of absolute deviations), integer cents
+    throughout. An exact global quantile inherently needs a global
+    ordering; both passes sort only the single bigint column (the 100 TB
+    practice is the KLL sketch cousin — kll_daily_value_quantiles — with
+    this as the verification-grade exact form)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    r = cents.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = r.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint"), F.col("c"))
+        ).alias("m"),
+        F.max("n").alias("n_values"),
+    )
+    d = cents.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("c") - F.col("m")).alias("ad"), "m", "n_values"
+    )
+    r2 = d.select(
+        "ad",
+        "m",
+        "n_values",
+        F.row_number().over(Window.orderBy("ad")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r2.agg(
+        F.max("n_values").alias("n_values"),
+        F.max("m").alias("median_cents"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint"), F.col("ad"))
+        ).alias("mad_cents"),
+    )

@@ -1589,3 +1589,52 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(r, F.col("l.etype").eqNullSafe(F.col("r.etype"))).select(
         "l.event_id", "l.etype", "r.n_type"
     )
+
+
+@query(
+    "recursive_customer_hierarchy",
+    # Recursive CTE (WITH RECURSIVE landed in Spark 4): both engines walk
+    # the identical decimal-digit parent chain custkey -> custkey DIV 10
+    # until the single-digit root. DuckDB's // is integer division (its /
+    # yields DOUBLE), mirroring Spark's DIV.
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT custkey, node // 10, depth + 1 FROM chain WHERE node >= 10
+), final AS (
+  SELECT custkey, node AS root, depth FROM chain WHERE node < 10
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(root AS BIGINT) AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM final GROUP BY 1, 2
+""",
+)
+def recursive_customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE over real data (SQL surface beyond the reference's
+    Ibis API — hierarchy walks are the classic warehouse query DataFrame
+    chains cannot express): every customer's decimal-digit parent chain
+    (custkey -> custkey DIV 10) walked to its single-digit root, then
+    rolled up by (depth, root). Iteration count is bounded by
+    log10(max key) — Spark materializes each recursion step as a plan
+    stage, so the total work is ~7 passes over a shrinking frontier, never
+    an unbounded loop. Output ~60 rows."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rec_customer_v"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+  FROM rec_customer_v
+  UNION ALL
+  SELECT custkey, node DIV 10, depth + 1 FROM chain WHERE node >= 10
+), final AS (
+  SELECT custkey, node AS root, depth FROM chain WHERE node < 10
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(root AS BIGINT) AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM final GROUP BY 1, 2
+"""
+    )

@@ -969,3 +969,78 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_abs_diff") == 0).alias("matches_batch_sketch"),
         )
     )
+
+
+@query(
+    "streaming_stream_left_join",
+    # LEFT OUTER stream-stream join has TWO emission regimes: matched
+    # pairs emit as they match (inner semantics, watermark-independent),
+    # but a NULL-padded row only emits once the watermark proves no
+    # matching view can still arrive — the left row's state expires when
+    # wm passes p_ts (v_ts <= p_ts bounds future matches). With TWO
+    # withWatermark nodes (one per filtered side), Spark's global
+    # watermark is the MIN across nodes (multipleWatermarkPolicy default),
+    # each node tracking its own side's max event time — so the drained
+    # final watermark is LEAST(max purchase ts, max view ts) - 15 s, NOT
+    # the overall max (verified: the max-ts purchase itself is withheld
+    # at sf0.01). Null-pads are restricted to purchases STRICTLY before
+    # that horizon (the watermark-finality idiom of streaming_sessionize).
+    oracle="""
+WITH m AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'view')) AS mx
+)
+SELECT
+  p.event_id AS purchase_id,
+  v.event_id AS view_id,
+  CAST(v.value AS DOUBLE) AS view_value
+FROM events p
+LEFT JOIN events v
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 10 MINUTE
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND (v.event_id IS NOT NULL
+       OR epoch_us(p.ts) < epoch_us((SELECT mx FROM m)) - 15000000)
+""",
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 outer flavor as a REAL stream-stream LEFT join: purchases keep
+    flowing even when no view preceded them — the enrichment-with-misses
+    shape (inner joins silently drop unmatched facts; at 100 TB the
+    unmatched rows ARE the signal for attribution gaps). State on both
+    sides is watermark-evicted; null-padded results are emitted by the
+    state-expiry pass, so they are exactly the unmatched purchases whose
+    match window the final watermark has closed (see oracle note)."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    base = _events_stream(spark, sf_dir)
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "15 seconds")
+    )
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", "15 seconds")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", F.col("view_value").cast("double").alias("view_value"))
+    return run_available_now(joined, output_mode="append")

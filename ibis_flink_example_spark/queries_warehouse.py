@@ -866,3 +866,57 @@ def bucketed_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between re-shuffling 100 TB per query and reading
     co-located buckets."""
     return bucketed_order_sizes_impl(spark, sf_dir)
+
+
+@query(
+    "schema_evolution_read",
+    # The oracle recomputes directly from orders, marking the v1-written
+    # half's priority NULL — a correct mergeSchema read must be exactly
+    # that union. NULL-group aggregation semantics ride along for free.
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM unioned GROUP BY 1
+""",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing table (S8 at warehouse reality: a
+    producer ADDS a column and history is never rewritten): half of orders
+    written with the v1 schema (key, price), the other half with v2 (+
+    priority) into the SAME directory, read back with ``mergeSchema`` —
+    v1 rows surface NULL priority, v2 rows keep theirs, and aggregation
+    over the evolved column must match the direct computation. At 100 TB
+    this is the only affordable migration: mergeSchema reconciles footers
+    at planning time, no data rewrite. (Default reads skip the footer
+    merge for speed — the option is per-read, which is why the engine
+    makes it explicit.)"""
+    from ibis_flink_example_spark.catalog import scratch_dir
+    from ibis_flink_example_spark.functions.exact import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = scratch_dir("schema_evo_orders", sf_dir)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", money("o_totalprice").alias("price")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", money("o_totalprice").alias("price"), "o_orderpriority"
+    )
+    # two writer generations, one table directory (subdir per generation
+    # keeps the writes independently overwritable; the reader globs both)
+    v1.write.mode("overwrite").parquet(f"{d}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{d}/gen=2")
+    evolved = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/gen=1", f"{d}/gen=2"
+    )
+    return evolved.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
