@@ -130,14 +130,23 @@ def main() -> None:
     # the better engine-cost estimator exactly where a stall would have
     # landed in the total. Bounded: only the slowest dozen queries re-run,
     # ~10% extra wall time.
-    retried: dict[str, float] = {}
+    # retried[name] = [first, retry] so a stall's magnitude stays visible
+    # in the snapshot even though min() feeds the total
+    retried: dict[str, list] = {}
+    retry_errors: dict[str, str] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:12]:
+        first = timings[name]
         try:
             retry = round(run_once(name), 4)
-        except Exception:
-            continue  # keep the first timing; errors already surfaced above
-        retried[name] = retry
-        timings[name] = min(timings[name], retry)
+        except Exception as exc:
+            # first run succeeded, so this flake is visible NOWHERE else —
+            # record it (separately from errors: the query did produce a
+            # valid timing) and keep the first measurement
+            retry_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"retry of {name} failed: {exc}", file=sys.stderr)
+            continue
+        retried[name] = [first, retry]
+        timings[name] = min(first, retry)
 
     calibration_pass()  # pass 2: after the query loop
 
@@ -178,6 +187,7 @@ def main() -> None:
         ],
         "sentinel_errors": sentinel_errors,
         "retried_queries": {k: v for k, v in sorted(retried.items())},
+        "retry_errors": retry_errors,
         "calibration_basis": basis,
         "calibration_basis_match": basis_match,
         "load_factor": load_factor,

@@ -61,7 +61,7 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # oracle changed this round (scd2 null-safe oracle, QA-leg guards,
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
-# each shape re-verifies under it — then 22 of the oldest r3-era greens
+# each shape re-verifies under it — then 21 of the oldest r3-era greens
 # (none of the window's green rows is older than r3 after this pass).
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.

@@ -1663,7 +1663,11 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver reads the integer cents.
     oracle="""
 WITH v AS (
+  -- NULLs excluded explicitly: Spark's ORDER BY ranks NULLS FIRST,
+  -- DuckDB's NULLS LAST — an unfiltered NULL would shift every rank and
+  -- silently diverge the median (both sides filter identically)
   SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL
 ), r AS (
   SELECT c, row_number() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM v
 ), med AS (
@@ -1692,7 +1696,9 @@ def stats_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_table(spark, sf_dir, "events")
-    cents = events.select(
+    # NULL filter mirrors the oracle exactly (see oracle note on the
+    # engines' opposite NULL sort order)
+    cents = events.filter(F.col("value").isNotNull()).select(
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c")
     )
     r = cents.select(

@@ -300,3 +300,43 @@ def test_scd2_null_state_segments(spark, tmp_path):
     # cust 3: tiebreak makes X the first segment, Y current
     c3 = got[got["custkey"] == 3].sort_values("n_observations")
     assert len(c3) == 2
+
+
+def test_stats_mad_null_values_fixture(spark, tmp_path):
+    """Adversarial NULL-value mini-fixture for the exact-MAD query: Spark
+    ranks NULLS FIRST, DuckDB NULLS LAST, so an unfiltered NULL would
+    shift every rank and diverge the median silently (r7 review finding).
+    Runs the REGISTERED query against the REGISTERED oracle on a fixture
+    WITH NULLs, plus a hand-computed expectation."""
+    import glob
+    import os
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    rows = [
+        (1, 1_700_000_000_000_000, 1, "view", None, "{}"),
+        (2, 1_700_000_001_000_000, 1, "view", 1.0, "{}"),
+        (3, 1_700_000_002_000_000, 1, "view", 2.0, "{}"),
+        (4, 1_700_000_003_000_000, 1, "view", 3.0, "{}"),
+        (5, 1_700_000_004_000_000, 1, "view", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    d = str(tmp_path / "mini")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                os.path.join(d, "events.parquet"))
+
+    got = QUERIES["stats_mad_value"](spark, d).toPandas()
+    want = run_oracle(ORACLES["stats_mad_value"], d)
+    assert not compare_frames(got, want)
+    # non-NULL values [100, 200, 300] cents: n=3, median = rank ceil(1.5)=2
+    # -> 200; |d| = [100, 0, 100] -> sorted [0, 100, 100], rank 2 -> 100
+    r = got.iloc[0]
+    assert (r["n_values"], r["median_cents"], r["mad_cents"]) == (3, 200, 100)
