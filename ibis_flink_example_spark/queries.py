@@ -61,7 +61,7 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # oracle changed this round (scd2 null-safe oracle, QA-leg guards,
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
-# each shape re-verifies under it — then 21 of the oldest r3-era greens
+# each shape re-verifies under it — then 18 of the oldest r3-era greens
 # (none of the window's green rows is older than r3 after this pass).
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.
@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "recursive_customer_hierarchy",
     "stats_mad_value",
     "schema_evolution_read",
+    "xml_roundtrip",
+    "lateral_top_customers",
     # changed this round: scd2 oracle now mirrors the operator's null-safe
     # change flag; the estimator-QA pair gained the row-count exact-leg
     # guard; multimodal features emit the decoded_real provenance column
@@ -107,8 +109,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_over_range_sum_join",
     "streaming_funnel",
     # new in round 7 (second batch): LEFT OUTER stream-stream join —
-    # null-pads emitted by watermark state-expiry, min-policy horizon
+    # null-pads emitted by watermark state-expiry, min-policy horizon —
+    # and the stateless stream-static ANTI join (alerting shape)
     "streaming_stream_left_join",
+    "streaming_static_anti_join",
     # oldest-green re-verification (r3-era rows whose code has since been
     # through multiple refactor/review passes): relational core, joins,
     # set ops, window functions, scalar function families
@@ -130,9 +134,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "set_union_all",
     "set_intersect",
-    "set_except",
-    "window_ranking",
-    "window_lag_lead",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

@@ -1644,14 +1644,16 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5
     ).cast("bigint")
     t = m.select("event_type", "dow", term.alias("term_x1e6"))
-    dof = (
-        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
-    ).cast("bigint")
-    dims = cells.agg(dof.alias("dof"))
+    # dof computed in the SAME final aggregation over the cell table —
+    # a separate cells.agg() would re-scan events (no subtree reuse
+    # without an exchange), doubling the only at-scale cost
     return t.agg(
         F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
         F.sum("term_x1e6").alias("chi2_x1e6"),
-    ).crossJoin(F.broadcast(dims)).select("n_cells", "dof", "chi2_x1e6")
+    ).select("n_cells", "dof", "chi2_x1e6")
 
 
 @query(

@@ -1638,3 +1638,48 @@ SELECT CAST(depth AS BIGINT) AS depth, CAST(root AS BIGINT) AS root,
 FROM final GROUP BY 1, 2
 """
     )
+
+
+@query(
+    "lateral_top_customers",
+    # LATERAL correlated subquery (per-nation top-2 by balance) — the
+    # explicit-decorrelation surface next to the window-function top-k.
+    # Both engines order by the raw double balance (identical total order
+    # on non-NaN doubles) with custkey as the deterministic tiebreak.
+    oracle="""
+SELECT n.n_name, c.c_custkey,
+       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) c ON TRUE
+""",
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join (correlated subquery in the FROM clause): each
+    nation's top-2 customers by account balance. Catalyst decorrelates
+    this into the same WindowGroupLimit shape as the rank-filter idiom —
+    the point is API parity: SQL users write LATERAL, and the engine must
+    plan it without a per-nation re-scan (the naive interpretation is
+    |nation| scans of customer; the decorrelated plan is ONE scan + one
+    partitioned group-limit)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    return spark.sql(
+        """
+SELECT n.n_name, c.c_custkey,
+       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM lat_nation_v n
+JOIN LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM lat_customer_v
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) c
+"""
+    )

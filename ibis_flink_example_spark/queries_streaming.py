@@ -1044,3 +1044,40 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("purchase_id", "view_id", F.col("view_value").cast("double").alias("view_value"))
     return run_available_now(joined, output_mode="append")
+
+
+@query(
+    "streaming_static_anti_join",
+    # Stream-static LEFT ANTI is STATELESS (the static side is just a
+    # per-batch build-side lookup), so a drained run equals the batch anti
+    # join exactly — no watermark horizon in the oracle.
+    oracle="""
+WITH known AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 3 <> 0
+)
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.user_id = e.user_id)
+""",
+)
+def streaming_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: the alerting shape — surface events
+    whose key is ABSENT from a reference dim (unknown user, unregistered
+    device). The static side broadcasts per micro-batch; anti join against
+    a static frame is stateless, so there is no watermark/state cost and
+    results emit immediately (contrast streaming_stream_left_join, where
+    null-pads wait on watermark expiry). At 100 TB the dim refresh cadence
+    is a foreachBatch re-read away; the stream side never shuffles."""
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = _events_stream(spark, sf_dir)
+    known = (
+        load_table(stream.sparkSession, sf_dir, "events")
+        .filter(F.col("user_id") % 3 != 0)
+        .select("user_id")
+        .distinct()
+    )
+    out = stream.join(F.broadcast(known), "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_available_now(out, output_mode="append")

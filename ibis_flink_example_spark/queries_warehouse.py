@@ -920,3 +920,57 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("price").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "xml_roundtrip",
+    # value-invisibility of the XML encode/decode: oracle is the direct
+    # supplier rollup (integers and strings round-trip byte-exactly;
+    # acctbal goes through DECIMAL on both sides)
+    oracle="""
+SELECT s_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier GROUP BY 1
+""",
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 XML source end-to-end (built into Spark 4 — no external package):
+    write supplier as XML rows, read back against the DECLARED schema
+    (never inferred), aggregate with DECIMAL-exact money summing. XML is
+    the interchange format that still shows up at enterprise ingestion
+    edges; the engine treats it as just another declared-schema file
+    source with the same never-infer contract as CSV/JSONL/ORC."""
+    from ibis_flink_example_spark.catalog import scratch_dir
+    from ibis_flink_example_spark.schema import schema as mk_schema
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", money("s_acctbal").alias("s_acctbal")
+    )
+    d = scratch_dir("xml_supplier", sf_dir)
+    (
+        sup.write.format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(d)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            mk_schema(
+                {
+                    "s_suppkey": "int64",
+                    "s_name": "string",
+                    "s_nationkey": "int64",
+                    "s_acctbal": "decimal(18,2)",
+                }
+            )
+        )
+        .load(d)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
+    )

@@ -491,3 +491,36 @@ def test_bucketed_order_sizes_single_exchange(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2, plan
     assert plan_ops(df)["SortMergeJoin"] == 1
     assert exchange_count(df) == 1, plan
+
+
+def test_lateral_join_decorrelates_to_group_limit(spark, sf_dir):
+    """The LATERAL correlated subquery must NOT plan |nation| re-scans of
+    customer: Catalyst decorrelates it to ONE customer scan + a
+    partitioned WindowGroupLimit (the same shape as the rank-filter
+    idiom), with the tiny nation side broadcast."""
+    from ibis_flink_example_spark.plans import formatted_plan, plan_ops
+    from ibis_flink_example_spark.queries import QUERIES
+
+    df = QUERIES["lateral_top_customers"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["Scan"] == 2, ops  # nation once + customer once
+    assert ops["WindowGroupLimit"] >= 1, ops
+    assert ops["BroadcastHashJoin"] == 1, ops
+
+
+def test_chisq_single_events_scan(spark, sf_dir):
+    """chisq_event_dow's only at-scale cost is ONE events scan: margins
+    come from windows over the tiny cell table and dof from the same
+    final aggregation — a second scan (the pre-review shape: a separate
+    cells.agg() subtree) would double the 100 TB cost."""
+    from ibis_flink_example_spark.plans import formatted_plan
+    from ibis_flink_example_spark.queries import QUERIES
+
+    df = QUERIES["chisq_event_dow"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("(1) Scan parquet") == 1
+    assert "events.parquet" in plan
+    # exactly one numbered scan node in the whole plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
