@@ -23,6 +23,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -498,3 +499,54 @@ def semantic_dedup(
         .filter(F.col(id_col) == F.col("component"))
         .drop("component")
     )
+
+
+def arrow_quantized_norms(em, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """§2.10 mapInArrow operator (the Arrow-native sibling of the
+    mapInPandas multimodal stages — no pandas materialization at all):
+    per-vector quantized squared L2 norm, computed zero-copy on the Arrow
+    batch buffers with numpy.
+
+    Exactness contract: each element is quantized round-half-up to 1e6
+    fixed point in float64 (identical IEEE op sequence to the SQL
+    ``floor(x*1e6 + 0.5)``), then squared and summed in int64 — so the
+    result is bit-identical to a SQL engine computing the same integer
+    algebra, regardless of summation order (integer addition commutes;
+    the float pre-quantization is per-element, never accumulated).
+    Output: (id_col, n_dims, norm2_x1e12).
+    """
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_dims", T.IntegerType()),
+            T.StructField("norm2_x1e12", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(id_col)
+            vecs = batch.column(vec_col)
+            # flatten the list array once: values buffer + offsets —
+            # zero-copy into numpy, vectorized over the whole batch
+            flat = np.asarray(vecs.values, dtype=np.float64)
+            q = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
+            offsets = np.asarray(vecs.offsets)
+            sq = q * q
+            csum = np.concatenate(([0], np.cumsum(sq)))
+            norms = csum[offsets[1:]] - csum[offsets[:-1]]
+            n_dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(ids, dtype=np.int64), type=pa.int64()),
+                    pa.array(n_dims, type=pa.int32()),
+                    pa.array(norms, type=pa.int64()),
+                ],
+                names=[id_col, "n_dims", "norm2_x1e12"],
+            )
+
+    return em.select(id_col, vec_col).mapInArrow(run, schema=out_schema)

@@ -1683,3 +1683,148 @@ def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    # Chunk-granular exact dedup (the Lee et al. 'Deduplicating Training
+    # Data' insight at bounded granularity: duplicated SPANS matter, not
+    # just whole documents): both engines split on single spaces, group
+    # words into 10-word position chunks (ragged tail included), and count
+    # duplicated chunk instances over the shared planted-dup corpus.
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM aug
+), chunks AS (
+  SELECT doc_id, t.i AS chunk_idx,
+    array_to_string(list_slice(words, t.i*10 + 1, t.i*10 + 10), ' ') AS chunk
+  FROM w, UNNEST(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)
+), freq AS (
+  SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n FROM chunks GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+         AS dup_chunk_instances,
+       CAST(MAX(n) AS BIGINT) AS max_dup_count
+FROM freq
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 at SPAN granularity: exact duplicate 10-word chunks across the
+    corpus — whole-document dedup misses copied passages inside otherwise
+    distinct documents, and at 100 TB duplicated spans are the main
+    memorization driver. Plan: chunks are SLICED out of the split-word
+    array in-row (explode of chunk indices + array slice — a Generate,
+    zero exchanges; no word-level shuffle-and-reassemble), so the ONLY
+    shuffle is the chunk-frequency aggregation with map-side partials.
+    Counts are over the shared planted-dup corpus so the duplicated set
+    is non-empty by construction."""
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
+    w = aug.select("doc_id", F.split("text", " ").alias("words"))
+    chunks = w.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("words") / 10.0).cast("bigint") - 1,
+            )
+        ).alias("i"),
+        "words",
+    ).select(
+        F.concat_ws(" ", F.expr("slice(words, i*10 + 1, 10)")).alias("chunk")
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("n"))
+    return freq.agg(
+        F.sum("n").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+            "dup_chunk_instances"
+        ),
+        F.max("n").alias("max_dup_count"),
+    )
+
+
+@query(
+    "domain_mixture_weights",
+    # DoReMi/data-mixing shape: per-domain resampling weights to hit a
+    # UNIFORM target mixture, computed in pure integer arithmetic
+    # (round-half-up rational (2e6*total + k*n) // (2*k*n)) so the
+    # fixed-point weights are bit-identical across engines.
+    oracle="""
+WITH d AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS k FROM d
+)
+SELECT d.lang, d.n_docs, d.n_tokens,
+  CAST((1000000 * d.n_tokens) // t.total AS BIGINT) AS share_x1e6,
+  CAST((2000000 * t.total + t.k * d.n_tokens)
+       // (2 * t.k * d.n_tokens) AS BIGINT) AS weight_x1e6
+FROM d, t
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting (the DoReMi-family control knob):
+    per-domain (language) token counts and the resampling weight that
+    flattens the corpus to a uniform domain mixture — weight(d) =
+    target_share / actual_share = total/(k * tokens_d). One scan + one
+    tiny per-domain aggregate; the weights table then drives the
+    map-only hash-threshold samplers (operators/sampling.py) with no
+    further corpus passes. Integer round-half-up keeps the fixed-point
+    weights engine-exact (see oracle note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    t = d.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) DIV total").cast("bigint").alias("share_x1e6"),
+            F.expr("(2000000 * total + k * n_tokens) DIV (2 * k * n_tokens)")
+            .cast("bigint")
+            .alias("weight_x1e6"),
+        )
+    )
+
+
+@query(
+    "embedding_norms_arrow",
+    # mapInArrow result vs pure-SQL integer algebra: per-element
+    # round-half-up 1e6 quantization (identical IEEE sequence both sides)
+    # then int64 sum of squares — order-free, so numpy-vectorized and SQL
+    # list-fold agree bit-for-bit.
+    oracle="""
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS n_dims,
+  CAST(list_sum(list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+    AS BIGINT) AS norm2_x1e12
+FROM embeddings
+""",
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 mapInArrow (Arrow-native batch UDF — the last Python
+    integration surface next to pandas UDF / mapInPandas /
+    applyInPandas(WithState) / UDTF): per-vector quantized squared L2
+    norms computed zero-copy on Arrow list buffers (flatten once,
+    vectorize over the whole batch, reassemble by offsets — no pandas
+    object overhead, no per-row Python). Full value oracle via the
+    order-free integer algebra (operators/similarity.py:
+    arrow_quantized_norms)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.arrow_quantized_norms(em, id_col="vec_id", vec_col="embedding")

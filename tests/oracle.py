@@ -97,13 +97,68 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: every
+# entry is either THE cross-join query or a documented one-row
+# scalar-broadcast crossJoin (a broadcast of a single aggregate row is
+# O(n) work — the idiom this repo uses to attach scalars without a
+# shuffle). Any OTHER query growing a BNLJ is a plan regression: at
+# 100 TB an accidental nested-loop join against a non-tiny side is the
+# classic silent killer. Keep this list in sync ON PURPOSE — adding a
+# name is a design decision, not a test fix.
+BNLJ_ALLOWED = {
+    "join_cross",
+    # one-row scalar-broadcast crossJoins:
+    "cms_term_counts", "streaming_cms_user_counts", "hll_daily_users_merge",
+    "kll_daily_value_quantiles", "stats_mad_value", "ann_recall_ivf",
+    "minhash_vs_exact_pairs", "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity", "cosine_topk",
+    "simhash_exact_dup_coverage", "text_tfidf_top_terms",
+    "doc_unigram_surprisal", "sample_lang_balanced",
+    "split_group_aware_events", "gap_fill_locf", "conversion_latency_stats",
+    "lang_distribution_drift", "snapshot_diff_orders",
+    "domain_mixture_weights",
+}
+
+# Queries allowed to plan row-at-a-time Python evaluation
+# (BatchEvalPython): only the Python UDTF — everything else must stay
+# JVM-side or Arrow-batched.
+PYTHON_ROW_ALLOWED = {"udtf_props_kv"}
+
+
+def audit_plan_hygiene(name: str, sdf) -> list[str]:
+    """Fleet-wide 100 TB plan hygiene, asserted on EVERY registered query
+    as part of the oracle gate (zero extra executions — the gate already
+    builds each DataFrame): no cartesian products anywhere, nested-loop
+    joins only at documented one-row scalar broadcasts, row-at-a-time
+    Python only in the UDTF."""
+    from ibis_flink_example_spark.plans import formatted_plan, plan_ops
+
+    problems: list[str] = []
+    try:
+        ops = plan_ops(sdf)
+        plan = formatted_plan(sdf)
+    except Exception:
+        return problems  # drained streaming results re-plan as memory scans
+    if ops.get("CartesianProduct", 0):
+        problems.append("plan contains CartesianProduct")
+    if ops.get("BroadcastNestedLoopJoin", 0) and name not in BNLJ_ALLOWED:
+        problems.append(
+            "plan contains BroadcastNestedLoopJoin outside the documented "
+            "scalar-broadcast whitelist (tests/oracle.py BNLJ_ALLOWED)"
+        )
+    if "BatchEvalPython" in plan and name not in PYTHON_ROW_ALLOWED:
+        problems.append("plan contains row-at-a-time Python (BatchEvalPython)")
+    return problems
+
+
 def check_query(spark, name: str, sf_dir: str) -> list[str]:
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
 
     sdf = QUERIES[name](spark, sf_dir)
+    problems = audit_plan_hygiene(name, sdf)
     spark_pdf = sdf.toPandas()
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op)
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        return problems if len(spark_pdf) >= 0 else problems + ["spark query failed"]
     oracle_pdf = run_oracle(ORACLES[name], sf_dir)
-    return compare_frames(spark_pdf, oracle_pdf)
+    return problems + compare_frames(spark_pdf, oracle_pdf)
