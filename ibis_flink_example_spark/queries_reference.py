@@ -139,3 +139,49 @@ LIMIT 10
 def ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.orderBy("ts", "event_id").select("event_id", "user_id", "value").limit(10)
+
+
+@query(
+    "python_datasource_payments",
+    # The custom Python source derives every field from the global row
+    # index with integer arithmetic, so DuckDB reproduces the ENTIRE
+    # dataset with range() — a full value oracle for a generated source
+    # (no pinned literals). payAmount sums go through integer cents.
+    oracle="""
+WITH g AS (
+  SELECT (i * 31) % 7 AS provinceId,
+         (i * 9973) % 1000000000 AS pay_cents,
+         CASE WHEN i % 10 = 0 THEN 1 ELSE 0 END AS payPlatform
+  FROM (SELECT UNNEST(range(0, 10000)) AS i)
+)
+SELECT CAST(provinceId AS INTEGER) AS provinceId,
+  CAST(COUNT(*) AS BIGINT) AS n_payments,
+  CAST(SUM(pay_cents) AS DOUBLE) / 100.0 AS total_amount,
+  CAST(SUM(payPlatform) AS BIGINT) AS n_platform1
+FROM g GROUP BY 1
+""",
+)
+def python_datasource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API, driven end-to-end: the reference's
+    payment generator (generate_source_data.py:12-33) as a first-class
+    deterministic splittable source (sources/python_datasource.py),
+    aggregated per province. The oracle regenerates the identical dataset
+    in SQL from the index arithmetic — proving the custom-source rows,
+    partition-range split, and type mapping are exactly right. Money sums
+    run in integer cents end-to-end (pay_cents is derived integer, summed
+    as BIGINT, one final /100 division on both sides)."""
+    from ibis_flink_example_spark.sources.python_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("payments_gen")
+        .option("n_rows", 10_000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    cents = F.floor(F.col("payAmount") * 100 + 0.5).cast("bigint")
+    return df.groupBy("provinceId").agg(
+        F.count(F.lit(1)).alias("n_payments"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_amount"),
+        F.sum("payPlatform").cast("bigint").alias("n_platform1"),
+    )

@@ -271,3 +271,30 @@ def test_nanos_detection_rejects_heterogeneous_footers(tmp_path):
     pq.write_table(t, str(int96 / "a.parquet"), use_deprecated_int96_timestamps=True)
     pq.write_table(t, str(int96 / "b.parquet"), use_deprecated_int96_timestamps=True)
     assert _nanos_timestamp_columns(str(int96)) == ()
+
+
+def test_python_datasource_partition_invariant(spark):
+    """The custom Python data source must produce the IDENTICAL row set
+    under any partition count (contiguous index ranges, remainder to the
+    last partition) — the determinism contract its full value oracle
+    depends on."""
+    from ibis_flink_example_spark.sources.python_datasource import register
+
+    register(spark)
+
+    def rows(n_parts):
+        df = (
+            spark.read.format("payments_gen")
+            .option("n_rows", 1003)  # deliberately not divisible
+            .option("n_partitions", n_parts)
+            .load()
+        )
+        return sorted(
+            (r["orderId"], r["provinceId"], r["payAmount"], r["payPlatform"],
+             r["createTime"])
+            for r in df.collect()
+        )
+
+    a, b = rows(1), rows(7)
+    assert len(a) == 1003
+    assert a == b
