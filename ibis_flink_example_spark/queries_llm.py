@@ -1809,10 +1809,14 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list-fold agree bit-for-bit.
     oracle="""
 SELECT vec_id,
-  CAST(len(embedding) AS INTEGER) AS n_dims,
-  CAST(list_sum(list_transform(embedding,
+  -- COALESCE pins the empty/NULL-vector semantics to the operator's
+  -- (0 dims, 0 norm): list_sum over an empty list is NULL in SQL while
+  -- the Arrow offsets difference is 0 — without the pin a future fixture
+  -- with a null vector would hash-mismatch
+  CAST(COALESCE(len(embedding), 0) AS INTEGER) AS n_dims,
+  CAST(COALESCE(list_sum(list_transform(embedding,
     x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-         * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+         * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))), 0)
     AS BIGINT) AS norm2_x1e12
 FROM embeddings
 """,

@@ -172,6 +172,8 @@ def python_datasource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     as BIGINT, one final /100 division on both sides)."""
     from ibis_flink_example_spark.sources.python_datasource import register
 
+    from ibis_flink_example_spark.functions.exact import cents
+
     register(spark)
     df = (
         spark.read.format("payments_gen")
@@ -179,9 +181,59 @@ def python_datasource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_partitions", 8)
         .load()
     )
-    cents = F.floor(F.col("payAmount") * 100 + 0.5).cast("bigint")
     return df.groupBy("provinceId").agg(
         F.count(F.lit(1)).alias("n_payments"),
-        (F.sum(cents).cast("double") / 100.0).alias("total_amount"),
+        (F.sum(cents(F.col("payAmount"))).cast("double") / 100.0).alias(
+            "total_amount"
+        ),
         F.sum("payPlatform").cast("bigint").alias("n_platform1"),
     )
+
+
+@query(
+    "streaming_python_datasource_payments",
+    # identical oracle shape to the batch twin: the streaming drain over
+    # the custom source must be value-invisible vs the regenerated dataset
+    oracle="""
+WITH g AS (
+  SELECT (i * 31) % 7 AS provinceId,
+         (i * 9973) % 1000000000 AS pay_cents
+  FROM (SELECT UNNEST(range(0, 10000)) AS i)
+)
+SELECT CAST(provinceId AS INTEGER) AS provinceId,
+  CAST(COUNT(*) AS BIGINT) AS n_payments,
+  CAST(SUM(pay_cents) AS DOUBLE) / 100.0 AS total_amount
+FROM g GROUP BY 1
+""",
+)
+def streaming_python_datasource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python data source's STREAMING arm (Spark 4
+    SimpleDataSourceStreamReader — replayable index offsets,
+    checkpointable): the reference's forever-looping generator
+    (generate_source_data.py:36-45) as a genuine streaming source,
+    aggregated per province and drained via availableNow on a RocksDB
+    state-scoped session. Complete mode is bounded here (7 province
+    keys); the drain equals the batch twin exactly (full SQL oracle —
+    DuckDB regenerates the dataset from the index arithmetic)."""
+    from ibis_flink_example_spark.functions.exact import cents
+    from ibis_flink_example_spark.sources.python_datasource import register_stream
+    from ibis_flink_example_spark.streaming.runtime import (
+        run_available_now,
+        state_scoped_session,
+    )
+
+    s = state_scoped_session(spark, 4)
+    register_stream(s)
+    stream = (
+        s.readStream.format("payments_stream_gen")
+        .option("n_rows", 10_000)
+        .option("batch", 10_000)
+        .load()
+    )
+    agged = stream.groupBy("provinceId").agg(
+        F.count(F.lit(1)).alias("n_payments"),
+        (F.sum(cents(F.col("payAmount"))).cast("double") / 100.0).alias(
+            "total_amount"
+        ),
+    )
+    return run_available_now(agged, output_mode="complete")

@@ -125,20 +125,33 @@ BNLJ_ALLOWED = {
 PYTHON_ROW_ALLOWED = {"udtf_props_kv"}
 
 
+# Audit coverage bookkeeping: every query name lands in exactly one set, and
+# test_plan_hygiene_audited_everything asserts SKIPPED stays EMPTY — a broad
+# silent except here would otherwise let an environmental break of the py4j
+# explain path disable the whole fleet audit while every test stays green.
+PLAN_AUDITED: set[str] = set()
+PLAN_AUDIT_SKIPPED: set[str] = set()
+
+
 def audit_plan_hygiene(name: str, sdf) -> list[str]:
     """Fleet-wide 100 TB plan hygiene, asserted on EVERY registered query
     as part of the oracle gate (zero extra executions — the gate already
     builds each DataFrame): no cartesian products anywhere, nested-loop
     joins only at documented one-row scalar broadcasts, row-at-a-time
     Python only in the UDTF."""
-    from ibis_flink_example_spark.plans import formatted_plan, plan_ops
+    import re
+    from collections import Counter
+
+    from ibis_flink_example_spark.plans import formatted_plan
 
     problems: list[str] = []
     try:
-        ops = plan_ops(sdf)
-        plan = formatted_plan(sdf)
+        plan = formatted_plan(sdf)  # ONE explainString round-trip per query
     except Exception:
-        return problems  # drained streaming results re-plan as memory scans
+        PLAN_AUDIT_SKIPPED.add(name)
+        return problems
+    PLAN_AUDITED.add(name)
+    ops = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
     if ops.get("CartesianProduct", 0):
         problems.append("plan contains CartesianProduct")
     if ops.get("BroadcastNestedLoopJoin", 0) and name not in BNLJ_ALLOWED:
@@ -158,7 +171,6 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
     problems = audit_plan_hygiene(name, sdf)
     spark_pdf = sdf.toPandas()
     if name not in ORACLES:
-        # rows-only check (non-SQL-expressible op)
-        return problems if len(spark_pdf) >= 0 else problems + ["spark query failed"]
+        return problems  # rows-only check (a failed query raises above)
     oracle_pdf = run_oracle(ORACLES[name], sf_dir)
     return problems + compare_frames(spark_pdf, oracle_pdf)

@@ -823,3 +823,35 @@ def test_qa_guard_fraction_bounds_exact_legs(spark):
         for r in _qa_sample(big.repartition(7), "doc_id", frac, seed=11).collect()
     }
     assert ids_a == ids_b
+
+
+def test_arrow_norms_empty_and_null_vectors(spark, tmp_path):
+    """Adversarial mini-fixture for the mapInArrow norms: empty and NULL
+    embedding lists must produce (n_dims=0, norm2=0) on BOTH sides — the
+    COALESCE pin in the oracle vs the Arrow offsets-difference in the
+    operator (r7 review finding: unpinned, SQL list_sum yields NULL)."""
+    import glob
+    import os
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.5], 0), (2, [], 0), (3, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "mini")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                os.path.join(d, "embeddings.parquet"))
+
+    got = QUERIES["embedding_norms_arrow"](spark, d).toPandas()
+    want = run_oracle(ORACLES["embedding_norms_arrow"], d)
+    assert not compare_frames(got, want)
+    by_id = {r["vec_id"]: (r["n_dims"], r["norm2_x1e12"]) for _, r in got.iterrows()}
+    # 1.0 -> 1e6, -2.5 -> -2.5e6; squares sum = 1e12 + 6.25e12
+    assert by_id[1] == (2, 7_250_000_000_000)
+    assert by_id[2] == (0, 0) and by_id[3] == (0, 0)

@@ -498,7 +498,7 @@ def test_lateral_join_decorrelates_to_group_limit(spark, sf_dir):
     customer: Catalyst decorrelates it to ONE customer scan + a
     partitioned WindowGroupLimit (the same shape as the rank-filter
     idiom), with the tiny nation side broadcast."""
-    from ibis_flink_example_spark.plans import formatted_plan, plan_ops
+    from ibis_flink_example_spark.plans import plan_ops
     from ibis_flink_example_spark.queries import QUERIES
 
     df = QUERIES["lateral_top_customers"](spark, sf_dir)
@@ -518,9 +518,9 @@ def test_chisq_single_events_scan(spark, sf_dir):
 
     df = QUERIES["chisq_event_dow"](spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("(1) Scan parquet") == 1
     assert "events.parquet" in plan
-    # exactly one numbered scan node in the whole plan
+    # exactly one scan node in the whole plan (position-independent: node
+    # numbering shifts with benign plan-shape changes)
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

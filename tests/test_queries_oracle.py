@@ -43,3 +43,19 @@ def test_driver_priority_is_sound():
     assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
     assert len(_DRIVER_PRIORITY) >= 50
     assert list(QUERIES)[:50] == list(_DRIVER_PRIORITY)[:50]
+
+
+def test_plan_hygiene_audited_everything():
+    """The fleet plan-hygiene audit must have actually RUN for every query
+    the gate executed (this file's parametrized tests run first): an
+    environmental break of the explain path would otherwise silently
+    disable the audit while every oracle test stays green. Today every
+    registered query's plan is explainable — if that ever changes, the
+    skip must become an explicit decision here, not a silent pass."""
+    from tests.oracle import PLAN_AUDITED, PLAN_AUDIT_SKIPPED
+
+    assert not PLAN_AUDIT_SKIPPED, (
+        f"plan audit silently skipped: {sorted(PLAN_AUDIT_SKIPPED)}"
+    )
+    # the full gate ran before this test (file order): near-registry coverage
+    assert len(PLAN_AUDITED) >= 150, len(PLAN_AUDITED)
