@@ -77,9 +77,15 @@ def main() -> None:
     #   machine state. The pre-loop pass still runs and ships in
     #   sentinel_passes so load DRIFT during the ~4-minute loop is
     #   visible, it just doesn't feed the factor.
-    # - Refs measured fully-warm on an idle round-7 machine (load ~2/32),
-    #   best-of-3. Normalized values are published only on a machine
-    #   matching REF_BASIS.
+    # - Refs are the MEDIAN fully-warm post-loop values across several
+    #   round-7 runs on this machine at light load. Single-run extremes
+    #   are NOT a valid basis: one fully-idle run measured sentinels 25%
+    #   faster (JIT-lucky state) and re-basing to it made the next run's
+    #   factor 1.57 — sub-3s sentinels fluctuate run-to-run far more than
+    #   the 190-query total they normalize. Treat load_factor as a load
+    #   DIAGNOSTIC; round-over-round comparisons should lean on raw-total
+    #   medians across >= 2 runs, with the normalized value as a
+    #   cross-check that big raw swings are load, not regressions.
     SENTINEL_REF_SEC = {
         "over_range_sum_10s": 0.37,
         "dedup_exact": 0.52,
