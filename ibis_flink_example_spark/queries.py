@@ -61,7 +61,7 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # oracle changed this round (scd2 null-safe oracle, QA-leg guards,
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
-# each shape re-verifies under it — then 13 of the oldest r3-era greens
+# each shape re-verifies under it — then 11 of the oldest r3-era greens
 # (none of the window's green rows is older than r3 after this pass).
 # Everything displaced stays value-checked every CI run by
 # tests/test_queries_oracle.py over the identical oracles.
@@ -91,6 +91,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_norms_arrow",
     "python_datasource_payments",
     "streaming_python_datasource_payments",
+    "seasonal_decompose_revenue",
+    "attribution_time_decay",
     # changed this round: scd2 oracle now mirrors the operator's null-safe
     # change flag; the estimator-QA pair gained the row-count exact-leg
     # guard; multimodal features emit the decoded_real provenance column
@@ -132,8 +134,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cube_platform_province",
     "join_customer_orders",
     "join_broadcast_dims",
-    "join_left_outer",
-    "join_semi",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

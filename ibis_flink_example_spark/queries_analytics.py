@@ -1731,3 +1731,208 @@ def stats_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint"), F.col("ad"))
         ).alias("mad_cents"),
     )
+
+
+@query(
+    "seasonal_decompose_revenue",
+    # Classical additive decomposition (STL-lite) made cross-engine EXACT:
+    # daily revenue in integer cents; trend = 7-day centered moving
+    # average kept as a RATIONAL (sum_cents, n_days) pair; seasonal =
+    # per-weekday mean of (value - trend), also rational; every emitted
+    # component is a fixed-point floor of an integer-arithmetic rational
+    # (floor((2*a + b) / (2*b)) round-half-up), so partition order and
+    # float accumulation never enter.
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), tr AS (
+  SELECT day, cents,
+    CAST(SUM(cents) OVER w AS BIGINT) AS tr_sum,
+    CAST(COUNT(*) OVER w AS BIGINT) AS tr_n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dt AS (
+  -- detrended value as an exact rational: cents - tr_sum/tr_n
+  -- = (cents*tr_n - tr_sum) / tr_n
+  SELECT day, cents, tr_sum, tr_n,
+    dayofweek(day) AS dow,
+    cents * tr_n - tr_sum AS dt_num,
+    tr_n AS dt_den
+  FROM tr
+), se AS (
+  -- seasonal = weekday mean of the detrended rationals: since dt_den
+  -- varies only at the series edges, sum rationals over a common
+  -- denominator product is exact but explodes; instead quantize each
+  -- detrended value FIRST (fixed point, deterministic) then average the
+  -- integers — the same rule on both engines
+  SELECT day, cents, tr_sum, tr_n, dow,
+    CAST(floor(CAST(dt_num AS DOUBLE) / dt_den * 100 + 0.5) AS BIGINT)
+      AS dt_x100
+  FROM dt
+), sm AS (
+  SELECT dow,
+    CAST(SUM(dt_x100) AS BIGINT) AS s_sum,
+    CAST(COUNT(*) AS BIGINT) AS s_n
+  FROM se GROUP BY 1
+)
+SELECT CAST(se.day AS TIMESTAMP) AS day,
+  CAST(se.cents AS DOUBLE) / 100.0 AS revenue,
+  CAST(floor(CAST(se.tr_sum AS DOUBLE) / se.tr_n + 0.5) AS BIGINT)
+    AS trend_cents,
+  CAST(floor(CAST(sm.s_sum AS DOUBLE) / sm.s_n + 0.5) AS BIGINT)
+    AS seasonal_x100,
+  CAST(se.dt_x100 - floor(CAST(sm.s_sum AS DOUBLE) / sm.s_n + 0.5)
+    AS BIGINT) AS residual_x100
+FROM se JOIN sm ON se.dow = sm.dow
+""",
+)
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite: 7-day
+    centered-MA trend, weekday-mean seasonal, residual) — the trend/
+    seasonality monitor for any daily KPI. All heavy work happens on the
+    DAILY aggregate (~2400 rows at sf0.1): the only corpus-sized cost is
+    the first groupBy(day); the unpartitioned windows after it run over
+    the tiny day frame (same design as concurrent_sessions_peak).
+    Components are exact fixed-point integers (see oracle note) so the
+    driver hash is stable across engines and partitionings."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"),
+    )
+    se = tr.select(
+        "day",
+        "cents",
+        "tr_sum",
+        "tr_n",
+        (F.dayofweek("day") - 1).alias("dow"),  # DuckDB dow: 0=Sunday
+        F.floor(
+            (F.col("cents") * F.col("tr_n") - F.col("tr_sum")).cast("double")
+            / F.col("tr_n")
+            * 100
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("dt_x100"),
+    )
+    sm = se.groupBy("dow").agg(
+        F.sum("dt_x100").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    seasonal = F.floor(
+        F.col("s_sum").cast("double") / F.col("s_n") + 0.5
+    ).cast("bigint")
+    return (
+        se.join(F.broadcast(sm), "dow")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.floor(F.col("tr_sum").cast("double") / F.col("tr_n") + 0.5)
+            .cast("bigint")
+            .alias("trend_cents"),
+            seasonal.alias("seasonal_x100"),
+            (F.col("dt_x100") - seasonal).cast("bigint").alias("residual_x100"),
+        )
+    )
+
+
+@query(
+    "attribution_time_decay",
+    # Multi-touch time-decay attribution made EXACT: weight 2^(-days_back)
+    # becomes the INTEGER 2^(6 - days_back) after scaling by 2^6 (the max
+    # lookback is 6 whole days), so each purchase's credit shares are
+    # integer rationals num/den; the emitted per-channel totals are sums
+    # of floor(1e6*num/den + 0.5) BIGINTs — identical in any engine and
+    # partition order.
+    oracle="""
+WITH touches AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT p.event_id AS purchase_id, t.event_type AS channel,
+    CAST(2 AS BIGINT) ** (6 - CAST(floor(epoch_us(p.ts - t.ts) / 86400000000.0) AS BIGINT))
+      AS w
+  FROM events p
+  JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+  WHERE p.event_type = 'purchase'
+), den AS (
+  SELECT purchase_id, CAST(SUM(w) AS BIGINT) AS den FROM pairs GROUP BY 1
+), shares AS (
+  SELECT pairs.channel,
+    CAST(floor(1000000.0 * pairs.w / den.den + 0.5) AS BIGINT) AS share_x1e6
+  FROM pairs JOIN den USING (purchase_id)
+)
+SELECT channel,
+  CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+  CAST(SUM(share_x1e6) AS BIGINT) AS total_credit_x1e6
+FROM shares GROUP BY 1
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution (the fractional-credit sibling
+    of attribution_last_touch): every purchase splits credit across ALL
+    its prior-7-day touches with weight 2^(-days_back), normalized per
+    purchase. The purchase-touch pairing is a user-keyed RANGE join —
+    pair volume is bounded by touches-per-user-per-week, never all-pairs
+    — and the power-of-two weights keep the whole computation in integer
+    arithmetic (see oracle note). Output: per-channel credited-touch
+    count and total fractional credit."""
+    events = load_table(spark, sf_dir, "events")
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    days_back = F.floor(
+        (F.unix_micros("p_ts") - F.unix_micros("t_ts")) / 86_400_000_000.0
+    ).cast("bigint")
+    pairs = (
+        purchases.join(
+            touches,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(
+            "purchase_id",
+            "channel",
+            F.pow(F.lit(2.0), (F.lit(6) - days_back).cast("double"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    den = Window.partitionBy("purchase_id")
+    shares = pairs.select(
+        "channel",
+        F.floor(
+            1_000_000.0 * F.col("w") / F.sum("w").over(den) + 0.5
+        )
+        .cast("bigint")
+        .alias("share_x1e6"),
+    )
+    return shares.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.sum("share_x1e6").alias("total_credit_x1e6"),
+    )
