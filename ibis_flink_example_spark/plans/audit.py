@@ -28,9 +28,18 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def plan_ops_from_string(plan: str) -> Counter:
+    """Physical operator histogram from an already-formatted plan string —
+    the ONE definition of the node-line grammar (callers that already hold
+    the string, like the fleet hygiene audit, must share it: a private
+    copy would silently stop matching if the explain format ever changes
+    while this one gets fixed)."""
+    return Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+
+
 def plan_ops(df: DataFrame) -> Counter:
     """Physical operator histogram, e.g. {'Exchange': 2, 'BroadcastHashJoin': 3}."""
-    return Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", formatted_plan(df)))
+    return plan_ops_from_string(formatted_plan(df))
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -1735,13 +1735,15 @@ def stats_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "seasonal_decompose_revenue",
-    # Classical additive decomposition (STL-lite) made cross-engine EXACT:
-    # daily revenue in integer cents; trend = 7-day centered moving
-    # average kept as a RATIONAL (sum_cents, n_days) pair; seasonal =
-    # per-weekday mean of (value - trend), also rational; every emitted
-    # component is a fixed-point floor of an integer-arithmetic rational
-    # (floor((2*a + b) / (2*b)) round-half-up), so partition order and
-    # float accumulation never enter.
+    # Classical additive decomposition (STL-lite) made cross-engine EXACT
+    # via the pinned-IEEE-sequence argument (the chisq idiom, NOT the
+    # pure-integer rational idiom): numerators/denominators are exact
+    # BIGINTs (cents sums, window counts), and each emitted component is
+    # floor(double(num)/double(den) * scale + 0.5) — a fixed sequence of
+    # IEEE-754 ops on exactly-representable integers (all < 2^53 by
+    # construction: cents sums are bounded by total corpus revenue),
+    # identical in both engines. No float value is ever ACCUMULATED
+    # across rows, so partition order never enters.
     oracle="""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
@@ -1862,7 +1864,12 @@ WITH touches AS (
   WHERE event_type <> 'purchase'
 ), pairs AS (
   SELECT p.event_id AS purchase_id, t.event_type AS channel,
-    CAST(2 AS BIGINT) ** (6 - CAST(floor(epoch_us(p.ts - t.ts) / 86400000000.0) AS BIGINT))
+    -- LEAST clamp: the inclusive join bound admits days_back = 7 at the
+    -- exact boundary, where 2**(6-7) = 0.5 is no longer an integer and
+    -- Spark's bigint cast (truncate) and DuckDB's (half-even) diverge —
+    -- clamping to 6 keeps every weight a true integer on both sides
+    CAST(2 AS BIGINT) ** (6 - LEAST(CAST(6 AS BIGINT),
+        CAST(floor(epoch_us(p.ts - t.ts) / 86400000000.0) AS BIGINT)))
       AS w
   FROM events p
   JOIN touches t
@@ -1903,9 +1910,14 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
-    days_back = F.floor(
-        (F.unix_micros("p_ts") - F.unix_micros("t_ts")) / 86_400_000_000.0
-    ).cast("bigint")
+    # clamped at 6: see the oracle note — the inclusive 7-day bound can
+    # yield days_back = 7 exactly, whose 2**(-1) weight is non-integer
+    days_back = F.least(
+        F.lit(6).cast("bigint"),
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("t_ts")) / 86_400_000_000.0
+        ).cast("bigint"),
+    )
     pairs = (
         purchases.join(
             touches,

@@ -139,10 +139,7 @@ def audit_plan_hygiene(name: str, sdf) -> list[str]:
     builds each DataFrame): no cartesian products anywhere, nested-loop
     joins only at documented one-row scalar broadcasts, row-at-a-time
     Python only in the UDTF."""
-    import re
-    from collections import Counter
-
-    from ibis_flink_example_spark.plans import formatted_plan
+    from ibis_flink_example_spark.plans import formatted_plan, plan_ops_from_string
 
     problems: list[str] = []
     try:
@@ -151,7 +148,7 @@ def audit_plan_hygiene(name: str, sdf) -> list[str]:
         PLAN_AUDIT_SKIPPED.add(name)
         return problems
     PLAN_AUDITED.add(name)
-    ops = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    ops = plan_ops_from_string(plan)
     if ops.get("CartesianProduct", 0):
         problems.append("plan contains CartesianProduct")
     if ops.get("BroadcastNestedLoopJoin", 0) and name not in BNLJ_ALLOWED:

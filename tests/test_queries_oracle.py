@@ -52,10 +52,17 @@ def test_plan_hygiene_audited_everything():
     disable the audit while every oracle test stays green. Today every
     registered query's plan is explainable — if that ever changes, the
     skip must become an explicit decision here, not a silent pass."""
+    import pytest as _pytest
+
     from tests.oracle import PLAN_AUDITED, PLAN_AUDIT_SKIPPED
 
     assert not PLAN_AUDIT_SKIPPED, (
         f"plan audit silently skipped: {sorted(PLAN_AUDIT_SKIPPED)}"
     )
+    if not PLAN_AUDITED:
+        # partial run (-k / single test / xdist shard): the gate didn't
+        # execute in this process, so there is nothing to assert — the
+        # full-suite run is where the coverage guarantee applies
+        _pytest.skip("oracle gate did not run in this process")
     # the full gate ran before this test (file order): near-registry coverage
     assert len(PLAN_AUDITED) >= 150, len(PLAN_AUDITED)

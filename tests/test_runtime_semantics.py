@@ -340,3 +340,51 @@ def test_stats_mad_null_values_fixture(spark, tmp_path):
     # -> 200; |d| = [100, 0, 100] -> sorted [0, 100, 100], rank 2 -> 100
     r = got.iloc[0]
     assert (r["n_values"], r["median_cents"], r["mad_cents"]) == (3, 200, 100)
+
+
+def test_attribution_time_decay_seven_day_boundary(spark, tmp_path):
+    """Adversarial boundary mini-fixture for time-decay attribution: a
+    touch at EXACTLY purchase_ts - 7 days is admitted by the inclusive
+    join bound with days_back = 7, where the unclamped weight 2^(6-7) is
+    no longer an integer and the engines' bigint casts diverge (truncate
+    vs half-even) — the LEAST(6, ...) clamp pins it to weight 1 on both
+    sides (r7 review finding). Also covers the same-instant-minus-7d
+    touch being a purchase's ONLY touch (unclamped: den=0 on one side)."""
+    import glob
+    import os
+    import shutil
+
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    base = 1_700_000_000_000_000  # µs
+    day = 86_400_000_000
+    rows = [
+        # user 1: ONLY touch exactly 7 days before the purchase
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + 7 * day, 1, "purchase", 1.0, "{}"),
+        # user 2: boundary touch + a recent touch (mixed-weight shares)
+        (3, base, 2, "click", 1.0, "{}"),
+        (4, base + 6 * day + day // 2, 2, "view", 1.0, "{}"),
+        (5, base + 7 * day, 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    d = str(tmp_path / "mini")
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                os.path.join(d, "events.parquet"))
+
+    got = QUERIES["attribution_time_decay"](spark, d).toPandas()
+    want = run_oracle(ORACLES["attribution_time_decay"], d)
+    assert not compare_frames(got, want)
+    by_ch = {r["channel"]: r for _, r in got.iterrows()}
+    # user 1: single clamped-weight touch gets full credit (1.0)
+    # user 2: clamped boundary click w=1 vs day-0 view w=64 -> shares
+    # floor(1e6*1/65 + .5)=15385 and floor(1e6*64/65 + .5)=984615
+    assert by_ch["view"]["total_credit_x1e6"] == 1_000_000 + 984_615
+    assert by_ch["click"]["total_credit_x1e6"] == 15_385
