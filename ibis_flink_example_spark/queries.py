@@ -120,20 +120,25 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # and the stateless stream-static ANTI join (alerting shape)
     "streaming_stream_left_join",
     "streaming_static_anti_join",
+    # new in round 7 (third batch): iterative fixed-point PageRank
+    # (unrolled-CTE oracle), Heaps'-law vocabulary growth, scale-safe
+    # counts-of-counts key-skew profile, winsorized/trimmed robust stats,
+    # SCD2 point-in-time fact join, compaction planning, keep-best dedup
+    # survivor policy, per-language token-budget selection
+    "pagerank_part_supplier",
+    "vocab_growth_prefix",
+    "key_skew_profile",
+    "stats_winsorized_value",
+    "scd2_point_in_time",
+    "file_compaction_plan",
+    "dedup_keep_best",
+    "token_budget_selection",
     # oldest-green re-verification (r3-era rows whose code has since been
     # through multiple refactor/review passes): relational core, joins,
-    # set ops, window functions, scalar function families
+    # aggregation families
     "project_rename",
     "ordered_limit",
     "filter_shipped",
-    "scalar_case_expr",
-    "groupby_pricing_summary",
-    "agg_stats_by_nation",
-    "count_distinct_status",
-    "rollup_nation_region",
-    "cube_platform_province",
-    "join_customer_orders",
-    "join_broadcast_dims",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

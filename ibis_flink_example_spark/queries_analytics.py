@@ -1948,3 +1948,280 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credited_touches"),
         F.sum("share_x1e6").alias("total_credit_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-point PageRank oracle: one CTE per iteration — the
+    same integer recurrence the Spark loop runs (operators/graph.py), so
+    a hash match proves iteration-for-iteration equality. Unrolling (vs
+    WITH RECURSIVE) sidesteps the SQL-standard ban on aggregates in the
+    recursive term, which both engines enforce."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM deg
+)"""
+    step = """, r{k} AS (
+  SELECT d0.node,
+         CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d0 LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+    FROM edges e
+    JOIN r{prev} r ON r.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY 1
+  ) s ON s.node = d0.node
+)"""
+    tail = f"""
+SELECT CASE WHEN r.node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       CAST(r.node // 2 AS BIGINT) AS node_key,
+       r.rank AS rank_fp,
+       d.deg AS degree
+FROM r{iters} r JOIN deg d ON d.node = r.node
+ORDER BY rank_fp DESC, node_key ASC, node_type ASC
+LIMIT 15
+"""
+    return (
+        head
+        + "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
+        + tail
+    )
+
+
+_PAGERANK_ITERS = 5
+
+
+@query(
+    "pagerank_part_supplier",
+    # Fixed-point integer PageRank (scale 1e9, damping 85/100, floor
+    # division everywhere — DuckDB // and Spark DIV agree on positive
+    # operands), 5 iterations unrolled in the oracle. The graph is the
+    # symmetrized part<->supplier bipartite incidence from lineitem, so
+    # every node has in-edges and no damping mass is lost.
+    oracle=_pagerank_oracle(_PAGERANK_ITERS),
+)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed PageRank (operators/graph.py) over the
+    part<->supplier co-purchase graph: authority scores for supplier/part
+    importance weighting — the iterative-algorithm family (with BPE) the
+    reference's dedup clustering stops short of. Per iteration: one join
+    of the checkpointed edge frame with the |V|-row rank frame + one
+    keyed aggregation; lineage is cut per step (localCheckpoint), so the
+    5-iteration plan never deepens. Top-15 output with deterministic
+    (rank, key, type) tie-break."""
+    from ibis_flink_example_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (2 * F.col("l_suppkey") + 1).alias("src"),
+            (2 * F.col("l_partkey")).alias("dst"),
+        )
+    )
+    ranked = G.pagerank(edges, iters=_PAGERANK_ITERS)
+    return (
+        ranked.select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node DIV 2").cast("long").alias("node_key"),
+            F.col("rank").alias("rank_fp"),
+            F.col("deg").alias("degree"),
+        )
+        .orderBy(
+            F.col("rank_fp").desc(), F.col("node_key").asc(), F.col("node_type").asc()
+        )
+        .limit(15)
+    )
+
+
+@query(
+    "key_skew_profile",
+    # Shuffle-key skew diagnostics computed SCALE-SAFELY: instead of
+    # ranking every (event_type, user_id) count (a per-group sort over
+    # |keys| rows), collapse to the counts-of-counts histogram first —
+    # the cumulative window then runs over DISTINCT count values only
+    # (tiny regardless of key cardinality). Percentiles are discrete
+    # order statistics via integer rank arithmetic (ceil(q*n) with no
+    # float); skew ratio is fixed-point BIGINT (max * n_keys * 1e6 DIV
+    # total — overflow-safe while max*n_keys < ~9e12, far beyond any
+    # per-event-type fixture or realistic per-key profile).
+    oracle="""
+WITH pk AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), coc AS (
+  SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS m
+  FROM pk GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, n, m,
+    CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY n) AS BIGINT) AS cm,
+    CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS nk,
+    CAST(SUM(n * m) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+    CAST(MAX(n) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+  FROM coc
+)
+SELECT event_type,
+  MAX(nk) AS n_keys,
+  MAX(tot) AS total_rows,
+  MAX(mx) AS max_rows,
+  MIN(CASE WHEN cm >= (nk + 1) // 2 THEN n END) AS p50_rows,
+  MIN(CASE WHEN cm >= (99 * nk + 99) // 100 THEN n END) AS p99_rows,
+  MAX(mx) * MAX(nk) * 1000000 // MAX(tot) AS skew_x1e6
+FROM cum GROUP BY 1
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops diagnostics for shuffle planning: per event_type, the
+    distribution of rows-per-key (user_id) — key count, max, discrete
+    p50/p99, and the max/mean skew ratio that decides whether a join on
+    this key needs salting or AQE skew splitting. The counts-of-counts
+    formulation keeps every window over the distinct-count frame, so the
+    profile itself is runnable on the 100 TB table it profiles."""
+    events = load_table(spark, sf_dir, "events")
+    pk = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    coc = pk.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("m"))
+    coc.createOrReplaceTempView("skew_coc_v")
+    return spark.sql(
+        """
+WITH cum AS (
+  SELECT event_type, n, m,
+    SUM(m) OVER (PARTITION BY event_type ORDER BY n) AS cm,
+    SUM(m) OVER (PARTITION BY event_type) AS nk,
+    SUM(n * m) OVER (PARTITION BY event_type) AS tot,
+    MAX(n) OVER (PARTITION BY event_type) AS mx
+  FROM skew_coc_v
+)
+SELECT event_type,
+  MAX(nk) AS n_keys,
+  MAX(tot) AS total_rows,
+  MAX(mx) AS max_rows,
+  MIN(CASE WHEN cm >= (nk + 1) DIV 2 THEN n END) AS p50_rows,
+  MIN(CASE WHEN cm >= (99 * nk + 99) DIV 100 THEN n END) AS p99_rows,
+  MAX(mx) * MAX(nk) * 1000000 DIV MAX(tot) AS skew_x1e6
+FROM cum GROUP BY 1
+"""
+    )
+
+
+@query(
+    "stats_winsorized_value",
+    # Robust location stats per event_type: p05/p95 winsorized and trimmed
+    # sums over fixed-point micros (floor(value*1e6 + 0.5) — the repo's
+    # established double->integer idiom). Cut points are DISCRETE order
+    # statistics at integer ranks ceil(0.05n)/ceil(0.95n) (no
+    # interpolation, engine-exact); sums/counts are BIGINT; the one final
+    # double division (winsorized mean) is a single engine-exact op.
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micros
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, micros,
+    row_number() OVER (PARTITION BY event_type ORDER BY micros) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+), cuts AS (
+  SELECT event_type, MAX(n) AS n,
+    MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN micros END) AS p05,
+    MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN micros END) AS p95
+  FROM ranked GROUP BY 1
+)
+SELECT v.event_type,
+  MAX(c.n) AS n_events,
+  MAX(c.p05) AS p05_micros,
+  MAX(c.p95) AS p95_micros,
+  CAST(SUM(LEAST(GREATEST(v.micros, c.p05), c.p95)) AS BIGINT)
+    AS winsor_sum_micros,
+  CAST(SUM(LEAST(GREATEST(v.micros, c.p05), c.p95)) AS DOUBLE)
+    / CAST(MAX(c.n) AS DOUBLE) / 1000000.0 AS winsor_mean,
+  CAST(COUNT(CASE WHEN v.micros BETWEEN c.p05 AND c.p95 THEN 1 END)
+    AS BIGINT) AS trim_n,
+  CAST(SUM(CASE WHEN v.micros BETWEEN c.p05 AND c.p95 THEN v.micros END)
+    AS BIGINT) AS trim_sum_micros
+FROM v JOIN cuts c ON c.event_type = v.event_type
+GROUP BY 1
+""",
+)
+def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics the anomaly/quality screens build on: winsorized
+    and trimmed value sums per event_type with discrete p05/p95 cut
+    points. The rank pass is a per-group sort (same posture as
+    percentile_disc — swap in the KLL sketch cuts at 100 TB); the cuts
+    frame is |groups| rows and broadcast-joins back onto the value rows
+    for one clamp-and-aggregate pass."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("micros"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("micros")
+    wg = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "micros",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(5 * n + 99) DIV 100"), F.col("micros")
+            )
+        ).alias("p05"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(95 * n + 99) DIV 100"), F.col("micros")
+            )
+        ).alias("p95"),
+    )
+    clamped = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("micros"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+        F.col("micros").between(F.col("p05"), F.col("p95")).alias("in_band"),
+        "micros",
+    )
+    return clamped.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max("p05").alias("p05_micros"),
+        F.max("p95").alias("p95_micros"),
+        F.sum("w").alias("winsor_sum_micros"),
+        (
+            F.sum("w").cast("double")
+            / F.max("n").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("winsor_mean"),
+        F.count(F.when(F.col("in_band"), F.lit(1))).alias("trim_n"),
+        F.sum(F.when(F.col("in_band"), F.col("micros"))).alias(
+            "trim_sum_micros"
+        ),
+    )

@@ -1832,3 +1832,189 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrow_quantized_norms)."""
     em = load_table(spark, sf_dir, "embeddings")
     return S.arrow_quantized_norms(em, id_col="vec_id", vec_col="embedding")
+
+
+@query(
+    "vocab_growth_prefix",
+    # Heaps'-law vocabulary growth over corpus prefixes: bucket documents
+    # by doc_id DIV 25 (arrival-order proxy), charge each distinct term to
+    # the FIRST bucket it appears in, then cumulative-sum new terms and
+    # token counts along the bucket axis. Pure integer counts; the only
+    # unpartitioned windows run over the tiny per-bucket aggregate frame
+    # (|buckets| rows), never over tokens. A bucket whose documents yield
+    # zero qualifying tokens is absent from BOTH engines' outputs by the
+    # same rule (no toks rows), so the spine stays consistent.
+    oracle=rf"""
+WITH {_TF_CTE}, first_seen AS (
+  SELECT term, MIN(doc_id // 25) AS bucket FROM toks GROUP BY 1
+), new_terms AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY 1
+), bucket_tokens AS (
+  SELECT doc_id // 25 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1
+)
+SELECT b.bucket,
+  b.n_tokens,
+  CAST(SUM(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT) AS cum_tokens,
+  COALESCE(n.new_terms, 0) AS new_terms,
+  CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+    AS cum_vocab
+FROM bucket_tokens b LEFT JOIN new_terms n ON n.bucket = b.bucket
+""",
+)
+def vocab_growth_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus diagnostics: the vocabulary-growth (Heaps'-law) curve a
+    tokenizer-budget decision reads — new distinct terms and cumulative
+    vocabulary per corpus prefix bucket. Two keyed aggregations (term ->
+    first bucket, bucket -> token count) shuffle on term/bucket with
+    map-side partials; the cumulative windows run over the |buckets|-row
+    rollup, so no global sort ever touches token-level data."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.doc_terms(docs, id_col="doc_id", text_col="text").select(
+        "term", F.expr("doc_id DIV 25").alias("bucket")
+    )
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_terms = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    bucket_tokens = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucket_tokens.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_best",
+    # Survivor selection policy beyond min-id: within each exact-content
+    # duplicate cluster (md5 digest), keep the BEST copy by
+    # (longest n_chars, then lowest doc_id) — the rule curation jobs use
+    # when duplicates differ in truncation or metadata quality. One
+    # shuffle on the digest; the rank is a WindowGroupLimit (top-1 per
+    # key), never a self-join.
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+    md5(text) AS digest,
+    row_number() OVER (
+      PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id ASC
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size
+  FROM documents
+)
+SELECT doc_id, lang, source,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 survivor policy: exact dedup that keeps the highest-quality
+    copy per content cluster (longest, then smallest id) instead of the
+    min-id row — plus the cluster size for audit. Digest computed once in
+    the scan projection; the group-limit and the size both ride the same
+    single digest-keyed exchange."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("digest")
+    return (
+        hashed.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "token_budget_selection",
+    # Pretraining-mix assembly: per language, admit documents in
+    # deterministic quality order (n_chars DESC, doc_id ASC) until the
+    # running token total passes a 20k-token budget — the first document
+    # that CROSSES the budget is still admitted (running-sum <= budget
+    # checked on the PREVIOUS row's cumulative, i.e. cum - tokens <
+    # budget), so the budget is always reached when supply allows.
+    # Integer tokens (whitespace tokenizer), integer cumulative sums.
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    n_chars
+  FROM documents
+), ordered AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+  CAST(MAX(cum_tokens) AS BIGINT) AS tokens_selected,
+  CAST(MIN(n_tokens) AS BIGINT) AS smallest_doc_tokens
+FROM ordered
+WHERE cum_tokens - n_tokens < 20000
+GROUP BY 1
+""",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling/mix surface: select documents per language up to a 20k
+    token budget in deterministic quality order. One per-lang window over
+    (tokens, order keys) — the scan projects three small columns and the
+    heavy text column is only touched to count tokens map-side; at 100 TB
+    the same plan holds with the token count precomputed or sketched."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        X.token_count_whitespace("text").cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = toks.select(
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    return (
+        ordered.filter(F.col("cum_tokens") - F.col("n_tokens") < 20_000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.max("cum_tokens").alias("tokens_selected"),
+            F.min("n_tokens").alias("smallest_doc_tokens"),
+        )
+    )

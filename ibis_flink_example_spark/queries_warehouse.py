@@ -974,3 +974,180 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("s_acctbal").cast("double").alias("sum_acctbal"),
     )
+
+
+# Shared with scd2_customer_priority: the SCD2 segment build as a DuckDB
+# CTE chain (mirrors operators/scd.py exactly, null-safe change flag).
+_SCD2_DIM_CTES = """ch AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS tb
+  FROM orders
+), flag AS (
+  SELECT custkey, priority, ts, tb,
+    CASE WHEN row_number() OVER w = 1
+           OR priority IS DISTINCT FROM lag(priority) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY ts ASC, tb ASC)
+), seg AS (
+  SELECT custkey, priority, ts,
+    CAST(SUM(chg) OVER (
+      PARTITION BY custkey ORDER BY ts ASC, tb ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS segid
+  FROM flag
+), iv AS (
+  SELECT custkey, segid, MIN(priority) AS priority, MIN(ts) AS valid_from
+  FROM seg GROUP BY 1, 2
+), dim AS (
+  SELECT custkey, priority, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY segid ASC)
+           AS valid_to
+  FROM iv
+)"""
+
+
+@query(
+    "scd2_point_in_time",
+    # Point-in-time (AS OF) join of a fact table against the SCD2
+    # dimension built from the same warehouse: every shipment priced
+    # under the customer's priority segment valid at l_shipdate
+    # (half-open [valid_from, valid_to)). Shipments before a customer's
+    # first segment drop (inner join) — identical rule in both engines.
+    # Revenue via the DECIMAL(18,2) exact idiom.
+    oracle=f"""
+WITH {_SCD2_DIM_CTES}, fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT d.priority AS priority_at_ship,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(f.rev) AS DOUBLE) AS revenue
+FROM fact f JOIN dim d
+  ON d.custkey = f.custkey
+ AND f.ship >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+GROUP BY 1
+""",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse temporal join: revenue attributed to the customer's
+    priority AS OF each line item's ship date, against the SCD2 intervals
+    scd2_from_changes builds (operators/scd.py). The plan is the
+    scale-correct one: the fact->orders key join and the fact->dim join
+    are both equi-joins on bigint keys (shipdate range as residual
+    filter), so Catalyst shuffle-hash/sort-merge partitions by key — no
+    interval cross product; segments-per-customer is bounded by that
+    customer's change count, keeping the residual scan per key short."""
+    from ibis_flink_example_spark.operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("tb"),
+    )
+    dim = scd2_from_changes(
+        changes, key_col="custkey", state_col="priority", ts_col="ts",
+        tiebreak_col="tb",
+    ).select("custkey", "priority", "valid_from", "valid_to")
+    fact = lineitem.join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("rev"),
+    )
+    joined = fact.join(
+        dim,
+        (fact.custkey == dim.custkey)
+        & (fact.ship >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.ship < dim.valid_to)),
+    )
+    return joined.groupBy(dim.priority.alias("priority_at_ship")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "file_compaction_plan",
+    # Deterministic next-fit compaction planning over a file manifest
+    # (documents as the stand-in manifest: one row per file, n_chars as
+    # bytes): files ordered (bytes DESC, id ASC) per source, running-sum
+    # offset, bin = (cum-1) DIV target — pure integer arithmetic. The
+    # GREATEST(cum, 1) guard keeps the -1 DIV divergence (DuckDB floors,
+    # Spark truncates toward zero) unreachable even for zero-byte files.
+    oracle="""
+WITH ordered AS (
+  SELECT source, n_chars AS bytes,
+    CAST(SUM(n_chars) OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum
+  FROM documents
+), binned AS (
+  SELECT source, bytes, (GREATEST(cum, 1) - 1) // 100000 AS bin
+  FROM ordered
+), per_bin AS (
+  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS files_in_bin,
+         CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+  FROM binned GROUP BY 1, 2
+)
+SELECT source,
+  CAST(SUM(files_in_bin) AS BIGINT) AS n_files,
+  CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+  CAST(COUNT(*) AS BIGINT) AS n_bins,
+  CAST(MAX(files_in_bin) AS BIGINT) AS max_files_per_bin,
+  CAST(MAX(bin_bytes) AS BIGINT) AS max_bin_bytes,
+  CAST(SUM(bin_bytes) * 1000000 // (COUNT(*) * 100000) AS BIGINT)
+    AS fill_x1e6
+FROM per_bin GROUP BY 1
+""",
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops/maintenance surface: plan small-file compaction bins (target
+    100 KB) per source partition with a deterministic next-fit-by-offset
+    rule — the manifest-level pass a table-maintenance job runs before
+    rewriting files. The window sorts the per-source MANIFEST (one row
+    per file), never data: at 100 TB with 100 MB files that is ~1M rows
+    total, and the partitionBy(source) keeps each sort local to a key."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = docs.select(
+        "source",
+        F.col("n_chars").alias("bytes"),
+        F.sum("n_chars").over(w).cast("long").alias("cum"),
+    )
+    binned = ordered.select(
+        "source",
+        "bytes",
+        F.expr("(GREATEST(cum, 1) - 1) DIV 100000").alias("bin"),
+    )
+    per_bin = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("files_in_bin"),
+        F.sum("bytes").alias("bin_bytes"),
+    )
+    return per_bin.groupBy("source").agg(
+        F.sum("files_in_bin").alias("n_files"),
+        F.sum("bin_bytes").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("files_in_bin").alias("max_files_per_bin"),
+        F.max("bin_bytes").alias("max_bin_bytes"),
+        F.expr("SUM(bin_bytes) * 1000000 DIV (COUNT(*) * 100000)").alias(
+            "fill_x1e6"
+        ),
+    )

@@ -524,3 +524,61 @@ def test_chisq_single_events_scan(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_keep_best_single_digest_exchange(spark, sf_dir):
+    """Keep-best dedup: the rank and the cluster-size windows must share
+    ONE digest exchange, and survivor selection is window-based — never a
+    groupBy+self-join back onto the input."""
+    df = QUERIES["dedup_keep_best"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"]
+        == 0
+    )
+
+
+def test_key_skew_profile_counts_of_counts(spark, sf_dir):
+    """Skew profile: exactly three exchanges — per-key agg, counts-of-counts
+    agg, event_type window — with the final rollup reusing the window's
+    partitioning, and no join anywhere. The cumulative window must run on
+    the collapsed histogram, which is what keeps the profile runnable on
+    the table it profiles."""
+    df = QUERIES["key_skew_profile"](spark, sf_dir)
+    assert exchange_count(df) == 3
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"]
+        == 0
+    )
+
+
+def test_winsorized_cuts_broadcast_back(spark, sf_dir):
+    """Winsorized stats: the |groups|-row cut table must BROADCAST back
+    onto the value rows (never shuffle the fact side a second time for
+    the clamp join): ≥1 broadcast hash join, ≤2 shuffle exchanges (rank
+    window + final agg; the clamp agg reuses partitioning)."""
+    ops = plan_ops(QUERIES["stats_winsorized_value"](spark, sf_dir))
+    assert ops["BroadcastHashJoin"] >= 1
+    assert ops["Exchange"] <= 2, ops
+
+
+def test_manifest_planners_single_exchange(spark, sf_dir):
+    """Compaction planning and token-budget selection each run their
+    whole window+rollup pipeline on ONE keyed exchange (source / lang)."""
+    for name in ("file_compaction_plan", "token_budget_selection"):
+        assert exchange_count(QUERIES[name](spark, sf_dir)) == 1, name
+
+
+def test_scd2_point_in_time_is_keyed_join(spark, sf_dir):
+    """The PIT interval join must plan as equi-joins on keys with the
+    interval predicate as residual — any nested-loop/cartesian fallback
+    means the join keys were lost and the plan is quadratic at scale."""
+    ops = plan_ops(QUERIES["scd2_point_in_time"](spark, sf_dir))
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+    assert ops.get("CartesianProduct", 0) == 0
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"]
+        >= 2
+    )

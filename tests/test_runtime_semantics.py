@@ -388,3 +388,35 @@ def test_attribution_time_decay_seven_day_boundary(spark, tmp_path):
     # floor(1e6*1/65 + .5)=15385 and floor(1e6*64/65 + .5)=984615
     assert by_ch["view"]["total_credit_x1e6"] == 1_000_000 + 984_615
     assert by_ch["click"]["total_credit_x1e6"] == 15_385
+
+
+def test_pagerank_fixed_point_hand_graph(spark):
+    """operators/graph.py pagerank vs a hand-evaluated 3-node fixture
+    (edges 1->2, 2->1, 2->3, 3->1; 3 iterations): every intermediate is
+    pure integer arithmetic, so the expected ranks are computed exactly
+    by the recurrence rank' = 0.15*SCALE + 85%*sum(rank DIV deg) with
+    floor division — including the no-in-edge survival path (node 1 has
+    out-degree 1 but in round 1 receives from 2 and 3; all nodes keep
+    rows). Also pins that a node with out-edges but NO in-edges keeps
+    its base-rank row (left-join anchoring) on a 2-node chain."""
+    from ibis_flink_example_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["rank"], r["deg"])
+        for r in pagerank(edges, iters=3).collect()
+    }
+    assert got == {
+        1: (1_217_281_250, 1),
+        2: (1_054_187_500, 2),
+        3: (728_531_250, 1),
+    }
+
+    # chain a->b only: a never receives mass, must keep base rank rows
+    chain = spark.createDataFrame([(10, 11)], "src long, dst long")
+    got2 = {r["node"]: r["rank"] for r in pagerank(chain, iters=2).collect()}
+    # node 10 is the only src: deg table = {10}; 11 is dangling-dst and
+    # carries no rank row by construction, 10 holds base-only rank
+    assert got2 == {10: 150_000_000}
