@@ -59,11 +59,19 @@ def pagerank(
 
     Returns ``(node, rank, deg)`` with BIGINT fixed-point ranks.
     """
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    # Evaluate the caller's edge subtree exactly ONCE: both the degree
+    # aggregation and the enrichment join read this materialization (a
+    # deg checkpoint and an edges_deg checkpoint each re-running the
+    # source scan is the reused-derived-frame pitfall).
+    edges_cp = edges.localCheckpoint(eager=True)
     # |V|-row frame, checkpointed: reused by the edge enrichment, the
-    # per-iteration node anchor, AND the final output join — without the
-    # cut each reuse would re-derive the whole edge subtree.
+    # per-iteration node anchor, AND the final output join.
     deg = (
-        edges.groupBy("src")
+        edges_cp.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=True)
     )
@@ -79,16 +87,18 @@ def pagerank(
     # never the source scan. On the broadcast path the enrichment is
     # map-only; on the fallback path one up-front shuffle on src
     # co-partitions the loop's join side.
-    edges_deg = edges.join(hint(deg), "src")
+    edges_deg = edges_cp.join(hint(deg), "src")
     if not small:
         edges_deg = edges_deg.repartition("src")
     edges_deg = edges_deg.localCheckpoint(eager=True)
+    _release_local_checkpoint(edges_cp)  # superseded by edges_deg
     base = ((100 - damping_pct) * RANK_SCALE) // 100
     nodes = deg.select(F.col("src").alias("node"))
     ranks = nodes.select(
         "node", F.lit(RANK_SCALE).cast("long").alias("rank")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        prev = ranks
         contrib = edges_deg.join(
             hint(
                 ranks.select(
@@ -112,6 +122,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        _release_local_checkpoint(prev)  # superseded rank frame
+    # The loop is done with the edge materialization; only the final
+    # ranks + deg stay pinned (the returned plan reads both).
+    _release_local_checkpoint(edges_deg)
     return ranks.join(
-        deg.select(F.col("src").alias("node"), "deg"), "node"
+        hint(deg.select(F.col("src").alias("node"), "deg")), "node"
     )

@@ -61,10 +61,11 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # oracle changed this round (scd2 null-safe oracle, QA-leg guards,
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
-# each shape re-verifies under it — then 11 of the oldest r3-era greens
-# (none of the window's green rows is older than r3 after this pass).
-# Everything displaced stays value-checked every CI run by
-# tests/test_queries_oracle.py over the identical oracles.
+# each shape re-verifies under it — then the 8 new third-batch queries
+# (PageRank through token-budget selection), then the 3 oldest r3-era
+# greens that still fit (new-query external rows outrank re-verification
+# of already-green code). Everything displaced stays value-checked every
+# CI run by tests/test_queries_oracle.py over the identical oracles.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
@@ -134,8 +135,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "token_budget_selection",
     # oldest-green re-verification (r3-era rows whose code has since been
-    # through multiple refactor/review passes): relational core, joins,
-    # aggregation families
+    # through multiple refactor/review passes): the relational core trio —
+    # the joins/aggregation/set-op/window r3 greens were displaced to 51+
+    # by this round's new queries and stay CI-checked locally
     "project_rename",
     "ordered_limit",
     "filter_shipped",

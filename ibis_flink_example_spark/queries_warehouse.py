@@ -235,17 +235,17 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_customer_priority",
-    oracle="""
-WITH ch AS (
+# The SCD2 segment build as a DuckDB CTE chain — the ONE SQL mirror of
+# operators/scd.py (null-safe change flag: first row of a key always opens
+# a segment, and NULL-vs-non-NULL transitions in either direction are
+# changes while NULL-vs-NULL is not — IS DISTINCT FROM = eqNullSafe).
+# Shared by scd2_customer_priority and scd2_point_in_time so the
+# semantics can never drift between the two oracles.
+_SCD2_DIM_CTES = """ch AS (
   SELECT o_custkey AS custkey, o_orderpriority AS priority,
          o_orderdate AS ts, o_orderkey AS tb
   FROM orders
 ), flag AS (
-  -- mirrors operators/scd.py exactly: first row of a key always opens a
-  -- segment, and NULL-vs-non-NULL transitions (either direction) are
-  -- changes while NULL-vs-NULL is not (IS DISTINCT FROM = eqNullSafe).
   SELECT custkey, priority, ts, tb,
     CASE WHEN row_number() OVER w = 1
            OR priority IS DISTINCT FROM lag(priority) OVER w
@@ -262,12 +262,23 @@ WITH ch AS (
   SELECT custkey, segid, MIN(priority) AS priority, MIN(ts) AS valid_from,
     CAST(COUNT(*) AS INTEGER) AS n_observations
   FROM seg GROUP BY 1, 2
-)
-SELECT custkey, priority, valid_from,
-  LEAD(valid_from) OVER w2 AS valid_to,
-  (LEAD(valid_from) OVER w2 IS NULL) AS is_current,
+), dim AS (
+  SELECT custkey, priority, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY segid ASC)
+           AS valid_to,
+         n_observations
+  FROM iv
+)"""
+
+
+@query(
+    "scd2_customer_priority",
+    oracle=f"""
+WITH {_SCD2_DIM_CTES}
+SELECT custkey, priority, valid_from, valid_to,
+  (valid_to IS NULL) AS is_current,
   n_observations
-FROM iv WINDOW w2 AS (PARTITION BY custkey ORDER BY segid ASC)
+FROM dim
 """,
 )
 def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,36 +987,6 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared with scd2_customer_priority: the SCD2 segment build as a DuckDB
-# CTE chain (mirrors operators/scd.py exactly, null-safe change flag).
-_SCD2_DIM_CTES = """ch AS (
-  SELECT o_custkey AS custkey, o_orderpriority AS priority,
-         o_orderdate AS ts, o_orderkey AS tb
-  FROM orders
-), flag AS (
-  SELECT custkey, priority, ts, tb,
-    CASE WHEN row_number() OVER w = 1
-           OR priority IS DISTINCT FROM lag(priority) OVER w
-         THEN 1 ELSE 0 END AS chg
-  FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY ts ASC, tb ASC)
-), seg AS (
-  SELECT custkey, priority, ts,
-    CAST(SUM(chg) OVER (
-      PARTITION BY custkey ORDER BY ts ASC, tb ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS BIGINT) AS segid
-  FROM flag
-), iv AS (
-  SELECT custkey, segid, MIN(priority) AS priority, MIN(ts) AS valid_from
-  FROM seg GROUP BY 1, 2
-), dim AS (
-  SELECT custkey, priority, valid_from,
-         LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY segid ASC)
-           AS valid_to
-  FROM iv
-)"""
-
-
 @query(
     "scd2_point_in_time",
     # Point-in-time (AS OF) join of a fact table against the SCD2
@@ -1107,8 +1088,11 @@ SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_bins,
   CAST(MAX(files_in_bin) AS BIGINT) AS max_files_per_bin,
   CAST(MAX(bin_bytes) AS BIGINT) AS max_bin_bytes,
-  CAST(SUM(bin_bytes) * 1000000 // (COUNT(*) * 100000) AS BIGINT)
-    AS fill_x1e6
+  -- mean-bin-bytes FIRST (bounded by the largest single file, so the
+  -- *10 rescale to 1e6 fixed-point can never overflow BIGINT no matter
+  -- how large the source partition is — total*1e6 would wrap past
+  -- ~9.2 TB/source), then scale: x1e6 of target = mean/1e5 * 1e6
+  CAST((SUM(bin_bytes) // COUNT(*)) * 10 AS BIGINT) AS fill_x1e6
 FROM per_bin GROUP BY 1
 """,
 )
@@ -1147,7 +1131,6 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.max("files_in_bin").alias("max_files_per_bin"),
         F.max("bin_bytes").alias("max_bin_bytes"),
-        F.expr("SUM(bin_bytes) * 1000000 DIV (COUNT(*) * 100000)").alias(
-            "fill_x1e6"
-        ),
+        # mean-bin-bytes first — see the oracle note on overflow headroom
+        F.expr("(SUM(bin_bytes) DIV COUNT(*)) * 10").alias("fill_x1e6"),
     )
