@@ -62,7 +62,7 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
 # each shape re-verifies under it — then the 8 new third-batch queries
-# (PageRank through token-budget selection), then the 3 oldest r3-era
+# (PageRank through the rollup hierarchy), then the 2 oldest r3-era
 # greens that still fit (new-query external rows outrank re-verification
 # of already-green code). Everything displaced stays value-checked every
 # CI run by tests/test_queries_oracle.py over the identical oracles.
@@ -134,13 +134,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "file_compaction_plan",
     "dedup_keep_best",
     "token_budget_selection",
+    "rollup_reuse_hierarchy",
     # oldest-green re-verification (r3-era rows whose code has since been
-    # through multiple refactor/review passes): the relational core trio —
+    # through multiple refactor/review passes): the relational core pair —
     # the joins/aggregation/set-op/window r3 greens were displaced to 51+
     # by this round's new queries and stay CI-checked locally
     "project_rename",
     "ordered_limit",
-    "filter_shipped",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

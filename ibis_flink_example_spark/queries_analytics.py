@@ -2225,3 +2225,79 @@ def stats_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trim_sum_micros"
         ),
     )
+
+
+@query(
+    "rollup_reuse_hierarchy",
+    # Rollup hierarchy derived level-from-level: weekly and monthly are
+    # computed FROM the daily aggregate (legal because DECIMAL sums are
+    # exact and associative — re-aggregating daily sums equals
+    # aggregating the base), not from three scans of orders. The oracle
+    # mirrors the same derivation; date_trunc('week') is ISO-Monday in
+    # both engines.
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS period,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS rev
+  FROM orders GROUP BY 1
+), weekly AS (
+  SELECT date_trunc('week', period) AS period,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(SUM(rev) AS DECIMAL(18,2)) AS rev
+  FROM daily GROUP BY 1
+), monthly AS (
+  SELECT date_trunc('month', period) AS period,
+         CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+         CAST(SUM(rev) AS DECIMAL(18,2)) AS rev
+  FROM daily GROUP BY 1
+)
+SELECT 'day' AS level, period, n_orders, CAST(rev AS DOUBLE) AS revenue
+FROM daily
+UNION ALL
+SELECT 'week' AS level, period, n_orders, CAST(rev AS DOUBLE) AS revenue
+FROM weekly
+UNION ALL
+SELECT 'month' AS level, period, n_orders, CAST(rev AS DOUBLE) AS revenue
+FROM monthly
+""",
+)
+def rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup pattern: the day/week/month hierarchy where
+    each coarser level re-aggregates the FINER level's frame instead of
+    re-scanning the base table — at 100 TB the daily rollup is ~5 orders
+    of magnitude smaller than orders, so the weekly/monthly passes are
+    free, and Catalyst reuses the daily aggregation's exchange across
+    all three union branches (plan-audited ReusedExchange)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("period")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+    )
+
+    def _up(unit: str) -> DataFrame:
+        return daily.groupBy(
+            F.date_trunc(unit, "period").alias("period")
+        ).agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").cast("decimal(18,2)").alias("rev"),
+        )
+
+    def _lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            "period",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+
+    return (
+        _lvl(daily, "day")
+        .unionAll(_lvl(_up("week"), "week"))
+        .unionAll(_lvl(_up("month"), "month"))
+    )

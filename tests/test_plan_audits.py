@@ -5,6 +5,7 @@ edit that silently degrades a plan fails here, not on a cluster."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.plans import (
     broadcast_join_count,
@@ -582,3 +583,59 @@ def test_scd2_point_in_time_is_keyed_join(spark, sf_dir):
         ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"]
         >= 2
     )
+
+
+def test_rollup_hierarchy_reuses_daily_exchange(spark, sf_dir):
+    """The day->week->month hierarchy must compute the daily aggregation
+    ONCE: after execution the adaptive plan feeds the weekly and monthly
+    branches from ReusedExchange over the daily shuffle instead of
+    re-scanning orders three times. (Static explain shows 5 exchanges —
+    reuse resolves at runtime under AQE, so this asserts the EXECUTED
+    plan.)"""
+    df = QUERIES["rollup_reuse_hierarchy"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan[:2000]
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """100 TB skew posture, runtime-proven: with the session's AQE skew
+    handling (session.py pins skewJoin.enabled) and thresholds scaled
+    down to fixture size, a sort-merge join against a key holding ~99%
+    of the rows must execute with the skewed partition SPLIT (the SMJ
+    node reports skew=true), not as one straggler task. Conf goes on a
+    conf-isolated clone — never the shared session."""
+    from ibis_flink_example_spark.session import apply_session_conf
+
+    s = spark.newSession()
+    apply_session_conf(s)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    left = s.range(0, 200_000).select(
+        F.when(F.col("id") % 100 == 0, F.col("id") % 7).otherwise(F.lit(0))
+        .alias("k"),
+        F.concat(F.lit("payload-payload-payload-"), F.col("id").cast("string"))
+        .alias("v"),
+    )
+    right = s.range(0, 7).select(
+        F.col("id").alias("k"), F.col("id").alias("dim")
+    )
+    # keyless aggregate downstream: a groupBy(k) AFTER the join would
+    # require hash(k) distribution and AQE would (correctly) refuse to
+    # split the skewed partition rather than break it — itself a
+    # scale lesson: skew splitting only applies where the join output
+    # needs no particular partitioning.
+    # max(length(v)) keeps the payload column alive through column
+    # pruning — with only the constant join key shuffling, the skewed
+    # partition compresses below any byte threshold and the skew
+    # detector (correctly) sees nothing to split
+    joined = left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.length("v")).alias("w")
+    )
+    assert joined.collect()[0]["n"] == 200_000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]

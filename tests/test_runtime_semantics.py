@@ -420,3 +420,150 @@ def test_pagerank_fixed_point_hand_graph(spark):
     # node 10 is the only src: deg table = {10}; 11 is dangling-dst and
     # carries no rank row by construction, 10 holds base-only rank
     assert got2 == {10: 150_000_000}
+
+
+def _write_mini(spark, tmp_path, tables: dict) -> str:
+    """Write hand-crafted single-file parquet tables into one mini sf_dir
+    so registered queries AND their DuckDB oracles run against the same
+    adversarial fixture (the pattern the attribution boundary test
+    established)."""
+    import glob
+    import os
+    import shutil
+
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    for name, df in tables.items():
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "*.parquet"))[0],
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def _check_mini(spark, d: str, name: str):
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    got = QUERIES[name](spark, d).toPandas()
+    want = run_oracle(ORACLES[name], d)
+    assert not compare_frames(got, want), name
+    return got
+
+
+def test_file_compaction_zero_byte_and_oversize(spark, tmp_path):
+    """Compaction-plan boundary semantics: a file LARGER than the target
+    lands whole in the bin of its end offset (next-fit never splits
+    files), a zero-byte file inherits the current bin, and an all-zero
+    source exercises the GREATEST(cum,1) guard that keeps the engines'
+    divergent negative-DIV semantics unreachable (cum=0 would otherwise
+    hit DuckDB floor vs Spark truncate)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),        # zero-byte, sorts last
+            (2, "x", "en", "s", 250000),  # 2.5x target, one bin
+            (3, "x", "en", "s", 60000),
+            (4, "x", "en", "s", 50000),
+            (9, "", "en", "t", 0),        # all-zero source: cum=0 path
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _write_mini(spark, tmp_path, {"documents": docs})
+    got = _check_mini(spark, d, "file_compaction_plan")
+    r = {row["source"]: row for _, row in got.iterrows()}
+    # source s: ends 250000->bin 2, 310000->bin 3, 360000->bin 3, 0-byte
+    # file ends at 360000->bin 3; two non-empty bins
+    assert (
+        r["s"]["n_files"], r["s"]["total_bytes"], r["s"]["n_bins"],
+        r["s"]["max_files_per_bin"], r["s"]["max_bin_bytes"], r["s"]["fill_x1e6"],
+    ) == (4, 360000, 2, 3, 250000, 1800000)
+    # source t: GREATEST(0,1)-1 = 0 -> bin 0 in BOTH engines
+    assert (r["t"]["n_bins"], r["t"]["fill_x1e6"]) == (1, 0)
+
+
+def test_token_budget_boundary(spark, tmp_path):
+    """Token-budget admission rule at the edges: a document whose
+    cumulative total lands EXACTLY on the 20k budget closes the
+    selection (next doc sees cum-n == budget, excluded); a document that
+    CROSSES the budget is still admitted; a single oversize document is
+    admitted alone (cum-n = 0 < budget)."""
+    def doc(doc_id, lang, n_tokens, n_chars):
+        return (doc_id, " ".join(["w"] * n_tokens), lang, "src", n_chars)
+
+    docs = spark.createDataFrame(
+        [
+            # lang xx: exact-boundary close
+            doc(1, "xx", 20000, 100), doc(2, "xx", 5, 50),
+            # lang yy: budget crossed by doc 4, doc 5 excluded
+            doc(3, "yy", 19999, 100), doc(4, "yy", 5, 50), doc(5, "yy", 7, 10),
+            # lang zz: single oversize doc admitted
+            doc(6, "zz", 30000, 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = _write_mini(spark, tmp_path, {"documents": docs})
+    got = _check_mini(spark, d, "token_budget_selection")
+    r = {row["lang"]: row for _, row in got.iterrows()}
+    assert (r["xx"]["n_docs_selected"], r["xx"]["tokens_selected"]) == (1, 20000)
+    assert (r["yy"]["n_docs_selected"], r["yy"]["tokens_selected"]) == (2, 20004)
+    assert r["yy"]["smallest_doc_tokens"] == 5
+    assert (r["zz"]["n_docs_selected"], r["zz"]["tokens_selected"]) == (1, 30000)
+
+
+def test_scd2_point_in_time_boundaries(spark, tmp_path):
+    """PIT interval-join boundary semantics: a shipment exactly at a
+    segment's valid_from joins THAT segment (half-open [from, to)), a
+    shipment exactly at the change date joins the NEW segment, and a
+    shipment before the customer's first segment drops."""
+    import datetime as dt
+
+    d0 = dt.datetime(1995, 1, 1)
+    d10 = dt.datetime(1995, 1, 11)
+    before = dt.datetime(1994, 12, 31)
+    mid = dt.datetime(1995, 1, 6)
+    orders = spark.createDataFrame(
+        [(1, 1, "A", d0), (2, 1, "B", d10)],
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, mid, 100.0, 0.0),     # inside A
+            (1, d10, 100.0, 0.0),     # exactly at change -> B (half-open)
+            (1, d0, 100.0, 0.0),      # exactly at first valid_from -> A
+            (2, before, 100.0, 0.0),  # before first segment -> dropped
+        ],
+        "l_orderkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+    )
+    d = _write_mini(spark, tmp_path, {"orders": orders, "lineitem": lineitem})
+    got = _check_mini(spark, d, "scd2_point_in_time")
+    r = {row["priority_at_ship"]: row for _, row in got.iterrows()}
+    assert (r["A"]["n_items"], r["A"]["revenue"]) == (2, 200.0)
+    assert (r["B"]["n_items"], r["B"]["revenue"]) == (1, 100.0)
+
+
+def test_key_skew_profile_literals(spark, tmp_path):
+    """Skew-profile integer rank arithmetic on a hand-computed fixture:
+    per-user counts [1,1,1,97] -> nk=4, p50 rank (4+1)//2=2 -> 1,
+    p99 rank (99*4+99)//100=4 -> 97, skew = 97*4*1e6//100."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, cnt in [(1, 1), (2, 1), (3, 1), (4, 97)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, base, user, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = _write_mini(spark, tmp_path, {"events": events})
+    got = _check_mini(spark, d, "key_skew_profile")
+    r = got.iloc[0]
+    assert (
+        r["n_keys"], r["total_rows"], r["max_rows"],
+        r["p50_rows"], r["p99_rows"], r["skew_x1e6"],
+    ) == (4, 100, 97, 1, 97, 3_880_000)
