@@ -62,10 +62,12 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # multimodal decoded_real column), then the ENTIRE streaming family —
 # every stateful query now runs on the RocksDB state-store provider, so
 # each shape re-verifies under it — then the 8 new third-batch queries
-# (PageRank through the rollup hierarchy), then the 2 oldest r3-era
-# greens that still fit (new-query external rows outrank re-verification
-# of already-green code). Everything displaced stays value-checked every
-# CI run by tests/test_queries_oracle.py over the identical oracles.
+# (PageRank through the rollup hierarchy) and the fourth batch (FK
+# integrity, sequence patterns, k-anonymity) — new-query external rows
+# outrank re-verification of already-green code, so no oldest-green
+# re-verify slots remain this round. Everything displaced stays
+# value-checked every CI run by tests/test_queries_oracle.py over the
+# identical oracles.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
@@ -112,7 +114,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_upsert_totals",
     "streaming_dedup_events",
     "streaming_stream_join",
-    "streaming_static_join",
+    # (streaming_static_join displaced: stateless stream-static join, so
+    # the RocksDB provider change cannot affect it — r5 green, CI-checked)
     "streaming_chained_windows",
     "streaming_over_range_sum_join",
     "streaming_funnel",
@@ -135,12 +138,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "token_budget_selection",
     "rollup_reuse_hierarchy",
-    # oldest-green re-verification (r3-era rows whose code has since been
-    # through multiple refactor/review passes): the relational core pair —
-    # the joins/aggregation/set-op/window r3 greens were displaced to 51+
-    # by this round's new queries and stay CI-checked locally
-    "project_rename",
-    "ordered_limit",
+    # new in round 7 (fourth batch): single-pass FK integrity audit,
+    # regex sequence-pattern matching (the MATCH_RECOGNIZE gap), and the
+    # k-anonymity release audit. These displace the last oldest-green
+    # re-verify slots (project_rename/ordered_limit) — a first external
+    # row for a new query outranks re-verification of r3 greens that the
+    # local oracle gate re-checks every CI run.
+    "referential_integrity_audit",
+    "event_pattern_match",
+    "k_anonymity_audit",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

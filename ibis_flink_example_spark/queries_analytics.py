@@ -2301,3 +2301,151 @@ def rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_lvl(_up("week"), "week"))
         .unionAll(_lvl(_up("month"), "month"))
     )
+
+
+@query(
+    "event_pattern_match",
+    # MATCH_RECOGNIZE-gap filler: per-user journeys encoded as ordered
+    # single-char strings (c/e/p/s/v by event initial, ordered by ts then
+    # event_id — a deterministic total order), then REGEX pattern classes
+    # evaluated over the encoded string: adjacency patterns a subsequence
+    # funnel cannot express (view IMMEDIATELY followed by purchase;
+    # view->clicks->purchase with nothing in between; any error strictly
+    # before the first purchase). Both engines build the identical string
+    # (string_agg ORDER BY == sort_array(collect_list(struct))) and use
+    # the common RE2/Java regex dialect.
+    oracle="""
+WITH enc AS (
+  SELECT user_id,
+    string_agg(CASE event_type
+        WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        ELSE 'v' END, '' ORDER BY ts ASC, event_id ASC) AS journey
+  FROM events GROUP BY 1
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN regexp_matches(journey, 'vp') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_impulse_vp,
+  CAST(SUM(CASE WHEN regexp_matches(journey, 'vc+p') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_clean_chain,
+  CAST(SUM(CASE WHEN regexp_matches(journey, '^[^p]*e[^p]*p') THEN 1
+    ELSE 0 END) AS BIGINT) AS n_error_before_purchase,
+  CAST(SUM(length(journey)) AS BIGINT) AS total_events
+FROM enc
+""",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern analytics (the MATCH_RECOGNIZE surface Spark SQL
+    lacks): encode each user's journey as an ordered character string in
+    ONE user-keyed aggregation, then evaluate regex adjacency patterns
+    map-side over the |users|-row encoded frame. The encode is the only
+    shuffle; journeys are bounded by per-user event counts (cap/sample
+    upstream for pathological users at 100 TB)."""
+    events = load_table(spark, sf_dir, "events")
+    chr_col = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+    )
+    enc = (
+        events.select(
+            "user_id", F.struct("ts", "event_id").alias("o"), chr_col.alias("ch")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("o", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("journey").rlike("vp"), 1).otherwise(0)
+        ).alias("n_impulse_vp"),
+        F.sum(
+            F.when(F.col("journey").rlike("vc+p"), 1).otherwise(0)
+        ).alias("n_clean_chain"),
+        F.sum(
+            F.when(F.col("journey").rlike("^[^p]*e[^p]*p"), 1).otherwise(0)
+        ).alias("n_error_before_purchase"),
+        F.sum(F.length("journey")).alias("total_events"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    # Privacy-release audit: k-anonymity over the quasi-identifier tuple
+    # (lang, source, n_chars DIV 100) — group sizes k, then the
+    # distribution the release decision reads: singleton groups, groups
+    # below k=5, share of ROWS living in sub-5 groups (fixed point), and
+    # the discrete median k via the counts-of-counts collapse (the skew
+    # profile's scale-safe idiom: no window ever touches row-level data).
+    oracle="""
+WITH qi AS (
+  SELECT lang, source, n_chars // 100 AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2, 3
+), coc AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS m FROM qi GROUP BY 1
+), cum AS (
+  SELECT k, m,
+    CAST(SUM(m) OVER (ORDER BY k) AS BIGINT) AS cm,
+    CAST(SUM(m) OVER () AS BIGINT) AS ng,
+    CAST(SUM(k * m) OVER () AS BIGINT) AS nrows
+  FROM coc
+)
+SELECT
+  MAX(ng) AS n_groups,
+  MAX(nrows) AS n_rows,
+  CAST(COALESCE(SUM(CASE WHEN k = 1 THEN m END), 0) AS BIGINT)
+    AS n_singleton_groups,
+  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN m END), 0) AS BIGINT)
+    AS n_groups_below_5,
+  CAST(COALESCE(SUM(CASE WHEN k < 5 THEN k * m END), 0) * 1000000
+    // MAX(nrows) AS BIGINT) AS rows_below_5_share_x1e6,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  MIN(CASE WHEN cm >= (ng + 1) // 2 THEN k END) AS median_k
+FROM cum
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Responsible-release surface: k-anonymity audit over a
+    quasi-identifier tuple. Two keyed aggregations (QI -> k, k -> m)
+    collapse the table to the k-histogram before any window runs, so the
+    audit is one QI-keyed exchange plus tiny-frame arithmetic at any
+    scale; the sub-5 row share is exact fixed point."""
+    docs = load_table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang", "source", F.expr("n_chars DIV 100").alias("size_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    coc = qi.groupBy("k").agg(F.count(F.lit(1)).alias("m"))
+    coc.createOrReplaceTempView("kanon_coc_v")
+    return spark.sql(
+        """
+WITH cum AS (
+  SELECT k, m,
+    SUM(m) OVER (ORDER BY k) AS cm,
+    SUM(m) OVER () AS ng,
+    SUM(k * m) OVER () AS nrows
+  FROM kanon_coc_v
+)
+SELECT
+  MAX(ng) AS n_groups,
+  MAX(nrows) AS n_rows,
+  COALESCE(SUM(CASE WHEN k = 1 THEN m END), 0) AS n_singleton_groups,
+  COALESCE(SUM(CASE WHEN k < 5 THEN m END), 0) AS n_groups_below_5,
+  COALESCE(SUM(CASE WHEN k < 5 THEN k * m END), 0) * 1000000
+    DIV MAX(nrows) AS rows_below_5_share_x1e6,
+  MIN(k) AS min_k,
+  MIN(CASE WHEN cm >= (ng + 1) DIV 2 THEN k END) AS median_k
+FROM cum
+"""
+    )

@@ -1134,3 +1134,84 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mean-bin-bytes first — see the oracle note on overflow headroom
         F.expr("(SUM(bin_bytes) DIV COUNT(*)) * 10").alias("fill_x1e6"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    # Warehouse FK health, one row per relationship, each computed in a
+    # SINGLE pass: child keys pre-aggregated to (key, n), full-outer
+    # joined with the (unique) parent keys, then one conditional
+    # aggregation yields child/orphan/parent/childless counts together —
+    # the snapshot-diff idiom applied to integrity checking. Orphans are
+    # zero on the TPC-H-consistent fixtures; the childless-parent counts
+    # are non-trivial and pin the arithmetic.
+    oracle="""
+WITH fk1 AS (
+  SELECT 'orders->customer' AS fk,
+    CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_child,
+    CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN c.n END), 0) AS BIGINT)
+      AS n_orphans,
+    CAST(COUNT(p.k) AS BIGINT) AS n_parent,
+    CAST(COUNT(CASE WHEN c.k IS NULL THEN 1 END) AS BIGINT) AS n_childless
+  FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) c
+  FULL OUTER JOIN (SELECT c_custkey AS k FROM customer) p ON c.k = p.k
+), fk2 AS (
+  SELECT 'lineitem->orders' AS fk,
+    CAST(COALESCE(SUM(c.n), 0) AS BIGINT),
+    CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN c.n END), 0) AS BIGINT),
+    CAST(COUNT(p.k) AS BIGINT),
+    CAST(COUNT(CASE WHEN c.k IS NULL THEN 1 END) AS BIGINT)
+  FROM (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1) c
+  FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders) p ON c.k = p.k
+), fk3 AS (
+  SELECT 'supplier->nation' AS fk,
+    CAST(COALESCE(SUM(c.n), 0) AS BIGINT),
+    CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN c.n END), 0) AS BIGINT),
+    CAST(COUNT(p.k) AS BIGINT),
+    CAST(COUNT(CASE WHEN c.k IS NULL THEN 1 END) AS BIGINT)
+  FROM (SELECT s_nationkey AS k, COUNT(*) AS n FROM supplier GROUP BY 1) c
+  FULL OUTER JOIN (SELECT n_nationkey AS k FROM nation) p ON c.k = p.k
+)
+SELECT * FROM fk1 UNION ALL SELECT * FROM fk2 UNION ALL SELECT * FROM fk3
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse FK audit across three relationships, each a single
+    full-outer key join over the PRE-AGGREGATED child keys (shuffle
+    volume = distinct keys, never child rows) followed by one conditional
+    aggregation — orphaned children and childless parents fall out of the
+    same pass. At 100 TB each FK costs one keyed exchange of digest-sized
+    rows; nothing is re-scanned per metric."""
+
+    def _fk(fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        ck = child.groupBy(F.col(ckey).alias("ck")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        pk = parent.select(F.col(pkey).alias("pk"))
+        j = ck.join(pk, ck.ck == pk.pk, "full_outer")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk").isNull(), F.col("n"))), F.lit(0)
+            ).alias("n_orphans"),
+            F.count("pk").alias("n_parent"),
+            F.count(F.when(F.col("ck").isNull(), F.lit(1))).alias(
+                "n_childless"
+            ),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        _fk("orders->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionAll(
+            _fk("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionAll(
+            _fk("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey")
+        )
+    )
