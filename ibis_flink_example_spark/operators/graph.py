@@ -129,3 +129,70 @@ def pagerank(
     return ranks.join(
         hint(deg.select(F.col("src").alias("node"), "deg")), "node"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Frontier-expansion BFS over a directed edge list: hop distances
+    from a seed node set, the second iterative-graph family next to
+    :func:`pagerank` (dense fixpoint there, sparse frontier here).
+
+    Per hop: the CURRENT frontier (never the visited set) joins the edge
+    table, and an anti-join against the visited set keeps only fresh
+    nodes — so per-iteration work tracks the frontier size, which is the
+    property that makes BFS tractable on a 100 TB edge list. Frontier
+    and visited frames are localCheckpoint-ed per hop (lineage cut) and
+    superseded checkpoints are released.
+
+    ``seeds``: single-column ``node`` DataFrame. Returns ``(node, dist)``
+    for every node within ``max_hops``. Deterministic: distances are
+    unique minima by construction (a node enters exactly one frontier).
+    """
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    edges_cp = edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
+    visited = frontier.select(
+        "node", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=True)
+    for hop in range(1, max_hops + 1):
+        # One control-plane count per hop does double duty: loop
+        # termination AND the broadcast decision (BFS frontiers can grow
+        # to |V| mid-traversal — an unconditional broadcast hint would
+        # ship the whole frontier to every executor right when it is
+        # largest).
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        hint = (
+            F.broadcast
+            if n_frontier <= BROADCAST_MAX_NODES
+            else (lambda df: df)
+        )
+        neighbors = (
+            edges_cp.join(
+                hint(frontier.select(F.col("node").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(frontier)
+        frontier = fresh
+        prev_visited = visited
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(hop).cast("int").alias("dist"))
+        ).localCheckpoint(eager=True)
+        _release_local_checkpoint(prev_visited)
+    _release_local_checkpoint(edges_cp)
+    _release_local_checkpoint(frontier)
+    return visited

@@ -116,7 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_stream_join",
     # (streaming_static_join displaced: stateless stream-static join, so
     # the RocksDB provider change cannot affect it — r5 green, CI-checked)
-    "streaming_chained_windows",
+    # (streaming_chained_windows displaced for the BFS query: its two
+    # stateful agg shapes are individually provider-re-verified via
+    # streaming_tumble_1m and streaming_session_30m; r6 green, CI-checked)
     "streaming_over_range_sum_join",
     "streaming_funnel",
     # new in round 7 (second batch): LEFT OUTER stream-stream join —
@@ -147,6 +149,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "referential_integrity_audit",
     "event_pattern_match",
     "k_anonymity_audit",
+    "bfs_reach_from_nation0",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

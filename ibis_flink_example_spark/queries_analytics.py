@@ -2449,3 +2449,87 @@ SELECT
 FROM cum
 """
     )
+
+
+def _bfs_oracle(hops: int) -> str:
+    """Unrolled frontier-expansion BFS oracle: per hop, the fresh frontier
+    is the neighbor set minus everything already visited — the same
+    anti-join recurrence operators/graph.py:bfs_distances runs."""
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM pairs
+), v0 AS (
+  SELECT DISTINCT 2 * s_suppkey + 1 AS node, 0 AS dist
+  FROM supplier WHERE s_nationkey = 0
+)"""
+    step = """, f{k} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN v{prev} v ON v.node = e.src AND v.dist = {prev_d}
+  WHERE NOT EXISTS (SELECT 1 FROM v{prev} w WHERE w.node = e.dst)
+), v{k} AS (
+  SELECT node, dist FROM v{prev} UNION ALL SELECT node, {k} FROM f{k}
+)"""
+    tail = f"""
+SELECT CAST(dist AS INTEGER) AS dist,
+  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM v{hops} GROUP BY 1, 2
+"""
+    return (
+        head
+        + "".join(
+            step.format(k=k, prev=k - 1, prev_d=k - 1)
+            for k in range(1, hops + 1)
+        )
+        + tail
+    )
+
+
+_BFS_HOPS = 3
+
+
+@query(
+    "bfs_reach_from_nation0",
+    # Frontier-expansion BFS (graph family #2 next to PageRank's dense
+    # fixpoint): hop distances from nation-0's suppliers across the
+    # symmetrized part<->supplier graph, rolled up to (distance,
+    # node-type) counts. The oracle unrolls the identical
+    # expand/anti-join recurrence CTE-per-hop; distances are unique
+    # minima by construction, so no min-aggregation ambiguity exists.
+    oracle=_bfs_oracle(_BFS_HOPS),
+)
+def bfs_reach_from_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain reach analysis: how much of the part/supplier
+    universe is within k alternating hops of one nation's suppliers
+    (operators/graph.py:bfs_distances). Per hop the join side is the
+    FRONTIER (count-guarded broadcast), never the visited set, so work
+    tracks frontier size — the property that keeps BFS tractable on a
+    100 TB edge list."""
+    from ibis_flink_example_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (2 * F.col("l_suppkey") + 1).alias("src"),
+            (2 * F.col("l_partkey")).alias("dst"),
+        )
+    )
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (2 * F.col("s_suppkey") + 1).alias("node")
+    )
+    visited = G.bfs_distances(edges, seeds, max_hops=_BFS_HOPS)
+    return visited.groupBy(
+        "dist",
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -567,3 +567,32 @@ def test_key_skew_profile_literals(spark, tmp_path):
         r["n_keys"], r["total_rows"], r["max_rows"],
         r["p50_rows"], r["p99_rows"], r["skew_x1e6"],
     ) == (4, 100, 97, 1, 97, 3_880_000)
+
+
+def test_bfs_distances_chain_and_termination(spark):
+    """bfs_distances on a hand graph: chain 1->2->3->4 plus a detached
+    node pair — distances are hop-minimal, unreached nodes are absent,
+    and the traversal TERMINATES early when the frontier drains before
+    max_hops (empty-frontier break, not an error)."""
+    from ibis_flink_example_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=10).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # diamond: two equal-length paths -> one distance row, min by
+    # construction (node enters exactly one frontier)
+    edges2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges2, seeds, max_hops=4).collect()
+    }
+    assert got2 == {1: 0, 2: 1, 3: 1, 4: 2}
