@@ -157,6 +157,15 @@ def bfs_distances(
     )
 
     edges_cp = edges.select("src", "dst").localCheckpoint(eager=True)
+    # Same one-time decision pagerank makes: if the node universe can
+    # outgrow the broadcast budget, pre-partition the edge table on src
+    # ONCE so the fallback hops shuffle only the frontier side — without
+    # it every non-broadcast hop would re-shuffle the full |E| rows.
+    n_nodes = edges_cp.select("src").distinct().count()
+    if n_nodes > BROADCAST_MAX_NODES:
+        repart = edges_cp.repartition("src").localCheckpoint(eager=True)
+        _release_local_checkpoint(edges_cp)
+        edges_cp = repart
     frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
     visited = frontier.select(
         "node", F.lit(0).cast("int").alias("dist")

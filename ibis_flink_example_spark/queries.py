@@ -143,7 +143,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 7 (fourth batch): single-pass FK integrity audit,
     # regex sequence-pattern matching (the MATCH_RECOGNIZE gap), and the
     # k-anonymity release audit. These displace the last oldest-green
-    # re-verify slots (project_rename/ordered_limit) — a first external
+    # re-verify slots (project_rename/ordered_limit; filter_shipped went
+    # one batch earlier for the same reason) — a first external
     # row for a new query outranks re-verification of r3 greens that the
     # local oracle gate re-checks every CI run.
     "referential_integrity_audit",

@@ -120,27 +120,46 @@ def test_conversion_latency_zero_conversions_yields_one_row(spark):
     assert r["min_s"] is None and r["max_s"] is None and r["avg_s"] is None
 
 
-def _write_mini_events(spark, tmp_path, rows, sub="mini"):
-    """Write a hand-crafted events.parquet fixture dir for the registered
-    query + oracle to run against (rows: (event_id, ts_us, user_id, type,
-    value, props))."""
+def _write_mini(spark, tmp_path, tables: dict, sub: str = "mini") -> str:
+    """Write hand-crafted single-file parquet tables into one mini sf_dir
+    so registered queries AND their DuckDB oracles run against the same
+    adversarial fixture (the pattern the attribution boundary test
+    established)."""
     import glob
     import os
     import shutil
 
+    d = str(tmp_path / sub)
+    os.makedirs(d, exist_ok=True)
+    for name, df in tables.items():
+        stage = str(tmp_path / f"{sub}_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "*.parquet"))[0],
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def _check_mini(spark, d: str, name: str):
+    from ibis_flink_example_spark.queries import ORACLES, QUERIES
+    from tests.oracle import compare_frames, run_oracle
+
+    got = QUERIES[name](spark, d).toPandas()
+    want = run_oracle(ORACLES[name], d)
+    assert not compare_frames(got, want), name
+    return got
+
+
+def _write_mini_events(spark, tmp_path, rows, sub="mini"):
+    """Write a hand-crafted events.parquet fixture dir for the registered
+    query + oracle to run against (rows: (event_id, ts_us, user_id, type,
+    value, props))."""
     df = spark.createDataFrame(
         rows,
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    d = str(tmp_path / sub)
-    stage = str(tmp_path / f"{sub}_stage")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(
-        glob.glob(os.path.join(stage, "*.parquet"))[0],
-        os.path.join(d, "events.parquet"),
-    )
-    return d
+    return _write_mini(spark, tmp_path, {"events": df}, sub=sub)
 
 
 def _peak_by_day(spark, d):
@@ -205,10 +224,6 @@ def test_concurrent_sessions_midnight_carry(spark, tmp_path):
     """A session open across midnight must count toward the next day's
     peak (carry-in), and a day containing only carried-over end boundaries
     must report the carry-in, never a negative 'peak'."""
-    import glob
-    import os
-    import shutil
-
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
     from tests.oracle import compare_frames, run_oracle
 
@@ -221,22 +236,8 @@ def test_concurrent_sessions_midnight_carry(spark, tmp_path):
         # user 2: session at 00:05 day 2 — true concurrency 2 with user 1
         (3, day0 + 24 * h + 5 * 60_000_000, 2, "view", 1.0, "{}"),
     ]
-    df = spark.createDataFrame(
-        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    d = str(tmp_path / "mini")
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
-                os.path.join(d, "events.parquet"))
-
-    got = QUERIES["concurrent_sessions_peak"](spark, d).toPandas()
-    want = run_oracle(ORACLES["concurrent_sessions_peak"], d)
-    assert not compare_frames(got, want)
-    by_day = {
-        r["day"].strftime("%Y-%m-%d"): int(r["peak_concurrent"])
-        for _, r in got.iterrows()
-    }
+    d = _write_mini_events(spark, tmp_path, rows)
+    by_day = _peak_by_day(spark, d)
     assert by_day["2023-11-14"] == 1  # only user 1's session on day 1
     # day 2: user 1 carried over + user 2 overlapping -> peak 2 (the old
     # per-day-only sweep reported 1 and could go negative)
@@ -251,10 +252,6 @@ def test_scd2_null_state_segments(spark, tmp_path):
     into one segment. Runs the REGISTERED query against its REGISTERED
     oracle so any implementation/oracle divergence on NULL semantics flips
     this test before it flips a driver hash (ADVICE r6 #1)."""
-    import glob
-    import os
-    import shutil
-
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
     from tests.oracle import compare_frames, run_oracle
 
@@ -279,16 +276,8 @@ def test_scd2_null_state_segments(spark, tmp_path):
     df = spark.createDataFrame(
         rows, "o_custkey long, o_orderpriority string, o_orderdate string, o_orderkey long"
     ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
-    d = str(tmp_path / "mini")
-    stage = str(tmp_path / "stage")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
-                os.path.join(d, "orders.parquet"))
-
-    got = QUERIES["scd2_customer_priority"](spark, d).toPandas()
-    want = run_oracle(ORACLES["scd2_customer_priority"], d)
-    assert not compare_frames(got, want)
+    d = _write_mini(spark, tmp_path, {"orders": df})
+    got = _check_mini(spark, d, "scd2_customer_priority")
     # cust 1: segments NULL(2), A(2), NULL(2), B(1) = 4 intervals
     c1 = got[got["custkey"] == 1].sort_values("valid_from")
     assert list(c1["priority"]) == [None, "A", None, "B"]
@@ -308,10 +297,6 @@ def test_stats_mad_null_values_fixture(spark, tmp_path):
     shift every rank and diverge the median silently (r7 review finding).
     Runs the REGISTERED query against the REGISTERED oracle on a fixture
     WITH NULLs, plus a hand-computed expectation."""
-    import glob
-    import os
-    import shutil
-
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
     from tests.oracle import compare_frames, run_oracle
 
@@ -322,20 +307,8 @@ def test_stats_mad_null_values_fixture(spark, tmp_path):
         (4, 1_700_000_003_000_000, 1, "view", 3.0, "{}"),
         (5, 1_700_000_004_000_000, 1, "view", None, "{}"),
     ]
-    df = spark.createDataFrame(
-        rows,
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    d = str(tmp_path / "mini")
-    stage = str(tmp_path / "stage")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
-                os.path.join(d, "events.parquet"))
-
-    got = QUERIES["stats_mad_value"](spark, d).toPandas()
-    want = run_oracle(ORACLES["stats_mad_value"], d)
-    assert not compare_frames(got, want)
+    d = _write_mini_events(spark, tmp_path, rows)
+    got = _check_mini(spark, d, "stats_mad_value")
     # non-NULL values [100, 200, 300] cents: n=3, median = rank ceil(1.5)=2
     # -> 200; |d| = [100, 0, 100] -> sorted [0, 100, 100], rank 2 -> 100
     r = got.iloc[0]
@@ -350,10 +323,6 @@ def test_attribution_time_decay_seven_day_boundary(spark, tmp_path):
     vs half-even) — the LEAST(6, ...) clamp pins it to weight 1 on both
     sides (r7 review finding). Also covers the same-instant-minus-7d
     touch being a purchase's ONLY touch (unclamped: den=0 on one side)."""
-    import glob
-    import os
-    import shutil
-
     from ibis_flink_example_spark.queries import ORACLES, QUERIES
     from tests.oracle import compare_frames, run_oracle
 
@@ -368,20 +337,8 @@ def test_attribution_time_decay_seven_day_boundary(spark, tmp_path):
         (4, base + 6 * day + day // 2, 2, "view", 1.0, "{}"),
         (5, base + 7 * day, 2, "purchase", 1.0, "{}"),
     ]
-    df = spark.createDataFrame(
-        rows,
-        "event_id long, ts long, user_id long, event_type string, value double, props string",
-    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
-    d = str(tmp_path / "mini")
-    stage = str(tmp_path / "stage")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    os.makedirs(d, exist_ok=True)
-    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
-                os.path.join(d, "events.parquet"))
-
-    got = QUERIES["attribution_time_decay"](spark, d).toPandas()
-    want = run_oracle(ORACLES["attribution_time_decay"], d)
-    assert not compare_frames(got, want)
+    d = _write_mini_events(spark, tmp_path, rows)
+    got = _check_mini(spark, d, "attribution_time_decay")
     by_ch = {r["channel"]: r for _, r in got.iterrows()}
     # user 1: single clamped-weight touch gets full credit (1.0)
     # user 2: clamped boundary click w=1 vs day-0 view w=64 -> shares
@@ -422,35 +379,6 @@ def test_pagerank_fixed_point_hand_graph(spark):
     assert got2 == {10: 150_000_000}
 
 
-def _write_mini(spark, tmp_path, tables: dict) -> str:
-    """Write hand-crafted single-file parquet tables into one mini sf_dir
-    so registered queries AND their DuckDB oracles run against the same
-    adversarial fixture (the pattern the attribution boundary test
-    established)."""
-    import glob
-    import os
-    import shutil
-
-    d = str(tmp_path / "mini")
-    os.makedirs(d, exist_ok=True)
-    for name, df in tables.items():
-        stage = str(tmp_path / f"stage_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        shutil.copy(
-            glob.glob(os.path.join(stage, "*.parquet"))[0],
-            os.path.join(d, f"{name}.parquet"),
-        )
-    return d
-
-
-def _check_mini(spark, d: str, name: str):
-    from ibis_flink_example_spark.queries import ORACLES, QUERIES
-    from tests.oracle import compare_frames, run_oracle
-
-    got = QUERIES[name](spark, d).toPandas()
-    want = run_oracle(ORACLES[name], d)
-    assert not compare_frames(got, want), name
-    return got
 
 
 def test_file_compaction_zero_byte_and_oversize(spark, tmp_path):
