@@ -120,7 +120,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # stateful agg shapes are individually provider-re-verified via
     # streaming_tumble_1m and streaming_session_30m; r6 green, CI-checked)
     "streaming_over_range_sum_join",
-    "streaming_funnel",
+    # (streaming_funnel displaced for the CUSUM query: its
+    # applyInPandasWithState family stays provider-re-verified via
+    # streaming_sessionize; r5 green, CI-checked)
     # new in round 7 (second batch): LEFT OUTER stream-stream join —
     # null-pads emitted by watermark state-expiry, min-policy horizon —
     # and the stateless stream-static ANTI join (alerting shape)
@@ -151,6 +153,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_pattern_match",
     "k_anonymity_audit",
     "bfs_reach_from_nation0",
+    "cusum_revenue_shift",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

@@ -2533,3 +2533,85 @@ def bfs_reach_from_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("supplier"))
         .alias("node_type"),
     ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "cusum_revenue_shift",
+    # One-sided CUSUM changepoint detection made WINDOW-expressible: the
+    # recursive clamp s_k = max(0, s_{k-1} + dev_k) equals
+    # prefix_k - running_min(prefix) over prefix = cumsum(dev) — so the
+    # sequential-looking detector is two ordered windows over the tiny
+    # DAILY frame, all integer cents. dev = daily - global mean - slack
+    # (slack = mean DIV 20, i.e. 5%); alarm when s exceeds 5x slack.
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ref AS (
+  SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu,
+         CAST((SUM(cents) // COUNT(*)) // 20 AS BIGINT) AS slack
+  FROM daily
+), pre AS (
+  SELECT day, cents,
+    CAST(SUM(cents - ref.mu - ref.slack) OVER (ORDER BY day) AS BIGINT)
+      AS prefix
+  FROM daily CROSS JOIN ref
+), cusum AS (
+  SELECT day, cents,
+    prefix - LEAST(CAST(MIN(prefix) OVER (
+      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT), 0) AS s
+  FROM pre
+)
+SELECT c.day, c.cents, CAST(c.s AS BIGINT) AS cusum_cents,
+  (c.s > 5 * ref.slack) AS alarm
+FROM cusum c CROSS JOIN ref
+""",
+)
+def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint surveillance over daily revenue: the one-sided CUSUM
+    detector, usually written as a sequential clamp recursion, computed
+    declaratively via the prefix - running-min identity (clamped at the
+    start: min taken against 0). Corpus cost is the one day rollup;
+    both windows run over the |days| frame. Integer cents throughout —
+    mean and slack are floor-divided scalars broadcast back."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("long")
+        .alias("cents")
+    )
+    ref = daily.agg(
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("mu"),
+        F.expr("CAST((SUM(cents) DIV COUNT(*)) DIV 20 AS BIGINT)").alias(
+            "slack"
+        ),
+    )
+    pre = daily.crossJoin(F.broadcast(ref)).select(
+        "day",
+        "cents",
+        "mu",
+        "slack",
+        (F.col("cents") - F.col("mu") - F.col("slack")).alias("dev"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = pre.select(
+        "day",
+        "cents",
+        "slack",
+        (
+            F.sum("dev").over(w)
+            - F.least(F.min(F.sum("dev").over(w)).over(w), F.lit(0))
+        ).alias("s"),
+    )
+    return cusum.select(
+        "day",
+        "cents",
+        F.col("s").cast("long").alias("cusum_cents"),
+        (F.col("s") > 5 * F.col("slack")).alias("alarm"),
+    )

@@ -117,6 +117,8 @@ BNLJ_ALLOWED = {
     "split_group_aware_events", "gap_fill_locf", "conversion_latency_stats",
     "lang_distribution_drift", "snapshot_diff_orders",
     "domain_mixture_weights",
+    # one-row (mu, slack) reference frame broadcast onto the daily rollup
+    "cusum_revenue_shift",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation

@@ -524,3 +524,27 @@ def test_bfs_distances_chain_and_termination(spark):
         for r in bfs_distances(edges2, seeds, max_hops=4).collect()
     }
     assert got2 == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_cusum_clamp_and_alarm(spark, tmp_path):
+    """CUSUM hand fixture: 4 low days then 4 high days. The clamp keeps
+    s at exactly 0 through the low regime (prefix == running min), the
+    shift accumulates +4250/day afterward, and the alarm trips where
+    s > 5*slack (slack = mean DIV 20 = 750). Pins the prefix-minus-
+    running-min identity against the sequential recursion it replaces."""
+    import datetime as dt
+
+    rows = [
+        (i + 1, 1, "P", dt.datetime(1995, 1, i + 1),
+         100.0 if i < 4 else 200.0)
+        for i in range(8)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    d = _write_mini(spark, tmp_path, {"orders": orders})
+    got = _check_mini(spark, d, "cusum_revenue_shift").sort_values("day")
+    assert list(got["cusum_cents"]) == [0, 0, 0, 0, 4250, 8500, 12750, 17000]
+    assert list(got["alarm"]) == [False] * 4 + [True] * 4
