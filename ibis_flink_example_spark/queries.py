@@ -110,7 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_sessionize",
     "streaming_tumble_1m",
     "streaming_session_30m",
-    "streaming_sink_roundtrip",
+    # (streaming_sink_roundtrip displaced: its stateful tumble shape is
+    # provider-re-verified via streaming_tumble_1m and its foreachBatch
+    # INSERT shape via streaming_upsert_totals; r6 green, CI-checked)
     "streaming_upsert_totals",
     "streaming_dedup_events",
     "streaming_stream_join",
@@ -119,7 +121,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (streaming_chained_windows displaced for the BFS query: its two
     # stateful agg shapes are individually provider-re-verified via
     # streaming_tumble_1m and streaming_session_30m; r6 green, CI-checked)
-    "streaming_over_range_sum_join",
+    # (streaming_over_range_sum_join displaced: the W1 design-(a)
+    # watermarked self-join bracket; its production twin
+    # streaming_over_range_sum stays in-window; r6 green, CI-checked)
     # (streaming_funnel displaced for the CUSUM query: its
     # applyInPandasWithState family stays provider-re-verified via
     # streaming_sessionize; r5 green, CI-checked)
@@ -154,6 +158,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "bfs_reach_from_nation0",
     "cusum_revenue_shift",
+    "weighted_median_price",
+    "quantile_normalize_value",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

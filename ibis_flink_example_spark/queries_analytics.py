@@ -2615,3 +2615,141 @@ def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("cusum_cents"),
         (F.col("s") > 5 * F.col("slack")).alias("alarm"),
     )
+
+
+@query(
+    "weighted_median_price",
+    # Weighted median (quantity-weighted extended price) per return
+    # flag, computed SCALE-SAFELY: collapse to (flag, price-cents) ->
+    # total weight first, then the cumulative window runs over DISTINCT
+    # price points only. The weighted median is the first price whose
+    # doubled cumulative weight reaches the total — integer cents and
+    # integer quantity weights, no interpolation, engine-exact.
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT flag, cents, wt,
+    CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cw,
+    CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM w
+)
+SELECT flag,
+  MAX(tw) AS total_weight,
+  CAST(COUNT(*) AS BIGINT) AS n_price_points,
+  MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS wmedian_cents
+FROM cum GROUP BY 1
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust stats: the quantity-weighted median price per return flag.
+    The counts-of-counts collapse (group to distinct price points before
+    the cumulative window) keeps the ordered pass off row-level data —
+    the same idiom as key_skew_profile, so the statistic is runnable at
+    any fact-table scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    w.createOrReplaceTempView("wmed_w_v")
+    return spark.sql(
+        """
+WITH cum AS (
+  SELECT flag, cents, wt,
+    SUM(wt) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+    SUM(wt) OVER (PARTITION BY flag) AS tw
+  FROM wmed_w_v
+)
+SELECT flag,
+  MAX(tw) AS total_weight,
+  COUNT(*) AS n_price_points,
+  MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS wmedian_cents
+FROM cum GROUP BY 1
+"""
+    )
+
+
+@query(
+    "quantile_normalize_value",
+    # Quantile normalization (the ML-preprocessing transform): each
+    # group's values mapped onto the GLOBAL empirical distribution at
+    # the same discrete quantile position p = ceil(r * n / n_g). Ranks
+    # use the deterministic (micros, event_id) total order, so the value
+    # at any global rank is unique; all arithmetic is integer. Output is
+    # the per-group summary of the normalized micros (sums/extremes),
+    # which pins every mapped value through the BIGINT sum.
+    oracle="""
+WITH v AS (
+  SELECT event_type, event_id,
+    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micros
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, micros,
+    row_number() OVER (PARTITION BY event_type ORDER BY micros, event_id)
+      AS r,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM v
+), gdist AS (
+  SELECT micros AS gmicros,
+    row_number() OVER (ORDER BY micros, event_id) AS gr
+  FROM v
+), mapped AS (
+  SELECT g.event_type, gdist.gmicros
+  FROM g JOIN gdist ON gdist.gr = (g.r * g.n + g.ng - 1) // g.ng
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  CAST(SUM(gmicros) AS BIGINT) AS sum_normalized_micros,
+  MIN(gmicros) AS min_normalized_micros,
+  MAX(gmicros) AS max_normalized_micros
+FROM mapped GROUP BY 1
+""",
+)
+def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML preprocessing: quantile-normalize each event_type's value
+    distribution onto the global one (discrete positions, ceil rank
+    arithmetic — no interpolation, so cross-engine exact). The global
+    rank pass is a total-order sort — same posture as percentile_disc:
+    swap the mapping table for KLL sketch quantiles at 100 TB; the
+    group-side windows partition by event_type."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("micros"),
+    )
+    v.createOrReplaceTempView("qnorm_v_v")
+    return spark.sql(
+        """
+WITH g AS (
+  SELECT event_type, micros,
+    row_number() OVER (PARTITION BY event_type ORDER BY micros, event_id)
+      AS r,
+    COUNT(*) OVER (PARTITION BY event_type) AS ng,
+    COUNT(*) OVER () AS n
+  FROM qnorm_v_v
+), gdist AS (
+  SELECT micros AS gmicros,
+    row_number() OVER (ORDER BY micros, event_id) AS gr
+  FROM qnorm_v_v
+), mapped AS (
+  SELECT g.event_type, gdist.gmicros
+  FROM g JOIN gdist ON gdist.gr = (g.r * g.n + g.ng - 1) DIV g.ng
+)
+SELECT event_type,
+  COUNT(*) AS n_values,
+  SUM(gmicros) AS sum_normalized_micros,
+  MIN(gmicros) AS min_normalized_micros,
+  MAX(gmicros) AS max_normalized_micros
+FROM mapped GROUP BY 1
+"""
+    )
