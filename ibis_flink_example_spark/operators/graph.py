@@ -110,15 +110,21 @@ def pagerank(
             F.col("dst").alias("node"),
             F.expr("src_rank DIV deg").alias("c"),
         )
-        agg = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # Zero-row seeding replaces the anchor left-join: union one
+        # (node, 0) row per node into the contribution stream, so the
+        # single keyed aggregation both sums contributions AND keeps
+        # no-in-edge nodes alive — one exchange per iteration, no
+        # second join. (sum(c + 0-seed) == COALESCE(sum(c), 0).)
+        seeded = contrib.unionAll(
+            nodes.select("node", F.lit(0).cast("long").alias("c"))
+        )
         ranks = (
-            nodes.join(hint(agg), "node", "left")
-            .select(
-                "node",
+            seeded.groupBy("node")
+            .agg(
                 F.expr(
-                    f"CAST({base} + ({damping_pct} * COALESCE(s, 0)) DIV 100"
+                    f"CAST({base} + ({damping_pct} * SUM(c)) DIV 100"
                     " AS BIGINT)"
-                ).alias("rank"),
+                ).alias("rank")
             )
             .localCheckpoint(eager=True)
         )

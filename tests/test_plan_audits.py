@@ -639,3 +639,26 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     assert joined.collect()[0]["n"] == 200_000
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_weighted_median_counts_of_counts(spark, sf_dir):
+    """Weighted median: the cumulative window must run over the DISTINCT
+    price points (counts-of-counts collapse) — two exchanges (price-point
+    agg + flag window), no join, nothing row-level under a window."""
+    df = QUERIES["weighted_median_price"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"]
+        == 0
+    )
+
+
+def test_cusum_two_windows_one_scan(spark, sf_dir):
+    """CUSUM: the prefix-minus-running-min identity plans as windows over
+    the daily rollup plus the whitelisted one-row scalar broadcast — the
+    detector must never add a second scan of orders."""
+    df = QUERIES["cusum_revenue_shift"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["Window"] == 2, ops
+    assert ops["Scan"] <= 2, ops  # orders once + the reused rollup subtree
