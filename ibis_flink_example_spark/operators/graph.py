@@ -50,12 +50,14 @@ def pagerank(
     Every node reachable as a ``src`` gets initial rank ``RANK_SCALE``;
     each iteration routes ``rank DIV out_degree`` along every edge and
     re-bases: ``rank' = (100-d)% * SCALE + d% * sum(contributions)`` with
-    integer floor division throughout. The node set is anchored on the
-    out-degree table every iteration (left join), so a node with no
-    in-edges keeps a rank row (the base term) instead of silently
-    vanishing from the fixpoint. Dangling mass (nodes that appear only as
-    ``dst``) is dropped by construction — symmetrize the edge list if
-    that matters, as the bipartite queries do.
+    integer floor division throughout. The node set is kept alive by
+    ZERO-ROW SEEDING: each iteration unions one (node, 0) contribution
+    per out-degree node into the aggregation, so a node with no in-edges
+    keeps a rank row (the base term) without a second join. Nodes that
+    appear only as ``dst`` carry rank rows through the loop but are
+    dropped by the final inner join on the out-degree table — their
+    damping mass is lost, so symmetrize the edge list if that matters,
+    as the bipartite queries do.
 
     Returns ``(node, rank, deg)`` with BIGINT fixed-point ranks.
     """

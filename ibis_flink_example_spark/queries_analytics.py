@@ -2595,7 +2595,6 @@ def cusum_revenue_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = daily.crossJoin(F.broadcast(ref)).select(
         "day",
         "cents",
-        "mu",
         "slack",
         (F.col("cents") - F.col("mu") - F.col("slack")).alias("dev"),
     )
@@ -2681,20 +2680,26 @@ FROM cum GROUP BY 1
     # group's values mapped onto the GLOBAL empirical distribution at
     # the same discrete quantile position p = ceil(r * n / n_g). Ranks
     # use the deterministic (micros, event_id) total order, so the value
-    # at any global rank is unique; all arithmetic is integer. Output is
-    # the per-group summary of the normalized micros (sums/extremes),
-    # which pins every mapped value through the BIGINT sum.
+    # at any global rank is unique; all arithmetic is integer. The total
+    # count comes from a ONE-ROW aggregate cross join (BNLJ_ALLOWED
+    # scalar idiom) — a COUNT(*) OVER () would force the whole group
+    # side under Exchange SinglePartition and serialize the event_type
+    # windows. The ceil product runs in HUGEINT/DECIMAL(38,0): the
+    # BIGINT form r*n approaches n^2 and overflows past ~3e9 rows.
+    # Output: per-group summary of the normalized micros (sums/
+    # extremes), which pins every mapped value through the BIGINT sum.
     oracle="""
 WITH v AS (
   SELECT event_type, event_id,
     CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micros
   FROM events WHERE value IS NOT NULL
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
 ), g AS (
   SELECT event_type, micros,
     row_number() OVER (PARTITION BY event_type ORDER BY micros, event_id)
       AS r,
-    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng,
-    CAST(COUNT(*) OVER () AS BIGINT) AS n
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS ng
   FROM v
 ), gdist AS (
   SELECT micros AS gmicros,
@@ -2702,7 +2707,9 @@ WITH v AS (
   FROM v
 ), mapped AS (
   SELECT g.event_type, gdist.gmicros
-  FROM g JOIN gdist ON gdist.gr = (g.r * g.n + g.ng - 1) // g.ng
+  FROM g CROSS JOIN tot
+  JOIN gdist ON gdist.gr = CAST(
+    (CAST(g.r AS HUGEINT) * tot.n + g.ng - 1) // g.ng AS BIGINT)
 )
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_values,
@@ -2718,7 +2725,9 @@ def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no interpolation, so cross-engine exact). The global
     rank pass is a total-order sort — same posture as percentile_disc:
     swap the mapping table for KLL sketch quantiles at 100 TB; the
-    group-side windows partition by event_type."""
+    group-side windows stay hash-partitioned by event_type (the total
+    count arrives as a one-row scalar broadcast, never a global
+    window)."""
     events = load_table(spark, sf_dir, "events")
     v = events.filter(F.col("value").isNotNull()).select(
         "event_type",
@@ -2730,12 +2739,13 @@ def quantile_normalize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     v.createOrReplaceTempView("qnorm_v_v")
     return spark.sql(
         """
-WITH g AS (
+WITH tot AS (
+  SELECT COUNT(*) AS n FROM qnorm_v_v
+), g AS (
   SELECT event_type, micros,
     row_number() OVER (PARTITION BY event_type ORDER BY micros, event_id)
       AS r,
-    COUNT(*) OVER (PARTITION BY event_type) AS ng,
-    COUNT(*) OVER () AS n
+    COUNT(*) OVER (PARTITION BY event_type) AS ng
   FROM qnorm_v_v
 ), gdist AS (
   SELECT micros AS gmicros,
@@ -2743,7 +2753,9 @@ WITH g AS (
   FROM qnorm_v_v
 ), mapped AS (
   SELECT g.event_type, gdist.gmicros
-  FROM g JOIN gdist ON gdist.gr = (g.r * g.n + g.ng - 1) DIV g.ng
+  FROM g CROSS JOIN tot
+  JOIN gdist ON gdist.gr = CAST(
+    (CAST(g.r AS DECIMAL(38,0)) * tot.n + g.ng - 1) DIV g.ng AS BIGINT)
 )
 SELECT event_type,
   COUNT(*) AS n_values,

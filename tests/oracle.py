@@ -119,6 +119,10 @@ BNLJ_ALLOWED = {
     "domain_mixture_weights",
     # one-row (mu, slack) reference frame broadcast onto the daily rollup
     "cusum_revenue_shift",
+    # one-row total-count frame broadcast onto the group ranks (keeps the
+    # event_type windows hash-partitioned instead of a COUNT(*) OVER ()
+    # SinglePartition)
+    "quantile_normalize_value",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation

@@ -662,3 +662,18 @@ def test_cusum_two_windows_one_scan(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["Window"] == 2, ops
     assert ops["Scan"] <= 2, ops  # orders once + the reused rollup subtree
+
+
+def test_quantile_normalize_group_windows_stay_parallel(spark, sf_dir):
+    """Quantile normalization: the group-side rank windows must run under
+    hash(event_type) partitioning — the total count arrives as a one-row
+    scalar broadcast, NOT a COUNT(*) OVER () whose SinglePartition
+    exchange would trivially satisfy the event_type clustering and
+    serialize the whole group side onto one task (r7 review finding).
+    The one legitimate single-partition pass is the global rank mapping
+    (percentile_disc posture)."""
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["quantile_normalize_value"](spark, sf_dir))
+    assert plan.count("hashpartitioning(event_type") >= 1, plan[:1500]
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:1500]
