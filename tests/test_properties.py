@@ -411,3 +411,82 @@ def test_welch_ttest_algebra_matches_numpy(a, b):
     )
     assert abs(t - ref_t) <= 1e-6 * max(1.0, abs(ref_t))
     assert abs(df - ref_df) <= 1e-6 * max(1.0, abs(ref_df))
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow
+@given(edges=_edge_lists, iters=st.integers(min_value=1, max_value=4))
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """pagerank vs a pure-Python replay of the identical fixed-point
+    recurrence on ANY random directed multigraph (self-loops and parallel
+    edges included): bit-identical ranks for every out-degree node — the
+    distributed loop, the zero-row seeding, and the guarded broadcasts
+    must be invisible to the arithmetic."""
+    from collections import defaultdict
+
+    from ibis_flink_example_spark.operators.graph import RANK_SCALE, pagerank
+
+    deg = defaultdict(int)
+    for s, d in edges:
+        deg[s] += 1
+    base = (15 * RANK_SCALE) // 100
+    ranks = {n: RANK_SCALE for n in deg}
+    for _ in range(iters):
+        acc = defaultdict(int)
+        for s, d in edges:
+            acc[d] += ranks[s] // deg[s]
+        ranks = {n: base + (85 * acc.get(n, 0)) // 100 for n in deg}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["rank"], r["deg"])
+        for r in pagerank(df, iters=iters).collect()
+    }
+    assert got == {n: (ranks[n], deg[n]) for n in deg}
+
+
+@_slow
+@given(
+    edges=_edge_lists,
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=3
+    ),
+    hops=st.integers(min_value=0, max_value=5),
+)
+def test_bfs_matches_python_reference(spark, edges, seeds, hops):
+    """bfs_distances vs a pure-Python BFS on ANY random directed graph and
+    seed set: identical hop-minimal distances, identical reachable set
+    within the hop budget (cycles, self-loops, seeds with no edges)."""
+    from ibis_flink_example_spark.operators.graph import bfs_distances
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {n: 0 for n in set(seeds)}
+    frontier = set(seeds)
+    for hop in range(1, hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        frontier = nxt - want.keys()
+        if not frontier:
+            break
+        for n in frontier:
+            want[n] = hop
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edf, sdf, max_hops=hops).collect()
+    }
+    assert got == want
