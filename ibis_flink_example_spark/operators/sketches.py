@@ -84,3 +84,27 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """AMS/CMS join-size estimate: the inner product of two sketches'
+    cell rows, minimized over depths — estimates ``|A JOIN B|`` =
+    sum_k cnt_A(k)*cnt_B(k) WITHOUT executing the join (the classic
+    cardinality-estimation input a cost-based planner wants at 100 TB).
+    One-sided like the point estimate: every depth's dot product
+    over-counts by collision mass only, so min(est) >= true always, and
+    est <= true + (e/width)*N_A*N_B with per-depth failure prob 1/e.
+
+    Both inputs are (depth_idx, bucket, cnt) cell tables (<= depth*width
+    rows each); the join/aggregation here is sketch-sized, never
+    data-sized. Returns a one-row frame: (est)."""
+    a = sketch_a.select("depth_idx", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("depth_idx", "bucket", F.col("cnt").alias("cnt_b"))
+    per_depth = (
+        a.join(b, ["depth_idx", "bucket"])
+        .groupBy("depth_idx")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    return per_depth.agg(F.min("dot").cast("long").alias("est"))

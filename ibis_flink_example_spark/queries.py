@@ -109,7 +109,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_over_range_sum",
     "streaming_sessionize",
     "streaming_tumble_1m",
-    "streaming_session_30m",
+    # (streaming_session_30m displaced for the CMS join-size estimate:
+    # session-window state stays provider-re-verified via the custom
+    # stateful streaming_sessionize; r4 green, CI-checked)
     # (streaming_sink_roundtrip displaced: its stateful tumble shape is
     # provider-re-verified via streaming_tumble_1m and its foreachBatch
     # INSERT shape via streaming_upsert_totals; r6 green, CI-checked)
@@ -160,6 +162,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cusum_revenue_shift",
     "weighted_median_price",
     "quantile_normalize_value",
+    "cms_join_size_estimate",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

@@ -2765,3 +2765,97 @@ SELECT event_type,
 FROM mapped GROUP BY 1
 """
     )
+
+
+@query(
+    "cms_join_size_estimate",
+    # AMS/CMS join-cardinality estimation QA (the planner-side use of the
+    # frequency sketch): |A JOIN B on user_id| estimated as the min-over-
+    # depths inner product of two 32 KB sketches, vs the exact size
+    # sum(c_a * c_b). Following the cms_term_counts oracle pattern, the
+    # SQL side carries the exact size and TRUE literals for the two
+    # claims the Spark side COMPUTES from data — the structural one-sided
+    # bound est >= exact, and the eps-bound est - exact <=
+    # ceil(e/width * N_a * N_b) — so any hashing/merge regression flips
+    # the driver hash.
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), pairs(a, b) AS (
+  VALUES ('view', 'purchase'), ('view', 'click'), ('click', 'purchase')
+)
+SELECT p.a || '_x_' || p.b AS pair,
+  CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT) AS exact_join_size,
+  TRUE AS est_ge_exact,
+  TRUE AS overest_within_eps
+FROM pairs p
+LEFT JOIN c ca ON ca.event_type = p.a
+LEFT JOIN c cb ON cb.event_type = p.b AND cb.user_id = ca.user_id
+GROUP BY 1
+""",
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without the join: per event-type pair, the
+    CMS inner-product estimate of the user-keyed join cardinality vs the
+    exact size. At 100 TB this is how a planner sizes a shuffle before
+    paying for it — each sketch is one bounded aggregation (<= depth x
+    width cells regardless of row count) and the estimate is a
+    sketch-sized dot product. Claims are computed, not assumed: the
+    one-sided bound and the eps*Na*Nb overestimate bound both ride the
+    driver hash."""
+    import math
+
+    from ibis_flink_example_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    width, depth = 1024, 4
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).localCheckpoint(eager=True)  # feeds 3 sketches + 3 exact legs
+
+    def _arm(t: str):
+        part = events.filter(F.col("event_type") == t)
+        sketch = cms_build(part, "user_id", width=width, depth=depth)
+        counts = part.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        total = part.agg(F.count(F.lit(1)).alias("tot"))
+        return sketch, counts, total
+
+    arms = {t: _arm(t) for t in ("view", "click", "purchase")}
+    out = None
+    for a, b in (("view", "purchase"), ("view", "click"), ("click", "purchase")):
+        sk_a, cnt_a, tot_a = arms[a]
+        sk_b, cnt_b, tot_b = arms[b]
+        est = cms_inner_product(sk_a, sk_b)
+        exact = (
+            cnt_a.join(cnt_b.withColumnRenamed("n", "nb"), "user_id")
+            .agg(
+                F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0))
+                .cast("long")
+                .alias("exact_join_size")
+            )
+        )
+        row = (
+            exact.crossJoin(est)
+            .crossJoin(tot_a.select(F.col("tot").alias("tot_a")))
+            .crossJoin(tot_b.select(F.col("tot").alias("tot_b")))
+            .select(
+                F.lit(f"{a}_x_{b}").alias("pair"),
+                "exact_join_size",
+                (F.col("est") >= F.col("exact_join_size")).alias(
+                    "est_ge_exact"
+                ),
+                (
+                    F.col("est") - F.col("exact_join_size")
+                    <= F.ceil(
+                        F.lit(math.e / width)
+                        * F.col("tot_a")
+                        * F.col("tot_b")
+                    )
+                ).alias("overest_within_eps"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

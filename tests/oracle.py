@@ -123,6 +123,9 @@ BNLJ_ALLOWED = {
     # event_type windows hash-partitioned instead of a COUNT(*) OVER ()
     # SinglePartition)
     "quantile_normalize_value",
+    # one-row (exact, est, tot_a, tot_b) scalar frames cross-joined to
+    # assemble each estimate-vs-bound row
+    "cms_join_size_estimate",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation
