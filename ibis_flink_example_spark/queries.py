@@ -117,12 +117,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # INSERT shape via streaming_upsert_totals; r6 green, CI-checked)
     "streaming_upsert_totals",
     "streaming_dedup_events",
-    "streaming_stream_join",
+    # (streaming_stream_join displaced for the HLL intersection query:
+    # interval-join state is provider-re-verified via
+    # streaming_stream_left_join, the strictly-harder left-outer arm of
+    # the same machinery; r5 green, CI-checked)
     # (streaming_static_join displaced: stateless stream-static join, so
     # the RocksDB provider change cannot affect it — r5 green, CI-checked)
     # (streaming_chained_windows displaced for the BFS query: its two
     # stateful agg shapes are individually provider-re-verified via
-    # streaming_tumble_1m and streaming_session_30m; r6 green, CI-checked)
+    # streaming_tumble_1m and — after session_30m's own displacement —
+    # the custom-session streaming_sessionize; r6 green, CI-checked)
     # (streaming_over_range_sum_join displaced: the W1 design-(a)
     # watermarked self-join bracket; its production twin
     # streaming_over_range_sum stays in-window; r6 green, CI-checked)
@@ -163,6 +167,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "quantile_normalize_value",
     "cms_join_size_estimate",
+    "hll_intersection_users",
     # displaced to positions 51+ (every one carries a green or rows-only
     # driver row from r3-r6; the local oracle gate re-checks all of them
     # every CI run): the r4-r6 greens, the remaining rows-only estimator

@@ -2859,3 +2859,93 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "hll_intersection_users",
+    # Sketch set algebra, completing the union-merge story
+    # (hll_daily_users_merge): distinct-user INTERSECTION per event-type
+    # pair via inclusion-exclusion over three HLL estimates
+    # (|A|+|B|-|A∪B| — HLL unions natively, intersections only via I/E).
+    # The estimates are deterministic for fixed data (DataSketches HLL is
+    # a deterministic algorithm) but not SQL-reproducible, so the oracle
+    # carries the EXACT intersection plus TRUE literals for the claims
+    # the Spark side computes: estimate non-degenerate (> 0 where the
+    # true intersection is) and within 10% relative error (lgK 12 ≈ 1.6%
+    # per sketch; I/E amplifies, 10% is generous and holds per fixture).
+    oracle="""
+WITH pairs(a, b) AS (
+  VALUES ('view', 'purchase'), ('view', 'click'), ('click', 'purchase')
+), u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT p.a || '_x_' || p.b AS pair,
+  CAST((SELECT COUNT(*) FROM u ua JOIN u ub
+        ON ua.user_id = ub.user_id
+        AND ua.event_type = p.a AND ub.event_type = p.b) AS BIGINT)
+    AS exact_intersection,
+  TRUE AS est_positive,
+  TRUE AS rel_err_within_10pct
+FROM pairs p
+""",
+)
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-intersection cardinality from mergeable sketches: how
+    many users both viewed and purchased, estimated WITHOUT a distinct
+    join — three HLL estimates and inclusion-exclusion. At 100 TB the
+    sketches are the only state (KBs per segment, mergeable across
+    days/partitions); the exact leg here is the QA companion. Claims are
+    computed from data and ride the driver hash."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).localCheckpoint(eager=True)
+
+    def _sk(t: str, alias: str):
+        return (
+            events.filter(F.col("event_type") == t)
+            .agg(F.expr("hll_sketch_agg(user_id, 12)").alias(alias))
+        )
+
+    out = None
+    for a, b in (("view", "purchase"), ("view", "click"), ("click", "purchase")):
+        both = (
+            events.filter(F.col("event_type").isin(a, b))
+            .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk_u"))
+        )
+        exact = (
+            events.filter(F.col("event_type") == a)
+            .select("user_id")
+            .distinct()
+            .join(
+                events.filter(F.col("event_type") == b)
+                .select("user_id")
+                .distinct(),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        )
+        row = (
+            _sk(a, "sk_a")
+            .crossJoin(_sk(b, "sk_b"))
+            .crossJoin(both)
+            .crossJoin(exact)
+            .select(
+                F.lit(f"{a}_x_{b}").alias("pair"),
+                "exact_intersection",
+                F.expr(
+                    "hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)"
+                    " - hll_sketch_estimate(sk_u)"
+                ).alias("est"),
+            )
+            .select(
+                "pair",
+                "exact_intersection",
+                (F.col("est") > 0).alias("est_positive"),
+                (
+                    F.abs(F.col("est") - F.col("exact_intersection"))
+                    <= 0.10 * F.col("exact_intersection")
+                ).alias("rel_err_within_10pct"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

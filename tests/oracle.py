@@ -126,6 +126,8 @@ BNLJ_ALLOWED = {
     # one-row (exact, est, tot_a, tot_b) scalar frames cross-joined to
     # assemble each estimate-vs-bound row
     "cms_join_size_estimate",
+    # one-row HLL sketch frames cross-joined for inclusion-exclusion
+    "hll_intersection_users",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation
