@@ -87,7 +87,7 @@ def cms_estimate(
 
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame
+    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 4
 ) -> DataFrame:
     """AMS/CMS join-size estimate: the inner product of two sketches'
     cell rows, minimized over depths — estimates ``|A JOIN B|`` =
@@ -99,12 +99,34 @@ def cms_inner_product(
 
     Both inputs are (depth_idx, bucket, cnt) cell tables (<= depth*width
     rows each); the join/aggregation here is sketch-sized, never
-    data-sized. Returns a one-row frame: (est)."""
+    data-sized. A depth spine anchors the per-depth dots: a depth whose
+    sketches share NO buckets has a true dot of ZERO, and dropping that
+    row (the bare inner-join formulation) would silently inflate the
+    min — including returning NULL when the sketches are disjoint or one
+    side is empty, where the correct estimate is 0. Products/sums run in
+    DECIMAL(38,0): per-depth dots approach N_a*N_b/width, far past
+    BIGINT at the scale this function advertises. Returns a one-row
+    frame: (est DECIMAL(38,0))."""
     a = sketch_a.select("depth_idx", "bucket", F.col("cnt").alias("cnt_a"))
     b = sketch_b.select("depth_idx", "bucket", F.col("cnt").alias("cnt_b"))
     per_depth = (
         a.join(b, ["depth_idx", "bucket"])
         .groupBy("depth_idx")
-        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+        .agg(
+            F.sum(
+                F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")
+            ).alias("dot")
+        )
     )
-    return per_depth.agg(F.min("dot").cast("long").alias("est"))
+    spine = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("depth_idx")
+    )
+    return (
+        spine.join(per_depth, "depth_idx", "left")
+        .select(
+            F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)")).alias(
+                "dot"
+            )
+        )
+        .agg(F.min("dot").cast("decimal(38,0)").alias("est"))
+    )

@@ -2828,11 +2828,16 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in (("view", "purchase"), ("view", "click"), ("click", "purchase")):
         sk_a, cnt_a, tot_a = arms[a]
         sk_b, cnt_b, tot_b = arms[b]
-        est = cms_inner_product(sk_a, sk_b)
+        est = cms_inner_product(sk_a, sk_b, depth=depth)
         exact = (
             cnt_a.join(cnt_b.withColumnRenamed("n", "nb"), "user_id")
             .agg(
-                F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0))
+                # decimal product: the per-key count product approaches
+                # n^2 — BIGINT-unsafe at the scale this query advertises
+                F.coalesce(
+                    F.sum(F.col("n").cast("decimal(38,0)") * F.col("nb")),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
                 .cast("long")
                 .alias("exact_join_size")
             )
@@ -2869,10 +2874,14 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (|A|+|B|-|A∪B| — HLL unions natively, intersections only via I/E).
     # The estimates are deterministic for fixed data (DataSketches HLL is
     # a deterministic algorithm) but not SQL-reproducible, so the oracle
-    # carries the EXACT intersection plus TRUE literals for the claims
-    # the Spark side computes: estimate non-degenerate (> 0 where the
-    # true intersection is) and within 10% relative error (lgK 12 ≈ 1.6%
-    # per sketch; I/E amplifies, 10% is generous and holds per fixture).
+    # carries the EXACT intersection plus a TRUE literal for the ONE
+    # claim that is tenable for ANY intersection size: the clamped
+    # estimate GREATEST(0, I/E) errs by at most 10% of the exact value
+    # PLUS 2% of (|Â|+|B̂|) — I/E noise scales with the sketch
+    # magnitudes (lgK 12 ≈ 1.6%/sketch), not with the intersection, so a
+    # pure relative bound would be a coin flip at exact ≈ 0 (r7 review
+    # finding; the earlier est_positive claim had the same flaw). Empty
+    # arms coalesce to estimate 0 instead of NULL-poisoning the claim.
     oracle="""
 WITH pairs(a, b) AS (
   VALUES ('view', 'purchase'), ('view', 'click'), ('click', 'purchase')
@@ -2884,27 +2893,35 @@ SELECT p.a || '_x_' || p.b AS pair,
         ON ua.user_id = ub.user_id
         AND ua.event_type = p.a AND ub.event_type = p.b) AS BIGINT)
     AS exact_intersection,
-  TRUE AS est_positive,
-  TRUE AS rel_err_within_10pct
+  TRUE AS est_within_tolerance
 FROM pairs p
 """,
 )
 def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-intersection cardinality from mergeable sketches: how
     many users both viewed and purchased, estimated WITHOUT a distinct
-    join — three HLL estimates and inclusion-exclusion. At 100 TB the
-    sketches are the only state (KBs per segment, mergeable across
-    days/partitions); the exact leg here is the QA companion. Claims are
-    computed from data and ride the driver hash."""
+    join — three HLL estimates and inclusion-exclusion (clamped at 0).
+    At 100 TB the sketches are the only state (KBs per segment,
+    mergeable across days/partitions); the exact leg here is the QA
+    companion. Per-type sketches and distinct-user frames are built ONCE
+    and reused across the pairs (the cms_join_size_estimate arm-caching
+    pattern); the tolerance claim is computed from data and rides the
+    driver hash."""
     events = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
     ).localCheckpoint(eager=True)
 
-    def _sk(t: str, alias: str):
-        return (
-            events.filter(F.col("event_type") == t)
-            .agg(F.expr("hll_sketch_agg(user_id, 12)").alias(alias))
+    types = ("view", "click", "purchase")
+    sketches = {
+        t: events.filter(F.col("event_type") == t).agg(
+            F.expr("hll_sketch_agg(user_id, 12)").alias(f"sk_{t}")
         )
+        for t in types
+    }
+    distinct_users = {
+        t: events.filter(F.col("event_type") == t).select("user_id").distinct()
+        for t in types
+    }
 
     out = None
     for a, b in (("view", "purchase"), ("view", "click"), ("click", "purchase")):
@@ -2913,38 +2930,36 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk_u"))
         )
         exact = (
-            events.filter(F.col("event_type") == a)
-            .select("user_id")
-            .distinct()
-            .join(
-                events.filter(F.col("event_type") == b)
-                .select("user_id")
-                .distinct(),
-                "user_id",
-            )
+            distinct_users[a]
+            .join(distinct_users[b], "user_id")
             .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
         )
+        # COALESCE each term: an empty arm's sketch is NULL and would
+        # otherwise NULL-poison the estimate and the claim
+        est_a = f"COALESCE(hll_sketch_estimate(sk_{a}), 0)"
+        est_b = f"COALESCE(hll_sketch_estimate(sk_{b}), 0)"
+        est_u = "COALESCE(hll_sketch_estimate(sk_u), 0)"
         row = (
-            _sk(a, "sk_a")
-            .crossJoin(_sk(b, "sk_b"))
+            sketches[a]
+            .crossJoin(sketches[b])
             .crossJoin(both)
             .crossJoin(exact)
             .select(
                 F.lit(f"{a}_x_{b}").alias("pair"),
                 "exact_intersection",
                 F.expr(
-                    "hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)"
-                    " - hll_sketch_estimate(sk_u)"
+                    f"GREATEST(0, {est_a} + {est_b} - {est_u})"
                 ).alias("est"),
+                F.expr(f"{est_a} + {est_b}").alias("mass"),
             )
             .select(
                 "pair",
                 "exact_intersection",
-                (F.col("est") > 0).alias("est_positive"),
                 (
                     F.abs(F.col("est") - F.col("exact_intersection"))
                     <= 0.10 * F.col("exact_intersection")
-                ).alias("rel_err_within_10pct"),
+                    + 0.02 * F.col("mass")
+                ).alias("est_within_tolerance"),
             )
         )
         out = row if out is None else out.unionAll(row)

@@ -548,3 +548,34 @@ def test_cusum_clamp_and_alarm(spark, tmp_path):
     got = _check_mini(spark, d, "cusum_revenue_shift").sort_values("day")
     assert list(got["cusum_cents"]) == [0, 0, 0, 0, 4250, 8500, 12750, 17000]
     assert list(got["alarm"]) == [False] * 4 + [True] * 4
+
+
+def test_cms_inner_product_disjoint_and_empty(spark):
+    """cms_inner_product edge cases (r7 review finding): disjoint item
+    sets must estimate from the MIN over ALL depth rows — a depth whose
+    sketches share no buckets contributes a true dot of ZERO, so the
+    estimate is 0 whenever any depth is collision-free, and an empty
+    arm yields 0, never NULL."""
+    from ibis_flink_example_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "item string")
+    b = spark.createDataFrame([("y1",)], "item string")
+    sk_a = cms_build(a, "item", width=1024, depth=4)
+    sk_b = cms_build(b, "item", width=1024, depth=4)
+    # wide sketches + tiny sets: at least one depth is collision-free
+    est = cms_inner_product(sk_a, sk_b, depth=4).collect()[0]["est"]
+    assert est == 0
+
+    empty = spark.createDataFrame([], "item string")
+    sk_e = cms_build(empty, "item", width=1024, depth=4)
+    est2 = cms_inner_product(sk_a, sk_e, depth=4).collect()[0]["est"]
+    assert est2 == 0
+
+    # identical singletons: every depth's dot is exactly 1
+    c = spark.createDataFrame([("z",)], "item string")
+    sk_c = cms_build(c, "item", width=1024, depth=4)
+    est3 = cms_inner_product(sk_c, sk_c, depth=4).collect()[0]["est"]
+    assert est3 == 1
