@@ -130,12 +130,23 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     artifacts). A fresh ``mkdtemp`` per execution leaks one table-sized
     directory per run — bench + oracle gate + tests each re-execute every
     registered query, so the leak is unbounded; a deterministic path with
-    ``mode("overwrite")`` caps disk at ONE copy per query/fixture."""
+    ``mode("overwrite")`` caps disk at ONE copy per query/fixture.
+
+    The UID is mixed into the path so that on a shared host two users
+    never collide on (or pre-own) each other's scratch directories;
+    within one user, concurrent runs against the same fixture (bench
+    overlapping the oracle gate) still share a path by design — the
+    single-writer-per-fixture assumption is documented here and the
+    overwrite is atomic-enough for parquet (reader lists the directory
+    once) but NOT guaranteed under a concurrent writer."""
     import hashlib
     import os
     import tempfile
 
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{digest}")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_u{uid}_{name}_{digest}"
+    )
     os.makedirs(d, exist_ok=True)
     return d

@@ -120,11 +120,20 @@ def pagerank(
         seeded = contrib.unionAll(
             nodes.select("node", F.lit(0).cast("long").alias("c"))
         )
+        # Damped sum in DECIMAL(38,0): SUM(c) alone can approach the
+        # total rank mass (|V| * RANK_SCALE) when in-edges concentrate
+        # on one node, and the further *damping_pct product would wrap
+        # BIGINT silently past ~1e8 nodes with ANSI mode off. Decimal
+        # integer arithmetic is exact, DIV floors identically on the
+        # non-negative operands, and the final per-node rank is bounded
+        # by the total mass, so the BIGINT cast is safe where the
+        # algorithm itself is (|V| * RANK_SCALE < 2^63).
         ranks = (
             seeded.groupBy("node")
             .agg(
                 F.expr(
-                    f"CAST({base} + ({damping_pct} * SUM(c)) DIV 100"
+                    f"CAST({base} + ({damping_pct}"
+                    " * SUM(CAST(c AS DECIMAL(38,0)))) DIV 100"
                     " AS BIGINT)"
                 ).alias("rank")
             )

@@ -118,8 +118,29 @@ def cms_inner_product(
             ).alias("dot")
         )
     )
-    spine = sketch_a.sparkSession.range(depth).select(
-        F.col("id").cast("int").alias("depth_idx")
+    # The spine is derived from the depths ACTUALLY PRESENT in the
+    # inputs (clamped by the caller's ``depth`` as an upper bound), not
+    # trusted from the parameter alone: a caller-supplied depth larger
+    # than the sketches' real depth would zero-pad phantom depth rows
+    # and min() would collapse the estimate to 0 silently. With both
+    # inputs present the spine spans their observed depths (a shared
+    # depth with no common buckets still contributes its true dot of 0);
+    # with either input empty the spine degenerates to one row and the
+    # estimate is the correct 0.
+    obs = (
+        sketch_a.select("depth_idx")
+        .unionAll(sketch_b.select("depth_idx"))
+        .agg(F.max("depth_idx").alias("maxd"))
+    )
+    spine = obs.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.least(
+                    F.coalesce(F.col("maxd"), F.lit(0)), F.lit(depth - 1)
+                ).cast("int"),
+            )
+        ).alias("depth_idx")
     )
     return (
         spine.join(per_depth, "depth_idx", "left")

@@ -1519,8 +1519,13 @@ def kll_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a"),
         F.count(F.lit(1)).alias("n_days"),
     )
+    # Fold tail sized by the array itself (size-1, floored at 0 for the
+    # single-day case) — a fixed slice length would silently drop days
+    # past the constant, violating the no-silent-caps rule.
     msk = F.aggregate(
-        F.slice("a", 2, 100000),
+        F.slice(
+            F.col("a"), F.lit(2), F.greatest(F.size("a") - 1, F.lit(0))
+        ),
         F.element_at("a", 1),
         lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
     )
