@@ -368,10 +368,17 @@ def streaming_over_range_sum_join(spark: SparkSession, sf_dir: str) -> DataFrame
     """The FLAGSHIP executed as a real streaming job via design (a): the
     fully declarative watermarked SELF-JOIN + per-row-identity aggregation
     (streaming/over_window.py) — Catalyst plans it end-to-end, state is
-    join state bounded by watermark + lookback. Complements
-    ``streaming_over_range_sum`` (design b, custom stateful buffer): the
-    two designs bracket the streaming W1 space, and both now carry
-    external correctness rows."""
+    join state bounded by watermark + lookback.
+
+    DESIGN BRACKET, NOT THE PRODUCTION PATH: ``streaming_over_range_sum``
+    (design b, one bounded per-key buffer) is the canonical streaming W1
+    — measured ~4x cheaper under RocksDB at sf0.1 (~2.4 s vs ~9-12 s,
+    r8) and strictly smaller state at scale. The gap is structural (two
+    stateful operators here, every row written to both join sides plus an
+    agg group); partition-count and trackTotalNumberOfRows sweeps moved
+    nothing. This query stays registered because it is the only fully
+    declarative formulation — no custom state code — and its green oracle
+    row pins the join+agg machinery itself."""
     from ibis_flink_example_spark.streaming.over_window import (
         streaming_range_over_sum,
     )
