@@ -286,12 +286,97 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cosine_topk_ivf", oracle=None)
+# Pinned IVF top-k results per fixture, keyed by a CONTENT fingerprint of
+# the embeddings table (vec_id + first component, fixed-point — the
+# vec_id-only fingerprint collides between sf0.001 and sf0.01, which share
+# ids but not vectors). The IVF path is fully deterministic: seeded kmeans
+# init, seeded fit sample, ties broken by vec_id — measured identical
+# across repeated runs (r8), so the exact output is pinnable per fixture,
+# the same idiom as hll_daily_users_merge's merged estimate. Any change to
+# centroid training, list assignment, or probing flips the driver hash.
+_IVF_TOPK_PINS: dict[str, tuple[tuple[int, int, str, int], ...]] = {
+    "b4c9bdf2": (  # sf0.001
+        (0, 17, "0.334456", 1), (0, 225, "0.315127", 2),
+        (0, 483, "0.300451", 3), (0, 260, "0.298669", 4),
+        (0, 212, "0.281399", 5), (1, 257, "0.391762", 1),
+        (1, 209, "0.381544", 2), (1, 129, "0.351480", 3),
+        (1, 440, "0.299303", 4), (1, 479, "0.268921", 5),
+        (2, 183, "0.250606", 1), (2, 132, "0.246669", 2),
+        (2, 24, "0.230190", 3), (2, 378, "0.222895", 4),
+        (2, 94, "0.219036", 5), (3, 223, "0.340915", 1),
+        (3, 205, "0.336595", 2), (3, 84, "0.319664", 3),
+        (3, 426, "0.315098", 4), (3, 72, "0.308943", 5),
+        (4, 345, "0.374941", 1), (4, 98, "0.339767", 2),
+        (4, 343, "0.312433", 3), (4, 57, "0.298747", 4),
+        (4, 229, "0.267757", 5),
+    ),
+    "69955520": (  # sf0.01
+        (0, 334, "0.362722", 1), (0, 387, "0.331139", 2),
+        (0, 423, "0.296934", 3), (0, 73, "0.295434", 4),
+        (0, 7, "0.292842", 5), (1, 386, "0.371485", 1),
+        (1, 407, "0.327010", 2), (1, 195, "0.322744", 3),
+        (1, 64, "0.316374", 4), (1, 402, "0.292322", 5),
+        (2, 450, "0.266344", 1), (2, 145, "0.263494", 2),
+        (2, 188, "0.263272", 3), (2, 320, "0.255043", 4),
+        (2, 350, "0.240069", 5), (3, 343, "0.308472", 1),
+        (3, 174, "0.303548", 2), (3, 207, "0.291702", 3),
+        (3, 192, "0.290803", 4), (3, 474, "0.276738", 5),
+        (4, 114, "0.398513", 1), (4, 408, "0.322753", 2),
+        (4, 482, "0.313897", 3), (4, 280, "0.279826", 4),
+        (4, 249, "0.279631", 5),
+    ),
+    "fdcf0720": (  # sf0.1
+        (0, 1204, "0.406472", 1), (0, 291, "0.391932", 2),
+        (0, 510, "0.344458", 3), (0, 1511, "0.328782", 4),
+        (0, 144, "0.324319", 5), (1, 1950, "0.386131", 1),
+        (1, 1175, "0.370337", 2), (1, 260, "0.346660", 3),
+        (1, 1843, "0.339907", 4), (1, 665, "0.306598", 5),
+        (2, 953, "0.369105", 1), (2, 1053, "0.356047", 2),
+        (2, 1912, "0.351913", 3), (2, 990, "0.333658", 4),
+        (2, 1196, "0.316817", 5), (3, 1701, "0.388037", 1),
+        (3, 859, "0.362761", 2), (3, 1542, "0.324235", 3),
+        (3, 650, "0.315743", 4), (3, 1617, "0.302820", 5),
+        (4, 524, "0.419052", 1), (4, 76, "0.359507", 2),
+        (4, 995, "0.358859", 3), (4, 1653, "0.337268", 4),
+        (4, 825, "0.336715", 5),
+    ),
+}
+
+
+def _ivf_topk_oracle() -> str:
+    """Pinned-result oracle for the IVF top-k: VALUES rows keyed by the
+    embeddings content fingerprint (an unknown fixture matches no pin →
+    zero rows → row-count mismatch → detected, never silently green)."""
+    rows = ",\n  ".join(
+        f"('{f}', {q}, {v}, CAST({c} AS DOUBLE), {r})"
+        for f, pins in sorted(_IVF_TOPK_PINS.items())
+        for q, v, c, r in pins
+    )
+    return f"""
+WITH fp AS (
+  SELECT substr(md5(string_agg(CAST(vec_id AS VARCHAR) || ':' ||
+    CAST(CAST(floor(embedding[1]*1000000) AS BIGINT) AS VARCHAR),
+    ',' ORDER BY vec_id)), 1, 8) AS f
+  FROM embeddings
+),
+v(f, query_id, vec_id, cosine, rank) AS (VALUES
+  {rows})
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cosine AS DOUBLE) AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM v JOIN fp ON v.f = fp.f
+"""
+
+
+@query("cosine_topk_ivf", oracle=_ivf_topk_oracle())
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 approximate top-k via IVF coarse quantization (kmeans inverted
     lists, n_probe nearest lists per query) — the data-adaptive scale path
-    next to the hyperplane LSH variant. Approximate + kmeans-derived →
-    rows-only check."""
+    next to the hyperplane LSH variant. Kmeans is seeded and ties are
+    vec_id-broken, so the output is deterministic per fixture and the
+    oracle pins the measured result rows keyed by a content fingerprint
+    (was rows-only through r7)."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     out = S.ivf_topk(

@@ -174,15 +174,51 @@ def count_distinct_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", oracle=None)
+@query(
+    "approx_distinct_users",
+    # approx_count_distinct is HLL++ — hashing only, no RNG — so the
+    # estimate is deterministic per fixture and PINNABLE (the
+    # hll_daily_users_merge idiom; was rows-only through r7): the oracle
+    # carries the SQL-exact per-type distinct count, the measured sketch
+    # estimate keyed by the events fingerprint (every user appears under
+    # every event_type in these fixtures, so one pin per fixture covers
+    # all groups; an unknown fixture yields NULL → hash mismatch →
+    # detected), and a 5%-bound claim (~5 sigma at rsd=0.01).
+    oracle="""
+WITH fp AS (
+  SELECT substr(md5(string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY event_id)), 1, 8) AS f
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       (SELECT CASE f WHEN '83d88810' THEN CAST(15 AS BIGINT)    -- sf0.001
+                      WHEN 'f0fffe96' THEN CAST(151 AS BIGINT)   -- sf0.01
+                      WHEN 'a6c6b681' THEN CAST(1507 AS BIGINT)  -- sf0.1
+        END FROM fp) AS approx_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 approx_count_distinct (HyperLogLog++). No oracle: DuckDB's HLL is a
-    different sketch so values can't hash-match; the rows-only check applies.
-    At 100 TB this replaces exact count-distinct wherever a 1-2% error is
-    acceptable — single pass, constant memory, no expand."""
+    """A3 approx_count_distinct (HyperLogLog++) next to the SQL-exact
+    per-group distinct count and a data-computed 5% error-bound claim.
+    At 100 TB the sketch replaces exact count-distinct wherever ~1%
+    error is acceptable — single pass, constant memory, no expand; the
+    exact leg here is the verification companion. The estimate itself is
+    deterministic (hashing, no RNG) and oracle-pinned per fixture."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        "approx_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("within_5pct"),
     )
 
 
