@@ -2056,6 +2056,88 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _connected_components_oracle(iters: int) -> str:
+    """Unrolled min-label-propagation oracle: one CTE per iteration of the
+    EXACT Jacobi recurrence the distributed path runs (operators/dedup.py
+    ``connected_components``): labels(k+1)[v] = least(labels(k)[v],
+    min over edges(v,u) of labels(k)[u]), seeded with each edge node's own
+    id. A fixed unroll is exact whether or not the loop early-exits:
+    min-label is monotone and idempotent at fixpoint, so extra unrolled
+    steps are no-ops — the same argument the PageRank/BFS oracles use."""
+    head = """
+WITH chain AS (
+  SELECT c_custkey AS a,
+         LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS b
+  FROM customer
+), edges AS (
+  SELECT a AS src, b AS dst FROM chain WHERE b IS NOT NULL
+  UNION
+  SELECT b AS src, a AS dst FROM chain WHERE b IS NOT NULL
+), l0 AS (
+  SELECT DISTINCT src, src AS component FROM edges
+)"""
+    step = """, l{k} AS (
+  SELECT l.src,
+         LEAST(l.component, COALESCE(m.mc, l.component)) AS component
+  FROM l{prev} l LEFT JOIN (
+    SELECT e.src AS s2, MIN(ld.component) AS mc
+    FROM edges e JOIN l{prev} ld ON ld.src = e.dst
+    GROUP BY e.src
+  ) m ON m.s2 = l.src
+)"""
+    tail = f"""
+SELECT src AS c_custkey, component FROM l{iters}
+UNION ALL
+SELECT c_custkey, c_custkey AS component FROM customer
+WHERE c_custkey NOT IN (SELECT src FROM edges)
+"""
+    return (
+        head
+        + "".join(step.format(k=k, prev=k - 1) for k in range(1, iters + 1))
+        + tail
+    )
+
+
+_CC_ITERS = 6
+
+
+@query(
+    "connected_components_distributed",
+    oracle=_connected_components_oracle(_CC_ITERS),
+)
+def connected_components_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED arm of ``connected_components`` (operators/dedup.py)
+    as a first-class query: min-label propagation over a per-nation
+    customer chain graph (consecutive custkeys within a nation), with
+    ``driver_cc_max_edges=0`` pinning the distributed path regardless of
+    fixture size — the >100k-edge branch every near-dup clustering takes
+    at 100 TB, where the candidate graph cannot be collected (label state
+    never leaves the cluster; per-iteration lineage is checkpoint-cut and
+    superseded checkpoints released). The chain's diameter exceeds the
+    ``_CC_ITERS`` propagation rounds, so every registered run exercises
+    the full iteration budget, and the unrolled oracle proves
+    iteration-for-iteration equality (not just final-fixpoint agreement).
+    Nations with a single customer arrive as singletons via the anti-join
+    arm. Full convergence vs driver union-find is pinned separately in
+    unit tests; this row pins the distributed machinery itself."""
+    from ibis_flink_example_spark.operators.dedup import connected_components
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.lead("c_custkey").over(w).alias("id_b"),
+    ).filter(F.col("id_b").isNotNull())
+    return connected_components(
+        chain,
+        c.select("c_custkey"),
+        id_col="c_custkey",
+        max_iterations=_CC_ITERS,
+        driver_cc_max_edges=0,
+    )
+
+
 @query(
     "key_skew_profile",
     # Shuffle-key skew diagnostics computed SCALE-SAFELY: instead of
