@@ -54,124 +54,83 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-7 rotation: two pinned sentinels, then cms_term_counts (the last
-# never-checked entry — the set is now EMPTY once it lands), then every
-# round-7 addition (DPP, streaming CMS, HLL/KLL sketch artifacts,
-# chi-square, bucketed join), then every query whose implementation or
-# oracle changed this round (scd2 null-safe oracle, QA-leg guards,
-# multimodal decoded_real column), then the ENTIRE streaming family —
-# every stateful query now runs on the RocksDB state-store provider, so
-# each shape re-verifies under it — then the 8 new third-batch queries
-# (PageRank through the rollup hierarchy) and the fourth batch (FK
-# integrity, sequence patterns, k-anonymity) — new-query external rows
-# outrank re-verification of already-green code, so no oldest-green
-# re-verify slots remain this round. Everything displaced stays
-# value-checked every CI run by tests/test_queries_oracle.py over the
-# identical oracles.
+# Round-8 rotation — the RE-VERIFICATION round (VERDICT r7 top-next): the
+# never-checked set is empty and every r7 addition landed green, so this
+# round's window spends its slots paying down driver-row staleness
+# instead of first-rows. Composition: the two pinned sentinels; the seven
+# queries whose implementation or oracle changed this round
+# (connected_components_distributed is new — the distributed min-label
+# arm; approx_distinct_users and cosine_topk_ivf graduated from
+# rows-only to pinned full oracles; pagerank/KLL/CMS-join absorbed the
+# r7 review fixes); then EVERY query whose most recent green row is
+# r3-era (39 of them — the oldest external signal in the repo, re-run
+# oldest-first per the r7 brief); then the two oldest r4-era streaming
+# rows (the chained-windows and self-join shapes, neither externally
+# re-verified since the RocksDB provider became the default). After this
+# window lands, no green row is older than r4, and the remaining ~33
+# r4-era rows rotate through in r9.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # the single never-driver-checked entry (registered at position 51
-    # after the r6 window filled; locally green at sf0.001/0.01/0.1)
-    "cms_term_counts",
-    # new in round 7: partitioned layout + dynamic partition pruning,
-    # incremental CMS maintenance, mergeable HLL/KLL sketch artifacts,
-    # exact fixed-point chi-square, bucketed co-located join
-    "dpp_partitioned_orders",
-    "streaming_cms_user_counts",
-    "hll_daily_users_merge",
-    "kll_daily_value_quantiles",
-    "chisq_event_dow",
-    "bucketed_order_sizes",
-    "recursive_customer_hierarchy",
-    "stats_mad_value",
-    "schema_evolution_read",
-    "xml_roundtrip",
-    "lateral_top_customers",
-    "dedup_chunk_exact",
-    "domain_mixture_weights",
-    "embedding_norms_arrow",
-    "python_datasource_payments",
-    "streaming_python_datasource_payments",
-    "seasonal_decompose_revenue",
-    "attribution_time_decay",
-    # changed this round: scd2 oracle now mirrors the operator's null-safe
-    # change flag; the estimator-QA pair gained the row-count exact-leg
-    # guard; multimodal features emit the decoded_real provenance column
-    "scd2_customer_priority",
-    "ann_recall_ivf",
-    "minhash_vs_exact_pairs",
-    "multimodal_features",
-    # changed this round: every streaming query now plans its stateful
-    # operators on the RocksDB state store (state_scoped_session default) —
-    # re-verify each streaming shape under the new provider
-    "streaming_over_range_sum",
-    "streaming_sessionize",
-    "streaming_tumble_1m",
-    # (streaming_session_30m displaced for the CMS join-size estimate:
-    # session-window state stays provider-re-verified via the custom
-    # stateful streaming_sessionize; r4 green, CI-checked)
-    # (streaming_sink_roundtrip displaced: its stateful tumble shape is
-    # provider-re-verified via streaming_tumble_1m and its foreachBatch
-    # INSERT shape via streaming_upsert_totals; r6 green, CI-checked)
-    "streaming_upsert_totals",
-    "streaming_dedup_events",
-    # (streaming_stream_join displaced for the HLL intersection query:
-    # interval-join state is provider-re-verified via
-    # streaming_stream_left_join, the strictly-harder left-outer arm of
-    # the same machinery; r5 green, CI-checked)
-    # (streaming_static_join displaced: stateless stream-static join, so
-    # the RocksDB provider change cannot affect it — r5 green, CI-checked)
-    # (streaming_chained_windows displaced for the BFS query: its two
-    # stateful agg shapes are individually provider-re-verified via
-    # streaming_tumble_1m and — after session_30m's own displacement —
-    # the custom-session streaming_sessionize; r6 green, CI-checked)
-    # (streaming_over_range_sum_join displaced: the W1 design-(a)
-    # watermarked self-join bracket; its production twin
-    # streaming_over_range_sum stays in-window; r6 green, CI-checked)
-    # (streaming_funnel displaced for the CUSUM query: its
-    # applyInPandasWithState family stays provider-re-verified via
-    # streaming_sessionize; r5 green, CI-checked)
-    # new in round 7 (second batch): LEFT OUTER stream-stream join —
-    # null-pads emitted by watermark state-expiry, min-policy horizon —
-    # and the stateless stream-static ANTI join (alerting shape)
-    "streaming_stream_left_join",
-    "streaming_static_anti_join",
-    # new in round 7 (third batch): iterative fixed-point PageRank
-    # (unrolled-CTE oracle), Heaps'-law vocabulary growth, scale-safe
-    # counts-of-counts key-skew profile, winsorized/trimmed robust stats,
-    # SCD2 point-in-time fact join, compaction planning, keep-best dedup
-    # survivor policy, per-language token-budget selection
+    # changed or new this round
+    "connected_components_distributed",
+    "approx_distinct_users",
+    "cosine_topk_ivf",
     "pagerank_part_supplier",
-    "vocab_growth_prefix",
-    "key_skew_profile",
-    "stats_winsorized_value",
-    "scd2_point_in_time",
-    "file_compaction_plan",
-    "dedup_keep_best",
-    "token_budget_selection",
-    "rollup_reuse_hierarchy",
-    # new in round 7 (fourth batch): single-pass FK integrity audit,
-    # regex sequence-pattern matching (the MATCH_RECOGNIZE gap), and the
-    # k-anonymity release audit. These displace the last oldest-green
-    # re-verify slots (project_rename/ordered_limit; filter_shipped went
-    # one batch earlier for the same reason) — a first external
-    # row for a new query outranks re-verification of r3 greens that the
-    # local oracle gate re-checks every CI run.
-    "referential_integrity_audit",
-    "event_pattern_match",
-    "k_anonymity_audit",
-    "bfs_reach_from_nation0",
-    "cusum_revenue_shift",
-    "weighted_median_price",
-    "quantile_normalize_value",
+    "kll_daily_value_quantiles",
     "cms_join_size_estimate",
-    "hll_intersection_users",
-    # displaced to positions 51+ (every one carries a green or rows-only
-    # driver row from r3-r6; the local oracle gate re-checks all of them
-    # every CI run): the r4-r6 greens, the remaining rows-only estimator
-    # legs, and the rest of the registry in registration order
+    # r3-era re-verification (most recent green row = round 3; the files
+    # behind these absorbed multiple review-fix passes since)
+    "agg_stats_by_nation",
+    "array_agg_priorities",
+    "array_funcs",
+    "bool_bit_aggs",
+    "count_distinct_status",
+    "cube_platform_province",
+    "date_funcs",
+    "filter_shipped",
+    "groupby_pricing_summary",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_cross",
+    "join_customer_orders",
+    "join_left_outer",
+    "join_salted_skew",
+    "join_semi",
+    "map_funcs",
+    "math_funcs",
+    "nested_struct_json",
+    "ordered_limit",
+    "percentile_disc_by_flag",
+    "pivot_status_by_priority",
+    "project_rename",
+    "quantiles_by_flag",
+    "rollup_nation_region",
+    "scalar_case_expr",
+    "scalar_subquery_busy_customers",
+    "set_except",
+    "set_intersect",
+    "set_ops_multiset",
+    "set_union_all",
+    "string_distance_parts",
+    "string_funcs",
+    "topk_orders",
+    "tpch_q5_local_supplier_volume",
+    "udtf_props_kv",
+    "unpivot_lineitem_measures",
+    "window_ranking",
+    "window_rows_moving_avg",
+    # oldest r4-era streaming rows: none of these shapes has an external
+    # row under the RocksDB provider default (the rest of the streaming
+    # family re-verified in r7)
+    "streaming_chained_windows",
+    "streaming_over_range_sum_join",
+    "streaming_stream_join",
+    # displaced to positions 51+ (every one carries a green driver row
+    # from r4-r7; the local oracle gate re-checks all of them every CI
+    # run): the r4-r7 greens and the rest of the registry in
+    # registration order
 )
 
 
