@@ -783,3 +783,166 @@ def test_rocksdb_state_store_provider_active(spark, tmp_path):
     a = _sorted_pdf(rocks_df.select(*cols), cols)
     b = _sorted_pdf(hdfs_df.select(*cols), cols)
     assert a.equals(b) and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Deliberately DISORDERED replay (VERDICT r7 #6): the ordered multi-batch
+# tests above replay time-contiguous files; these replay a stream with
+# (a) hash-shuffled row order inside every file and (b) straggler cohorts
+# 4-14 s late across micro-batch boundaries — within the 15 s watermark
+# allowance, so nothing may be dropped. The fixture events span ~30 days
+# (sub-15 s cross-batch lateness is unconstructible from them directly),
+# so event times are first compressed onto a ~10-minute axis — order and
+# tie structure preserved, watermark/lookback windows now DENSE.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_disordered_replay(spark, sf_dir):
+    """(replay_dir, pandas frame with arrival-file index) for the compressed
+    disordered stream: 4 files; base file = time quartile; rows in the
+    [boundary-14s, boundary-4s) band of each quartile arrive one file LATE;
+    row order inside each file is xxhash-shuffled."""
+    import time as _time
+
+    import pandas as pd  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    b = e.select(F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    factor = (hi - lo) // 600_000_000 + 1  # compress span to <= 600 s
+    comp = e.select(
+        "event_id", "user_id", "value",
+        F.timestamp_micros(F.expr(f"{lo} + (unix_micros(ts) - {lo}) DIV {factor}")).alias("ts"),
+    )
+    step = 150_000_000  # 4 quartiles over the <=600 s compressed axis
+    us = F.unix_micros("ts") - F.lit(lo)
+    base_file = F.least(F.floor(us / step).cast("int"), F.lit(3))
+    # boundary of this row's quartile; rows in [b-14s, b-4s) slip a file
+    boundary = (base_file + 1).cast("long") * step
+    straggler = (base_file < 3) & (us >= boundary - 14_000_000) & (us < boundary - 4_000_000)
+    tagged = comp.withColumn(
+        "file", (base_file + straggler.cast("int")).alias("file")
+    )
+    pdf = tagged.toPandas()
+    d = tempfile.mkdtemp(prefix="events_disordered_")
+    now = _time.time()
+    for i in range(4):
+        chunk = tagged.filter(F.col("file") == i).drop("file").orderBy(
+            F.xxhash64("event_id")  # deliberate intra-file disorder
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"part_{i}"))
+        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"part_{i}", "*.parquet")))):
+            dst = os.path.join(d, f"{i:02d}_{j}.parquet")
+            shutil.move(f, dst)
+            os.utime(dst, (now + 2 * i, now + 2 * i))
+        shutil.rmtree(os.path.join(d, f"part_{i}"))
+    yield d, pdf
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_over_window_disordered_replay(spark, events_disordered_replay):
+    """Design (b) under deliberately disordered input partitions: every row
+    (none is droppable — lateness < 15 s) is emitted with the RANGE sum
+    over rows SEEN UP TO ITS ARRIVAL BATCH — the operator's documented
+    arrival-prefix semantics (streaming/stateful.py: emitted rows are
+    never retro-corrected when a later straggler lands inside their
+    frame; the straggler itself still gets its exact, complete frame)."""
+    import numpy as np
+    import pandas as pd
+
+    d, pdf = events_disordered_replay
+    stream = _stream_events(spark, d)
+    streamed = run_available_now(
+        stateful_range_over_sum(
+            stream, key="user_id", time_col="ts", measure="value",
+            row_id="event_id", lookback_seconds=10, delay_seconds=15,
+            out_col="value_sum_10s",
+        ),
+        output_mode="append",
+    ).toPandas()
+    # the disorder is real: straggler cohort is non-empty
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    rel = us - us.min()
+    base = np.minimum(rel // 150_000_000, 3)
+    n_stragglers = int((pdf["file"] > base).sum())
+    assert n_stragglers > 0, "fixture produced no cross-batch stragglers"
+    # nothing dropped
+    assert len(streamed) == len(pdf)
+    # arrival-prefix expectation, computed independently in pandas
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ts_us = us.to_numpy()
+    fl = pdf["file"].to_numpy()
+    uid = pdf["user_id"].to_numpy()
+    expected = np.zeros(len(pdf), dtype=np.int64)
+    for u in np.unique(uid):
+        m = uid == u
+        t, f, c = ts_us[m], fl[m], cents[m]
+        exp = np.array([
+            c[(t >= t[i] - 10_000_000) & (t <= t[i]) & (f <= f[i])].sum()
+            for i in range(len(t))
+        ])
+        expected[np.flatnonzero(m)] = exp
+    want = pd.DataFrame({"event_id": pdf["event_id"].to_numpy(), "want": expected / 100.0})
+    got = streamed.merge(want, on="event_id")
+    assert len(got) == len(pdf)
+    assert (got["value_sum_10s"] == got["want"]).all(), (
+        got[got["value_sum_10s"] != got["want"]].head()
+    )
+
+
+def test_stateful_sessionize_disordered_replay(spark, events_disordered_replay):
+    """Sessionize under disordered partitions: emission is WATERMARK-FINAL,
+    so unlike the over-window the output must equal the full batch
+    gaps-and-islands result (10 s gap on the compressed axis) restricted
+    to per-user-final sessions — within-delay stragglers extend or bridge
+    sessions in state and can never contradict the batch answer."""
+    from pyspark.sql.window import Window
+
+    from ibis_flink_example_spark.streaming.stateful import stateful_sessionize
+
+    d, pdf = events_disordered_replay
+    gap_s = 10
+    streamed = run_available_now(
+        stateful_sessionize(
+            _stream_events(spark, d),
+            key="user_id", time_col="ts", measure="value",
+            tiebreak_col="event_id", gap_seconds=gap_s, delay_seconds=15,
+        ),
+        output_mode="append",
+    )
+    comp = spark.createDataFrame(pdf.drop(columns=["file"]))
+    ordered = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(ordered)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > gap_s * 1_000_000)
+    ).cast("int")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        comp.select(
+            "user_id", "ts", "value",
+            F.sum(new_session).over(running).alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .withColumn(
+            "max_ts_us",
+            F.max(F.unix_micros("session_end")).over(Window.partitionBy("user_id")),
+        )
+        .where(
+            F.col("max_ts_us") - 15 * 1_000_000
+            > F.unix_micros("session_end") + gap_s * 1_000_000
+        )
+        .drop("max_ts_us")
+    )
+    cols = ["user_id", "session_seq", "session_start", "session_end", "n_events", "sum_value"]
+    want = _sorted_pdf(batch, cols)
+    got = _sorted_pdf(streamed, cols)
+    assert len(want) > 0, "compressed axis produced no final sessions"
+    assert want.equals(got)
