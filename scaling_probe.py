@@ -1,0 +1,209 @@
+"""Scaling-exponent probe for the expensive iterative / pair-generation
+operators (VERDICT r7 'What's missing' #3): time each operator on its
+sf0.1-derived input and on a deterministically built ~10x replica, and
+report the measured exponent  log(t_10x / t_1x) / log(10).
+
+Every 100 TB claim in this repo otherwise rests on plan audits (pruned
+scans, bounded shuffles, no cartesians) plus single-scale wall times;
+this converts "designed for scale" into a measured growth rate for the
+four operators where super-linear behavior would actually bite:
+
+- PageRank (iterative join+agg fixpoint, operators/graph.py)
+- frontier BFS (iterative expand/anti-join, operators/graph.py)
+- MinHash+LSH near-dup dedup end-to-end (operators/dedup.py)
+- 13-gram decontamination (broadcast/shuffle semi-join, operators/text.py)
+
+10x input construction (inputs are MATERIALIZED to parquet before any
+clock starts, so timings compare equal read paths, not build cost):
+
+- graph: 10 disjoint copies of the part<->supplier incidence with node
+  offsets (node and edge count both 10x; BFS seeded in every copy so the
+  frontier scales with the graph instead of staying 1x).
+- documents: 10 copies with per-copy word suffixes, so every shingle
+  differs across copies and the near-dup structure is replicated rather
+  than turned into a 10x-deep exact-duplicate pile (which would measure
+  a pair-count explosion the real corpus does not have).
+- decontamination: the eval side stays FIXED (copy-0 eval docs) while
+  the train side scales — eval sets do not grow with the corpus.
+
+Usage: python scaling_probe.py [--sf /root/testdata/sf0.1] [--copies 10]
+Prints one JSON line per operator and a summary; exits non-zero if any
+exponent exceeds LINEAR_TOLERANCE. Run on an otherwise idle machine —
+these are wall-clock measurements.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+NODE_OFF = 50_000_000
+DOC_OFF = 10_000_000
+# A measured exponent at or under this counts as "holds linear scaling".
+# Slack above 1.0 absorbs fixed per-job overhead that has not fully
+# amortized at these (seconds-scale) run times.
+LINEAR_TOLERANCE = 1.15
+
+
+def _graph_frames(spark, sf_dir: str, copies: int, out_dir: str):
+    """Materialize (edges, seeds) for 1 and `copies` disjoint copies."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    supplier = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges1 = pairs.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (2 * F.col("l_suppkey") + 1).alias("src"),
+            (2 * F.col("l_partkey")).alias("dst"),
+        )
+    )
+    seeds1 = supplier.filter(F.col("s_nationkey") == 0).select(
+        (2 * F.col("s_suppkey") + 1).alias("node")
+    )
+    out = {}
+    for label, k in (("1x", 1), (f"{copies}x", copies)):
+        copy_idx = spark.range(k).select(F.col("id").alias("k"))
+        e = edges1.crossJoin(copy_idx).select(
+            (F.col("src") + F.col("k") * NODE_OFF).alias("src"),
+            (F.col("dst") + F.col("k") * NODE_OFF).alias("dst"),
+        )
+        s = seeds1.crossJoin(copy_idx).select(
+            (F.col("node") + F.col("k") * NODE_OFF).alias("node")
+        )
+        ep = os.path.join(out_dir, f"edges_{label}")
+        sp = os.path.join(out_dir, f"seeds_{label}")
+        e.write.mode("overwrite").parquet(ep)
+        s.write.mode("overwrite").parquet(sp)
+        out[label] = (ep, sp)
+    return out
+
+
+def _doc_frames(spark, sf_dir: str, copies: int, out_dir: str):
+    """Materialize documents for 1 and `copies` copies; per-copy word
+    suffixes keep copies shingle-disjoint."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    out = {}
+    for label, k in (("1x", 1), (f"{copies}x", copies)):
+        copy_idx = spark.range(k).select(F.col("id").alias("k"))
+        d = docs.crossJoin(copy_idx).select(
+            (F.col("doc_id") + F.col("k") * DOC_OFF).alias("doc_id"),
+            F.when(F.col("k") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit("_"), F.col("k").cast("string")),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+        )
+        p = os.path.join(out_dir, f"docs_{label}")
+        d.write.mode("overwrite").parquet(p)
+        out[label] = p
+    return out
+
+
+def _timed(fn, runs: int = 2) -> float:
+    """Min-of-N wall time; min (not mean) discards GC/compilation spikes."""
+    best = math.inf
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from ibis_flink_example_spark.session import get_spark
+    from ibis_flink_example_spark.operators import graph as G
+    from ibis_flink_example_spark.operators import dedup as D
+    from ibis_flink_example_spark.operators import text as X
+
+    spark = get_spark(app_name="scaling-probe")
+    spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
+    work = tempfile.mkdtemp(prefix="scaling_probe_")
+    big = f"{args.copies}x"
+    try:
+        graphs = _graph_frames(spark, args.sf, args.copies, work)
+        docs = _doc_frames(spark, args.sf, args.copies, work)
+
+        def pagerank_at(label):
+            edges = spark.read.parquet(graphs[label][0])
+            return lambda: G.pagerank(edges, iters=5).count()
+
+        def bfs_at(label):
+            edges = spark.read.parquet(graphs[label][0])
+            seeds = spark.read.parquet(graphs[label][1])
+            return lambda: G.bfs_distances(edges, seeds, max_hops=4).count()
+
+        def minhash_at(label):
+            d = spark.read.parquet(docs[label])
+            return lambda: D.minhash_dedup(
+                d, id_col="doc_id", text_col="text"
+            ).count()
+
+        def decontaminate_at(label):
+            d = spark.read.parquet(docs[label])
+            # eval side FIXED at copy-0 eval docs; train side scales
+            is_eval = (F.col("doc_id") < DOC_OFF) & (F.col("doc_id") % 97 == 0)
+            train = d.filter(~((F.col("doc_id") % DOC_OFF) % 97 == 0))
+            ev = d.filter(is_eval)
+            return lambda: X.decontaminate_ngram_overlap(
+                train, ev, id_col="doc_id", text_col="text", n=13
+            ).count()
+
+        ops = {
+            "pagerank_5iter": pagerank_at,
+            "bfs_4hop": bfs_at,
+            "minhash_dedup": minhash_at,
+            "decontaminate_13gram": decontaminate_at,
+        }
+        results = {}
+        worst = 0.0
+        for name, mk in ops.items():
+            t1 = _timed(mk("1x"), runs=args.runs)
+            t10 = _timed(mk(big), runs=args.runs)
+            exp = math.log(t10 / t1) / math.log(args.copies)
+            results[name] = {
+                "t_1x_sec": round(t1, 2),
+                f"t_{big}_sec": round(t10, 2),
+                "ratio": round(t10 / t1, 2),
+                "exponent": round(exp, 3),
+            }
+            worst = max(worst, exp)
+            print(json.dumps({"op": name, **results[name]}), flush=True)
+        summary = {
+            "sf": args.sf,
+            "copies": args.copies,
+            "worst_exponent": round(worst, 3),
+            "linear_tolerance": LINEAR_TOLERANCE,
+            "holds_linear": worst <= LINEAR_TOLERANCE,
+            "ops": results,
+        }
+        print(json.dumps(summary), flush=True)
+        return 0 if worst <= LINEAR_TOLERANCE else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
