@@ -132,21 +132,38 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     registered query, so the leak is unbounded; a deterministic path with
     ``mode("overwrite")`` caps disk at ONE copy per query/fixture.
 
-    The UID is mixed into the path so that on a shared host two users
-    never collide on (or pre-own) each other's scratch directories;
-    within one user, concurrent runs against the same fixture (bench
-    overlapping the oracle gate) still share a path by design — the
-    single-writer-per-fixture assumption is documented here and the
-    overwrite is atomic-enough for parquet (reader lists the directory
-    once) but NOT guaranteed under a concurrent writer."""
+    On a shared host the path alone is NOT a defense (any user can
+    pre-create a predictable /tmp name before we do), so ownership is
+    VERIFIED, not assumed: everything lives under a per-user 0700
+    parent whose lstat must show (a) a real directory, not a symlink,
+    (b) st_uid == our uid, (c) no group/other write bits. A pre-owned
+    or symlinked parent raises instead of silently writing into another
+    user's directory. Within one user, concurrent runs against the same
+    fixture (bench overlapping the oracle gate) still share a path by
+    design — the single-writer-per-fixture assumption is documented
+    here and the overwrite is atomic-enough for parquet (reader lists
+    the directory once) but NOT guaranteed under a concurrent writer."""
     import hashlib
     import os
+    import stat as stat_mod
     import tempfile
 
     uid = os.getuid() if hasattr(os, "getuid") else 0
+    parent = os.path.join(tempfile.gettempdir(), f"spark_graft_u{uid}")
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    st = os.lstat(parent)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"scratch parent {parent} is not a directory (symlink attack?)"
+        )
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        raise RuntimeError(
+            f"scratch parent {parent} is owned by uid {st.st_uid}, not "
+            f"{uid} — refusing to write into a pre-owned directory"
+        )
+    if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
+        os.chmod(parent, 0o700)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    d = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_u{uid}_{name}_{digest}"
-    )
+    d = os.path.join(parent, f"{name}_{digest}")
     os.makedirs(d, exist_ok=True)
     return d

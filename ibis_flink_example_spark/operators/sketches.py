@@ -107,47 +107,36 @@ def cms_inner_product(
     DECIMAL(38,0): per-depth dots approach N_a*N_b/width, far past
     BIGINT at the scale this function advertises. Returns a one-row
     frame: (est DECIMAL(38,0))."""
-    a = sketch_a.select("depth_idx", "bucket", F.col("cnt").alias("cnt_a"))
-    b = sketch_b.select("depth_idx", "bucket", F.col("cnt").alias("cnt_b"))
+    a = sketch_a.filter(F.col("depth_idx") < depth).select(
+        "depth_idx", "bucket", F.col("cnt").alias("cnt_a")
+    )
+    b = sketch_b.filter(F.col("depth_idx") < depth).select(
+        "depth_idx", "bucket", F.col("cnt").alias("cnt_b")
+    )
+    # ONE full-outer join derives the depth spine AND the per-depth dots
+    # in a single pass over each input (no second evaluation of the
+    # sketch lineage): every cell row of either sketch survives the
+    # join, so a depth present in either input keeps a group even when
+    # the two sketches share no buckets there — its products are all
+    # NULL-padded to 0 and its true dot of 0 participates in the min.
+    # Phantom depths beyond the sketches' real depth never appear (the
+    # spine is observed, not trusted from the ``depth`` parameter, which
+    # acts only as an upper clamp), so a caller-supplied depth larger
+    # than reality cannot zero-collapse the estimate. Both inputs empty
+    # => zero groups => min over nothing is NULL, coalesced to the
+    # correct estimate of 0.
     per_depth = (
-        a.join(b, ["depth_idx", "bucket"])
+        a.join(b, ["depth_idx", "bucket"], "full_outer")
         .groupBy("depth_idx")
         .agg(
             F.sum(
-                F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")
+                F.coalesce(F.col("cnt_a"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("cnt_b"), F.lit(0))
             ).alias("dot")
         )
     )
-    # The spine is derived from the depths ACTUALLY PRESENT in the
-    # inputs (clamped by the caller's ``depth`` as an upper bound), not
-    # trusted from the parameter alone: a caller-supplied depth larger
-    # than the sketches' real depth would zero-pad phantom depth rows
-    # and min() would collapse the estimate to 0 silently. With both
-    # inputs present the spine spans their observed depths (a shared
-    # depth with no common buckets still contributes its true dot of 0);
-    # with either input empty the spine degenerates to one row and the
-    # estimate is the correct 0.
-    obs = (
-        sketch_a.select("depth_idx")
-        .unionAll(sketch_b.select("depth_idx"))
-        .agg(F.max("depth_idx").alias("maxd"))
-    )
-    spine = obs.select(
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.least(
-                    F.coalesce(F.col("maxd"), F.lit(0)), F.lit(depth - 1)
-                ).cast("int"),
-            )
-        ).alias("depth_idx")
-    )
-    return (
-        spine.join(per_depth, "depth_idx", "left")
-        .select(
-            F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)")).alias(
-                "dot"
-            )
-        )
-        .agg(F.min("dot").cast("decimal(38,0)").alias("est"))
+    return per_depth.agg(
+        F.coalesce(F.min("dot"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("est")
     )

@@ -57,16 +57,16 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # Round-8 rotation — the RE-VERIFICATION round (VERDICT r7 top-next): the
 # never-checked set is empty and every r7 addition landed green, so this
 # round's window spends its slots paying down driver-row staleness
-# instead of first-rows. Composition: the two pinned sentinels; the seven
+# instead of first-rows. Composition: the two pinned sentinels; the six
 # queries whose implementation or oracle changed this round
 # (connected_components_distributed is new — the distributed min-label
 # arm; approx_distinct_users and cosine_topk_ivf graduated from
 # rows-only to pinned full oracles; pagerank/KLL/CMS-join absorbed the
 # r7 review fixes); then EVERY query whose most recent green row is
 # r3-era (39 of them — the oldest external signal in the repo, re-run
-# oldest-first per the r7 brief); then the two oldest r4-era streaming
-# rows (the chained-windows and self-join shapes, neither externally
-# re-verified since the RocksDB provider became the default). After this
+# oldest-first per the r7 brief); then the three oldest r4-era streaming
+# rows (the chained-windows, self-join, and stream-stream-inner shapes,
+# none externally re-verified since RocksDB became the default). After this
 # window lands, no green row is older than r4, and the remaining ~33
 # r4-era rows rotate through in r9.
 _DRIVER_PRIORITY: tuple[str, ...] = (

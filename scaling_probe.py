@@ -132,6 +132,10 @@ def main() -> int:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
+    if args.copies < 2:
+        # copies=1 would duplicate the "1x" label (doubling the work
+        # silently) and divide by log(1)=0 in the exponent — fail fast.
+        ap.error("--copies must be >= 2 (the probe compares 1x vs Nx)")
 
     from ibis_flink_example_spark.session import get_spark
     from ibis_flink_example_spark.operators import graph as G

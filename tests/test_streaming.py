@@ -28,6 +28,22 @@ def _sorted_pdf(df, cols):
     return df.toPandas()[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
 
 
+def _stage_chunk(chunk, d, i, now):
+    """Write `chunk` as replay file(s) ``{i:02d}_{j}.parquet`` under `d`.
+
+    The streaming file source orders micro-batches by mtime, so each
+    chunk's files get mtime ``now + 2*i`` — deterministic replay order,
+    no ties. Shared by every replay fixture so the mtime-ordering
+    contract lives in exactly one place."""
+    part = os.path.join(d, f"part_{i}")
+    chunk.coalesce(1).write.mode("overwrite").parquet(part)
+    for j, f in enumerate(sorted(glob.glob(os.path.join(part, "*.parquet")))):
+        dst = os.path.join(d, f"{i:02d}_{j}.parquet")
+        shutil.move(f, dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+    shutil.rmtree(part)
+
+
 @pytest.fixture(scope="module")
 def events_replay_dir(spark, sf_dir):
     """events split into 4 event-time-ordered parquet files so the streaming
@@ -51,14 +67,7 @@ def events_replay_dir(spark, sf_dir):
             (F.unix_micros("ts") >= lo_us + i * step)
             & (F.unix_micros("ts") < lo_us + (i + 1) * step)
         )
-        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"part_{i}"))
-        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"part_{i}", "*.parquet")))):
-            dst = os.path.join(d, f"{i:02d}_{j}.parquet")
-            shutil.move(f, dst)
-            # the file source orders micro-batches by mtime: make the replay
-            # order deterministic (ties would make it arbitrary)
-            os.utime(dst, (now + 2 * i, now + 2 * i))
-        shutil.rmtree(os.path.join(d, f"part_{i}"))
+        _stage_chunk(chunk, d, i, now)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -831,12 +840,7 @@ def events_disordered_replay(spark, sf_dir):
         chunk = tagged.filter(F.col("file") == i).drop("file").orderBy(
             F.xxhash64("event_id")  # deliberate intra-file disorder
         )
-        chunk.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"part_{i}"))
-        for j, f in enumerate(sorted(glob.glob(os.path.join(d, f"part_{i}", "*.parquet")))):
-            dst = os.path.join(d, f"{i:02d}_{j}.parquet")
-            shutil.move(f, dst)
-            os.utime(dst, (now + 2 * i, now + 2 * i))
-        shutil.rmtree(os.path.join(d, f"part_{i}"))
+        _stage_chunk(chunk, d, i, now)
     yield d, pdf
     shutil.rmtree(d, ignore_errors=True)
 
