@@ -1,0 +1,249 @@
+"""Sparse retrieval and hashed-feature operators for the LLM data pipeline.
+
+The reference (claypotai/ibis-flink-example) has no retrieval surface; these
+extend the north-star pipeline as the SPARSE complement of the dense vector
+family in operators/similarity.py (cosine top-k / LSH / IVF): BM25 keyword
+scoring, the feature-hashing trick, and DSIR-style importance weighting —
+the three classic term-statistics passes a 100 TB curation stack runs next
+to its embedding passes.
+
+Exactness design (driver value-hashes results, so every cross-engine float
+hazard is removed up front):
+
+- All idf / log-likelihood quantities are WHOLE-BIT integers:
+  ``floor(log2(...))`` of an integer or of a single correctly-rounded
+  division of two integers. The doc_unigram_surprisal gap argument
+  (queries_llm.py) applies verbatim: for integers p, q < 2^40 the true
+  log2(p/q) is either exactly an integer (both engines compute it exactly:
+  the division is one correctly-rounded op and log2 of an exact power of
+  two is exact) or at least ~2^-41 away from one — orders beyond the <=
+  2-ulp evaluation error — so the floor can never disagree between Spark
+  and DuckDB.
+- BM25's tf saturation term is evaluated as ONE integer floor-division of
+  exact DECIMAL(38,0)/HUGEINT products (both engines truncate identically
+  on positive operands), scaled by 1e6 — no float ever crosses rows.
+- Per-document scores are integer SUMs — order-independent under any
+  partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ibis_flink_example_spark.operators.text import doc_terms, term_frequencies
+
+# BM25 parameters as exact rationals: k1 = K1_NUM/K1_DEN = 1.2,
+# b = B_NUM/B_DEN = 0.75 (the textbook defaults). Clearing denominators in
+#   score_t = (k1+1)*tf / (tf + k1*(1-b) + k1*b*dl*N/T)
+# by kd*bd*T gives integer coefficients:
+#   NUM = (kn+kd)*bd * T * tf                     = 44 * T * tf
+#   DEN = kd*bd * T * tf + kn*(bd-bn) * T + kn*bn * dl * N
+#       = 20*T*tf + 6*T + 18*dl*N
+_BM25_NUM_C = 44
+_BM25_DEN_TF = 20
+_BM25_DEN_T = 6
+_BM25_DEN_DL = 18
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 25,
+) -> DataFrame:
+    """Whole-bit BM25 top-k document retrieval for a fixed keyword query.
+
+    Standard BM25 (k1=1.2, b=0.75) with the idf quantized to whole bits:
+    ``idf_bits = greatest(1, floor(log2(2*(N+1)/(2*df+1))))`` — the
+    integer part of the classic ``log((N-df+0.5)/(df+0.5)+1)`` idf
+    rebased to log2, clamped below at 1 the way Lucene clamps
+    small/negative idf: a term matching most of the corpus still ranks by
+    tf saturation instead of zeroing out (whole-bit floors send any
+    df > ~N/2 to 0, which would degenerate exactly the common-word
+    queries users type). The tf saturation ratio is exact-rational (see
+    module constants), scaled to x1e6 fixed point by one integer
+    floor-division per (doc, term).
+
+    Scale shape: the query-term filter lands directly on the exploded
+    token stream IN the scan stage (no shuffle carries non-query terms),
+    so the expensive branch — tf over matching docs — shuffles only
+    matches. Document length (dl) is one doc-keyed aggregation over the
+    same scan; corpus totals ride a one-row broadcast. Final ranking is
+    TakeOrderedAndProject (top_k per partition, then merged) — never a
+    global sort. Two passes over the text (dl needs all tokens, tf only
+    query terms); a production corpus would persist dl/df as term-stat
+    tables, which is exactly the artifact split this plan produces.
+
+    Returns (id_col, score_x1e6, n_terms_matched), score-descending,
+    id-ascending, LIMIT top_k.
+    """
+    terms = list(query_terms)
+    toks = doc_terms(docs, id_col=id_col, text_col=text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    scal = (
+        dl.agg(F.sum("dl").cast("long").alias("t_tokens"))
+        .crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+        )
+    )
+    tq = toks.filter(F.col("term").isin(terms))
+    tf = tq.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scal))
+    )
+    idf_bits = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.log2(
+                (F.lit(2) * (F.col("n_docs") + F.lit(1))).cast("double")
+                / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+            )
+        ).cast("long"),
+    )
+    j = j.withColumn("idf_bits", idf_bits)
+    num = (
+        "CAST(idf_bits AS DECIMAL(38,0)) * 1000000 * "
+        f"{_BM25_NUM_C} * CAST(t_tokens AS DECIMAL(38,0)) * tf"
+    )
+    den = (
+        f"{_BM25_DEN_TF} * CAST(t_tokens AS DECIMAL(38,0)) * tf"
+        f" + {_BM25_DEN_T} * CAST(t_tokens AS DECIMAL(38,0))"
+        f" + {_BM25_DEN_DL} * CAST(dl AS DECIMAL(38,0)) * n_docs"
+    )
+    scored = j.withColumn("term_score_x1e6", F.expr(f"({num}) DIV ({den})"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("term_score_x1e6").cast("long").alias("score_x1e6"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score_x1e6"), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def feature_hash_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick collision profile: every vocabulary term is mapped to
+    one of ``n_buckets`` feature slots by md5 (engine-portable: the bucket
+    is decoded from hex NIBBLES via ``instr('0123456789abcdef', ...)``,
+    identical in Spark and DuckDB), and the per-bucket load is reported —
+    the QA table that sizes a hashed feature space before training.
+
+    n_buckets must be a power of 4 <= 256 (whole hex nibbles). Plan:
+    occurrence stream collapses to the vocabulary map-side (one term-keyed
+    shuffle bounded by |vocab|), bucket assignment is a scan-stage
+    expression on the vocab frame, and the final rollup shuffles <=
+    |vocab| rows to <= n_buckets groups. Text is scanned once; nothing
+    doc-keyed ever shuffles.
+
+    Returns (bucket, n_terms, n_occurrences).
+    """
+    if n_buckets not in (4, 16, 64, 256):
+        raise ValueError("n_buckets must be one of 4, 16, 64, 256")
+    # 64 = 16 * 4: high nibble full, low nibble mod 4 (still uniform).
+    toks = doc_terms(docs, id_col=id_col, text_col=text_col)
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    nib1 = "(instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1)"
+    nib2 = "(instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1)"
+    if n_buckets == 4:
+        bucket = f"{nib1} % 4"
+    elif n_buckets == 16:
+        bucket = nib1
+    elif n_buckets == 64:
+        bucket = f"{nib1} * 4 + {nib2} % 4"
+    else:
+        bucket = f"{nib1} * 16 + {nib2}"
+    vb = vocab.withColumn("bucket", F.expr(bucket).cast("long"))
+    return vb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("occ").cast("long").alias("n_occurrences"),
+    )
+
+
+def dsir_weight_bits(
+    docs: DataFrame,
+    *,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights in whole bits: per document, the
+    log-likelihood ratio of its unigrams under the TARGET domain's
+    add-one-smoothed unigram LM vs the RAW corpus LM —
+    ``sum_t c_t * (bits_raw(t) - bits_tgt(t))`` where
+    ``bits_X(t) = floor(log2(T_X + V)) - floor(log2(cnt_X(t) + 1))`` is
+    the whole-bit smoothed surprisal in corpus X. Documents that look
+    like the target domain score high; the classic importance-resampling
+    signal for domain-targeted data selection, quantized so every
+    cross-row aggregate is an integer sum.
+
+    Scale shape: term stats are two term-keyed aggregations bounded by
+    |vocab|; the (term -> bits) table joins the per-doc term counts on
+    the term key (term-stat bytes ride the exchange, text never
+    reshuffles); corpus totals are a one-row broadcast. Smoothing keeps
+    target-absent terms finite (cnt_t = 0 -> bits from log2(1) = 0).
+
+    Returns (id_col, source, n_tokens, weight_bits) — one row per
+    document with >= 1 retained token.
+    """
+    tf_all = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    tf_src = tf_all.join(docs.select(id_col, source_col), id_col)
+    cnt_r = tf_all.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cnt_r")
+    )
+    cnt_t = (
+        tf_src.filter(F.col(source_col) == target_source)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cnt_t"))
+    )
+    stats = cnt_r.join(cnt_t, "term", "left").fillna({"cnt_t": 0})
+    scal = stats.agg(
+        F.sum("cnt_r").cast("long").alias("t_raw"),
+        F.sum("cnt_t").cast("long").alias("t_tgt"),
+        F.count(F.lit(1)).cast("long").alias("v_terms"),
+    )
+
+    def _bits(total_col: str, cnt_col: str):
+        return (
+            F.floor(
+                F.log2((F.col(total_col) + F.col("v_terms")).cast("double"))
+            ).cast("long")
+            - F.floor(F.log2((F.col(cnt_col) + 1).cast("double"))).cast("long")
+        )
+
+    bits = stats.crossJoin(F.broadcast(scal)).select(
+        "term",
+        _bits("t_raw", "cnt_r").alias("bits_raw"),
+        _bits("t_tgt", "cnt_t").alias("bits_tgt"),
+    )
+    return (
+        tf_src.join(bits, "term")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * (F.col("bits_raw") - F.col("bits_tgt"))
+            )
+            .cast("long")
+            .alias("weight_bits"),
+        )
+    )

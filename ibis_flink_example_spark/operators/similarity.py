@@ -550,3 +550,117 @@ def arrow_quantized_norms(em, id_col: str = "vec_id", vec_col: str = "embedding"
             )
 
     return em.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
+
+
+def top_pc_power_iteration(
+    em: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding cloud by
+    fixed-point POWER ITERATION — the PageRank discipline applied to
+    embedding-space analytics (whitening/PCA sits next to quantization in
+    a curation stack's embedding QA).
+
+    Exactness: embeddings quantize to integer micros
+    (``floor(x*1e6 + 0.5)`` — float->double is exact, one correctly-
+    rounded multiply, engine-identical); the Gram matrix G[j,k] =
+    sum_rows q_j*q_k accumulates in DECIMAL(38,0); each iteration is
+    v <- (G.v) renormalized to max-norm ``scale`` with integer floor
+    division on ABSOLUTE values (Spark DIV truncates toward zero, DuckDB
+    // floors — identical on non-negatives only, so the sign is factored
+    out first). The result after a FIXED ``iters`` steps is exactly
+    defined integer arithmetic — no convergence tolerance, no float
+    drift; the DuckDB oracle unrolls the same recurrence CTE-per-step.
+
+    CONTRACT: the k-STEP TRANSFORM, not a converged eigenvector (the
+    PageRank posture — its 5 iterations are the spec, too). Convergence
+    to the dominant eigenvector needs a spectral gap: on a spiked
+    spectrum 6 steps align > 0.999 (test-pinned); on a near-flat one
+    (the synthetic fixture measures lambda2/lambda1 ~ 0.98) power
+    iteration is the wrong tool at ANY practical step count and the
+    output is simply the deterministic 6-step iterate (test-pinned
+    against an arbitrary-precision Python simulation).
+
+    Scale: the ONLY corpus-sized pass is the Gram build — one in-row
+    Generate (dim^2 struct cells per row, no self-join, text/vector
+    never reshuffles) into one map-side-combined aggregation of
+    dim*dim cells; every iteration then runs on the dim^2-cell frame
+    (16 KB for dim=64) regardless of corpus size. Magnitudes: |q| <=
+    ~5e6 (unit-ish inputs), G <= q^2 * n_rows ~ 2.5e25 at 1e12 rows,
+    G*scale*dim ~ 1.6e33 — inside DECIMAL(38,0) headroom.
+
+    Sign convention: the returned vector is flipped so its largest-
+    magnitude coordinate (smallest index on ties) is positive.
+    Returns (dim_idx BIGINT 0-based, pc_x1e6 BIGINT).
+    """
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    spark = em.sparkSession
+    qa = (
+        f"transform({vec_col}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+    pairs = (
+        f"flatten(transform({qa}, (xj, j) -> "
+        f"transform({qa}, (xk, k) -> "
+        "struct(j AS j, k AS k, "
+        "CAST(xj AS DECIMAL(38,0)) * CAST(xk AS DECIMAL(38,0)) AS p))))"
+    )
+    cells = (
+        em.select(F.explode(F.expr(pairs)).alias("s"))
+        .groupBy(
+            F.col("s.j").cast("int").alias("j"),
+            F.col("s.k").cast("int").alias("k"),
+        )
+        .agg(F.sum("s.p").alias("g"))
+        .localCheckpoint()  # corpus-sized pass runs exactly once
+    )
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("d"),
+        F.lit(scale).cast("decimal(38,0)").alias("val"),
+    )
+    prev = None
+    for _ in range(iters):
+        w = (
+            cells.join(v, cells["k"] == v["d"])
+            .groupBy(cells["j"].alias("wd"))
+            .agg(F.sum(F.col("g") * F.col("val")).alias("wv"))
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1).cast("decimal(38,0)")).alias("m")
+        )
+        nxt = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("wd").alias("d"),
+                F.expr(
+                    "CASE WHEN wv < 0 THEN "
+                    f"-((ABS(wv) * {scale}) DIV m) "
+                    f"ELSE (wv * {scale}) DIV m END"
+                )
+                .cast("decimal(38,0)")
+                .alias("val"),
+            )
+            .localCheckpoint()
+        )
+        if prev is not None:
+            _release_local_checkpoint(prev)
+        prev, v = nxt, nxt
+    anchor = (
+        v.orderBy(F.abs(F.col("val")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.col("val").alias("vmax"))
+    )
+    sgn = anchor.select(
+        F.when(F.col("vmax") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s")
+    )
+    return v.crossJoin(F.broadcast(sgn)).select(
+        F.col("d").cast("long").alias("dim_idx"),
+        (F.col("val") * F.col("s")).cast("long").alias("pc_x1e6"),
+    )

@@ -68,7 +68,11 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # rows (the chained-windows, self-join, and stream-stream-inner shapes,
 # none externally re-verified since RocksDB became the default). After this
 # window lands, no green row is older than r4, and the remaining ~33
-# r4-era rows rotate through in r9.
+# r4-era rows rotate through in r9 — together with first-rows for the
+# five late-r8 additions deliberately registered AFTER the window
+# (bm25_topk_docs, feature_hash_buckets, dsir_target_weights,
+# embedding_top_pc, twap_user_value; all five hold full-oracle greens at
+# sf0.001/0.01/0.1 in CI).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",

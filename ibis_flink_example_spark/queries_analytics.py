@@ -3051,3 +3051,88 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "twap_user_value",
+    # Time-weighted average price (TWAP): each observation holds until the
+    # next one (last holds to midnight), weights are exact event-time
+    # microseconds, values are integer cents, and the final average is ONE
+    # integer floor division with the sign factored out (Spark DIV
+    # truncates toward zero, DuckDB // floors — identical only on
+    # non-negatives, and value is not guaranteed non-negative in general).
+    oracle=r"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    epoch_us(ts) AS t_us,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+    LEAD(epoch_us(ts)) OVER (
+      PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+    ) AS nxt_us,
+    epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS eod_us
+  FROM events
+), wt AS (
+  SELECT user_id, day, cents,
+         COALESCE(nxt_us, eod_us) - t_us AS dt_us
+  FROM e
+), g AS (
+  SELECT user_id, day,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(dt_us) AS BIGINT) AS weight_us,
+    CAST(SUM(cents * dt_us) AS BIGINT) AS num
+  FROM wt GROUP BY 1, 2
+)
+SELECT user_id, day, n_events, weight_us,
+  CAST(CASE WHEN num < 0 THEN -((-num) // weight_us)
+            ELSE num // weight_us END AS BIGINT) AS twap_cents
+FROM g
+""",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval algebra #2 (next to concurrent_sessions_peak): per
+    user/day time-weighted average of `value` — each event's value holds
+    until the next event (the last until midnight), the finance-style
+    TWAP every metering/billing pipeline computes. ONE user/day-keyed
+    window pass then one aggregation on the same partitioning (Catalyst
+    reuses the exchange); weights are exact microsecond integers, so the
+    aggregation is order-independent and the result engine-exact."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    eod = F.unix_micros(
+        F.to_timestamp(F.date_add(F.col("day"), 1))
+    )
+    wt = e.select(
+        "user_id",
+        "day",
+        "cents",
+        (
+            F.coalesce(F.lead("t_us").over(w), eod) - F.col("t_us")
+        ).alias("dt_us"),
+    )
+    g = wt.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dt_us").cast("long").alias("weight_us"),
+        F.sum(F.col("cents") * F.col("dt_us")).cast("long").alias("num"),
+    )
+    return g.select(
+        "user_id",
+        # DATE -> TIMESTAMP for the comparator (the date_spine idiom:
+        # pandas renders Spark DateType as object but DuckDB DATE as
+        # datetime64)
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        "weight_us",
+        F.expr(
+            "CAST(CASE WHEN num < 0 THEN -((-num) DIV weight_us) "
+            "ELSE num DIV weight_us END AS BIGINT)"
+        ).alias("twap_cents"),
+    )

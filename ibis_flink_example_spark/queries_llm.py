@@ -2103,3 +2103,220 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_tokens").alias("smallest_doc_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval + hashed features (operators/retrieval.py) — round 8.
+# Registered AFTER the 50-slot driver window by design: round 8 spends the
+# external budget on re-verification (queries.py rotation note); these get
+# their first driver rows in r9 and full oracle coverage in CI meanwhile.
+# ---------------------------------------------------------------------------
+
+# 'dup' is the corpus's one rare term (planted-duplicate marker, df ~5%
+# vs ~78% for everything else) — the query mixes one rare and two common
+# terms so both idf regimes are exercised.
+_BM25_QUERY_TERMS = ("dup", "spark", "window")
+
+
+@query(
+    "bm25_topk_docs",
+    # Whole-bit BM25 (k1=6/5, b=3/4 cleared to integer coefficients:
+    # NUM=44*T*tf, DEN=20*T*tf+6*T+18*dl*N; idf quantized to
+    # greatest(1, floor(log2(2(N+1)/(2df+1)))) — one correctly-rounded
+    # integer division then log2, floor-stable across engines by the
+    # doc_unigram_surprisal gap argument; the Lucene-style clamp at 1
+    # keeps common-term matches ranked by tf saturation instead of
+    # zeroing). Fixed-point x1e6 via integer floor division: Spark
+    # DIV == DuckDB // on positive operands.
+    oracle=rf"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS t_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+),
+tq AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN ('dup', 'spark', 'window')
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY 1),
+per_term AS (
+  SELECT tq.doc_id,
+    (GREATEST(CAST(1 AS HUGEINT),
+              CAST(floor(log2(CAST(2 * (s.n_docs + 1) AS DOUBLE)
+                              / CAST(2 * dfq.df + 1 AS DOUBLE))) AS HUGEINT))
+       * 1000000 * 44 * CAST(s.t_tokens AS HUGEINT) * tq.tf)
+    // (20 * CAST(s.t_tokens AS HUGEINT) * tq.tf
+        + 6 * CAST(s.t_tokens AS HUGEINT)
+        + 18 * CAST(dl.dl AS HUGEINT) * s.n_docs) AS term_score
+  FROM tq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
+)
+SELECT doc_id,
+  CAST(SUM(term_score) AS BIGINT) AS score_x1e6,
+  CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+FROM per_term
+GROUP BY 1
+ORDER BY score_x1e6 DESC, doc_id ASC
+LIMIT 25
+""",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3's sparse twin: BM25 keyword retrieval over the documents table
+    (operators/retrieval.py:bm25_topk) — top-25 docs for a fixed 3-term
+    query, integer-exact whole-bit scoring. Query-term filtering happens
+    in the scan stage (only matches shuffle); ranking is
+    TakeOrderedAndProject, never a global sort."""
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, _BM25_QUERY_TERMS, top_k=25)
+
+
+@query(
+    "feature_hash_buckets",
+    # md5-nibble hashing trick: bucket = hi_nibble*4 + lo_nibble%4 over
+    # instr('0123456789abcdef', ...) — byte-identical hex in both engines.
+    oracle=rf"""
+WITH {_TF_CTE},
+vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS occ FROM toks GROUP BY 1),
+vb AS (
+  SELECT CAST((instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4
+            + (instr('0123456789abcdef', substr(md5(term), 2, 1)) - 1) % 4
+         AS BIGINT) AS bucket,
+         occ
+  FROM vocab
+)
+SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_terms,
+  CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM vb GROUP BY 1
+""",
+)
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision profile
+    (operators/retrieval.py:feature_hash_profile): the vocabulary mapped
+    to 64 hashed feature slots with per-slot term and occurrence loads —
+    the sizing QA before hashed-feature training. Occurrences collapse to
+    the vocab map-side; nothing doc-keyed shuffles."""
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.feature_hash_profile(docs, n_buckets=64)
+
+
+@query(
+    "dsir_target_weights",
+    # Whole-bit DSIR: per-doc sum of c_t * (bits_raw - bits_tgt) with
+    # add-one-smoothed whole-bit surprisal per corpus; all floors are on
+    # log2 of integers (gap argument), all sums integer.
+    oracle=rf"""
+WITH {_TF_CTE},
+tfs AS (
+  SELECT t.doc_id, d.source, t.term, t.tf
+  FROM tf t JOIN documents d USING (doc_id)
+),
+cnt_raw AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
+cnt_tgt AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt_t
+  FROM tfs WHERE source = 'src0' GROUP BY 1
+),
+stats AS (
+  SELECT c.term, c.cnt_r, COALESCE(ct.cnt_t, 0) AS cnt_t
+  FROM cnt_raw c LEFT JOIN cnt_tgt ct USING (term)
+),
+scal AS (
+  SELECT CAST(SUM(cnt_r) AS BIGINT) AS t_raw,
+         CAST(SUM(cnt_t) AS BIGINT) AS t_tgt,
+         CAST(COUNT(*) AS BIGINT) AS v_terms
+  FROM stats
+),
+bits AS (
+  SELECT term,
+    CAST(floor(log2(t_raw + v_terms)) AS BIGINT)
+      - CAST(floor(log2(cnt_r + 1)) AS BIGINT) AS bits_raw,
+    CAST(floor(log2(t_tgt + v_terms)) AS BIGINT)
+      - CAST(floor(log2(cnt_t + 1)) AS BIGINT) AS bits_tgt
+  FROM stats CROSS JOIN scal
+)
+SELECT tfs.doc_id, tfs.source,
+  CAST(SUM(tfs.tf) AS BIGINT) AS n_tokens,
+  CAST(SUM(tfs.tf * (bits.bits_raw - bits.bits_tgt)) AS BIGINT) AS weight_bits
+FROM tfs JOIN bits USING (term)
+GROUP BY 1, 2
+""",
+)
+def dsir_target_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted data selection signal
+    (operators/retrieval.py:dsir_weight_bits): per-doc whole-bit
+    log-likelihood ratio of the doc's unigrams under the src0 domain LM
+    vs the raw-corpus LM — the DSIR importance weight, integer-quantized.
+    Complements domain_mixture_weights (which reweights domains wholesale)
+    with a per-document score."""
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.dsir_weight_bits(docs, target_source="src0")
+
+
+def _top_pc_oracle(dim: int = 64, iters: int = 6, scale: int = 1_000_000) -> str:
+    """Unrolled power-iteration oracle (the PageRank idiom): each step is
+    a CTE pair (w_i, m_i, v_i) repeating the exact integer recurrence of
+    operators/similarity.py:top_pc_power_iteration."""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"v{i - 1}"
+        steps.append(
+            f"""w{i} AS (
+  SELECT c.j AS wd, CAST(SUM(c.g * v.val) AS HUGEINT) AS wv
+  FROM cells c JOIN {p} v ON c.k = v.d GROUP BY 1
+), m{i} AS (
+  SELECT GREATEST(MAX(ABS(wv)), CAST(1 AS HUGEINT)) AS m FROM w{i}
+), v{i} AS (
+  SELECT wd AS d,
+    CASE WHEN wv < 0 THEN -((ABS(wv) * {scale}) // m)
+         ELSE (wv * {scale}) // m END AS val
+  FROM w{i}, m{i}
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qa
+  FROM embeddings
+),
+cellraw AS (
+  SELECT UNNEST(flatten(list_transform(range(0, {dim}), j ->
+    list_transform(range(0, {dim}), k ->
+      {{'j': j, 'k': k,
+        'p': CAST(qa[j + 1] AS HUGEINT) * CAST(qa[k + 1] AS HUGEINT)}})))) AS s
+  FROM q
+),
+cells AS (
+  SELECT s.j AS j, s.k AS k, CAST(SUM(s.p) AS HUGEINT) AS g
+  FROM cellraw GROUP BY 1, 2
+),
+v0 AS (SELECT UNNEST(range(0, {dim})) AS d, CAST({scale} AS HUGEINT) AS val),
+{unrolled},
+anch AS (SELECT val AS vmax FROM v{iters} ORDER BY ABS(val) DESC, d ASC LIMIT 1),
+sgn AS (SELECT CASE WHEN vmax < 0 THEN -1 ELSE 1 END AS s FROM anch)
+SELECT CAST(d AS BIGINT) AS dim_idx, CAST(val * s AS BIGINT) AS pc_x1e6
+FROM v{iters}, sgn
+"""
+
+
+@query("embedding_top_pc", oracle=_top_pc_oracle())
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space PCA (X3 QA): the dominant principal direction of
+    the embedding cloud by 6 steps of fixed-point power iteration
+    (operators/similarity.py:top_pc_power_iteration). The Gram build is
+    the ONLY corpus-sized pass (in-row Generate, dim^2 map-side-combined
+    cells, vectors never reshuffle); iterations run on the 4096-cell
+    frame regardless of corpus size — the same iterative-loop discipline
+    as PageRank, with the oracle unrolled CTE-per-step."""
+    from ibis_flink_example_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return top_pc_power_iteration(em, vec_col="embedding", dim=64, iters=6)

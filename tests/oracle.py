@@ -128,6 +128,13 @@ BNLJ_ALLOWED = {
     "cms_join_size_estimate",
     # one-row HLL sketch frames cross-joined for inclusion-exclusion
     "hll_intersection_users",
+    # one-row corpus-totals frames (T, N / T_raw, T_tgt, V) broadcast onto
+    # the term-stat tables
+    "bm25_topk_docs",
+    "dsir_target_weights",
+    # one-row max-norm / sign frames broadcast onto the 64-row vector in
+    # each power-iteration step
+    "embedding_top_pc",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation

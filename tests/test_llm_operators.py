@@ -855,3 +855,192 @@ def test_arrow_norms_empty_and_null_vectors(spark, tmp_path):
     # 1.0 -> 1e6, -2.5 -> -2.5e6; squares sum = 1e12 + 6.25e12
     assert by_id[1] == (2, 7_250_000_000_000)
     assert by_id[2] == (0, 0) and by_id[3] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# retrieval.py: BM25 / feature hashing / DSIR (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _mini_retrieval_corpus(spark):
+    # words are >= 3 chars and non-stopword so the shared tokenizer keeps
+    # them; doc 4 contains no query term at all
+    rows = [
+        (1, "spark spark spark window filter", "src0"),
+        (2, "spark window join batch batch", "src0"),
+        (3, "join join filter filter filter batch", "src1"),
+        (4, "batch filter table table table", "src1"),
+        (5, "window window window window spark", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_bm25_membership_and_monotonicity(spark):
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = _mini_retrieval_corpus(spark)
+    out = R.bm25_topk(docs, ("spark", "window", "join"), top_k=10).collect()
+    got = {r["doc_id"]: r for r in out}
+    # doc 4 has no query term -> absent; all others matched
+    assert set(got) == {1, 2, 3, 5}
+    # scores positive, n_terms_matched correct
+    assert all(r["score_x1e6"] > 0 for r in out)
+    assert got[2]["n_terms_matched"] == 3
+    assert got[3]["n_terms_matched"] == 1
+    # descending by score, doc_id tiebreak
+    scores = [(r["score_x1e6"], -r["doc_id"]) for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_tf_saturation_orders_same_length_docs(spark):
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    # identical length, only the 'spark' tf differs -> more tf, higher score
+    rows = [
+        (1, "spark spark spark table table", "s"),
+        (2, "spark spark table table table", "s"),
+        (3, "spark table table table table", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["score_x1e6"] for r in R.bm25_topk(docs, ("spark",)).collect()}
+    assert out[1] > out[2] > out[3] > 0
+
+
+def test_feature_hash_profile_partitions_vocab(spark):
+    from ibis_flink_example_spark.operators import retrieval as R
+    from ibis_flink_example_spark.operators.text import doc_terms
+
+    docs = _mini_retrieval_corpus(spark)
+    prof = R.feature_hash_profile(docs, n_buckets=64).collect()
+    toks = doc_terms(docs, id_col="doc_id", text_col="text")
+    n_vocab = toks.select("term").distinct().count()
+    n_occ = toks.count()
+    assert sum(r["n_terms"] for r in prof) == n_vocab
+    assert sum(r["n_occurrences"] for r in prof) == n_occ
+    assert all(0 <= r["bucket"] < 64 for r in prof)
+    # bucket assignment is deterministic across calls
+    prof2 = R.feature_hash_profile(docs, n_buckets=64).collect()
+    assert sorted(map(tuple, prof)) == sorted(map(tuple, prof2))
+
+
+def test_feature_hash_rejects_bad_bucket_count(spark):
+    import pytest as _pytest
+
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = _mini_retrieval_corpus(spark)
+    with _pytest.raises(ValueError):
+        R.feature_hash_profile(docs, n_buckets=100)
+
+
+def test_dsir_weights_match_pure_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from ibis_flink_example_spark.operators import retrieval as R
+    from ibis_flink_example_spark.operators.text import corpus_stopwords
+
+    docs = _mini_retrieval_corpus(spark)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["weight_bits"])
+        for r in R.dsir_weight_bits(docs, target_source="src0").collect()
+    }
+    # pure-Python reference of the whole-bit DSIR definition
+    stop = set(corpus_stopwords())
+    rows = docs.collect()
+    tok = lambda t: [
+        w for w in re.findall(r"[a-z0-9]+", t.lower())
+        if len(w) >= 3 and w not in stop
+    ]
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for r in rows:
+        c = Counter(tok(r["text"]))
+        per_doc[r["doc_id"]] = (r["source"], c)
+        raw.update(c)
+        if r["source"] == "src0":
+            tgt.update(c)
+    V = len(raw)
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    bits = lambda tot, cnt: math.floor(math.log2(tot + V)) - math.floor(
+        math.log2(cnt + 1)
+    )
+    for did, (srcv, c) in per_doc.items():
+        if not c:
+            assert did not in out
+            continue
+        want = sum(
+            n * (bits(t_raw, raw[t]) - bits(t_tgt, tgt.get(t, 0)))
+            for t, n in c.items()
+        )
+        assert out[did] == (sum(c.values()), want), did
+    # src0 docs must average >= others (they define the target LM)
+    w0 = [out[d][1] / out[d][0] for d, (s, _) in per_doc.items() if s == "src0"]
+    w1 = [out[d][1] / out[d][0] for d, (s, _) in per_doc.items() if s != "src0"]
+    assert sum(w0) / len(w0) > sum(w1) / len(w1)
+
+
+def test_top_pc_matches_exact_integer_simulation(spark, sf_dir):
+    """Engine-independent pin of the MATH: the operator's output must
+    equal a pure-Python arbitrary-precision simulation of the identical
+    fixed-point recurrence on the fixture (the fixture's spectrum is
+    nearly flat — lambda2/lambda1 ~ 0.98 — so 6 steps deliberately do
+    NOT approximate the eigenvector here; the contract is the k-step
+    transform, like PageRank's fixed 5 iterations)."""
+    import numpy as np
+
+    from ibis_flink_example_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    out = (
+        top_pc_power_iteration(em, vec_col="embedding", dim=64, iters=6)
+        .toPandas()
+        .sort_values("dim_idx")["pc_x1e6"]
+        .tolist()
+    )
+    X = np.array(
+        [r["embedding"] for r in em.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Q = np.floor(X * 1e6 + 0.5).astype(object)  # exact python ints
+    G = Q.T @ Q
+    v = [10**6] * 64
+    for _ in range(6):
+        w = [sum(int(G[j][k]) * v[k] for k in range(64)) for j in range(64)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [(1 if x >= 0 else -1) * ((abs(x) * 10**6) // m) for x in w]
+    dmax = min(range(64), key=lambda d: (-abs(v[d]), d))
+    s = -1 if v[dmax] < 0 else 1
+    assert out == [s * x for x in v]
+
+
+def test_top_pc_converges_on_spiked_spectrum(spark):
+    """Semantic validation where power iteration APPLIES: vectors drawn
+    along one dominant direction plus small deterministic noise — 6
+    steps must align with the true top eigenvector to > 0.999."""
+    import numpy as np
+
+    from ibis_flink_example_spark.operators.similarity import (
+        top_pc_power_iteration,
+    )
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(16)
+    u /= np.linalg.norm(u)
+    rows = []
+    for i in range(200):
+        x = (3.0 * rng.randn()) * u + 0.1 * rng.randn(16)
+        rows.append((i, [float(t) for t in x]))
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (
+        top_pc_power_iteration(em, vec_col="embedding", dim=16, iters=6)
+        .toPandas()
+        .sort_values("dim_idx")["pc_x1e6"]
+        .to_numpy()
+        .astype(float)
+    )
+    cos = abs(np.dot(out, u)) / (np.linalg.norm(out) * np.linalg.norm(u))
+    assert cos > 0.999, cos
