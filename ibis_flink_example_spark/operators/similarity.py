@@ -552,6 +552,92 @@ def arrow_quantized_norms(em, id_col: str = "vec_id", vec_col: str = "embedding"
     return em.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
 
 
+# Flush ceiling for the arrow Gram accumulator (module-level so tests can
+# shrink it to force the multi-flush path).
+_GRAM_FLUSH_BUDGET = 1 << 62
+
+
+def _gram_cells_arrow(em: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Partial Gram matrices per Arrow batch stream: quantize to integer
+    micros (same IEEE op sequence as the SQL formulation), accumulate
+    Q^T.Q in an int64 numpy matmul, and FLUSH the accumulator before the
+    worst-case cell magnitude (rows_accumulated * max|q|^2, tracked per
+    batch) could reach 2^62 — so every emitted partial is provably
+    int64-exact and the final DECIMAL(38,0) SUM over partials is the
+    exact Gram regardless of batch/partition boundaries (integer
+    addition is associative). Emits dim*dim (j, k, p) rows per flush;
+    a partition emits O(1) flushes at any batch size."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("j", T.IntegerType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("p", T.LongType()),
+        ]
+    )
+    jj, kk = [], []
+    for j in range(dim):
+        for k in range(dim):
+            jj.append(j)
+            kk.append(k)
+
+    budget = _GRAM_FLUSH_BUDGET
+
+    def run(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        bound = 0
+
+        def flush():
+            nonlocal acc, bound
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(jj, type=pa.int32()),
+                    pa.array(kk, type=pa.int32()),
+                    pa.array(acc.ravel(), type=pa.int64()),
+                ],
+                names=["j", "k", "p"],
+            )
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            bound = 0
+            return out
+
+        emitted = False
+        for batch in batches:
+            vecs = batch.column(vec_col)
+            offsets = np.asarray(vecs.offsets)
+            widths = offsets[1:] - offsets[:-1]
+            if len(widths) == 0:
+                continue
+            if not np.all(widths == dim):
+                raise ValueError(
+                    f"top_pc_power_iteration: expected uniform {dim}-dim "
+                    f"vectors, saw lengths {np.unique(widths)!r}"
+                )
+            flat = np.asarray(vecs.values, dtype=np.float64)
+            q = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
+            Q = q.reshape(-1, dim)
+            mq2 = int(np.max(np.abs(q))) ** 2 or 1
+            # chunk so (rows-so-far + chunk) * max|q|^2 stays under 2^62
+            i = 0
+            while i < Q.shape[0]:
+                room = (budget - bound) // mq2
+                if room < 1:
+                    yield flush()
+                    emitted = True
+                    continue
+                chunk = Q[i : i + room]
+                acc += chunk.T @ chunk
+                bound += chunk.shape[0] * mq2
+                i += chunk.shape[0]
+        if bound > 0 or not emitted:
+            yield flush()
+
+    return em.select(vec_col).mapInArrow(run, schema=out_schema)
+
+
 def top_pc_power_iteration(
     em: DataFrame,
     *,
@@ -559,6 +645,7 @@ def top_pc_power_iteration(
     dim: int = 64,
     iters: int = 6,
     scale: int = 1_000_000,
+    gram: str = "arrow",
 ) -> DataFrame:
     """Dominant principal direction of the (uncentered) embedding cloud by
     fixed-point POWER ITERATION — the PageRank discipline applied to
@@ -602,25 +689,56 @@ def top_pc_power_iteration(
     )
 
     spark = em.sparkSession
-    qa = (
-        f"transform({vec_col}, x -> "
-        "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
-    )
-    pairs = (
-        f"flatten(transform({qa}, (xj, j) -> "
-        f"transform({qa}, (xk, k) -> "
-        "struct(j AS j, k AS k, "
-        "CAST(xj AS DECIMAL(38,0)) * CAST(xk AS DECIMAL(38,0)) AS p))))"
-    )
-    cells = (
-        em.select(F.explode(F.expr(pairs)).alias("s"))
-        .groupBy(
-            F.col("s.j").cast("int").alias("j"),
-            F.col("s.k").cast("int").alias("k"),
+    if gram == "arrow":
+        # Production Gram path: numpy int64 matmul over Arrow batches
+        # (a dense rank-dim update is a vectorized-kernel job — the
+        # explode formulation below plans ~dim^2/2 struct rows per input
+        # row and measures ~10x slower at sf0.1). Partials are
+        # int64-exact by the flush bound; ONE dim^2-group aggregation
+        # widens to DECIMAL(38,0).
+        cells = (
+            _gram_cells_arrow(em, vec_col, dim)
+            .groupBy("j", "k")
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
+            # dim^2 rows: shrink to ONE partition before checkpointing so
+            # the 6 iteration joins don't pay 32 tasks per stage on a
+            # 16 KB frame (the BPE loop discipline)
+            .coalesce(1)
+            .localCheckpoint()  # corpus-sized pass runs exactly once
         )
-        .agg(F.sum("s.p").alias("g"))
-        .localCheckpoint()  # corpus-sized pass runs exactly once
-    )
+    elif gram == "sql":
+        # Declarative bracket (kept test-cross-checked against the arrow
+        # path): upper triangle only — dim*(dim+1)/2 BIGINT products per
+        # row (|q| <= ~5e6 -> p <= ~2.5e13, int64-safe per ROW
+        # unconditionally), DECIMAL widening once inside the
+        # aggregation, mirror on the materialized triangle.
+        qa = (
+            f"transform({vec_col}, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        )
+        pairs = (
+            "flatten(transform(qa, (xj, j) -> "
+            f"transform(slice(qa, j + 1, {dim}), (xk, i) -> "
+            "struct(j AS j, j + i AS k, xj * xk AS p))))"
+        )
+        tri = (
+            em.select(F.expr(qa).alias("qa"))
+            .select(F.explode(F.expr(pairs)).alias("s"))
+            .groupBy(
+                F.col("s.j").cast("int").alias("j"),
+                F.col("s.k").cast("int").alias("k"),
+            )
+            .agg(F.sum(F.col("s.p").cast("decimal(38,0)")).alias("g"))
+            .localCheckpoint()  # corpus-sized pass runs exactly once —
+            # the mirror reuses the MATERIALIZED triangle, never the scan
+        )
+        cells = tri.unionByName(
+            tri.filter(F.col("j") < F.col("k")).select(
+                F.col("k").alias("j"), F.col("j").alias("k"), "g"
+            )
+        )
+    else:
+        raise ValueError(f"gram must be 'arrow' or 'sql', got {gram!r}")
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("d"),
         F.lit(scale).cast("decimal(38,0)").alias("val"),
@@ -647,6 +765,7 @@ def top_pc_power_iteration(
                 .cast("decimal(38,0)")
                 .alias("val"),
             )
+            .coalesce(1)
             .localCheckpoint()
         )
         if prev is not None:

@@ -1044,3 +1044,28 @@ def test_top_pc_converges_on_spiked_spectrum(spark):
     )
     cos = abs(np.dot(out, u)) / (np.linalg.norm(out) * np.linalg.norm(u))
     assert cos > 0.999, cos
+
+
+def test_top_pc_gram_arms_agree_and_flush_bound(spark, sf_dir, monkeypatch):
+    """The arrow (numpy int64 matmul, production) and sql (declarative
+    triangle explode, bracket) Gram paths must produce IDENTICAL results
+    — and stay identical when the flush budget is shrunk far enough to
+    force many partial-accumulator emissions (partials are exact
+    integers; batching cannot change the sum)."""
+    from ibis_flink_example_spark.operators import similarity as SIM
+
+    em = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        map(tuple, SIM.top_pc_power_iteration(em, gram="arrow").collect())
+    )
+    b = sorted(
+        map(tuple, SIM.top_pc_power_iteration(em, gram="sql").collect())
+    )
+    assert a == b and len(a) == 64
+    # q <= ~1e6 for unit-ish vectors -> mq2 ~ 1e12; a 1e14 budget forces a
+    # flush roughly every ~100 rows
+    monkeypatch.setattr(SIM, "_GRAM_FLUSH_BUDGET", 10**14)
+    c = sorted(
+        map(tuple, SIM.top_pc_power_iteration(em, gram="arrow").collect())
+    )
+    assert c == a
