@@ -579,3 +579,104 @@ def test_cms_inner_product_disjoint_and_empty(spark):
     sk_c = cms_build(c, "item", width=1024, depth=4)
     est3 = cms_inner_product(sk_c, sk_c, depth=4).collect()[0]["est"]
     assert est3 == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: TWAP boundary/tie semantics, BM25 clamp path, DSIR
+# empty-target smoothing — all as oracle-parity minis (the driver fixtures
+# never exercise these edges).
+# ---------------------------------------------------------------------------
+
+
+def test_twap_boundaries_ties_and_negative(spark, tmp_path):
+    """TWAP edges: (a) two events at the SAME microsecond — the
+    event_id-ordered first gets weight 0; (b) a lone event at
+    23:59:59.999999 — weight exactly 1 us; (c) an event exactly at
+    midnight belongs to the NEXT day; (d) a negative-value day exercises
+    the sign-factored floor division identically in both engines."""
+    day0 = 1_755_000_000_000_000  # some µs instant
+    # normalize to an exact UTC midnight so boundary rows are exact
+    day0 -= day0 % 86_400_000_000
+    rows = [
+        # (a) same-µs tie at 10:00:00, then a follower 100s later
+        (1, day0 + 36_000_000_000, 1, "view", 10.00, "{}"),
+        (2, day0 + 36_000_000_000, 1, "view", 30.00, "{}"),
+        (3, day0 + 36_100_000_000, 1, "view", 50.00, "{}"),
+        # (b) lone event 1 µs before midnight, separate user
+        (4, day0 + 86_399_999_999, 2, "view", 7.77, "{}"),
+        # (c) event exactly AT midnight -> next day, same user
+        (5, day0 + 86_400_000_000, 2, "view", 9.99, "{}"),
+        # (d) negative-value lone event, third user
+        (6, day0 + 1_000_000, 3, "view", -3.33, "{}"),
+    ]
+    d = _write_mini_events(spark, tmp_path, rows, sub="twap")
+    got = _check_mini(spark, d, "twap_user_value")  # oracle parity first
+    by = {
+        (int(r["user_id"]), r["day"].strftime("%Y-%m-%d %H:%M:%S")): r
+        for _, r in got.iterrows()
+    }
+    import datetime as _dt
+
+    d0 = _dt.datetime.fromtimestamp(day0 / 1e6, _dt.timezone.utc)
+    k0 = d0.strftime("%Y-%m-%d %H:%M:%S")
+    k1 = (d0 + _dt.timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S")
+    # (a): event 1 has dt=0; event 2 holds 100 s at 30.00; event 3 holds
+    # to midnight. weight = full span from 10:00 to midnight.
+    r = by[(1, k0)]
+    span = 86_400_000_000 - 36_000_000_000
+    assert int(r["weight_us"]) == span
+    num = 3000 * 100_000_000 + 5000 * (span - 100_000_000)
+    assert int(r["twap_cents"]) == num // span
+    # (b): weight exactly 1 µs, twap = the event's own cents
+    r = by[(2, k0)]
+    assert int(r["weight_us"]) == 1 and int(r["twap_cents"]) == 777
+    # (c): midnight event opened the NEXT day, holding the whole day
+    r = by[(2, k1)]
+    assert int(r["weight_us"]) == 86_400_000_000
+    assert int(r["twap_cents"]) == 999
+    # (d): negative twap, floor toward zero on the magnitude
+    r = by[(3, k0)]
+    assert int(r["twap_cents"]) == -333
+
+
+def _write_mini_docs(spark, tmp_path, rows, sub="docs"):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return _write_mini(spark, tmp_path, {"documents": df}, sub=sub)
+
+
+def test_bm25_idf_clamp_and_saturation_mini(spark, tmp_path):
+    """Every doc contains 'spark' (df == N -> raw whole-bit idf 0 -> the
+    Lucene clamp keeps it at 1); one doc stacks 'dup' occurrences to pin
+    tf saturation; oracle parity on the mini proves both engines agree on
+    the clamp + fixed-point division at the degenerate df."""
+    rows = [
+        (1, "spark table table table", "en", "s0", 23),
+        (2, "spark spark table table", "en", "s0", 23),
+        (3, "spark dup dup dup table", "en", "s0", 23),
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="bm25")
+    got = _check_mini(spark, d, "bm25_topk_docs")
+    by = {int(r["doc_id"]): r for _, r in got.iterrows()}
+    assert set(by) == {1, 2, 3}
+    # doc 3 carries the only rare term -> top score; doc 2 beats doc 1 on
+    # 'spark' tf with identical length
+    assert (
+        by[3]["score_x1e6"] > by[2]["score_x1e6"] > by[1]["score_x1e6"] > 0
+    )
+    assert int(by[3]["n_terms_matched"]) == 2
+
+
+def test_dsir_empty_target_domain_mini(spark, tmp_path):
+    """No document carries the target source at all: t_tgt = 0 and every
+    cnt_t = 0, so bits_tgt collapses to floor(log2(V)) for every term —
+    the add-one smoothing keeps the weights finite and the oracle must
+    agree exactly on the degenerate corpus."""
+    rows = [
+        (1, "alpha beta beta gamma", "en", "s1", 21),
+        (2, "alpha alpha delta", "en", "s2", 17),
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="dsir")
+    got = _check_mini(spark, d, "dsir_target_weights")
+    assert len(got) == 2 and got["weight_bits"].notna().all()
