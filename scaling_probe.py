@@ -12,6 +12,10 @@ four operators where super-linear behavior would actually bite:
 - frontier BFS (iterative expand/anti-join, operators/graph.py)
 - MinHash+LSH near-dup dedup end-to-end (operators/dedup.py)
 - 13-gram decontamination (broadcast/shuffle semi-join, operators/text.py)
+- power-iteration PCA (Arrow Gram build + fixed-size loop,
+  operators/similarity.py, round 8)
+- BM25 top-k retrieval (dual corpus pass + term-stat joins,
+  operators/retrieval.py, round 8)
 
 10x input construction (inputs are MATERIALIZED to parquet before any
 clock starts, so timings compare equal read paths, not build cost):
@@ -116,6 +120,27 @@ def _doc_frames(spark, sf_dir: str, copies: int, out_dir: str):
     return out
 
 
+def _emb_frames(spark, sf_dir: str, copies: int, out_dir: str):
+    """Materialize embeddings for 1 and `copies` copies (vec_id offsets;
+    vector VALUES replicate — Gram work is row-count-proportional either
+    way, and identical values keep cell magnitudes on the same overflow
+    path a real 10x corpus would take)."""
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    out = {}
+    for label, k in (("1x", 1), (f"{copies}x", copies)):
+        copy_idx = spark.range(k).select(F.col("id").alias("k"))
+        d = em.crossJoin(copy_idx).select(
+            (F.col("vec_id") + F.col("k") * DOC_OFF).alias("vec_id"),
+            "embedding",
+        )
+        p = os.path.join(out_dir, f"emb_{label}")
+        d.write.mode("overwrite").parquet(p)
+        out[label] = p
+    return out
+
+
 def _timed(fn, runs: int = 2) -> float:
     """Min-of-N wall time; min (not mean) discards GC/compilation spikes."""
     best = math.inf
@@ -131,6 +156,11 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma-separated subset of operator names (default: all)",
+    )
     args = ap.parse_args()
     if args.copies < 2:
         # copies=1 would duplicate the "1x" label (doubling the work
@@ -140,6 +170,8 @@ def main() -> int:
     from ibis_flink_example_spark.session import get_spark
     from ibis_flink_example_spark.operators import graph as G
     from ibis_flink_example_spark.operators import dedup as D
+    from ibis_flink_example_spark.operators import retrieval as R
+    from ibis_flink_example_spark.operators import similarity as SIM
     from ibis_flink_example_spark.operators import text as X
 
     spark = get_spark(app_name="scaling-probe")
@@ -149,6 +181,7 @@ def main() -> int:
     try:
         graphs = _graph_frames(spark, args.sf, args.copies, work)
         docs = _doc_frames(spark, args.sf, args.copies, work)
+        embs = _emb_frames(spark, args.sf, args.copies, work)
 
         def pagerank_at(label):
             edges = spark.read.parquet(graphs[label][0])
@@ -175,12 +208,37 @@ def main() -> int:
                 train, ev, id_col="doc_id", text_col="text", n=13
             ).count()
 
+        def top_pc_at(label):
+            em = spark.read.parquet(embs[label])
+            return lambda: SIM.top_pc_power_iteration(
+                em, vec_col="embedding", dim=64, iters=6
+            ).count()
+
+        def bm25_at(label):
+            d = spark.read.parquet(docs[label]).withColumn(
+                "source", F.lit("s")
+            )
+            # query terms match only copy 0 (suffixed copies): df stays
+            # fixed while the corpus-sized passes (tokenize, dl, filter)
+            # scale — the realistic retrieval profile
+            return lambda: R.bm25_topk(
+                d, ("dup", "spark", "window"), top_k=25
+            ).count()
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
             "minhash_dedup": minhash_at,
             "decontaminate_13gram": decontaminate_at,
+            "top_pc_gram": top_pc_at,
+            "bm25_topk": bm25_at,
         }
+        if args.ops:
+            keep = {s.strip() for s in args.ops.split(",") if s.strip()}
+            unknown = keep - set(ops)
+            if unknown:
+                ap.error(f"unknown --ops: {sorted(unknown)}")
+            ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
         worst = 0.0
         for name, mk in ops.items():
