@@ -134,11 +134,11 @@ def scratch_dir(name: str, sf_dir: str) -> str:
 
     On a shared host the path alone is NOT a defense (any user can
     pre-create a predictable /tmp name before we do), so ownership is
-    VERIFIED, not assumed: everything lives under a per-user 0700
-    parent whose lstat must show (a) a real directory, not a symlink,
-    (b) st_uid == our uid, (c) no group/other write bits. A pre-owned
-    or symlinked parent raises instead of silently writing into another
-    user's directory. Within one user, concurrent runs against the same
+    VERIFIED, not assumed: both the per-user 0700 parent AND the leaf
+    directory must lstat as (a) a real directory, not a symlink,
+    (b) st_uid == our uid, (c) no group/other write bits — any
+    violation raises (never a silent chmod: a writable window may
+    already contain a planted symlink at the predictable leaf name). Within one user, concurrent runs against the same
     fixture (bench overlapping the oracle gate) still share a path by
     design — the single-writer-per-fixture assumption is documented
     here and the overwrite is atomic-enough for parquet (reader lists
@@ -149,21 +149,33 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     import tempfile
 
     uid = os.getuid() if hasattr(os, "getuid") else 0
+
+    def _assert_owned_dir(p: str, what: str) -> None:
+        st = os.lstat(p)
+        if not stat_mod.S_ISDIR(st.st_mode):
+            raise RuntimeError(
+                f"scratch {what} {p} is not a directory (symlink attack?)"
+            )
+        if hasattr(os, "getuid") and st.st_uid != uid:
+            raise RuntimeError(
+                f"scratch {what} {p} is owned by uid {st.st_uid}, not "
+                f"{uid} — refusing to write into a pre-owned directory"
+            )
+        if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
+            # a group/other-writable dir may already contain a planted
+            # symlink — raising is the only safe response (a silent
+            # chmod would not undo that)
+            raise RuntimeError(
+                f"scratch {what} {p} is group/other-writable "
+                f"(mode {oct(st.st_mode & 0o777)}) — remove it or fix "
+                "its permissions to 0700"
+            )
+
     parent = os.path.join(tempfile.gettempdir(), f"spark_graft_u{uid}")
     os.makedirs(parent, mode=0o700, exist_ok=True)
-    st = os.lstat(parent)
-    if not stat_mod.S_ISDIR(st.st_mode):
-        raise RuntimeError(
-            f"scratch parent {parent} is not a directory (symlink attack?)"
-        )
-    if hasattr(os, "getuid") and st.st_uid != uid:
-        raise RuntimeError(
-            f"scratch parent {parent} is owned by uid {st.st_uid}, not "
-            f"{uid} — refusing to write into a pre-owned directory"
-        )
-    if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
-        os.chmod(parent, 0o700)
+    _assert_owned_dir(parent, "parent")
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(parent, f"{name}_{digest}")
-    os.makedirs(d, exist_ok=True)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    _assert_owned_dir(d, "dir")
     return d

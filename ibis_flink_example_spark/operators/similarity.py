@@ -604,7 +604,6 @@ def _gram_cells_arrow(em: DataFrame, vec_col: str, dim: int) -> DataFrame:
             bound = 0
             return out
 
-        emitted = False
         for batch in batches:
             vecs = batch.column(vec_col)
             offsets = np.asarray(vecs.offsets)
@@ -616,23 +615,45 @@ def _gram_cells_arrow(em: DataFrame, vec_col: str, dim: int) -> DataFrame:
                     f"top_pc_power_iteration: expected uniform {dim}-dim "
                     f"vectors, saw lengths {np.unique(widths)!r}"
                 )
-            flat = np.asarray(vecs.values, dtype=np.float64)
+            # flatten() (NOT .values) respects a sliced/offset batch: it
+            # returns exactly this batch's logical elements, so the
+            # reshape below cannot misalign row boundaries
+            flat = np.asarray(vecs.flatten(), dtype=np.float64)
+            if flat.size != int(widths.sum()):
+                raise ValueError(
+                    "top_pc_power_iteration: list buffer size "
+                    f"{flat.size} != sum of row widths {int(widths.sum())}"
+                )
+            if not np.isfinite(flat).all():
+                raise ValueError(
+                    "top_pc_power_iteration: non-finite embedding value"
+                )
             q = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
             Q = q.reshape(-1, dim)
             mq2 = int(np.max(np.abs(q))) ** 2 or 1
+            if mq2 > budget:
+                # a single ROW would exceed the accumulator bound —
+                # fail fast instead of looping on zero-row chunks
+                raise ValueError(
+                    "top_pc_power_iteration: |q|^2 "
+                    f"{mq2} exceeds the flush budget {budget}; "
+                    "inputs are far outside the unit-ish contract"
+                )
             # chunk so (rows-so-far + chunk) * max|q|^2 stays under 2^62
             i = 0
             while i < Q.shape[0]:
                 room = (budget - bound) // mq2
                 if room < 1:
                     yield flush()
-                    emitted = True
                     continue
                 chunk = Q[i : i + room]
                 acc += chunk.T @ chunk
                 bound += chunk.shape[0] * mq2
                 i += chunk.shape[0]
-        if bound > 0 or not emitted:
+        # bound > 0 iff rows were absorbed since the last flush; an empty
+        # partition emits NOTHING (zero-row output keeps the arrow arm
+        # exactly equal to the sql arm and the oracle on empty inputs)
+        if bound > 0:
             yield flush()
 
     return em.select(vec_col).mapInArrow(run, schema=out_schema)
@@ -644,7 +665,7 @@ def top_pc_power_iteration(
     vec_col: str = "embedding",
     dim: int = 64,
     iters: int = 6,
-    scale: int = 1_000_000,
+    scale: int = 100_000,
     gram: str = "arrow",
 ) -> DataFrame:
     """Dominant principal direction of the (uncentered) embedding cloud by
@@ -672,17 +693,21 @@ def top_pc_power_iteration(
     output is simply the deterministic 6-step iterate (test-pinned
     against an arbitrary-precision Python simulation).
 
-    Scale: the ONLY corpus-sized pass is the Gram build — one in-row
-    Generate (dim^2 struct cells per row, no self-join, text/vector
-    never reshuffles) into one map-side-combined aggregation of
-    dim*dim cells; every iteration then runs on the dim^2-cell frame
-    (16 KB for dim=64) regardless of corpus size. Magnitudes: |q| <=
-    ~5e6 (unit-ish inputs), G <= q^2 * n_rows ~ 2.5e25 at 1e12 rows,
-    G*scale*dim ~ 1.6e33 — inside DECIMAL(38,0) headroom.
+    Scale: the ONLY corpus-sized pass is the Gram build (arrow: numpy
+    int64 matmul per batch under a provable flush bound; sql: in-row
+    Generate, no self-join — either way text/vectors never reshuffle);
+    every iteration then runs on the dim^2-cell frame (16 KB for
+    dim=64) regardless of corpus size. Magnitudes: |q| <= ~5e6
+    (unit-ish inputs), G <= q^2 * n_rows ~ 2.5e25 at 1e12 rows,
+    wv = (G.v)_j <= dim * G * scale ~ 1.6e32 with the 1e5 norm scale,
+    and the renormalization's widest intermediate ABS(wv)*scale stays
+    <= ~1.6e37 — inside DECIMAL(38,0) and the oracle's HUGEINT in BOTH
+    engines. (Input quantization stays at 1e6; only the ITERATE's norm
+    uses 1e5 — the two scales are independent.)
 
     Sign convention: the returned vector is flipped so its largest-
     magnitude coordinate (smallest index on ties) is positive.
-    Returns (dim_idx BIGINT 0-based, pc_x1e6 BIGINT).
+    Returns (dim_idx BIGINT 0-based, pc_x1e5 BIGINT).
     """
     from ibis_flink_example_spark.operators.dedup import (
         _release_local_checkpoint,
@@ -750,8 +775,17 @@ def top_pc_power_iteration(
             .groupBy(cells["j"].alias("wd"))
             .agg(F.sum(F.col("g") * F.col("val")).alias("wv"))
         )
+        # Renormalization headroom: ABS(wv) * scale is the widest
+        # intermediate, and DIV cannot be applied earlier (Spark's
+        # decimal DIV returns BIGINT, so any "divide first" formulation
+        # overflows long the moment wv > 2^63 — observed r8). With the
+        # norm scale at 1e5, wv <= dim * G * scale ~ 1.6e32 at the
+        # 1e12-row regime and ABS(wv)*scale <= 1.6e37 — inside both
+        # DECIMAL(38,0) and the oracle's HUGEINT (~1.7e38).
         m = w.agg(
-            F.greatest(F.max(F.abs(F.col("wv"))), F.lit(1).cast("decimal(38,0)")).alias("m")
+            F.greatest(
+                F.max(F.abs(F.col("wv"))), F.lit(1).cast("decimal(38,0)")
+            ).alias("m")
         )
         nxt = (
             w.crossJoin(F.broadcast(m))
@@ -781,5 +815,5 @@ def top_pc_power_iteration(
     )
     return v.crossJoin(F.broadcast(sgn)).select(
         F.col("d").cast("long").alias("dim_idx"),
-        (F.col("val") * F.col("s")).cast("long").alias("pc_x1e6"),
+        (F.col("val") * F.col("s")).cast("long").alias("pc_x1e5"),
     )

@@ -2258,7 +2258,12 @@ def dsir_target_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.dsir_weight_bits(docs, target_source="src0")
 
 
-def _top_pc_oracle(dim: int = 64, iters: int = 6, scale: int = 1_000_000) -> str:
+def _top_pc_oracle(
+    dim: int = 64,
+    iters: int = 6,
+    scale: int = 100_000,
+    quant: int = 1_000_000,
+) -> str:
     """Unrolled power-iteration oracle (the PageRank idiom): each step is
     a CTE pair (w_i, m_i, v_i) repeating the exact integer recurrence of
     operators/similarity.py:top_pc_power_iteration."""
@@ -2272,6 +2277,7 @@ def _top_pc_oracle(dim: int = 64, iters: int = 6, scale: int = 1_000_000) -> str
 ), m{i} AS (
   SELECT GREATEST(MAX(ABS(wv)), CAST(1 AS HUGEINT)) AS m FROM w{i}
 ), v{i} AS (
+  -- ABS(wv)*scale <= ~1.6e37 with the 1e5 norm scale — inside HUGEINT
   SELECT wd AS d,
     CASE WHEN wv < 0 THEN -((ABS(wv) * {scale}) // m)
          ELSE (wv * {scale}) // m END AS val
@@ -2282,7 +2288,7 @@ def _top_pc_oracle(dim: int = 64, iters: int = 6, scale: int = 1_000_000) -> str
     return f"""
 WITH q AS (
   SELECT list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qa
+           x -> CAST(floor(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT)) AS qa
   FROM embeddings
 ),
 cellraw AS (
@@ -2300,7 +2306,7 @@ v0 AS (SELECT UNNEST(range(0, {dim})) AS d, CAST({scale} AS HUGEINT) AS val),
 {unrolled},
 anch AS (SELECT val AS vmax FROM v{iters} ORDER BY ABS(val) DESC, d ASC LIMIT 1),
 sgn AS (SELECT CASE WHEN vmax < 0 THEN -1 ELSE 1 END AS s FROM anch)
-SELECT CAST(d AS BIGINT) AS dim_idx, CAST(val * s AS BIGINT) AS pc_x1e6
+SELECT CAST(d AS BIGINT) AS dim_idx, CAST(val * s AS BIGINT) AS pc_x1e5
 FROM v{iters}, sgn
 """
 

@@ -107,7 +107,12 @@ def _doc_frames(spark, sf_dir: str, copies: int, out_dir: str):
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda w: F.concat(w, F.lit("_"), F.col("k").cast("string")),
+                        # suffix must survive the [a-z0-9]+ tokenizer as
+                        # ONE token ('sparkx3', not 'spark_3' which the
+                        # regex splits back into 'spark' + '3') so copy
+                        # vocabularies — and the bm25 query terms' df —
+                        # stay disjoint from copy 0
+                        lambda w: F.concat(w, F.lit("x"), F.col("k").cast("string")),
                     ),
                     " ",
                 )
@@ -174,7 +179,13 @@ def main() -> int:
     from ibis_flink_example_spark.operators import similarity as SIM
     from ibis_flink_example_spark.operators import text as X
 
-    spark = get_spark(app_name="scaling-probe")
+    # The 10x BFS/PageRank frontiers OOM the 1g default local-mode heap
+    # under 32 threads (SparkOutOfMemoryError, observed r8); the probe is
+    # a standalone process, so static memory conf takes effect here.
+    spark = get_spark(
+        app_name="scaling-probe",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
     work = tempfile.mkdtemp(prefix="scaling_probe_")
     big = f"{args.copies}x"

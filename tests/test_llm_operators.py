@@ -998,7 +998,7 @@ def test_top_pc_matches_exact_integer_simulation(spark, sf_dir):
     out = (
         top_pc_power_iteration(em, vec_col="embedding", dim=64, iters=6)
         .toPandas()
-        .sort_values("dim_idx")["pc_x1e6"]
+        .sort_values("dim_idx")["pc_x1e5"]
         .tolist()
     )
     X = np.array(
@@ -1007,11 +1007,11 @@ def test_top_pc_matches_exact_integer_simulation(spark, sf_dir):
     )
     Q = np.floor(X * 1e6 + 0.5).astype(object)  # exact python ints
     G = Q.T @ Q
-    v = [10**6] * 64
+    v = [10**5] * 64  # norm scale 1e5 (input quantization stays 1e6)
     for _ in range(6):
         w = [sum(int(G[j][k]) * v[k] for k in range(64)) for j in range(64)]
         m = max(max(abs(x) for x in w), 1)
-        v = [(1 if x >= 0 else -1) * ((abs(x) * 10**6) // m) for x in w]
+        v = [(1 if x >= 0 else -1) * ((abs(x) * 10**5) // m) for x in w]
     dmax = min(range(64), key=lambda d: (-abs(v[d]), d))
     s = -1 if v[dmax] < 0 else 1
     assert out == [s * x for x in v]
@@ -1038,7 +1038,7 @@ def test_top_pc_converges_on_spiked_spectrum(spark):
     out = (
         top_pc_power_iteration(em, vec_col="embedding", dim=16, iters=6)
         .toPandas()
-        .sort_values("dim_idx")["pc_x1e6"]
+        .sort_values("dim_idx")["pc_x1e5"]
         .to_numpy()
         .astype(float)
     )
@@ -1069,3 +1069,17 @@ def test_top_pc_gram_arms_agree_and_flush_bound(spark, sf_dir, monkeypatch):
         map(tuple, SIM.top_pc_power_iteration(em, gram="arrow").collect())
     )
     assert c == a
+
+
+def test_top_pc_empty_input_both_arms_empty(spark):
+    """Empty embeddings: the arrow arm must emit NOTHING (no zero-cell
+    flush), so both arms — and the unrolled-CTE oracle, whose cells CTE
+    is empty — agree on a 0-row result."""
+    from ibis_flink_example_spark.operators import similarity as SIM
+
+    em = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for arm in ("arrow", "sql"):
+        assert (
+            SIM.top_pc_power_iteration(em, dim=64, iters=2, gram=arm).count()
+            == 0
+        ), arm
