@@ -135,10 +135,13 @@ def scratch_dir(name: str, sf_dir: str) -> str:
     On a shared host the path alone is NOT a defense (any user can
     pre-create a predictable /tmp name before we do), so ownership is
     VERIFIED, not assumed: both the per-user 0700 parent AND the leaf
-    directory must lstat as (a) a real directory, not a symlink,
-    (b) st_uid == our uid, (c) no group/other write bits — any
+    directory must lstat as a real directory (not a symlink) owned by
+    our uid, and the parent must carry no group/other write bits — any
     violation raises (never a silent chmod: a writable window may
-    already contain a planted symlink at the predictable leaf name). Within one user, concurrent runs against the same
+    already contain a planted symlink at the predictable leaf name).
+    The leaf's own mode is not policed: the 0700 parent already makes
+    it unreachable to other users, and legacy leaves were 0755/0775.
+    Ownership/mode checks are POSIX-only; the symlink check is not. Within one user, concurrent runs against the same
     fixture (bench overlapping the oracle gate) still share a path by
     design — the single-writer-per-fixture assumption is documented
     here and the overwrite is atomic-enough for parquet (reader lists
@@ -150,21 +153,28 @@ def scratch_dir(name: str, sf_dir: str) -> str:
 
     uid = os.getuid() if hasattr(os, "getuid") else 0
 
-    def _assert_owned_dir(p: str, what: str) -> None:
+    posix = hasattr(os, "getuid")
+
+    def _assert_owned_dir(p: str, what: str, check_mode: bool) -> None:
         st = os.lstat(p)
         if not stat_mod.S_ISDIR(st.st_mode):
             raise RuntimeError(
                 f"scratch {what} {p} is not a directory (symlink attack?)"
             )
-        if hasattr(os, "getuid") and st.st_uid != uid:
+        if posix and st.st_uid != uid:
             raise RuntimeError(
                 f"scratch {what} {p} is owned by uid {st.st_uid}, not "
                 f"{uid} — refusing to write into a pre-owned directory"
             )
-        if st.st_mode & (stat_mod.S_IWGRP | stat_mod.S_IWOTH):
-            # a group/other-writable dir may already contain a planted
-            # symlink — raising is the only safe response (a silent
-            # chmod would not undo that)
+        # Write-bit hardening is POSIX-only (Windows lstat reports 0777
+        # for ordinary dirs) and applies to the PARENT only: a 0700
+        # parent makes the leaf unreachable to other users regardless of
+        # the leaf's own mode (legacy leaves were created 0755/0775).
+        if check_mode and posix and st.st_mode & (
+            stat_mod.S_IWGRP | stat_mod.S_IWOTH
+        ):
+            # a writable window may already contain a planted symlink —
+            # raising is the only safe response (chmod would not undo it)
             raise RuntimeError(
                 f"scratch {what} {p} is group/other-writable "
                 f"(mode {oct(st.st_mode & 0o777)}) — remove it or fix "
@@ -173,9 +183,9 @@ def scratch_dir(name: str, sf_dir: str) -> str:
 
     parent = os.path.join(tempfile.gettempdir(), f"spark_graft_u{uid}")
     os.makedirs(parent, mode=0o700, exist_ok=True)
-    _assert_owned_dir(parent, "parent")
+    _assert_owned_dir(parent, "parent", check_mode=True)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(parent, f"{name}_{digest}")
     os.makedirs(d, mode=0o700, exist_ok=True)
-    _assert_owned_dir(d, "dir")
+    _assert_owned_dir(d, "dir", check_mode=False)
     return d

@@ -6,7 +6,7 @@ report the measured exponent  log(t_10x / t_1x) / log(10).
 Every 100 TB claim in this repo otherwise rests on plan audits (pruned
 scans, bounded shuffles, no cartesians) plus single-scale wall times;
 this converts "designed for scale" into a measured growth rate for the
-four operators where super-linear behavior would actually bite:
+six operators where super-linear behavior would actually bite:
 
 - PageRank (iterative join+agg fixpoint, operators/graph.py)
 - frontier BFS (iterative expand/anti-join, operators/graph.py)
@@ -93,7 +93,14 @@ def _graph_frames(spark, sf_dir: str, copies: int, out_dir: str):
 
 def _doc_frames(spark, sf_dir: str, copies: int, out_dir: str):
     """Materialize documents for 1 and `copies` copies; per-copy word
-    suffixes keep copies shingle-disjoint."""
+    suffixes keep copies shingle-disjoint. Only tokens that SURVIVE the
+    corpus tokenizer's filters (length >= 3, non-stopword) are suffixed:
+    suffixing a dropped token would resurrect it ('the' -> 'thex3'
+    passes the filter 'the' fails), silently making each copy
+    token-heavier than copy 0 post-filter."""
+    from ibis_flink_example_spark.operators.text import corpus_stopwords
+
+    stopwords = corpus_stopwords()
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
@@ -111,8 +118,12 @@ def _doc_frames(spark, sf_dir: str, copies: int, out_dir: str):
                         # ONE token ('sparkx3', not 'spark_3' which the
                         # regex splits back into 'spark' + '3') so copy
                         # vocabularies — and the bm25 query terms' df —
-                        # stay disjoint from copy 0
-                        lambda w: F.concat(w, F.lit("x"), F.col("k").cast("string")),
+                        # stay disjoint from copy 0; filtered-out tokens
+                        # stay UNsuffixed so they remain filtered out
+                        lambda w: F.when(
+                            (F.length(w) >= 3) & ~w.isin(stopwords),
+                            F.concat(w, F.lit("x"), F.col("k").cast("string")),
+                        ).otherwise(w),
                     ),
                     " ",
                 )
@@ -166,11 +177,34 @@ def main() -> int:
         default="",
         help="comma-separated subset of operator names (default: all)",
     )
+    ap.add_argument(
+        "--driver-memory",
+        default="24g",
+        help="probe JVM heap (lower it on memory-capped hosts; "
+        "memory-starved runs measure spill/GC, not the operators)",
+    )
     args = ap.parse_args()
     if args.copies < 2:
         # copies=1 would duplicate the "1x" label (doubling the work
         # silently) and divide by log(1)=0 in the exponent — fail fast.
         ap.error("--copies must be >= 2 (the probe compares 1x vs Nx)")
+    ALL_OPS = (
+        "pagerank_5iter", "bfs_4hop", "minhash_dedup",
+        "decontaminate_13gram", "top_pc_gram", "bm25_topk",
+    )
+    keep = (
+        {x.strip() for x in args.ops.split(",") if x.strip()}
+        if args.ops
+        else set(ALL_OPS)
+    )
+    unknown = keep - set(ALL_OPS)
+    if unknown:
+        # validate BEFORE any Spark work: a typo must not cost the full
+        # input materialization
+        ap.error(f"unknown --ops: {sorted(unknown)} (choose from {ALL_OPS})")
+    need_graph = bool(keep & {"pagerank_5iter", "bfs_4hop"})
+    need_docs = bool(keep & {"minhash_dedup", "decontaminate_13gram", "bm25_topk"})
+    need_embs = bool(keep & {"top_pc_gram"})
 
     from ibis_flink_example_spark.session import get_spark
     from ibis_flink_example_spark.operators import graph as G
@@ -184,15 +218,16 @@ def main() -> int:
     # a standalone process, so static memory conf takes effect here.
     spark = get_spark(
         app_name="scaling-probe",
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={"spark.driver.memory": args.driver_memory},
     )
     spark.range(1000).select(F.sum("id")).collect()  # JVM warm-up
     work = tempfile.mkdtemp(prefix="scaling_probe_")
     big = f"{args.copies}x"
     try:
-        graphs = _graph_frames(spark, args.sf, args.copies, work)
-        docs = _doc_frames(spark, args.sf, args.copies, work)
-        embs = _emb_frames(spark, args.sf, args.copies, work)
+        # only materialize the input families the selected ops read
+        graphs = _graph_frames(spark, args.sf, args.copies, work) if need_graph else None
+        docs = _doc_frames(spark, args.sf, args.copies, work) if need_docs else None
+        embs = _emb_frames(spark, args.sf, args.copies, work) if need_embs else None
 
         def pagerank_at(label):
             edges = spark.read.parquet(graphs[label][0])
@@ -226,9 +261,7 @@ def main() -> int:
             ).count()
 
         def bm25_at(label):
-            d = spark.read.parquet(docs[label]).withColumn(
-                "source", F.lit("s")
-            )
+            d = spark.read.parquet(docs[label])
             # query terms match only copy 0 (suffixed copies): df stays
             # fixed while the corpus-sized passes (tokenize, dl, filter)
             # scale — the realistic retrieval profile
@@ -244,12 +277,7 @@ def main() -> int:
             "top_pc_gram": top_pc_at,
             "bm25_topk": bm25_at,
         }
-        if args.ops:
-            keep = {s.strip() for s in args.ops.split(",") if s.strip()}
-            unknown = keep - set(ops)
-            if unknown:
-                ap.error(f"unknown --ops: {sorted(unknown)}")
-            ops = {k: v for k, v in ops.items() if k in keep}
+        ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
         worst = 0.0
         for name, mk in ops.items():
