@@ -486,10 +486,21 @@ def connected_components(
     id_col: str,
     max_iterations: int = 8,
     driver_cc_max_edges: int = 100_000,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Min-label components over an undirected edge list.
 
-    Returns (id_col, component) where component = min id reachable.
+    Returns (id_col, component) where component = min id reachable —
+    under the default ``require_convergence=True`` that is a guarantee:
+    the distributed arm RAISES if min-label propagation has not reached
+    fixpoint within ``max_iterations`` (a label moves one hop per
+    iteration, so a component of diameter > max_iterations would
+    otherwise come back silently split). Callers whose contract is the
+    k-STEP TRANSFORM itself (the PageRank posture — e.g. the
+    connected_components_distributed driver query, whose unrolled oracle
+    pins iteration-for-iteration equality) pass
+    ``require_convergence=False`` to accept the deterministic
+    max_iterations-step labels.
 
     Two physical strategies behind one contract (the IVF index build
     precedent: bounded driver-side work where it collapses whole job
@@ -537,6 +548,7 @@ def connected_components(
     )
     labels = seed_labels
     superseded: list[DataFrame] = []
+    converged = False
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -568,7 +580,27 @@ def connected_components(
                 superseded.append(labels)
             labels = stepped.drop("__changed")
             if changed == 0:
+                converged = True
                 break
+        if not converged and require_convergence:
+            # Surface non-convergence LOUDLY: min-label propagation moves a
+            # label one hop per iteration, so a component whose diameter
+            # exceeds max_iterations would otherwise return silently-split
+            # partial labels. Real near-dup clusters are shallow (the LSH
+            # residue graph is dense within a cluster), so hitting this
+            # means either an adversarial chain or a too-small budget —
+            # both are caller decisions, not results to hand back as data.
+            # Nothing is returned, so release the blocks the happy path
+            # keeps alive (the final labels checkpoint and the edge list).
+            if labels is not seed_labels:
+                _release_local_checkpoint(labels)
+            _release_local_checkpoint(edges)
+            raise RuntimeError(
+                "connected_components: min-label propagation did not reach "
+                f"fixpoint within max_iterations={max_iterations}; the edge "
+                "graph has a component with diameter > max_iterations. "
+                "Raise max_iterations (cost is ~3 jobs per extra hop)."
+            )
     finally:
         # Deterministic release — repeated minhash_dedup calls in one session
         # must not ratchet up block-manager storage while waiting for the

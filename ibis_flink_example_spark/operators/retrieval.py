@@ -55,6 +55,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 25,
+    max_broadcast_match_ids: int = 2_000_000,
 ) -> DataFrame:
     """Whole-bit BM25 top-k document retrieval for a fixed keyword query.
 
@@ -73,11 +74,23 @@ def bm25_topk(
     token stream IN the scan stage (no shuffle carries non-query terms),
     so the expensive branch — tf over matching docs — shuffles only
     matches. Document length (dl) is one doc-keyed aggregation over the
-    same scan; corpus totals ride a one-row broadcast. Final ranking is
-    TakeOrderedAndProject (top_k per partition, then merged) — never a
-    global sort. Two passes over the text (dl needs all tokens, tf only
-    query terms); a production corpus would persist dl/df as term-stat
-    tables, which is exactly the artifact split this plan produces.
+    same scan; corpus totals ride a one-row broadcast. The corpus-sized
+    dl table is SEMI-JOIN-REDUCED to matched doc ids BEFORE the tf⋈dl
+    join, so non-matching docs never cross that exchange; the matched-id
+    probe is a MEASURED-cardinality guarded broadcast (the
+    decontaminate_ngram_overlap idiom — a query of only stop-word-common
+    terms can match most of a 100 TB corpus, so above
+    ``max_broadcast_match_ids`` the probe falls back to a shuffle
+    semi-join instead of OOMing every executor). tf is tiny after the
+    term filter and is localCheckpoint-materialized once: the matched-id
+    derivation, the per-term df, and the final join all reuse the
+    materialization instead of re-running the text scan (checkpointed
+    frames carry no stats, hence the explicit broadcast hints). Final
+    ranking is TakeOrderedAndProject (top_k per partition, then merged)
+    — never a global sort. Two passes over the text (dl needs all
+    tokens, tf only query terms); a production corpus would persist
+    dl/df as term-stat tables, which is exactly the artifact split this
+    plan produces.
 
     Returns (id_col, score_x1e6, n_terms_matched), score-descending,
     id-ascending, LIMIT top_k.
@@ -92,13 +105,25 @@ def bm25_topk(
         )
     )
     tq = toks.filter(F.col("term").isin(terms))
-    tf = tq.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # Materialize the (matched-doc x query-term) frame once — the
+    # cardinality guard, the matched-id probe, the df aggregation and
+    # the scoring join below otherwise EACH re-run scan+explode+filter.
+    # Callers that loop should release via dedup._release_local_checkpoint.
+    tf = (
+        tq.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
+    matched = tf.select(id_col).distinct()
+    n_matched = matched.count()
+    small = n_matched <= max_broadcast_match_ids
+    probe = F.broadcast(matched) if small else matched.hint("merge")
+    dl_m = dl.join(probe, id_col, "left_semi")
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tfj = tf.join(F.broadcast(dfq), "term")
     j = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
+        (F.broadcast(tfj) if small else tfj.hint("merge"))
+        .join(dl_m, id_col)
         .crossJoin(F.broadcast(scal))
     )
     idf_bits = F.greatest(

@@ -628,6 +628,18 @@ def _gram_cells_arrow(em: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 raise ValueError(
                     "top_pc_power_iteration: non-finite embedding value"
                 )
+            # Bound-check BEFORE the int64 cast: np.floor(x*1e6+0.5)
+            # .astype(int64) wraps (modular) past ~9.2e18, so the
+            # mq2 > budget guard below would see a silently-wrapped
+            # value instead of the out-of-contract magnitude. 2^62/1e6
+            # keeps every quantized |q| (and the cast itself) exact.
+            max_abs = float(np.max(np.abs(flat))) if flat.size else 0.0
+            if max_abs * 1_000_000 >= float(1 << 62):
+                raise ValueError(
+                    "top_pc_power_iteration: embedding magnitude "
+                    f"{max_abs!r} quantizes beyond int64; inputs are far "
+                    "outside the unit-ish contract"
+                )
             q = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
             Q = q.reshape(-1, dim)
             mq2 = int(np.max(np.abs(q))) ** 2 or 1
@@ -656,7 +668,15 @@ def _gram_cells_arrow(em: DataFrame, vec_col: str, dim: int) -> DataFrame:
         if bound > 0:
             yield flush()
 
-    return em.select(vec_col).mapInArrow(run, schema=out_schema)
+    # NULL vectors contribute nothing in the sql arm and the oracle
+    # (explode/UNNEST of NULL emits no rows) — drop them here too, or a
+    # null list slot (width 0 in the offsets) would trip the
+    # uniform-width check and make the two arms diverge on legal input.
+    return (
+        em.filter(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .mapInArrow(run, schema=out_schema)
+    )
 
 
 def top_pc_power_iteration(

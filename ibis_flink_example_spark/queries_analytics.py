@@ -2135,6 +2135,10 @@ def connected_components_distributed(spark: SparkSession, sf_dir: str) -> DataFr
         id_col="c_custkey",
         max_iterations=_CC_ITERS,
         driver_cc_max_edges=0,
+        # k-step-transform contract BY DESIGN: the unrolled oracle pins the
+        # _CC_ITERS-step labels, not a fixpoint (see docstring) — opt out
+        # of the converged-or-raise default.
+        require_convergence=False,
     )
 
 

@@ -2114,8 +2114,10 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 'dup' is the corpus's one rare term (planted-duplicate marker, df ~5%
 # vs ~78% for everything else) — the query mixes one rare and two common
-# terms so both idf regimes are exercised.
+# terms so both idf regimes are exercised. The oracle interpolates the
+# SAME constant (single source of truth — editing one side can't diverge).
 _BM25_QUERY_TERMS = ("dup", "spark", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
 
 
 @query(
@@ -2137,7 +2139,7 @@ scal AS (
 ),
 tq AS (
   SELECT doc_id, term, tf FROM tf
-  WHERE term IN ('dup', 'spark', 'window')
+  WHERE term IN ({_BM25_TERMS_SQL})
 ),
 dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY 1),
 per_term AS (

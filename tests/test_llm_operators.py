@@ -1083,3 +1083,94 @@ def test_top_pc_empty_input_both_arms_empty(spark):
             SIM.top_pc_power_iteration(em, dim=64, iters=2, gram=arm).count()
             == 0
         ), arm
+
+
+def test_top_pc_null_vectors_dropped_both_arms(spark):
+    """A NULL embedding row contributes nothing in the sql arm and the
+    unrolled-CTE oracle (explode/UNNEST of NULL emits no rows); the arrow
+    arm must drop it the same way instead of tripping the uniform-width
+    check on the null slot's zero-width offsets (ADVICE r8)."""
+    from ibis_flink_example_spark.operators import similarity as SIM
+
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = em.filter(F.col("embedding").isNotNull())
+    a = sorted(
+        map(tuple, SIM.top_pc_power_iteration(em, dim=8, iters=3, gram="arrow").collect())
+    )
+    b = sorted(
+        map(tuple, SIM.top_pc_power_iteration(em, dim=8, iters=3, gram="sql").collect())
+    )
+    c = sorted(
+        map(tuple, SIM.top_pc_power_iteration(clean, dim=8, iters=3, gram="arrow").collect())
+    )
+    assert a == b == c and len(a) == 8
+
+
+def test_top_pc_out_of_contract_magnitude_raises(spark):
+    """An embedding whose quantized magnitude would WRAP the int64 cast
+    must fail fast with the contract error, not silently contribute a
+    modular-wrapped Gram partial (ADVICE r8: the old guard only caught
+    |q|^2 over the flush budget AFTER the wrap)."""
+    import pytest
+
+    from ibis_flink_example_spark.operators import similarity as SIM
+
+    # finite in float32 (max ~3.4e38) but 1e30 * 1e6 wraps the int64 cast
+    rows = [(0, [1.0e30] + [0.0] * 7), (1, [0.5] * 8)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="beyond int64"):
+        SIM.top_pc_power_iteration(em, dim=8, iters=1, gram="arrow").collect()
+
+
+def test_cc_distributed_nonconvergence_raises(spark):
+    """Min-label propagation moves a label ONE hop per iteration; a chain
+    deeper than max_iterations must raise (VERDICT r8: no silent partial
+    labels), and a budget >= diameter must converge to min-label 0."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    ids = spark.range(6).withColumnRenamed("id", "doc_id")
+    with pytest.raises(RuntimeError, match="did not reach fixpoint"):
+        D.connected_components(
+            chain, ids, id_col="doc_id", driver_cc_max_edges=0, max_iterations=2
+        )
+    ok = D.connected_components(
+        chain, ids, id_col="doc_id", driver_cc_max_edges=0, max_iterations=8
+    )
+    got = {r["doc_id"]: r["component"] for r in ok.collect()}
+    assert got == {i: 0 for i in range(6)}
+    # k-step-transform opt-out (the distributed driver query's contract):
+    # 2 propagation rounds move label 0 exactly two hops down the chain
+    ksteps = D.connected_components(
+        chain,
+        ids,
+        id_col="doc_id",
+        driver_cc_max_edges=0,
+        max_iterations=2,
+        require_convergence=False,
+    )
+    got2 = {r["doc_id"]: r["component"] for r in ksteps.collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_bm25_probe_fallback_agrees_with_broadcast(spark):
+    """The matched-id probe's measured-cardinality guard (VERDICT r8:
+    semi-reduce dl before the scoring join, but NEVER broadcast an
+    unbounded matched set) — both physical strategies must score
+    identically."""
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = _mini_retrieval_corpus(spark)
+    q = ("spark", "window", "join")
+    a = sorted(map(tuple, R.bm25_topk(docs, q, top_k=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            R.bm25_topk(docs, q, top_k=10, max_broadcast_match_ids=0).collect(),
+        )
+    )
+    assert a == b and len(a) == 4

@@ -677,3 +677,25 @@ def test_quantile_normalize_group_windows_stay_parallel(spark, sf_dir):
     plan = formatted_plan(QUERIES["quantile_normalize_value"](spark, sf_dir))
     assert plan.count("hashpartitioning(event_type") >= 1, plan[:1500]
     assert plan.count("Exchange SinglePartition") <= 1, plan[:1500]
+
+
+def test_bm25_dl_semi_reduced_before_scoring_join(spark, sf_dir):
+    """VERDICT r8: the corpus-sized doc-length table must be semi-join-
+    reduced to MATCHED doc ids before the tf⋈dl scoring join — a
+    broadcast LEFT SEMI directly above the dl aggregation, so
+    non-matching docs never cross that join — and with the matched set
+    under budget every join in the query is broadcast (tf is
+    checkpointed and stat-less, so the hints must hold it together)."""
+    import re
+
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    df = QUERIES["bm25_topk_docs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    ops = plan_ops(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    # semi probe + df join + scoring join + scalar cross joins all broadcast
+    assert ops["BroadcastHashJoin"] >= 3
+    # the LeftSemi is a BROADCAST semi (matched ids under budget here)
+    assert re.search(r"BroadcastHashJoin[^\n]*\n(.|\n)*LeftSemi", plan)
