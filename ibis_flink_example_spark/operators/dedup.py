@@ -886,3 +886,77 @@ def incremental_dedup(
     return fresh.join(winners, on=["__digest", id_col], how="left_semi").drop(
         "__digest"
     )
+
+
+def shingle_match_ids(
+    new_sh: DataFrame,
+    pool_sh: DataFrame,
+    *,
+    id_col: str,
+    shingle_col: str = "shingle",
+    new_sizes: DataFrame | None = None,
+    pool_sizes: DataFrame | None = None,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    restrict_smaller_pool_id: bool = False,
+) -> DataFrame:
+    """Ids from ``new_sh`` whose exact n-gram Jaccard against ANY pool doc
+    reaches ``threshold_num/threshold_den`` — the per-batch probe of the
+    incremental near-dup ingest (the streaming complement of
+    ``ngram_jaccard_pairs``, which scores a static corpus all at once).
+
+    Inputs are DISTINCT (id, shingle) rows (``shingle_hash_rows(...)
+    .distinct()``). Sizes may be passed pre-aggregated (the ingest loop
+    maintains a persistent per-doc size table precisely so the growing
+    pool is never re-aggregated per batch); otherwise they are derived.
+    The threshold test is the integer cross-multiplication
+    ``den*|A∩B| >= num*(|A|+|B|-|A∩B|)`` — no float ever enters, so the
+    decision is engine-exact and SQL-mirrorable.
+
+    ``restrict_smaller_pool_id=True`` keeps only pool ids strictly below
+    the new id — the within-batch arm, where "earlier arrival" is id
+    order inside one micro-batch.
+
+    Scale shape: one shingle-keyed join bounded by shingle co-occurrence
+    (never all-pairs), one (new, pool) pair aggregation, two tiny size
+    joins. Production corpora additionally cap document frequency on the
+    shingle key before this join (``drop_hot_keys``, see
+    ngram_jaccard_pairs) — the ingest query keeps the space uncapped so
+    its oracle stays a pure prefix-Jaccard definition.
+    """
+    ns = new_sizes or new_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    ps = pool_sizes or pool_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = new_sh.select(
+        F.col(id_col).alias("__id_n"), F.col(shingle_col).alias("__sh")
+    )
+    b = pool_sh.select(
+        F.col(id_col).alias("__id_p"), F.col(shingle_col).alias("__sh")
+    )
+    cond = a["__sh"] == b["__sh"]
+    if restrict_smaller_pool_id:
+        cond = cond & (b["__id_p"] < a["__id_n"])
+    inter = (
+        a.join(b, cond)
+        .groupBy("__id_n", "__id_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+    )
+    num, den = int(threshold_num), int(threshold_den)
+    hits = (
+        inter.join(
+            ns.select(F.col(id_col).alias("__id_n"), F.col("n_shingles").alias("__na")),
+            "__id_n",
+        )
+        .join(
+            ps.select(F.col(id_col).alias("__id_p"), F.col("n_shingles").alias("__nb")),
+            "__id_p",
+        )
+        .filter(
+            F.lit(den) * F.col("__nc")
+            >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__nc"))
+        )
+    )
+    return hits.select(F.col("__id_n").alias(id_col)).distinct()

@@ -272,3 +272,56 @@ def dsir_weight_bits(
             .alias("weight_bits"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1_000_000,
+    top_k: int = 25,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval systems — the standard
+    score-free way to combine sparse (BM25) and dense (embedding) result
+    lists: each system contributes ``scale // (k0 + rank)`` for every item
+    it ranked, and items are ordered by the summed contribution
+    (Cormack et al.'s RRF with the classic k0=60). Rank-based fusion
+    side-steps the score-normalization problem entirely, which is also
+    what makes it EXACT here: one integer floor division per (system,
+    item), integer sums across systems — no cross-engine float hazard.
+
+    Each input must carry (id_col, rank_col) with 1-based ranks; items
+    missing from a system simply contribute nothing (the RRF convention).
+
+    Scale shape: candidate lists are top-k artifacts (thousands of rows at
+    most, regardless of corpus size — the upstream retrievers own the
+    corpus-sized work), so fusion is a union + one tiny aggregation; the
+    final cut is TakeOrderedAndProject. Returns
+    (id_col, rrf_x1e6, n_systems), fused-score-descending, id-ascending,
+    LIMIT top_k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.expr(
+                f"CAST({scale} AS BIGINT) DIV (CAST({k0} AS BIGINT) + {rank_col})"
+            ).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("rrf_x1e6"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -54,86 +54,81 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-8 rotation — the RE-VERIFICATION round (VERDICT r7 top-next): the
-# never-checked set is empty and every r7 addition landed green, so this
-# round's window spends its slots paying down driver-row staleness
-# instead of first-rows. Composition: the two pinned sentinels; the six
-# queries whose implementation or oracle changed this round
-# (connected_components_distributed is new — the distributed min-label
-# arm; approx_distinct_users and cosine_topk_ivf graduated from
-# rows-only to pinned full oracles; pagerank/KLL/CMS-join absorbed the
-# r7 review fixes); then EVERY query whose most recent green row is
-# r3-era (39 of them — the oldest external signal in the repo, re-run
-# oldest-first per the r7 brief); then the three oldest r4-era streaming
-# rows (the chained-windows, self-join, and stream-stream-inner shapes,
-# none externally re-verified since RocksDB became the default). After this
-# window lands, no green row is older than r4, and the remaining ~33
-# r4-era rows rotate through in r9 — together with first-rows for the
-# five late-r8 additions deliberately registered AFTER the window
-# (bm25_topk_docs, feature_hash_buckets, dsir_target_weights,
-# embedding_top_pc, twap_user_value; all five hold full-oracle greens at
-# sf0.001/0.01/0.1 in CI).
+# Round-9 rotation (VERDICT r8 top-next, executed verbatim): first-rows
+# for every oracle-bearing query that has NEVER had an external driver
+# row — the five late-r8 registrations plus the three new r9 operators
+# (RRF hybrid fusion, calibration bins, streaming near-dup ingest) —
+# then connected_components_distributed (its operator gained the
+# converged-or-raise contract this round; the query opts out
+# explicitly, so the row re-proves behavioral identity), then EVERY
+# query whose most recent green row is r4-era (all 34 of them — after
+# this window no green row is older than r5), and the five oldest
+# r5-era rows to start that cohort's rotation. bm25_topk_docs and
+# embedding_top_pc double as re-verification of this round's BM25
+# semi-join-reduction and Gram-arm fixes. The remaining ~36 r5-era rows
+# rotate through in r10.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # changed or new this round
+    # first-rows: late-r8 registrations (full oracles green in CI since
+    # r8; zero external signal until now)
+    "bm25_topk_docs",
+    "feature_hash_buckets",
+    "dsir_target_weights",
+    "embedding_top_pc",
+    "twap_user_value",
+    # first-rows: new this round
+    "rrf_hybrid_retrieval",
+    "lang_score_calibration",
+    "streaming_neardup_ingest",
+    # implementation touched this round (convergence contract)
     "connected_components_distributed",
-    "approx_distinct_users",
-    "cosine_topk_ivf",
-    "pagerank_part_supplier",
-    "kll_daily_value_quantiles",
-    "cms_join_size_estimate",
-    # r3-era re-verification (most recent green row = round 3; the files
-    # behind these absorbed multiple review-fix passes since)
-    "agg_stats_by_nation",
-    "array_agg_priorities",
-    "array_funcs",
-    "bool_bit_aggs",
-    "count_distinct_status",
-    "cube_platform_province",
-    "date_funcs",
-    "filter_shipped",
-    "groupby_pricing_summary",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_salted_skew",
-    "join_semi",
-    "map_funcs",
-    "math_funcs",
-    "nested_struct_json",
-    "ordered_limit",
-    "percentile_disc_by_flag",
-    "pivot_status_by_priority",
-    "project_rename",
-    "quantiles_by_flag",
-    "rollup_nation_region",
-    "scalar_case_expr",
-    "scalar_subquery_busy_customers",
-    "set_except",
-    "set_intersect",
-    "set_ops_multiset",
-    "set_union_all",
-    "string_distance_parts",
-    "string_funcs",
-    "topk_orders",
-    "tpch_q5_local_supplier_volume",
-    "udtf_props_kv",
-    "unpivot_lineitem_measures",
-    "window_ranking",
-    "window_rows_moving_avg",
-    # oldest r4-era streaming rows: none of these shapes has an external
-    # row under the RocksDB provider default (the rest of the streaming
-    # family re-verified in r7)
-    "streaming_chained_windows",
-    "streaming_over_range_sum_join",
-    "streaming_stream_join",
+    # r4-era re-verification (most recent green row = round 4)
+    "cosine_topk",
+    "curation_pipeline",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "embedding_neardup_pairs",
+    "sample_stratified_cap",
+    "session_30m",
+    "slide_5m_1m",
+    "split_train_val_test",
+    "streaming_static_join",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "try_functions",
+    "variant_props",
+    "warehouse_roundtrip",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
+    # oldest five r5-era rows (earliest-first-verified; the rest of the
+    # r5 cohort rotates in r10)
+    "approx_quantiles_value",
+    "asof_join_clicks",
+    "over_range_sum_1h",
+    "range_join_events",
+    "window_lag_lead",
     # displaced to positions 51+ (every one carries a green driver row
-    # from r4-r7; the local oracle gate re-checks all of them every CI
-    # run): the r4-r7 greens and the rest of the registry in
+    # from r5-r8; the local oracle gate re-checks all of them every CI
+    # run): the r5-r8 greens and the rest of the registry in
     # registration order
 )
 

@@ -2328,3 +2328,178 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     return top_pc_power_iteration(em, vec_col="embedding", dim=64, iters=6)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: hybrid retrieval fusion + classifier calibration
+# (operators/retrieval.py:rrf_fuse, operators/evaluation.py) — the next
+# tier the 100 TB brief implies past SURVEY §2: sparse+dense result-list
+# fusion and the reliability-diagram QA that gates threshold decisions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "rrf_hybrid_retrieval",
+    # RRF is integer-exact: each system contributes 1e6 DIV (60 + rank),
+    # fused by integer SUM. The sparse leg is the bm25_topk_docs pipeline
+    # cut at 50; the dense leg is the cosine_topk formulation (hash-proven
+    # since r1/r4) ranked against query vector vec_id=0. Ranks are
+    # ROW_NUMBER with id tiebreaks — deterministic in both engines.
+    oracle=rf"""
+WITH {_TF_CTE},
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS t_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+),
+tq AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN ({_BM25_TERMS_SQL})
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY 1),
+per_term AS (
+  SELECT tq.doc_id,
+    (GREATEST(CAST(1 AS HUGEINT),
+              CAST(floor(log2(CAST(2 * (s.n_docs + 1) AS DOUBLE)
+                              / CAST(2 * dfq.df + 1 AS DOUBLE))) AS HUGEINT))
+       * 1000000 * 44 * CAST(s.t_tokens AS HUGEINT) * tq.tf)
+    // (20 * CAST(s.t_tokens AS HUGEINT) * tq.tf
+        + 6 * CAST(s.t_tokens AS HUGEINT)
+        + 18 * CAST(dl.dl AS HUGEINT) * s.n_docs) AS term_score
+  FROM tq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
+),
+bm AS (
+  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_x1e6
+  FROM per_term GROUP BY 1
+  ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 50
+),
+bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+  FROM bm
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+          i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) ) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+dnr AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM dscored
+  ) WHERE rank <= 50
+),
+contrib AS (
+  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST(1000000 AS BIGINT) // (60 + rank) AS c FROM dnr
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS rrf_x1e6,
+  CAST(COUNT(*) AS BIGINT) AS n_systems
+FROM contrib GROUP BY 1
+ORDER BY rrf_x1e6 DESC, doc_id ASC LIMIT 25
+""",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval by reciprocal-rank fusion
+    (operators/retrieval.py:rrf_fuse): the BM25 top-50 for the standing
+    3-term query fused with the embedding-space cosine top-50 for query
+    vector 0 (doc and vec ids share the fixture key space), k0=60,
+    contributions in exact x1e6 integers. Rank-based fusion needs no
+    score normalization — and is therefore integer-exact end-to-end. The
+    fusion itself runs on top-k artifacts (tiny regardless of corpus
+    size); the corpus-sized work stays inside the two retrievers, whose
+    plans are audited separately."""
+    from pyspark.sql.window import Window
+
+    from ibis_flink_example_spark.operators import retrieval as R
+    from ibis_flink_example_spark.operators import similarity as S2
+
+    docs = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    sparse = R.bm25_topk(docs, _BM25_QUERY_TERMS, top_k=50)
+    # rank over the 50-row artifact (single-partition window is fine on a
+    # top-k result; the corpus never sees this exchange)
+    sparse_r = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    dense = S2.cosine_topk(
+        em,
+        em.filter(F.col("vec_id") == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        k=50,
+    )
+    dense_r = dense.select(F.col("vec_id").alias("doc_id"), "rank")
+    return R.rrf_fuse(
+        [sparse_r, dense_r], id_col="doc_id", k0=60, top_k=25
+    )
+
+
+@query(
+    "lang_score_calibration",
+    # Reliability-diagram bins, all-integer: the x1e6 stopword-ratio
+    # score, decile bin = LEAST(9, score*10 // 1e6), per-bin integer sums
+    # with positive-operand floor divisions (Spark DIV == DuckDB //).
+    oracle=r"""
+WITH f AS (
+  SELECT (lang = 'en') AS label,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> list_contains(['the','of','and','to','in','is','a'], lower(w)))) AS hits,
+    len(regexp_split_to_array(trim(text), '\s+')) AS nw
+  FROM documents
+), s AS (
+  SELECT label,
+         CAST(hits AS BIGINT) * 1000000 // GREATEST(nw, 1) AS score
+  FROM f
+), b AS (
+  SELECT LEAST(9, score * 10 // 1000000) AS bin, label, score FROM s
+), g AS (
+  SELECT bin,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(score) AS HUGEINT) AS sum_score
+  FROM b GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+  CAST(sum_score // n_docs AS BIGINT) AS mean_score_x1e6,
+  CAST(CAST(n_pos AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS pos_rate_x1e6,
+  CAST(ABS(sum_score // n_docs
+           - CAST(n_pos AS HUGEINT) * 1000000 // n_docs) AS BIGINT) AS gap_x1e6
+FROM g
+""",
+)
+def lang_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration QA (operators/evaluation.py:calibration_bins):
+    the engine's cheap lexical English-ness score — fraction of words in
+    the en marker lexicon, x1e6 — binned into deciles against the gold
+    ``lang == 'en'`` label. Each bin reports observed positive rate vs
+    mean predicted score and their |gap| (what ECE averages): the
+    reliability diagram a curation stack inspects before thresholding
+    billions of docs on a quality/language classifier. One counts-only
+    aggregation; row-level data never crosses the exchange."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        calibration_bins,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(
+        scored, score_col="score_x1e6", label_col="is_en", n_bins=10
+    )

@@ -1088,3 +1088,216 @@ def streaming_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return run_available_now(out, output_mode="append")
+
+
+_NEARDUP_INGEST_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, doc_id % 4 AS b,
+         regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, b,
+    UNNEST(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+           ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1
+), inter AS (
+  SELECT n.doc_id AS id_n, o.doc_id AS id_o, COUNT(*) AS nc
+  FROM sh n JOIN sh o
+    ON n.shingle = o.shingle
+   AND (o.b < n.b OR (o.b = n.b AND o.doc_id < n.doc_id))
+  GROUP BY 1, 2
+), rej AS (
+  SELECT DISTINCT id_n
+  FROM inter
+  JOIN sizes sn ON sn.doc_id = inter.id_n
+  JOIN sizes so ON so.doc_id = inter.id_o
+  WHERE 2 * nc >= 1 * (sn.ns + so.ns - nc)
+)
+SELECT w.doc_id,
+       CAST(w.b AS BIGINT) AS batch_id,
+       (rej.id_n IS NULL) AS accepted
+FROM w LEFT JOIN rej ON w.doc_id = rej.id_n
+"""
+
+
+@query("streaming_neardup_ingest", oracle=_NEARDUP_INGEST_ORACLE)
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest (X2's incremental arm, the VERDICT-r8
+    commission): the corpus replayed as four mtime-ordered arrival files
+    (``doc_id % 4``), each micro-batch probed by EXACT 3-gram Jaccard
+    (>= 1/2, integer cross-multiplication — no float) against (a) the
+    persistent shingle state of every previously-arrived doc and (b)
+    smaller-id docs in its own batch, i.e. first-arrival-wins seen-corpus
+    dedup. Per-batch cost is bounded by batch-x-state shingle
+    co-occurrence (never all-pairs, never a corpus rescan: the size table
+    is maintained incrementally, the state tables only ever APPEND).
+    foreachBatch re-delivery is guarded by batch id, and replay order is
+    ASSERTED from an in-data arrival tag — disorder raises rather than
+    silently accepting a wrong prefix semantics. A production stack swaps
+    the exact scorer for the MinHash/LSH candidate path (same state
+    shape); exact Jaccard keeps this row fully DuckDB-oracle-able as a
+    pure arrival-prefix definition. Returns one row per doc:
+    (doc_id, batch_id, accepted)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ibis_flink_example_spark.catalog import (
+        drop_table_and_location,
+        scratch_dir,
+        table_path,
+    )
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+        shingle_hash_rows,
+        shingle_match_ids,
+    )
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    # --- stage the corpus as 4 deterministic arrival files (driver-side
+    # pyarrow split: staging is replay INFRA, not the operator — at scale
+    # the stream already exists and nothing is staged). Stable scratch dir
+    # + full rewrite per run (the scratch_dir leak policy).
+    stage = scratch_dir("neardup_replay", sf_dir)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    tbl = pq.read_table(table_path(sf_dir, "documents"))
+    arr = pc.cast(
+        pc.bit_wise_and(tbl.column("doc_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    tbl = tbl.append_column("arrival_batch", arr)
+    base = time.time() - 3600  # safely in the past; +2s per file for order
+    for k in range(4):
+        part = tbl.filter(pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32())))
+        p = os.path.join(stage, f"batch_{k}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base + 2 * k, base + 2 * k))
+
+    sch = mk_schema(
+        {
+            "doc_id": "int64",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "int64",
+            "arrival_batch": "int32",
+        }
+    )
+    res_t = "neardup_ingest_results"
+    seen_sh_t = "neardup_ingest_seen_sh"
+    seen_sz_t = "neardup_ingest_seen_sizes"
+    for t in (res_t, seen_sh_t, seen_sz_t):
+        drop_table_and_location(spark, t)
+
+    state = {"last_bid": None, "last_arr": -1, "has_seen": False}
+
+    def apply(bdf, bid):
+        # at-least-once re-delivery guard (streaming_upsert_totals idiom):
+        # an already-applied batch must not append its rows twice
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
+        arrs = sorted(
+            r["arrival_batch"] for r in bdf.select("arrival_batch").distinct().collect()
+        )
+        if not arrs:
+            state["last_bid"] = bid
+            return
+        if len(arrs) != 1 or arrs[0] <= state["last_arr"]:
+            raise RuntimeError(
+                f"neardup ingest: replay disorder — arrival tags {arrs} "
+                f"after {state['last_arr']} (maxFilesPerTrigger/mtime "
+                "staging violated); refusing to mis-order the prefix"
+            )
+        arrival = int(arrs[0])
+        sess = bdf.sparkSession
+        # one shingle pass per batch, materialized once: the within-batch
+        # self-join, the state probe, the size aggregate and the state
+        # append all reuse it
+        sh_b = (
+            shingle_hash_rows(
+                bdf, id_col="doc_id", text_col="text", n=3, hash_col="shingle"
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sizes_b = (
+            sh_b.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+            .localCheckpoint(eager=True)
+        )
+        rejected = shingle_match_ids(
+            sh_b,
+            sh_b,
+            id_col="doc_id",
+            new_sizes=sizes_b,
+            pool_sizes=sizes_b,
+            restrict_smaller_pool_id=True,
+        )
+        if state["has_seen"]:
+            rejected = rejected.unionByName(
+                shingle_match_ids(
+                    sh_b,
+                    sess.table(seen_sh_t),
+                    id_col="doc_id",
+                    new_sizes=sizes_b,
+                    pool_sizes=sess.table(seen_sz_t),
+                )
+            ).distinct()
+        res = (
+            bdf.select("doc_id")
+            .join(rejected.withColumn("__rej", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(arrival).cast("long").alias("batch_id"),
+                F.col("__rej").isNull().alias("accepted"),
+            )
+        )
+        res.write.mode("append").saveAsTable(res_t)
+        # seen-corpus policy: ALL arrivals join the state (a doc similar to
+        # an already-rejected one is still a duplicate of its cluster).
+        # The shingle state is BUCKETED on the probe key: the next batch's
+        # join then reads the corpus-sized state pre-partitioned (scan
+        # reports hashpartitioning(shingle)) and only the small batch side
+        # exchanges — the state never reshuffles, which is the difference
+        # between per-batch cost O(batch + co-occurrence) and O(corpus)
+        # at 100 TB. (Appends to a bucketed table keep the spec.)
+        sh_b.write.mode("append").bucketBy(8, "shingle").sortBy(
+            "shingle"
+        ).saveAsTable(seen_sh_t)
+        sizes_b.write.mode("append").saveAsTable(seen_sz_t)
+        _release_local_checkpoint(sh_b)
+        _release_local_checkpoint(sizes_b)
+        state["last_bid"] = bid
+        state["last_arr"] = arrival
+        state["has_seen"] = True
+
+    stream = (
+        _docs_stream_session(spark)
+        .readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("doc_id", "text", "arrival_batch")
+    )
+    q = foreach_batch(stream, apply, available_now=True)
+    q.awaitTermination()
+    if state["last_bid"] is None:  # zero micro-batches: empty, not a crash
+        return spark.createDataFrame([], "doc_id long, batch_id long, accepted boolean")
+    return spark.table(res_t).select("doc_id", "batch_id", "accepted")
+
+
+def _docs_stream_session(spark: SparkSession):
+    """Documents-replay twin of ``_events_stream``'s session discipline: a
+    conf-isolated clone carrying the bounded-run state partitioning (no
+    timestamp decode flags needed — the documents fixture has none)."""
+    from ibis_flink_example_spark.streaming.runtime import state_scoped_session
+
+    return state_scoped_session(spark, _STATE_PARTS)

@@ -16,6 +16,9 @@ six operators where super-linear behavior would actually bite:
   operators/similarity.py, round 8)
 - BM25 top-k retrieval (dual corpus pass + term-stat joins,
   operators/retrieval.py, round 8)
+- streaming near-dup ingest state probe (a FIXED batch joined against a
+  bucketed shingle state that scales — the per-batch cost of
+  streaming_neardup_ingest as the accepted corpus grows, round 9)
 
 10x input construction (inputs are MATERIALIZED to parquet before any
 clock starts, so timings compare equal read paths, not build cost):
@@ -191,6 +194,7 @@ def main() -> int:
     ALL_OPS = (
         "pagerank_5iter", "bfs_4hop", "minhash_dedup",
         "decontaminate_13gram", "top_pc_gram", "bm25_topk",
+        "neardup_state_probe",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -203,7 +207,11 @@ def main() -> int:
         # input materialization
         ap.error(f"unknown --ops: {sorted(unknown)} (choose from {ALL_OPS})")
     need_graph = bool(keep & {"pagerank_5iter", "bfs_4hop"})
-    need_docs = bool(keep & {"minhash_dedup", "decontaminate_13gram", "bm25_topk"})
+    need_docs = bool(
+        keep
+        & {"minhash_dedup", "decontaminate_13gram", "bm25_topk",
+           "neardup_state_probe"}
+    )
     need_embs = bool(keep & {"top_pc_gram"})
 
     from ibis_flink_example_spark.session import get_spark
@@ -260,6 +268,52 @@ def main() -> int:
                 em, vec_col="embedding", dim=64, iters=6
             ).count()
 
+        def _neardup_state(label):
+            """Bucketed shingle-state tables + size frames for the probe —
+            the exact state layout streaming_neardup_ingest maintains."""
+            from ibis_flink_example_spark.catalog import drop_table_and_location
+            from ibis_flink_example_spark.operators.dedup import shingle_hash_rows
+
+            t = f"probe_neardup_sh_{label}"
+            szp = os.path.join(work, f"neardup_sizes_{label}")
+            drop_table_and_location(spark, t)
+            sh = shingle_hash_rows(
+                spark.read.parquet(docs[label]),
+                id_col="doc_id", text_col="text", n=3, hash_col="shingle",
+            ).distinct()
+            sh.write.bucketBy(8, "shingle").sortBy("shingle").saveAsTable(t)
+            spark.table(t).groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles")
+            ).write.mode("overwrite").parquet(szp)
+            return t, szp
+
+        neardup_states = (
+            {lbl: _neardup_state(lbl) for lbl in ("1x", big)}
+            if "neardup_state_probe" in keep
+            else None
+        )
+
+        def neardup_state_at(label):
+            from ibis_flink_example_spark.operators.dedup import (
+                shingle_hash_rows,
+                shingle_match_ids,
+            )
+
+            t, szp = neardup_states[label]
+            # the arriving batch is FIXED (~1% of copy 0) — what scales is
+            # the accepted-state side, exactly the 100 TB axis
+            batch = spark.read.parquet(docs["1x"]).filter(
+                F.col("doc_id") % 97 == 0
+            )
+            batch_sh = shingle_hash_rows(
+                batch, id_col="doc_id", text_col="text", n=3,
+                hash_col="shingle",
+            ).distinct()
+            st, sz = spark.table(t), spark.read.parquet(szp)
+            return lambda: shingle_match_ids(
+                batch_sh, st, id_col="doc_id", pool_sizes=sz
+            ).count()
+
         def bm25_at(label):
             d = spark.read.parquet(docs[label])
             # query terms match only copy 0 (suffixed copies): df stays
@@ -276,6 +330,7 @@ def main() -> int:
             "decontaminate_13gram": decontaminate_at,
             "top_pc_gram": top_pc_at,
             "bm25_topk": bm25_at,
+            "neardup_state_probe": neardup_state_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

@@ -126,6 +126,9 @@ BNLJ_ALLOWED = {
     # one-row (exact, est, tot_a, tot_b) scalar frames cross-joined to
     # assemble each estimate-vs-bound row
     "cms_join_size_estimate",
+    # one-row query-vector broadcast in the dense leg (the cosine_topk
+    # shape, fused downstream with the BM25 leg)
+    "rrf_hybrid_retrieval",
     # one-row HLL sketch frames cross-joined for inclusion-exclusion
     "hll_intersection_users",
     # one-row corpus-totals frames (T, N / T_raw, T_tgt, V) broadcast onto

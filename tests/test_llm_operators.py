@@ -1174,3 +1174,93 @@ def test_bm25_probe_fallback_agrees_with_broadcast(spark):
         )
     )
     assert a == b and len(a) == 4
+
+
+# ---------------------------------------------------------------------------
+# round 9: RRF fusion / calibration bins / incremental shingle matching
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_integer_math_and_missing_items(spark):
+    """RRF contributions are exact integer floor divisions; items missing
+    from one system contribute nothing (the RRF convention)."""
+    from ibis_flink_example_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank long")
+    out = rrf_fuse([a, b], id_col="doc_id", top_k=10).collect()
+    got = {r["doc_id"]: (r["rrf_x1e6"], r["n_systems"]) for r in out}
+    assert got == {
+        1: (1_000_000 // 61, 1),
+        2: (1_000_000 // 62 + 1_000_000 // 61, 2),
+        3: (1_000_000 // 63, 1),
+        4: (1_000_000 // 62, 1),
+    }
+    # fused order: shared item first, then rank-1 single, rank-2, rank-3
+    assert [r["doc_id"] for r in out] == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_rejects_empty_input():
+    import pytest
+
+    from ibis_flink_example_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], id_col="doc_id")
+
+
+def test_calibration_bins_edges_and_stats(spark):
+    """Bin edges: [k/n, (k+1)/n) with the top edge closed (a perfect 1e6
+    lands in the last bin); per-bin stats are exact integer arithmetic."""
+    from ibis_flink_example_spark.operators.evaluation import calibration_bins
+
+    rows = [
+        (0, True),        # bin 0
+        (99_999, False),  # bin 0
+        (100_000, True),  # bin 1
+        (950_000, True),  # bin 9
+        (1_000_000, False),  # bin 9 (clamped by LEAST)
+    ]
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(
+            df, score_col="score", label_col="label", n_bins=10
+        ).collect()
+    }
+    assert set(out) == {0, 1, 9}
+    b0 = out[0]
+    assert (b0["n_docs"], b0["n_pos"]) == (2, 1)
+    assert b0["mean_score_x1e6"] == 99_999 // 2
+    assert b0["pos_rate_x1e6"] == 500_000
+    assert b0["gap_x1e6"] == abs(99_999 // 2 - 500_000)
+    b9 = out[9]
+    assert (b9["n_docs"], b9["n_pos"]) == (2, 1)
+    assert b9["mean_score_x1e6"] == (950_000 + 1_000_000) // 2
+    assert b9["pos_rate_x1e6"] == 500_000
+
+
+def test_shingle_match_ids_threshold_and_prefix(spark):
+    """Integer cross-multiplication threshold (>= 1/2 here) and the
+    within-batch smaller-id restriction."""
+    from ibis_flink_example_spark.operators.dedup import shingle_match_ids
+
+    # doc 1: {a,b,c}; doc 2: {a,b,d} (jacc 2/4 = 0.5 -> match);
+    # doc 3: {a,x,y,z} (vs 1: 1/6 -> no)
+    sh = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "d"),
+         (3, "a"), (3, "x"), (3, "y"), (3, "z")],
+        "doc_id long, shingle string",
+    )
+    hit = shingle_match_ids(
+        sh, sh, id_col="doc_id", restrict_smaller_pool_id=True
+    ).collect()
+    # only doc 2 matches a SMALLER id (doc 1); doc 1 has no smaller pool
+    assert [r["doc_id"] for r in hit] == [2]
+    # unrestricted: 1<->2 both directions
+    hit2 = {
+        r["doc_id"]
+        for r in shingle_match_ids(sh, sh, id_col="doc_id").collect()
+    }
+    # every doc matches itself (jacc 1) without the restriction
+    assert hit2 == {1, 2, 3}

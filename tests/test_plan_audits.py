@@ -699,3 +699,57 @@ def test_bm25_dl_semi_reduced_before_scoring_join(spark, sf_dir):
     assert ops["BroadcastHashJoin"] >= 3
     # the LeftSemi is a BROADCAST semi (matched ids under budget here)
     assert re.search(r"BroadcastHashJoin[^\n]*\n(.|\n)*LeftSemi", plan)
+
+
+def test_calibration_single_counts_exchange(spark, sf_dir):
+    """Reliability bins are counts-of-counts: ONE aggregation exchange
+    whose rows are (bin, sums) — row-level data never shuffles — and the
+    scan reads only the two consumed columns."""
+    df = QUERIES["lang_score_calibration"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"text", "lang"}
+
+
+def test_neardup_state_bucketed_join_saves_state_exchange(spark):
+    """The streaming near-dup ingest appends its shingle state BUCKETED on
+    the probe key so the corpus-sized state never reshuffles per batch —
+    pinned relatively: the same probe against an identical unbucketed
+    state pays exactly one more shuffle exchange (the state side), and
+    the bucketed scan advertises itself in the plan."""
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.operators.dedup import shingle_match_ids
+    from ibis_flink_example_spark.plans import exchange_count, formatted_plan
+
+    tb, tu = "audit_neardup_sh_bucketed", "audit_neardup_sh_plain"
+    for t in (tb, tu):
+        drop_table_and_location(spark, t)
+    sh = spark.createDataFrame(
+        [(i, (i * 7 + j) % 23) for i in range(40) for j in range(5)],
+        "doc_id long, shingle long",
+    )
+    sh.write.bucketBy(8, "shingle").sortBy("shingle").saveAsTable(tb)
+    sh.write.saveAsTable(tu)
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n_shingles")
+    batch = spark.createDataFrame(
+        [(1000, 3), (1000, 10), (1001, 4)], "doc_id long, shingle long"
+    )
+    # tiny test frames would broadcast (hiding bucketing entirely); at
+    # corpus scale the state side is far beyond any broadcast threshold,
+    # so pin the SMJ regime explicitly
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out_b = shingle_match_ids(
+            batch, spark.table(tb), id_col="doc_id", pool_sizes=sizes
+        )
+        out_u = shingle_match_ids(
+            batch, spark.table(tu), id_col="doc_id", pool_sizes=sizes
+        )
+        assert "Bucketed: true" in formatted_plan(out_b)
+        assert exchange_count(out_b) == exchange_count(out_u) - 1
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        for t in (tb, tu):
+            drop_table_and_location(spark, t)
