@@ -30,10 +30,12 @@ import os
 import sys
 import time
 
-from ibis_flink_example_spark.sources.python_datasource import (
-    BASE_EPOCH_S,
-    BASE_ORDER_ID,
-)
+# INLINED from ibis_flink_example_spark/sources/python_datasource.py —
+# importing the package would pull in pyspark, which the slim generator
+# container deliberately does not install. tests/test_sources_api.py pins
+# these copies equal to the package constants, so they cannot drift.
+BASE_ORDER_ID = 1_700_000_000
+BASE_EPOCH_S = 1_704_067_200
 
 REFERENCE_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"  # the reference's wire format
 

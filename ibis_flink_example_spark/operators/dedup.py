@@ -500,7 +500,10 @@ def connected_components(
     connected_components_distributed driver query, whose unrolled oracle
     pins iteration-for-iteration equality) pass
     ``require_convergence=False`` to accept the deterministic
-    max_iterations-step labels.
+    max_iterations-step labels — which also PINS the distributed arm:
+    the driver union-find arm has no iteration budget and always returns
+    fixpoint labels, so honoring the k-step contract means never taking
+    the edge-count cutover into it.
 
     Two physical strategies behind one contract (the IVF index build
     precedent: bounded driver-side work where it collapses whole job
@@ -529,7 +532,11 @@ def connected_components(
     )
     # The count is free — edges is already materialized.
     n_edges = edges.count()
-    if n_edges < driver_cc_max_edges:
+    # The driver arm always returns FIXPOINT components (union-find has no
+    # iteration budget), so a caller that opted into k-step-transform
+    # semantics must never fall into it — the same inputs would otherwise
+    # change meaning across the edge-count cutover.
+    if n_edges < driver_cc_max_edges and require_convergence:
         labels_small = _driver_union_find(edges, id_col=id_col)
         singletons = ids.join(labels_small, on=id_col, how="left_anti").select(
             F.col(id_col), F.col(id_col).alias("component")

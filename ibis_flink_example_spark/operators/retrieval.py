@@ -55,7 +55,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = 25,
-    max_broadcast_match_ids: int = 2_000_000,
+    max_broadcast_probe_rows: int = 2_000_000,
 ) -> DataFrame:
     """Whole-bit BM25 top-k document retrieval for a fixed keyword query.
 
@@ -80,12 +80,21 @@ def bm25_topk(
     probe is a MEASURED-cardinality guarded broadcast (the
     decontaminate_ngram_overlap idiom — a query of only stop-word-common
     terms can match most of a 100 TB corpus, so above
-    ``max_broadcast_match_ids`` the probe falls back to a shuffle
-    semi-join instead of OOMing every executor). tf is tiny after the
+    ``max_broadcast_probe_rows`` the probe falls back to a shuffle
+    semi-join instead of OOMing every executor). The guarded quantity is
+    the ROW count of the materialized (doc, term) frame — the actual
+    payload of the larger forced broadcast (matched_docs x query_terms;
+    bounding distinct ids alone would let a many-term query slip a
+    terms-times-bigger frame past the cap). tf is tiny after the
     term filter and is localCheckpoint-materialized once: the matched-id
     derivation, the per-term df, and the final join all reuse the
     materialization instead of re-running the text scan (checkpointed
-    frames carry no stats, hence the explicit broadcast hints). Final
+    frames carry no stats, hence the explicit broadcast hints). The
+    checkpoint handle is attached to the returned DataFrame as
+    ``_eager_checkpoints`` — callers that loop in one long session
+    should call ``release_eager_checkpoints(df)`` after consuming the
+    result to keep block-manager storage flat (single-shot callers can
+    leave it to the ContextCleaner). Final
     ranking is TakeOrderedAndProject (top_k per partition, then merged)
     — never a global sort. Two passes over the text (dl needs all
     tokens, tf only query terms); a production corpus would persist
@@ -108,15 +117,18 @@ def bm25_topk(
     # Materialize the (matched-doc x query-term) frame once — the
     # cardinality guard, the matched-id probe, the df aggregation and
     # the scoring join below otherwise EACH re-run scan+explode+filter.
-    # Callers that loop should release via dedup._release_local_checkpoint.
+    # Handle attached to the result; see release_eager_checkpoints.
     tf = (
         tq.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=True)
     )
+    # the count is free (tf is materialized) and bounds BOTH forced
+    # broadcasts below: matched ids (<= tf rows) and the tfj frame
+    # (== tf rows, the larger payload)
+    n_probe_rows = tf.count()
+    small = n_probe_rows <= max_broadcast_probe_rows
     matched = tf.select(id_col).distinct()
-    n_matched = matched.count()
-    small = n_matched <= max_broadcast_match_ids
     probe = F.broadcast(matched) if small else matched.hint("merge")
     dl_m = dl.join(probe, id_col, "left_semi")
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -146,7 +158,7 @@ def bm25_topk(
         f" + {_BM25_DEN_DL} * CAST(dl AS DECIMAL(38,0)) * n_docs"
     )
     scored = j.withColumn("term_score_x1e6", F.expr(f"({num}) DIV ({den})"))
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.sum("term_score_x1e6").cast("long").alias("score_x1e6"),
@@ -155,6 +167,22 @@ def bm25_topk(
         .orderBy(F.desc("score_x1e6"), F.col(id_col).asc())
         .limit(top_k)
     )
+    out._eager_checkpoints = (tf,)
+    return out
+
+
+def release_eager_checkpoints(df: DataFrame) -> None:
+    """Deterministically release the eager localCheckpoint blocks an
+    operator attached to its result (``_eager_checkpoints``) — call AFTER
+    the result is consumed. No-op for frames without the attribute; the
+    repo's release discipline for loop callers (bench/service loops),
+    mirroring dedup._release_local_checkpoint's contract."""
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    for ck in getattr(df, "_eager_checkpoints", ()):  # pragma: no branch
+        _release_local_checkpoint(ck)
 
 
 def feature_hash_profile(

@@ -2119,20 +2119,12 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERY_TERMS = ("dup", "spark", "window")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
 
-
-@query(
-    "bm25_topk_docs",
-    # Whole-bit BM25 (k1=6/5, b=3/4 cleared to integer coefficients:
-    # NUM=44*T*tf, DEN=20*T*tf+6*T+18*dl*N; idf quantized to
-    # greatest(1, floor(log2(2(N+1)/(2df+1)))) — one correctly-rounded
-    # integer division then log2, floor-stable across engines by the
-    # doc_unigram_surprisal gap argument; the Lucene-style clamp at 1
-    # keeps common-term matches ranked by tf saturation instead of
-    # zeroing). Fixed-point x1e6 via integer floor division: Spark
-    # DIV == DuckDB // on positive operands.
-    oracle=rf"""
-WITH {_TF_CTE},
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+# The BM25 scoring pipeline as oracle CTEs — ONE definition shared by the
+# bm25_topk_docs and rrf_hybrid_retrieval oracles (review r9: a second
+# hand-copy of the 44/20/6/18 coefficients and the idf clamp could drift
+# from a future re-derivation edited in only one place). Expects the
+# {_TF_CTE} toks/tf CTEs in scope; yields per_term(doc_id, term_score).
+_BM25_SCORE_CTES = rf"""dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
 scal AS (
   SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS t_tokens,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
@@ -2152,7 +2144,22 @@ per_term AS (
         + 6 * CAST(s.t_tokens AS HUGEINT)
         + 18 * CAST(dl.dl AS HUGEINT) * s.n_docs) AS term_score
   FROM tq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
-)
+)"""
+
+
+@query(
+    "bm25_topk_docs",
+    # Whole-bit BM25 (k1=6/5, b=3/4 cleared to integer coefficients:
+    # NUM=44*T*tf, DEN=20*T*tf+6*T+18*dl*N; idf quantized to
+    # greatest(1, floor(log2(2(N+1)/(2df+1)))) — one correctly-rounded
+    # integer division then log2, floor-stable across engines by the
+    # doc_unigram_surprisal gap argument; the Lucene-style clamp at 1
+    # keeps common-term matches ranked by tf saturation instead of
+    # zeroing). Fixed-point x1e6 via integer floor division: Spark
+    # DIV == DuckDB // on positive operands.
+    oracle=rf"""
+WITH {_TF_CTE},
+{_BM25_SCORE_CTES}
 SELECT doc_id,
   CAST(SUM(term_score) AS BIGINT) AS score_x1e6,
   CAST(COUNT(*) AS BIGINT) AS n_terms_matched
@@ -2346,27 +2353,7 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROW_NUMBER with id tiebreaks — deterministic in both engines.
     oracle=rf"""
 WITH {_TF_CTE},
-dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-scal AS (
-  SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS t_tokens,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
-),
-tq AS (
-  SELECT doc_id, term, tf FROM tf
-  WHERE term IN ({_BM25_TERMS_SQL})
-),
-dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY 1),
-per_term AS (
-  SELECT tq.doc_id,
-    (GREATEST(CAST(1 AS HUGEINT),
-              CAST(floor(log2(CAST(2 * (s.n_docs + 1) AS DOUBLE)
-                              / CAST(2 * dfq.df + 1 AS DOUBLE))) AS HUGEINT))
-       * 1000000 * 44 * CAST(s.t_tokens AS HUGEINT) * tq.tf)
-    // (20 * CAST(s.t_tokens AS HUGEINT) * tq.tf
-        + 6 * CAST(s.t_tokens AS HUGEINT)
-        + 18 * CAST(dl.dl AS HUGEINT) * s.n_docs) AS term_score
-  FROM tq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN scal s
-),
+{_BM25_SCORE_CTES},
 bm AS (
   SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_x1e6
   FROM per_term GROUP BY 1

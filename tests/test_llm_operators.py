@@ -1170,7 +1170,7 @@ def test_bm25_probe_fallback_agrees_with_broadcast(spark):
     b = sorted(
         map(
             tuple,
-            R.bm25_topk(docs, q, top_k=10, max_broadcast_match_ids=0).collect(),
+            R.bm25_topk(docs, q, top_k=10, max_broadcast_probe_rows=0).collect(),
         )
     )
     assert a == b and len(a) == 4
@@ -1264,3 +1264,42 @@ def test_shingle_match_ids_threshold_and_prefix(spark):
     }
     # every doc matches itself (jacc 1) without the restriction
     assert hit2 == {1, 2, 3}
+
+
+def test_cc_kstep_optout_pins_distributed_arm(spark):
+    """require_convergence=False is a k-step-transform contract — it must
+    never fall into the driver union-find arm (which has no iteration
+    budget and returns fixpoint labels) even when the edge count is under
+    driver_cc_max_edges (review r9)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    ids = spark.range(6).withColumnRenamed("id", "doc_id")
+    out = D.connected_components(
+        chain,
+        ids,
+        id_col="doc_id",
+        max_iterations=2,
+        require_convergence=False,  # default driver_cc_max_edges (100k) >> 5
+    )
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    # fixpoint (driver arm) would be all-0; 2-step labels prove distributed
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+
+
+def test_bm25_checkpoint_handle_released(spark):
+    """bm25_topk attaches its eager tf checkpoint to the result; consuming
+    then releasing must drop the persisted blocks (loop-caller discipline,
+    review r9)."""
+    from ibis_flink_example_spark.operators import retrieval as R
+
+    docs = _mini_retrieval_corpus(spark)
+    out = R.bm25_topk(docs, ("spark", "window"), top_k=5)
+    out.collect()
+    cks = getattr(out, "_eager_checkpoints", ())
+    assert len(cks) == 1
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getRDDStorageInfo()
+    R.release_eager_checkpoints(out)
+    after = sc._jsc.sc().getRDDStorageInfo()
+    assert len(after) <= len(before)

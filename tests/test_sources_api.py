@@ -298,3 +298,31 @@ def test_python_datasource_partition_invariant(spark):
     a, b = rows(1), rows(7)
     assert len(a) == 1003
     assert a == b
+
+
+def test_kafka_generator_constants_and_records_match_datasource():
+    """examples/kafka_payment_generator.py inlines BASE_ORDER_ID/BASE_EPOCH_S
+    (its container has no pyspark, so it cannot import the package) — pin
+    the copies equal, and pin a generated record against the in-engine
+    payment arithmetic so the compose generator and the Python Data Source
+    stay one workload definition."""
+    import importlib.util
+    import os
+
+    from ibis_flink_example_spark.sources import python_datasource as pds
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "kafka_payment_generator.py",
+    )
+    spec = importlib.util.spec_from_file_location("kafka_payment_generator", path)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    assert gen.BASE_ORDER_ID == pds.BASE_ORDER_ID
+    assert gen.BASE_EPOCH_S == pds.BASE_EPOCH_S
+    r = gen.payment_record(11)
+    assert r["orderId"] == pds.BASE_ORDER_ID + 11
+    assert r["payAmount"] == ((11 * 9973) % 1_000_000_000) / 100.0
+    assert r["payPlatform"] == 0 and r["provinceId"] == (11 * 31) % 7
+    assert r["createTime"] == "2024-01-01 00:00:11.000"
