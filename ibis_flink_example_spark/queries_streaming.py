@@ -1229,10 +1229,11 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sizes_b = (
-            sh_b.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
-            .localCheckpoint(eager=True)
+        # lazy on purpose: sh_b is already materialized, so each consumer
+        # re-runs only a cheap in-memory groupBy — an eager checkpoint
+        # here would cost one more full job per micro-batch for nothing
+        sizes_b = sh_b.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
         )
         rejected = shingle_match_ids(
             sh_b,
@@ -1275,7 +1276,6 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).saveAsTable(seen_sh_t)
         sizes_b.write.mode("append").saveAsTable(seen_sz_t)
         _release_local_checkpoint(sh_b)
-        _release_local_checkpoint(sizes_b)
         state["last_bid"] = bid
         state["last_arr"] = arrival
         state["has_seen"] = True
