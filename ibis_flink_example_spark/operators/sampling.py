@@ -222,3 +222,87 @@ def temperature_balanced_sample(
             "__rate", "__thr"
         )
     return kept.drop("__rate", "__thr")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay the
+    corpus's integer weights end to end on [0, W), drop ``n`` evenly
+    spaced stride points ``t_k = floor(k*W/n)``, and select the document
+    whose weight interval contains each point — the classic PPS design
+    (heavy docs can legitimately carry several strides). Deterministic
+    given the id order; every quantity is integer arithmetic, so the
+    sample is engine-exact.
+
+    Scale shape — the interesting part is the PREFIX SUM, which naive
+    formulations compute with a global ORDER BY window (a single-partition
+    trap at any real size). Here it is the standard two-level distributed
+    scan:
+
+    1. ids bucket by ``id DIV bucket_size``; per-bucket weight sums are a
+       corpus/bucket_size-row frame (one map-side-combined aggregation);
+    2. bucket offsets + the grand total W come from windows over THAT tiny
+       frame (its single partition holds corpus/bucket_size rows — at
+       10^11 docs and bucket_size 10^6, a hundred-thousand-row frame; add
+       a third level before this ever matters);
+    3. each doc's global cumulative = bucket offset + an in-bucket
+       running sum (windows partitioned by bucket — parallel).
+
+    Stride assignment then needs NO join against the stride list: doc i
+    with interval [cum-w, cum) covers exactly the strides
+    ``k in [ceil((cum-w)*n/W), floor((cum*n - 1)/W)]`` (integer-derived
+    bounds; empty for zero-weight docs), generated in-row with
+    sequence+explode. Products run in DECIMAL(38,0) — cum*n stays exact
+    far past int64 corpora.
+
+    Returns exactly ``n`` rows (sample_idx 0..n-1, id_col, weight).
+    """
+    if n < 1:
+        raise ValueError("pps_systematic_sample: n must be >= 1")
+    b = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.expr(f"{id_col} DIV {bucket_size}").alias("__bkt"),
+    )
+    bs = b.groupBy("__bkt").agg(F.sum("__w").alias("__bw"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = bs.select(
+        "__bkt",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.sum("__bw").over(w_tot).cast("long").alias("__tot"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        b.withColumn("__cum_in", F.sum("__w").over(w_in))
+        .join(offs, "__bkt")
+        .withColumn("__cum", (F.col("__off") + F.col("__cum_in")).cast("long"))
+    )
+    dec = "CAST(__cum AS DECIMAL(38,0))"
+    decw = "CAST(__w AS DECIMAL(38,0))"
+    dect = "CAST(__tot AS DECIMAL(38,0))"
+    klo = f"(({dec} - {decw}) * {n} + {dect} - 1) DIV {dect}"
+    khi = f"({dec} * {n} - 1) DIV {dect}"
+    spans = cum.select(
+        F.col(id_col),
+        F.col("__w").alias("weight"),
+        F.expr(klo).cast("long").alias("__klo"),
+        F.expr(khi).cast("long").alias("__khi"),
+    ).filter(F.col("__khi") >= F.col("__klo"))
+    return spans.select(
+        F.explode(F.expr("sequence(__klo, __khi)")).alias("sample_idx"),
+        F.col(id_col),
+        "weight",
+    )

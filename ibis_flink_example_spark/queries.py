@@ -56,8 +56,9 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # against their DuckDB oracles, so registry order is a verification budget.
 # Round-9 rotation (VERDICT r8 top-next, executed verbatim): first-rows
 # for every oracle-bearing query that has NEVER had an external driver
-# row — the five late-r8 registrations plus the three new r9 operators
-# (RRF hybrid fusion, calibration bins, streaming near-dup ingest) —
+# row — the five late-r8 registrations plus the five new r9 operators
+# (RRF hybrid fusion, calibration bins + per-domain arm, streaming
+# near-dup ingest, PPS systematic sampling) —
 # then connected_components_distributed (its operator gained the
 # converged-or-raise contract this round; the query opts out
 # explicitly, so the row re-proves behavioral identity), then EVERY
@@ -82,6 +83,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rrf_hybrid_retrieval",
     "lang_score_calibration",
     "streaming_neardup_ingest",
+    "pps_systematic_sample",
+    "calibration_by_source",
     # implementation touched this round (convergence contract)
     "connected_components_distributed",
     # r4-era re-verification (most recent green row = round 4)
@@ -119,13 +122,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
     "tpch_q22_global_sales_opportunity",
-    # oldest five r5-era rows (earliest-first-verified; the rest of the
-    # r5 cohort rotates in r10)
+    # oldest three r5-era rows (earliest-first-verified; the rest of the
+    # r5 cohort — including range_join_events and window_lag_lead, which
+    # ceded their slots to the two extra round-9 first-rows — rotates in
+    # r10; first-rows outrank re-verifies of standing greens)
     "approx_quantiles_value",
     "asof_join_clicks",
     "over_range_sum_1h",
-    "range_join_events",
-    "window_lag_lead",
     # displaced to positions 51+ (every one carries a green driver row
     # from r5-r8; the local oracle gate re-checks all of them every CI
     # run): the r5-r8 greens and the rest of the registry in

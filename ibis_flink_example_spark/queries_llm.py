@@ -2490,3 +2490,66 @@ def lang_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(
         scored, score_col="score_x1e6", label_col="is_en", n_bins=10
     )
+
+
+@query(
+    "calibration_by_source",
+    # The grouped arm of calibration_bins: same all-integer bin stats,
+    # keyed by (source, bin) — per-domain reliability, the form the
+    # VERDICT-r8 brief asked for (a classifier can be calibrated in
+    # aggregate yet badly off inside one domain).
+    oracle=r"""
+WITH f AS (
+  SELECT source, (lang = 'en') AS label,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        w -> list_contains(['the','of','and','to','in','is','a'], lower(w)))) AS hits,
+    len(regexp_split_to_array(trim(text), '\s+')) AS nw
+  FROM documents
+), s AS (
+  SELECT source, label,
+         CAST(hits AS BIGINT) * 1000000 // GREATEST(nw, 1) AS score
+  FROM f
+), b AS (
+  SELECT source, LEAST(9, score * 10 // 1000000) AS bin, label, score FROM s
+), g AS (
+  SELECT source, bin,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(score) AS HUGEINT) AS sum_score
+  FROM b GROUP BY 1, 2
+)
+SELECT source, CAST(bin AS BIGINT) AS bin, n_docs, n_pos,
+  CAST(sum_score // n_docs AS BIGINT) AS mean_score_x1e6,
+  CAST(CAST(n_pos AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS pos_rate_x1e6,
+  CAST(ABS(sum_score // n_docs
+           - CAST(n_pos AS HUGEINT) * 1000000 // n_docs) AS BIGINT) AS gap_x1e6
+FROM g
+""",
+)
+def calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reliability bins (the ``group_cols`` arm of
+    operators/evaluation.py:calibration_bins): the English-ness score's
+    calibration measured INSIDE each source domain — aggregate
+    calibration can hide a domain whose score is systematically
+    off, which is exactly what a per-domain threshold policy needs to
+    know. Still one counts-only aggregation; output cardinality is
+    |sources| x 10 bins."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        calibration_bins,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_bins(
+        scored,
+        score_col="score_x1e6",
+        label_col="is_en",
+        n_bins=10,
+        group_cols=("source",),
+    )

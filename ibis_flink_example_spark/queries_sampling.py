@@ -214,3 +214,43 @@ def split_group_aware_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(leak))
         .select("split", "n_users", "n_rows", "leakage_groups")
     )
+
+
+@query(
+    "pps_systematic_sample",
+    # PPS design verified value-exactly: the oracle's global cumsum window
+    # (fine at oracle scale) must agree with the engine's two-level
+    # distributed prefix sum, and the stride-coverage bounds are the same
+    # integer derivation on both sides (floor(kW/n) in [cum-w, cum-1]
+    # <=> k in [ceil((cum-w)n/W), (cum*n - 1) // W]).
+    oracle=r"""
+WITH c AS (
+  SELECT doc_id, CAST(n_chars AS HUGEINT) AS w,
+         SUM(CAST(n_chars AS HUGEINT)) OVER (ORDER BY doc_id) AS cum,
+         SUM(CAST(n_chars AS HUGEINT)) OVER () AS tot
+  FROM documents
+), s AS (
+  SELECT doc_id, w, cum, tot,
+         CAST(((cum - w) * 50 + tot - 1) // tot AS BIGINT) AS klo,
+         CAST((cum * 50 - 1) // tot AS BIGINT) AS khi
+  FROM c
+)
+SELECT CAST(UNNEST(range(klo, khi + 1)) AS BIGINT) AS sample_idx,
+       doc_id,
+       CAST(w AS BIGINT) AS weight
+FROM s WHERE khi >= klo
+""",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling of 50 documents weighted by n_chars
+    (operators/sampling.py:pps_systematic_sample) — the
+    probability-proportional-to-size design a curation stack uses to
+    draw review/eval panels where big documents deserve proportionally
+    more scrutiny. The engine side computes the corpus prefix sum with
+    the two-level bucketed scan (no global-ORDER-BY window, no stride
+    join — coverage explodes in-row); deterministic and integer-exact,
+    so the full assignment value-hashes against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.pps_systematic_sample(
+        docs, id_col="doc_id", weight_col="n_chars", n=50
+    )

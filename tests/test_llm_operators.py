@@ -1303,3 +1303,58 @@ def test_bm25_checkpoint_handle_released(spark):
     R.release_eager_checkpoints(out)
     after = sc._jsc.sc().getRDDStorageInfo()
     assert len(after) <= len(before)
+
+
+def test_pps_systematic_sample_math(spark):
+    """PPS stride coverage: exactly n rows, heavy docs carry multiple
+    strides, zero-weight docs never selected, assignment matches the
+    brute-force interval walk."""
+    from ibis_flink_example_spark.operators.sampling import pps_systematic_sample
+
+    rows = [(0, 10), (1, 0), (2, 70), (3, 15), (4, 5)]  # W = 100
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    n = 10  # strides at 0,10,20,...,90
+    out = sorted(
+        (r["sample_idx"], r["doc_id"])
+        for r in pps_systematic_sample(
+            df, id_col="doc_id", weight_col="w", n=n, bucket_size=2
+        ).collect()
+    )
+    # brute force: intervals [0,10)=d0, [10,80)=d2, [80,95)=d3, [95,100)=d4
+    def pick(t):
+        cum = 0
+        for d, w in rows:
+            cum += w
+            if t < cum:
+                return d
+        raise AssertionError
+    want = sorted((k, pick(k * 100 // n)) for k in range(n))
+    assert out == want
+    assert len(out) == n
+    assert all(d != 1 for _, d in out)  # zero-weight doc excluded
+    assert sum(1 for _, d in out if d == 2) == 7  # 70% weight -> 7 strides
+
+
+def test_pps_rejects_bad_n(spark):
+    import pytest
+
+    from ibis_flink_example_spark.operators.sampling import pps_systematic_sample
+
+    df = spark.createDataFrame([(0, 1)], "doc_id long, w long")
+    with pytest.raises(ValueError):
+        pps_systematic_sample(df, id_col="doc_id", weight_col="w", n=0)
+
+
+def test_calibration_bins_grouped_arm(spark):
+    """group_cols keys the bins per group with independent stats."""
+    from ibis_flink_example_spark.operators.evaluation import calibration_bins
+
+    rows = [("a", 50_000, True), ("a", 60_000, False), ("b", 950_000, True)]
+    df = spark.createDataFrame(rows, "g string, score long, label boolean")
+    out = {
+        (r["g"], r["bin"]): (r["n_docs"], r["n_pos"])
+        for r in calibration_bins(
+            df, score_col="score", label_col="label", n_bins=10, group_cols=("g",)
+        ).collect()
+    }
+    assert out == {("a", 0): (2, 1), ("b", 9): (1, 1)}

@@ -753,3 +753,29 @@ def test_neardup_state_bucketed_join_saves_state_exchange(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         for t in (tb, tu):
             drop_table_and_location(spark, t)
+
+
+def test_pps_prefix_sum_is_two_level(spark, sf_dir):
+    """The PPS sampler's prefix sum must be the two-level bucketed scan:
+    the ONLY SinglePartition exchange feeds the (tiny) bucket-rollup
+    windows, never the document frame; the doc-side window is partitioned
+    by bucket; the scan reads only (doc_id, n_chars); stride assignment
+    adds no join beyond the bucket-offset join."""
+    import re
+
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    df = QUERIES["pps_systematic_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted mode puts the partitioning in the Exchange's Arguments
+    # detail line; exactly one SinglePartition may appear (the bucket
+    # rollup's offset/total windows), never a second one over docs
+    assert len(re.findall(r"SinglePartition", plan)) == 1
+    # two pruned scans by design (doc leg + bucket-rollup leg), both
+    # reading ONLY the 16 bytes/row the sampler needs
+    scans = scan_columns(df)
+    assert len(scans) == 2
+    assert all(set(c) == {"doc_id", "n_chars"} for c in scans)
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert ops["Generate"] == 1  # the in-row stride explode
