@@ -257,17 +257,34 @@ def pps_systematic_sample(
     Stride assignment then needs NO join against the stride list: doc i
     with interval [cum-w, cum) covers exactly the strides
     ``k in [ceil((cum-w)*n/W), floor((cum*n - 1)/W)]`` (integer-derived
-    bounds; empty for zero-weight docs), generated in-row with
-    sequence+explode. Products run in DECIMAL(38,0) — cum*n stays exact
-    far past int64 corpora.
+    bounds), generated in-row with sequence+explode. Zero-weight docs are
+    FILTERED before the bound math — their empty interval covers nothing,
+    and a zero-weight doc at the HEAD of the id order would otherwise
+    evaluate ``(0*n - 1) DIV W``, whose truncate-toward-zero result (0,
+    identically in Spark and DuckDB) fakes a covering stride (the repo's
+    negative-operand DIV rule: the derivation is floor-only on
+    NON-NEGATIVE operands). Products run in DECIMAL(38,0) — cum*n stays
+    exact far past int64 corpora.
 
-    Returns exactly ``n`` rows (sample_idx 0..n-1, id_col, weight).
+    Contract: exactly ``n`` rows (sample_idx 0..n-1, id_col, weight) when
+    total weight > 0; negative weights raise at evaluation time
+    (``raise_error`` guard — cumulative sums silently corrupt the bounds
+    otherwise); an empty / all-zero-weight input returns an EMPTY frame
+    (the weight line has no intervals — a PPS design over it does not
+    exist; the zero-weight pre-filter removes every row before any
+    divisor is touched, so this is a defined result, not a crash).
     """
     if n < 1:
         raise ValueError("pps_systematic_sample: n must be >= 1")
+    w_guard = F.when(
+        F.col(weight_col).cast("long") < 0,
+        F.raise_error(
+            F.lit("pps_systematic_sample: negative weight encountered")
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
     b = df.select(
         F.col(id_col),
-        F.col(weight_col).cast("long").alias("__w"),
+        w_guard.alias("__w"),
         F.expr(f"{id_col} DIV {bucket_size}").alias("__bkt"),
     )
     bs = b.groupBy("__bkt").agg(F.sum("__w").alias("__bw"))
@@ -295,12 +312,16 @@ def pps_systematic_sample(
     dect = "CAST(__tot AS DECIMAL(38,0))"
     klo = f"(({dec} - {decw}) * {n} + {dect} - 1) DIV {dect}"
     khi = f"({dec} * {n} - 1) DIV {dect}"
-    spans = cum.select(
-        F.col(id_col),
-        F.col("__w").alias("weight"),
-        F.expr(klo).cast("long").alias("__klo"),
-        F.expr(khi).cast("long").alias("__khi"),
-    ).filter(F.col("__khi") >= F.col("__klo"))
+    spans = (
+        cum.filter(F.col("__w") > 0)  # BEFORE the bound math; see docstring
+        .select(
+            F.col(id_col),
+            F.col("__w").alias("weight"),
+            F.expr(klo).cast("long").alias("__klo"),
+            F.expr(khi).cast("long").alias("__khi"),
+        )
+        .filter(F.col("__khi") >= F.col("__klo"))
+    )
     return spans.select(
         F.explode(F.expr("sequence(__klo, __khi)")).alias("sample_idx"),
         F.col(id_col),

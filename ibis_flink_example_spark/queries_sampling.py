@@ -222,7 +222,10 @@ def split_group_aware_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (fine at oracle scale) must agree with the engine's two-level
     # distributed prefix sum, and the stride-coverage bounds are the same
     # integer derivation on both sides (floor(kW/n) in [cum-w, cum-1]
-    # <=> k in [ceil((cum-w)n/W), (cum*n - 1) // W]).
+    # <=> k in [ceil((cum-w)n/W), (cum*n - 1) // W] — valid only on
+    # NON-NEGATIVE operands, hence the mirrored w > 0 pre-filter: both
+    # engines truncate (cum*n - 1) at cum = 0 toward zero, faking a
+    # covering stride for a zero-weight head doc).
     oracle=r"""
 WITH c AS (
   SELECT doc_id, CAST(n_chars AS HUGEINT) AS w,
@@ -238,7 +241,7 @@ WITH c AS (
 SELECT CAST(UNNEST(range(klo, khi + 1)) AS BIGINT) AS sample_idx,
        doc_id,
        CAST(w AS BIGINT) AS weight
-FROM s WHERE khi >= klo
+FROM s WHERE w > 0 AND khi >= klo
 """,
 )
 def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

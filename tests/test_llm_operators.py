@@ -1311,7 +1311,10 @@ def test_pps_systematic_sample_math(spark):
     brute-force interval walk."""
     from ibis_flink_example_spark.operators.sampling import pps_systematic_sample
 
-    rows = [(0, 10), (1, 0), (2, 70), (3, 15), (4, 5)]  # W = 100
+    # doc 0 has ZERO weight at the HEAD of the id order — the exact spot
+    # where an unguarded (cum*n - 1) DIV W truncates to a fake stride 0
+    # (review r9); it must never be selected and row count must stay n
+    rows = [(0, 0), (1, 10), (2, 70), (3, 15), (4, 5)]  # W = 100
     df = spark.createDataFrame(rows, "doc_id long, w long")
     n = 10  # strides at 0,10,20,...,90
     out = sorted(
@@ -1331,7 +1334,8 @@ def test_pps_systematic_sample_math(spark):
     want = sorted((k, pick(k * 100 // n)) for k in range(n))
     assert out == want
     assert len(out) == n
-    assert all(d != 1 for _, d in out)  # zero-weight doc excluded
+    assert all(d != 0 for _, d in out)  # zero-weight HEAD doc excluded
+    assert len({k for k, _ in out}) == n  # strides unique
     assert sum(1 for _, d in out if d == 2) == 7  # 70% weight -> 7 strides
 
 
@@ -1358,3 +1362,21 @@ def test_calibration_bins_grouped_arm(spark):
         ).collect()
     }
     assert out == {("a", 0): (2, 1), ("b", 9): (1, 1)}
+
+
+def test_pps_degenerate_weights_raise(spark):
+    """Negative weights raise via the per-row guard; an all-zero corpus
+    returns a defined EMPTY panel (no intervals exist), never a partial
+    or fake one."""
+    import pytest
+
+    from ibis_flink_example_spark.operators.sampling import pps_systematic_sample
+
+    neg = spark.createDataFrame([(0, 5), (1, -1)], "doc_id long, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        pps_systematic_sample(neg, id_col="doc_id", weight_col="w", n=3).collect()
+    zero = spark.createDataFrame([(0, 0), (1, 0)], "doc_id long, w long")
+    assert (
+        pps_systematic_sample(zero, id_col="doc_id", weight_col="w", n=3).count()
+        == 0
+    )
