@@ -94,13 +94,12 @@ def stopword_lang_score_x1e6(text_col: str, markers: Sequence[str]) -> Column:
     heuristic score against gold labels before thresholding on it.
     Pure scan-stage column math (no shuffle)."""
     from ibis_flink_example_spark.operators.dedup import words
+    from ibis_flink_example_spark.operators.text import marker_hits
 
-    ws = words(text_col)
-    hits = F.size(
-        F.filter(ws, lambda w: F.lower(w).isin([m.lower() for m in markers]))
-    )
-    num = hits.cast("long") * F.lit(1_000_000).cast("long")
-    den = F.greatest(F.size(ws), F.lit(1)).cast("long")
+    num = marker_hits(text_col, list(markers)).cast("long") * F.lit(
+        1_000_000
+    ).cast("long")
+    den = F.greatest(F.size(words(text_col)), F.lit(1)).cast("long")
     # Exact integer division as Column math (Column `/` is float): strip
     # the remainder first, so the double division's true result is the
     # integer quotient itself (representable => correctly-rounded ==

@@ -1169,7 +1169,12 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = scratch_dir("neardup_replay", sf_dir)
     for f in os.listdir(stage):
         os.remove(os.path.join(stage, f))
-    tbl = pq.read_table(table_path(sf_dir, "documents"))
+    # only the columns the pipeline consumes are staged (the stream
+    # selects doc_id/text/arrival_batch anyway — staging the rest would
+    # just double the replay bytes)
+    tbl = pq.read_table(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
     arr = pc.cast(
         pc.bit_wise_and(tbl.column("doc_id"), pa.scalar(3, pa.int64())),
         pa.int32(),
@@ -1183,14 +1188,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(p, (base + 2 * k, base + 2 * k))
 
     sch = mk_schema(
-        {
-            "doc_id": "int64",
-            "text": "string",
-            "lang": "string",
-            "source": "string",
-            "n_chars": "int64",
-            "arrival_batch": "int32",
-        }
+        {"doc_id": "int64", "text": "string", "arrival_batch": "int32"}
     )
     res_t = "neardup_ingest_results"
     seen_sh_t = "neardup_ingest_seen_sh"
@@ -1285,7 +1283,6 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .select("doc_id", "text", "arrival_batch")
     )
     q = foreach_batch(stream, apply, available_now=True)
     q.awaitTermination()
