@@ -490,3 +490,107 @@ def test_bfs_matches_python_reference(spark, edges, seeds, hops):
         for r in bfs_distances(edf, sdf, max_hops=hops).collect()
     }
     assert got == want
+
+
+@_slow
+@given(
+    ranks_a=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=0, max_size=25, unique=True
+    ),
+    ranks_b=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=0, max_size=25, unique=True
+    ),
+    k0=st.integers(min_value=1, max_value=100),
+)
+def test_rrf_fuse_matches_python_reference(spark, ranks_a, ranks_b, k0):
+    """RRF fusion must equal the pure-Python integer definition for ANY two
+    result lists: per-system contribution 1e6 // (k0 + rank), summed."""
+    from ibis_flink_example_spark.operators.retrieval import rrf_fuse
+
+    a_rows = [(i, r + 1) for r, i in enumerate(ranks_a)]
+    b_rows = [(i, r + 1) for r, i in enumerate(ranks_b)]
+    schema = "doc_id long, rank long"
+    dfa = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    dfb = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    got = {
+        r["doc_id"]: (r["rrf_x1e6"], r["n_systems"])
+        for r in rrf_fuse([dfa, dfb], id_col="doc_id", k0=k0, top_k=1000).collect()
+    }
+    want: dict = {}
+    for rows in (a_rows, b_rows):
+        for i, rank in rows:
+            s, n = want.get(i, (0, 0))
+            want[i] = (s + 1_000_000 // (k0 + rank), n + 1)
+    assert got == want
+
+
+@_slow
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000_000),  # score x1e6
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n_bins=st.integers(min_value=1, max_value=12),
+)
+def test_calibration_bins_matches_python_reference(spark, data, n_bins):
+    """Bin assignment and every per-bin statistic must equal the integer
+    reference for ANY scores/labels (including the 1e6 top edge)."""
+    from ibis_flink_example_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame(data, "score long, label boolean")
+    got = {
+        r["bin"]: (r["n_docs"], r["n_pos"], r["mean_score_x1e6"],
+                   r["pos_rate_x1e6"], r["gap_x1e6"])
+        for r in calibration_bins(
+            df, score_col="score", label_col="label", n_bins=n_bins
+        ).collect()
+    }
+    agg: dict = {}
+    for s, l in data:
+        b = min(n_bins - 1, s * n_bins // 1_000_000)
+        n, p, ss = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, p + int(l), ss + s)
+    want = {}
+    for b, (n, p, ss) in agg.items():
+        mean, rate = ss // n, p * 1_000_000 // n
+        want[b] = (n, p, mean, rate, abs(mean - rate))
+    assert got == want
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    num=st.integers(min_value=1, max_value=3),
+    den=st.integers(min_value=3, max_value=5),
+)
+def test_shingle_match_ids_matches_bruteforce(spark, docs, num, den):
+    """The integer cross-multiplied Jaccard threshold must agree with the
+    float brute force for ANY shingle sets and any rational threshold
+    (new-vs-pool with the smaller-id restriction)."""
+    from ibis_flink_example_spark.operators.dedup import shingle_match_ids
+
+    sets = [set(d) for d in docs]
+    rows = [(i, s) for i, d in enumerate(sets) for s in d]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        r["doc_id"]
+        for r in shingle_match_ids(
+            sh, sh, id_col="doc_id", threshold_num=num, threshold_den=den,
+            restrict_smaller_pool_id=True,
+        ).collect()
+    }
+    want = set()
+    for i, si in enumerate(sets):
+        for j in range(i):
+            nc = len(si & sets[j])
+            if nc and den * nc >= num * (len(si) + len(sets[j]) - nc):
+                want.add(i)
+    assert got == want

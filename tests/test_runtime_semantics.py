@@ -680,3 +680,69 @@ def test_dsir_empty_target_domain_mini(spark, tmp_path):
     d = _write_mini_docs(spark, tmp_path, rows, sub="dsir")
     got = _check_mini(spark, d, "dsir_target_weights")
     assert len(got) == 2 and got["weight_bits"].notna().all()
+
+
+def test_neardup_ingest_boundary_and_short_docs_mini(spark, tmp_path):
+    """streaming_neardup_ingest on a hand-crafted corpus pinning the two
+    semantics the driver fixtures never exercise: (a) the EXACT 0.5
+    Jaccard boundary (>= threshold -> reject; integer cross-multiply must
+    agree with the oracle's), and (b) sub-3-word docs, whose identity is
+    the degenerate whole-text shingle on the engine side and the mirrored
+    CASE arm in the oracle. Batch = doc_id % 4, so the boundary pair
+    crosses batches and the short-doc pair crosses batches too."""
+    rows = [
+        # A (batch 0) vs B (batch 1): shingles {abc,bcd,cde} vs
+        # {abc,bcd,cdf} -> nc=2, na=nb=3, jacc = 2/4 = 0.5 EXACTLY -> B rejected
+        (0, "a b c d e", "en", "s", 9),
+        (1, "a b c d f", "en", "s", 9),
+        # C (batch 2): shares only 'abc' with A -> jacc 1/5 < 0.5 -> accepted
+        (2, "a b c x y", "en", "s", 9),
+        # short docs: identical 2-word text, different batches -> whole-text
+        # shingle equal -> jacc 1 -> later arrival rejected
+        (4, "hi yo", "en", "s", 5),
+        (5, "hi yo", "en", "s", 5),
+        # short doc with different text -> accepted
+        (6, "bye yo", "en", "s", 6),
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="neardup_mini")
+    got = _check_mini(spark, d, "streaming_neardup_ingest")
+    acc = dict(zip(got["doc_id"], got["accepted"]))
+    assert acc == {0: True, 1: False, 2: True, 4: True, 5: False, 6: True}
+
+
+def test_pps_zero_weight_head_mini(spark, tmp_path):
+    """pps_systematic_sample engine-vs-oracle parity on the corpus shape
+    the r9 review found broken: a ZERO-weight doc at the minimum doc_id
+    (cum == 0 -> negative DIV operand without the w > 0 pre-filter).
+    Exactly n rows, the zero-weight doc never selected, both engines
+    agree value-exactly."""
+    rows = [
+        (0, "pad", "en", "s", 0),    # zero weight at the HEAD
+        (1, "pad", "en", "s", 10),
+        (2, "pad", "en", "s", 30),
+        (3, "pad", "en", "s", 60),   # W = 100
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="pps_mini")
+    got = _check_mini(spark, d, "pps_systematic_sample")
+    assert len(got) == 50
+    assert 0 not in set(got["doc_id"])
+    assert sorted(got["sample_idx"]) == list(range(50))
+
+
+def test_calibration_perfect_and_empty_score_mini(spark, tmp_path):
+    """Calibration bin edges at the extremes: an all-marker doc scores
+    exactly 1e6 (must land in bin 9 via the LEAST clamp, not a
+    nonexistent bin 10) and an empty text scores 0 into bin 0; per-domain
+    arm agrees on the same fixture."""
+    rows = [
+        (0, "the of and", "en", "sA", 10),   # 3/3 markers -> score 1e6
+        (1, "", "fr", "sA", 0),              # empty -> score 0
+        (2, "the banana", "en", "sB", 10),   # 1/2 -> 500000 -> bin 5
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="calib_mini")
+    got = _check_mini(spark, d, "lang_score_calibration")
+    bins = dict(zip(got["bin"], got["n_docs"]))
+    assert bins == {9: 1, 0: 1, 5: 1}
+    got2 = _check_mini(spark, d, "calibration_by_source")
+    key = {(r.source, r.bin) for r in got2.itertuples()}
+    assert key == {("sA", 9), ("sA", 0), ("sB", 5)}
