@@ -50,3 +50,64 @@ def bucketed_join(
     zero Exchange (verify with .explain: SortMergeJoin directly over two
     bucketed scans)."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def rendezvous_shard_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    bytes_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment + the load/
+    stability QA a 100 TB layout decision runs on it: every row hashes
+    once per candidate shard (``md5(id || ':' || shard)``) and lands on
+    the lexicographic-max hash. Unlike ``id % n``, adding a shard moves
+    ONLY the rows whose new-shard hash beats their current winner — an
+    expected 1/(n+1) of the corpus, each moving TO the new shard — so a
+    reshard is an incremental copy, not a full reshuffle. That property
+    is REPORTED, not assumed: ``n_moving_add_one`` counts this shard's
+    rows whose ``md5(id || ':' || n_shards)`` exceeds their current max.
+
+    md5 hex is byte-identical in Spark and DuckDB, so the full assignment
+    (not just the counts) is oracle-checkable. Ties would need an md5
+    collision between distinct strings; the struct max still defines
+    them deterministically (higher shard wins — mirror the oracle's
+    ORDER BY h DESC, s DESC if you change it).
+
+    Scale shape: the argmax over n_shards hashes is a per-row expression
+    in the scan stage (an array of structs + array_max — no explode, no
+    shuffle of per-(row, shard) pairs); the only exchange is the final
+    n_shards-group rollup with map-side combine.
+
+    Returns (shard, n_docs, total_bytes, n_moving_add_one), one row per
+    non-empty shard.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError("rendezvous_shard_plan: n_shards must be >= 1")
+    ids = F.col(id_col).cast("string")
+
+    def h(s: int):
+        return F.md5(F.concat(ids, F.lit(f":{s}")))
+
+    best = F.array_max(
+        F.array(*[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)])
+    )
+    assigned = df.select(
+        best.getField("s").cast("long").alias("shard"),
+        best.getField("h").alias("__hmax"),
+        F.col(bytes_col).cast("long").alias("__bytes"),
+        h(n_shards).alias("__hnew"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__bytes").cast("long").alias("total_bytes"),
+            F.sum((F.col("__hnew") > F.col("__hmax")).cast("long"))
+            .cast("long")
+            .alias("n_moving_add_one"),
+        )
+    )

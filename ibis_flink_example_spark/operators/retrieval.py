@@ -353,3 +353,66 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_x1e6"), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def posting_lists(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 20,
+    postings_per_term: int = 10,
+) -> DataFrame:
+    """Capped inverted-index build — the artifact BM25 serving reads: for
+    the ``top_terms`` most frequent terms, the ``postings_per_term``
+    highest-tf postings serialized as a deterministic ``doc:tf,...``
+    string (impact-ordered posting prefix, the static index-pruning
+    layout; at serving time the tf-descending prefix is what early-
+    termination scoring consumes).
+
+    Scale shape: term selection is TakeOrderedAndProject over the
+    |vocab|-bounded term-stat rollup (never a global sort); the selected
+    terms BROADCAST back onto the (doc, term, tf) frame, so the corpus-
+    sized posting stream is filtered in its own scan stage; the per-term
+    cut is a rank window that plans as WindowGroupLimit (per-partition
+    top-k retention BEFORE the full window materializes); serialization
+    sorts only the <= postings_per_term survivors in-row. Deterministic
+    order (tf desc, id asc) makes the whole artifact value-hashable.
+
+    Returns (term, occurrences, doc_freq, postings_csv).
+    """
+    from pyspark.sql.window import Window
+
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("occurrences"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.col("term").asc())
+        .limit(top_terms)
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.col(id_col).asc())
+    ranked = (
+        tf.join(F.broadcast(stats), "term")
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= postings_per_term)
+    )
+    entry = F.struct(
+        (-F.col("tf")).cast("long").alias("a"),
+        F.col(id_col).alias("d"),
+        F.col("tf").cast("long").alias("t"),
+    )
+    return (
+        ranked.groupBy("term", "occurrences", "doc_freq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)),
+                    lambda x: F.concat_ws(":", x["d"], x["t"]),
+                ),
+                ",",
+            ).alias("postings_csv")
+        )
+    )

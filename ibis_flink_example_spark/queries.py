@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_neardup_ingest",
     "pps_systematic_sample",
     "calibration_by_source",
+    "rendezvous_shard_plan",
+    "posting_lists_top_terms",
     # implementation touched this round (convergence contract)
     "connected_components_distributed",
     # r4-era re-verification (most recent green row = round 4)
@@ -122,13 +124,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
     "tpch_q22_global_sales_opportunity",
-    # oldest three r5-era rows (earliest-first-verified; the rest of the
-    # r5 cohort — including range_join_events and window_lag_lead, which
-    # ceded their slots to the two extra round-9 first-rows — rotates in
-    # r10; first-rows outrank re-verifies of standing greens)
+    # oldest r5-era row (earliest-first-verified; the rest of the r5
+    # cohort — including asof_join_clicks / over_range_sum_1h /
+    # range_join_events / window_lag_lead, which ceded their slots to
+    # round-9 first-rows — rotates in r10; first-rows outrank re-verifies
+    # of standing greens)
     "approx_quantiles_value",
-    "asof_join_clicks",
-    "over_range_sum_1h",
     # displaced to positions 51+ (every one carries a green driver row
     # from r5-r8; the local oracle gate re-checks all of them every CI
     # run): the r5-r8 greens and the rest of the registry in

@@ -2553,3 +2553,45 @@ def calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=10,
         group_cols=("source",),
     )
+
+
+@query(
+    "posting_lists_top_terms",
+    # Impact-ordered posting prefixes serialized deterministically
+    # (tf desc, doc asc) — the journey-string idiom makes the whole index
+    # artifact one scalar per term, value-hashable across engines.
+    oracle=rf"""
+WITH {_TF_CTE},
+stats AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS occurrences,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM tf GROUP BY 1
+  ORDER BY occurrences DESC, term ASC LIMIT 20
+), ranked AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id ASC
+         ) AS rnk
+  FROM tf JOIN stats USING (term)
+)
+SELECT s.term, s.occurrences, s.doc_freq,
+  string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.tf DESC, r.doc_id ASC)
+    AS postings_csv
+FROM ranked r JOIN stats s USING (term)
+WHERE r.rnk <= 10
+GROUP BY 1, 2, 3
+""",
+)
+def posting_lists_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index build (operators/retrieval.py:posting_lists):
+    top-20 terms by occurrences, each with its 10 highest-tf postings as
+    a deterministic doc:tf CSV — the impact-ordered posting prefix BM25
+    serving consumes for early-termination scoring. Term selection is
+    TakeOrderedAndProject over the vocab-bounded rollup; selected terms
+    broadcast back; the per-term cut plans as WindowGroupLimit so the
+    corpus-sized posting stream is pruned per-partition before the full
+    window materializes."""
+    from ibis_flink_example_spark.operators.retrieval import posting_lists
+
+    docs = load_table(spark, sf_dir, "documents")
+    return posting_lists(docs, top_terms=20, postings_per_term=10)

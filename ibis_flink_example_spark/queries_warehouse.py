@@ -1215,3 +1215,54 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fk("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey")
         )
     )
+
+
+def _rendezvous_oracle(n_shards: int = 16) -> str:
+    """Generated oracle: per-doc argmax over the n_shards md5 hashes via a
+    ROW_NUMBER over the exploded (doc, shard) pairs (fine at oracle
+    scale; the engine side does it join-free in-row), plus the
+    add-one-shard movement count."""
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, n_chars, UNNEST(range(0, {n_shards})) AS s
+  FROM documents
+), hashed AS (
+  SELECT doc_id, n_chars, CAST(s AS BIGINT) AS s,
+         md5(doc_id || ':' || s) AS h
+  FROM pairs
+), best AS (
+  SELECT doc_id, n_chars, s AS shard, h AS hmax
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY h DESC, s DESC
+    ) AS rn FROM hashed
+  ) WHERE rn = 1
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+  CAST(SUM(CASE WHEN md5(doc_id || ':' || {n_shards}) > hmax
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_moving_add_one
+FROM best
+GROUP BY 1
+"""
+
+
+@query("rendezvous_shard_plan", oracle=_rendezvous_oracle(16))
+def rendezvous_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard layout QA
+    (operators/bucketing.py:rendezvous_shard_plan): the documents corpus
+    assigned to 16 shards by highest-random-weight hashing, with per-shard
+    doc/byte loads AND the measured minimal-movement property — how many
+    of each shard's docs would move if a 17th shard were added (each such
+    doc moves TO the new shard; expected ~1/17 of the corpus — the reason
+    a 100 TB reshard under rendezvous hashing is an incremental copy, not
+    a full reshuffle like id % n). The argmax is a per-row scan-stage
+    expression (array of structs + array_max, no explode, no
+    per-(row, shard) shuffle); the only exchange is the 16-group rollup."""
+    from ibis_flink_example_spark.operators.bucketing import (
+        rendezvous_shard_plan as rsp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rsp(docs, id_col="doc_id", bytes_col="n_chars", n_shards=16)

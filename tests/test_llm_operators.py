@@ -1380,3 +1380,70 @@ def test_pps_degenerate_weights_raise(spark):
         pps_systematic_sample(zero, id_col="doc_id", weight_col="w", n=3).count()
         == 0
     )
+
+
+def test_rendezvous_shard_movement_property(spark):
+    """Rendezvous hashing's minimal-movement law, verified against an
+    independent 17-shard assignment: the reported movers per shard equal
+    the docs whose 17-shard winner differs, and every mover's new winner
+    is exactly the ADDED shard."""
+    from ibis_flink_example_spark.operators.bucketing import rendezvous_shard_plan
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_bytes")
+    )
+    plan = {
+        r["shard"]: r
+        for r in rendezvous_shard_plan(
+            docs, id_col="doc_id", bytes_col="n_bytes", n_shards=16
+        ).collect()
+    }
+    import hashlib
+
+    def winner(i, n):
+        return max(
+            range(n),
+            key=lambda s: (hashlib.md5(f"{i}:{s}".encode()).hexdigest(), s),
+        )
+
+    moved_by_shard: dict = {}
+    for i in range(300):
+        w16, w17 = winner(i, 16), winner(i, 17)
+        if w16 != w17:
+            assert w17 == 16  # movers go ONLY to the new shard
+            moved_by_shard[w16] = moved_by_shard.get(w16, 0) + 1
+    assert sum(r["n_docs"] for r in plan.values()) == 300
+    for s, r in plan.items():
+        assert r["n_moving_add_one"] == moved_by_shard.get(s, 0)
+    total_moving = sum(moved_by_shard.values())
+    assert 0 < total_moving < 300 // 4  # ~1/17 expected; far below 25%
+
+
+def test_posting_lists_matches_python_reference(spark):
+    """Posting serialization vs a pure-Python inverted index on the mini
+    retrieval corpus (tf desc, doc asc order; caps honored)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from ibis_flink_example_spark.operators.retrieval import posting_lists
+    from ibis_flink_example_spark.operators.text import corpus_stopwords
+
+    docs = _mini_retrieval_corpus(spark)
+    got = {
+        r["term"]: (r["occurrences"], r["doc_freq"], r["postings_csv"])
+        for r in posting_lists(docs, top_terms=3, postings_per_term=2).collect()
+    }
+    stop = set(corpus_stopwords())
+    inv: dict = defaultdict(Counter)
+    for row in docs.collect():
+        for t in re.findall(r"[a-z0-9]+", row["text"].lower()):
+            if len(t) >= 3 and t not in stop:
+                inv[t][row["doc_id"]] += 1
+    stats = sorted(
+        ((sum(c.values()), t) for t, c in inv.items()), key=lambda x: (-x[0], x[1])
+    )[:3]
+    want = {}
+    for occ, t in stats:
+        entries = sorted(inv[t].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want[t] = (occ, len(inv[t]), ",".join(f"{d}:{c}" for d, c in entries))
+    assert got == want

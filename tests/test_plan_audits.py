@@ -779,3 +779,28 @@ def test_pps_prefix_sum_is_two_level(spark, sf_dir):
     ops = plan_ops(df)
     assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
     assert ops["Generate"] == 1  # the in-row stride explode
+
+
+def test_rendezvous_plan_is_map_plus_one_rollup(spark, sf_dir):
+    """The per-row argmax over shard hashes must stay a scan-stage
+    expression — no explode of (row, shard) pairs, no join; the only
+    exchange is the 16-group rollup; scan pruned to the two inputs."""
+    df = QUERIES["rendezvous_shard_plan"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert exchange_count(df) == 1
+    assert ops["Generate"] == 0
+    assert ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"doc_id", "n_chars"}
+
+
+def test_posting_lists_windowgrouplimit_and_topk(spark, sf_dir):
+    """The per-term posting cut must plan as WindowGroupLimit and term
+    selection as TakeOrderedAndProject — never a global sort of the
+    posting stream; selected terms broadcast back."""
+    df = QUERIES["posting_lists_top_terms"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["WindowGroupLimit"] >= 1
+    assert ops["TakeOrderedAndProject"] >= 1
+    assert ops["SortMergeJoin"] == 0
+    assert broadcast_join_count(df) >= 1
