@@ -106,8 +106,8 @@ def rendezvous_shard_plan(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__bytes").cast("long").alias("total_bytes"),
-            F.sum((F.col("__hnew") > F.col("__hmax")).cast("long"))
-            .cast("long")
-            .alias("n_moving_add_one"),
+            F.sum((F.col("__hnew") > F.col("__hmax")).cast("long")).alias(
+                "n_moving_add_one"
+            ),
         )
     )

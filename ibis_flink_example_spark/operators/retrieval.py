@@ -383,15 +383,21 @@ def posting_lists(
     """
     from pyspark.sql.window import Window
 
+    from ibis_flink_example_spark.operators.text import term_heavy_hitters
+
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
-    stats = (
-        tf.groupBy("term")
-        .agg(
-            F.sum("tf").cast("long").alias("occurrences"),
-            F.count(F.lit(1)).cast("long").alias("doc_freq"),
-        )
-        .orderBy(F.desc("occurrences"), F.col("term").asc())
-        .limit(top_terms)
+    # ONE definition of "top-k corpus terms" (review r9): reuse
+    # term_heavy_hitters rather than re-derive it — its internal tf
+    # subtree is built by the same term_frequencies call as ours, so the
+    # (doc, term) aggregate exchange resolves to a runtime ReusedExchange
+    # (pinned in tests/test_plan_audits.py) instead of a second
+    # tokenize+shuffle pass.
+    stats = term_heavy_hitters(
+        docs, id_col=id_col, text_col=text_col, k=top_terms
+    ).select(
+        "term",
+        F.col("total_tf").cast("long").alias("occurrences"),
+        F.col("df_term").cast("long").alias("doc_freq"),
     )
     w = Window.partitionBy("term").orderBy(F.desc("tf"), F.col(id_col).asc())
     ranked = (

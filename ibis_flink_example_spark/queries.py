@@ -56,18 +56,19 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # against their DuckDB oracles, so registry order is a verification budget.
 # Round-9 rotation (VERDICT r8 top-next, executed verbatim): first-rows
 # for every oracle-bearing query that has NEVER had an external driver
-# row — the five late-r8 registrations plus the five new r9 operators
+# row — the five late-r8 registrations plus the SEVEN new r9 operators
 # (RRF hybrid fusion, calibration bins + per-domain arm, streaming
-# near-dup ingest, PPS systematic sampling) —
-# then connected_components_distributed (its operator gained the
-# converged-or-raise contract this round; the query opts out
-# explicitly, so the row re-proves behavioral identity), then EVERY
-# query whose most recent green row is r4-era (all 34 of them — after
-# this window no green row is older than r5), and the five oldest
-# r5-era rows to start that cohort's rotation. bm25_topk_docs and
-# embedding_top_pc double as re-verification of this round's BM25
-# semi-join-reduction and Gram-arm fixes. The remaining ~36 r5-era rows
-# rotate through in r10.
+# near-dup ingest, PPS systematic sampling, rendezvous shard planning,
+# inverted-index posting lists) — then connected_components_distributed
+# (its operator gained the converged-or-raise contract this round; the
+# query opts out explicitly, so the row re-proves behavioral identity),
+# then EVERY query whose most recent green row is r4-era (all 34 of
+# them — after this window no green row is older than r5), and ONE
+# r5-era row to seed that cohort's rotation (first-rows outrank
+# re-verifies, so four r5 candidates ceded their slots — see the
+# in-list note). bm25_topk_docs and embedding_top_pc double as
+# re-verification of this round's BM25 semi-join-reduction and Gram-arm
+# fixes. The r5-era backlog for r10 is the remaining ~40 rows.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",

@@ -804,3 +804,10 @@ def test_posting_lists_windowgrouplimit_and_topk(spark, sf_dir):
     assert ops["TakeOrderedAndProject"] >= 1
     assert ops["SortMergeJoin"] == 0
     assert broadcast_join_count(df) >= 1
+    # the stats leg and the posting stream share ONE tf subtree — the
+    # corpus tokenize + (doc, term) shuffle must run once, resolved as a
+    # runtime ReusedExchange (the rollup_reuse_hierarchy idiom: static
+    # explain shows duplicated subtrees, reuse resolves under AQE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, executed[:2000]
