@@ -746,3 +746,37 @@ def test_calibration_perfect_and_empty_score_mini(spark, tmp_path):
     got2 = _check_mini(spark, d, "calibration_by_source")
     key = {(r.source, r.bin) for r in got2.itertuples()}
     assert key == {("sA", 9), ("sA", 0), ("sB", 5)}
+
+
+def test_posting_lists_tie_breaks_mini(spark, tmp_path):
+    """posting_lists_top_terms on a corpus engineered for BOTH tie axes:
+    equal-occurrence terms at the top-k boundary (term-asc tiebreak) and
+    equal-tf postings at the per-term cut (doc-asc tiebreak) — engine and
+    oracle must cut identically."""
+    rows = [
+        # 'alpha' and 'beta' both occur 4x (term tiebreak); 'gamma' 2x.
+        # Within 'alpha': docs 1,2 tf=2 each; docs 3,4 tf=... craft below.
+        (1, "alpha alpha beta gamma", "en", "s", 10),
+        (2, "alpha alpha beta gamma", "en", "s", 10),
+        (3, "beta beta", "en", "s", 10),
+    ]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="postings_mini")
+    got = _check_mini(spark, d, "posting_lists_top_terms")
+    by_term = {r.term: r for r in got.itertuples()}
+    # alpha: docs 1,2 tf 2 each -> equal tf, doc-asc order "1:2,2:2"
+    assert by_term["alpha"].postings_csv == "1:2,2:2"
+    # beta: doc 3 tf 2 beats docs 1,2 tf 1; then doc-asc among ties
+    assert by_term["beta"].postings_csv == "3:2,1:1,2:1"
+    assert by_term["alpha"].occurrences == by_term["beta"].occurrences == 4
+
+
+def test_rendezvous_shard_plan_mini(spark, tmp_path):
+    """Engine-vs-oracle parity of the full rendezvous assignment on a tiny
+    corpus (every shard decision checked value-exactly), plus the
+    conservation law: loads sum to the corpus."""
+    rows = [(i, "x", "en", "s", (i % 7) + 1) for i in range(40)]
+    d = _write_mini_docs(spark, tmp_path, rows, sub="rendezvous_mini")
+    got = _check_mini(spark, d, "rendezvous_shard_plan")
+    assert got["n_docs"].sum() == 40
+    assert got["total_bytes"].sum() == sum((i % 7) + 1 for i in range(40))
+    assert got["n_moving_add_one"].sum() <= 40
