@@ -751,28 +751,79 @@ def simhash_neardup_pairs(
     sigd = simhash_signatures(
         df, id_col=id_col, text_col=text_col, sig_col="__sim"
     ).localCheckpoint(eager=True)
+    out = hamming_band_pairs(
+        sigd,
+        id_col=id_col,
+        sig_col="__sim",
+        max_hamming=max_hamming,
+        n_chunks=4,
+        max_bucket_size=max_bucket_size,
+        log_dropped=log_dropped,
+        what="simhash chunk bucket",
+    )
+    # release discipline: loop callers release via
+    # retrieval.release_eager_checkpoints(out) after consumption
+    out._eager_checkpoints = (sigd,)
+    return out
+
+
+def hamming_band_pairs(
+    sigd: DataFrame,
+    *,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    n_chunks: int = 4,
+    max_bucket_size: int | None = 50_000,
+    log_dropped: bool = False,
+    what: str = "hamming chunk bucket",
+) -> DataFrame:
+    """Shared Hamming-LSH candidate machinery over ANY 64-bit signature
+    table (SimHash over text, blockhash over image payloads, ...): band
+    the signature into ``n_chunks`` equal bit chunks, bucket-join on
+    (chunk_idx, chunk), verify via ``bit_count(xor)``.
+
+    Recall contract (pigeonhole): pairs within Hamming distance
+    ``n_chunks - 1`` ALWAYS share >= 1 exact chunk, so the banding is
+    LOSSLESS for ``max_hamming <= n_chunks - 1``. A larger
+    ``max_hamming`` is permitted and is the standard LSH recall trade:
+    the verify step still rejects every pair above the cut, but pairs
+    whose differing bits straddle all chunks are never generated —
+    callers needing set-exact output (oracle-checked queries) must keep
+    ``max_hamming <= n_chunks - 1``.
+
+    ``max_bucket_size`` caps bucket population before the self-join
+    (drop_hot_keys) — the skew guard against one degenerate chunk value
+    detonating into O(n²) colliding rows.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    if 64 % n_chunks != 0:
+        raise ValueError("hamming_band_pairs: n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = sigd.select(
         id_col,
-        "__sim",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("__sim"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(sig_col), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "__sim", "c.chunk_idx", "c.chunk")
+    ).select(id_col, sig_col, "c.chunk_idx", "c.chunk")
     chunks = drop_hot_keys(
         chunks,
         ["chunk_idx", "chunk"],
         max_rows_per_key=max_bucket_size,
-        what="simhash chunk bucket",
+        what=what,
         log_dropped=log_dropped,
     )
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -786,7 +837,9 @@ def simhash_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
         )
         # verify BEFORE distinct: the hamming cut is one xor+popcount per
         # colliding row, so only true near-dup pairs reach the dedup shuffle
@@ -931,12 +984,17 @@ def shingle_match_ids(
     ngram_jaccard_pairs) — the ingest query keeps the space uncapped so
     its oracle stays a pure prefix-Jaccard definition.
     """
-    ns = new_sizes or new_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
-    )
-    ps = pool_sizes or pool_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
-    )
+    # explicit None checks: DataFrame truthiness is undefined behavior to
+    # lean on (`or` would silently conflate None with any falsy impostor)
+    if new_sizes is None:
+        new_sizes = new_sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        )
+    if pool_sizes is None:
+        pool_sizes = pool_sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        )
+    ns, ps = new_sizes, pool_sizes
     a = new_sh.select(
         F.col(id_col).alias("__id_n"), F.col(shingle_col).alias("__sh")
     )

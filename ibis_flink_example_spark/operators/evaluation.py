@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +105,142 @@ def stopword_lang_score_x1e6(text_col: str, markers: Sequence[str]) -> Column:
     # integer quotient itself (representable => correctly-rounded ==
     # exact; num <= 1e6 * n_words stays far under 2^53).
     return ((num - num % den) / den).cast("long")
+
+
+def _score_class_counts(
+    df: DataFrame, *, score_col: str, label_col: str
+) -> DataFrame:
+    """Counts-of-counts collapse shared by the ROC operators: one
+    aggregation with map-side combine from corpus rows to one row per
+    DISTINCT score — (score, n_pos, n_neg). For an x1e6 fixed-point score
+    the output is bounded by the score DOMAIN (<= 1e6 + 1 rows) no matter
+    the corpus size, so everything downstream runs on a small frame.
+
+    Rows with a NULL score or NULL label are EXCLUDED (an unscored or
+    unlabeled row carries no ranking evidence) — made explicit because
+    Spark windows order NULLs FIRST while DuckDB orders them LAST, so a
+    NULL leaking into the cumulative windows would diverge engine vs
+    oracle instead of failing loudly."""
+    pos = F.col(label_col).cast("long")
+    return (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(F.col(score_col).cast("long").alias("score"), pos.alias("__p"))
+        .groupBy("score")
+        .agg(
+            F.sum("__p").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("n_neg"),
+        )
+    )
+
+
+def roc_threshold_sweep(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Threshold sweep for a binary classifier score — the decision table
+    behind picking an operating point: for every observed score t (the
+    rule "predict positive iff score >= t"), the confusion counts and the
+    derived rates, all integer-exact. The ROC curve is (fpr, tpr) over
+    these rows; precision/recall and F1 give the PR view of the same
+    sweep.
+
+    ``score_col`` must be an integer x1e6 score (standard exactness
+    carrier); ``label_col`` boolean. Requires both classes present
+    (rates divide by the class totals).
+
+    Scale shape: the corpus collapses to the distinct-score frame first
+    (:func:`_score_class_counts` — bounded by the score domain, not the
+    corpus); the cumulative windows and totals then run over that small
+    frame. Its single-partition window is the PPS bucket-rollup posture:
+    <= 1e6 + 1 rows regardless of corpus size. Rates are positive-operand
+    floor divisions in DECIMAL(38,0) (Spark DIV == DuckDB // there).
+
+    Returns (threshold, tp, fp, fn, tn, tpr_x1e6, fpr_x1e6,
+    precision_x1e6, f1_x1e6), one row per distinct score, descending.
+    """
+    g = _score_class_counts(df, score_col=score_col, label_col=label_col)
+    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("tp"),
+        F.sum("n_neg").over(w_cum).cast("long").alias("fp"),
+        F.sum("n_pos").over(w_all).cast("long").alias("__np"),
+        F.sum("n_neg").over(w_all).cast("long").alias("__nn"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    tp, fp = dec.format("tp"), dec.format("fp")
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("__np") - F.col("tp")).alias("fn"),
+        (F.col("__nn") - F.col("fp")).alias("tn"),
+        F.expr(f"({tp} * 1000000) DIV __np").cast("long").alias("tpr_x1e6"),
+        F.expr(f"({fp} * 1000000) DIV __nn").cast("long").alias("fpr_x1e6"),
+        F.expr(f"({tp} * 1000000) DIV (tp + fp)")
+        .cast("long")
+        .alias("precision_x1e6"),
+        F.expr(f"({tp} * 2000000) DIV (tp + __np + fp)")
+        .cast("long")
+        .alias("f1_x1e6"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC-AUC as the exact rank statistic (the Mann-Whitney U view): AUC
+    = P(score_pos > score_neg) + ½·P(tie). Computed tie-aware from the
+    distinct-score frame — each score s with (n_pos, n_neg) contributes
+    ``n_pos * (2·neg_below(s) + n_neg(s))`` to the x2 numerator, so ties
+    contribute exactly half. No trapezoid approximation, no floats: the
+    numerator and the 2·N⁺·N⁻ denominator are exact integers in
+    DECIMAL(38,0) (products reach n² — far past int64 at corpus scale),
+    with ONE final positive-operand floor division to x1e6.
+
+    Same scale shape as :func:`roc_threshold_sweep`: corpus → distinct-
+    score counts (score-domain-bounded), one cumulative window over that
+    small frame, one global rollup. Requires both classes present.
+
+    Returns ONE row: (n_pos, n_neg, auc_x1e6).
+    """
+    g = _score_class_counts(df, score_col=score_col, label_col=label_col)
+    w_below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0))
+        .cast("long")
+        .alias("__neg_below"),
+    )
+    contrib = (
+        "CAST(n_pos AS DECIMAL(38,0)) * "
+        "(2 * CAST(__neg_below AS DECIMAL(38,0)) + n_neg)"
+    )
+    agg = c.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(F.expr(contrib)).alias("__num_x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(__num_x2 * 1000000) DIV "
+            "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+        )
+        .cast("long")
+        .alias("auc_x1e6"),
+    )

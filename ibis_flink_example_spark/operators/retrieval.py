@@ -332,6 +332,12 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
+    # Checkpoint handles attached to input rankings (bm25_topk's tf) must
+    # survive the fusion, or loop callers can never release them — see
+    # release_eager_checkpoints. Collected here; re-attached to the output.
+    inherited: tuple = ()
+    for r in rankings:
+        inherited += tuple(getattr(r, "_eager_checkpoints", ()))
     contribs = [
         r.select(
             F.col(id_col),
@@ -344,7 +350,7 @@ def rrf_fuse(
     u = contribs[0]
     for c in contribs[1:]:
         u = u.unionByName(c)
-    return (
+    out = (
         u.groupBy(id_col)
         .agg(
             F.sum("__c").cast("long").alias("rrf_x1e6"),
@@ -353,6 +359,9 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_x1e6"), F.col(id_col).asc())
         .limit(top_k)
     )
+    if inherited:
+        out._eager_checkpoints = inherited
+    return out
 
 
 def posting_lists(

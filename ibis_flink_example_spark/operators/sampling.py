@@ -266,7 +266,11 @@ def pps_systematic_sample(
     NON-NEGATIVE operands). Products run in DECIMAL(38,0) — cum*n stays
     exact far past int64 corpora.
 
-    Contract: exactly ``n`` rows (sample_idx 0..n-1, id_col, weight) when
+    Contract: ``id_col`` values must be UNIQUE — the design is "lay the
+    weights end to end in id order", and duplicate ids make the in-bucket
+    ROWS-frame running sum order nondeterministic among peers (a SQL
+    mirror with a RANGE frame would also group peers, diverging further).
+    Exactly ``n`` rows (sample_idx 0..n-1, id_col, weight) when
     total weight > 0; negative weights raise at evaluation time
     (``raise_error`` guard — cumulative sums silently corrupt the bounds
     otherwise); an empty / all-zero-weight input returns an EMPTY frame
@@ -326,4 +330,71 @@ def pps_systematic_sample(
         F.explode(F.expr("sequence(__klo, __khi)")).alias("sample_idx"),
         F.col(id_col),
         "weight",
+    )
+
+
+def epoch_shuffle_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_epochs: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic training-order assignment — the step between a curated
+    corpus and a training run: for every epoch, each document is (1)
+    placed on a data-parallel shard by rendezvous hashing and (2) given a
+    position within that shard by an epoch-salted hash order. Every epoch
+    is an independent pseudo-random permutation, yet the whole plan is a
+    pure function of (id, epoch) — re-runs, retries, and repartitioning
+    reproduce byte-identical training order, which is what makes a 100 TB
+    run resumable and debuggable. md5 hex is byte-identical in Spark and
+    DuckDB, so the FULL assignment (not a sample) is oracle-checkable.
+
+    Scale shape: the epoch fan-out is an in-row explode of a literal
+    sequence (scan stage, x n_epochs); the shard argmax over ``n_shards``
+    md5 hashes is a per-row array_max expression (rendezvous_shard_plan's
+    idiom — no per-(row, shard) shuffle); the ONLY exchange is the
+    (epoch, shard)-keyed window that numbers documents within each shard
+    — n_epochs * n_shards independent partitions, each corpus/n_shards
+    rows, scanned in parallel. No global sort anywhere. A worker streams
+    its (epoch, shard) slice in seq order; packs follow via
+    pack_sequences on the same keys.
+
+    Ties: distinct ids virtually never collide on md5, but the window
+    order is (sort_key, id) so the plan is total even under a collision.
+
+    Returns (epoch, shard, seq_in_shard, id_col) — seq_in_shard is
+    1-based within (epoch, shard).
+    """
+    if n_epochs < 1 or n_shards < 1:
+        raise ValueError("epoch_shuffle_plan: n_epochs and n_shards >= 1")
+    ids = F.col(id_col).cast("string")
+    e = F.col("epoch").cast("string")
+
+    def h(s: int) -> Column:
+        return F.md5(F.concat(ids, F.lit(":"), e, F.lit(f":{s}")))
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(h(s).alias("h"), F.lit(s).alias("s"))
+                for s in range(n_shards)
+            ]
+        )
+    )
+    fanned = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    ).select(
+        F.col(id_col),
+        F.col("epoch").cast("long").alias("epoch"),
+        best.getField("s").cast("long").alias("shard"),
+        F.md5(F.concat(ids, F.lit(":"), e, F.lit(":order"))).alias("__sort"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("__sort", id_col)
+    return fanned.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq_in_shard"),
+        id_col,
     )

@@ -73,68 +73,67 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: late-r8 registrations (full oracles green in CI since
-    # r8; zero external signal until now)
-    "bm25_topk_docs",
-    "feature_hash_buckets",
-    "dsir_target_weights",
-    "embedding_top_pc",
-    "twap_user_value",
-    # first-rows: new this round
+    # first-rows: new this round (r10) — pHash image near-dup (X5 x X2),
+    # classifier ROC QA, deterministic training-order assignment
+    "image_blockhash_signatures",
+    "image_phash_neardup_pairs",
+    "roc_auc_lang_score",
+    "roc_threshold_sweep",
+    "epoch_shuffle_plan",
+    # implementation/oracle touched this round (ADVICE r9 fixes:
+    # checkpoint-handle propagation, PPS oracle ROWS frame, ingest
+    # re-delivery note + shingle_match_ids None-check; dedup_simhash_pairs
+    # rides the hamming_band_pairs factoring)
     "rrf_hybrid_retrieval",
-    "lang_score_calibration",
-    "streaming_neardup_ingest",
     "pps_systematic_sample",
-    "calibration_by_source",
-    "rendezvous_shard_plan",
-    "posting_lists_top_terms",
-    # implementation touched this round (convergence contract)
-    "connected_components_distributed",
-    # r4-era re-verification (most recent green row = round 4)
-    "cosine_topk",
-    "curation_pipeline",
-    "dedup_minhash",
+    "streaming_neardup_ingest",
     "dedup_simhash_pairs",
-    "embedding_neardup_pairs",
-    "sample_stratified_cap",
-    "session_30m",
-    "slide_5m_1m",
-    "split_train_val_test",
-    "streaming_static_join",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "try_functions",
-    "variant_props",
-    "warehouse_roundtrip",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_global_sales_opportunity",
-    # oldest r5-era row (earliest-first-verified; the rest of the r5
-    # cohort — including asof_join_clicks / over_range_sum_1h /
-    # range_join_events / window_lag_lead, which ceded their slots to
-    # round-9 first-rows — rotates in r10; first-rows outrank re-verifies
-    # of standing greens)
-    "approx_quantiles_value",
+    # r5-era re-verification (most recent green row = round 5 — the full
+    # remaining cohort; after this round no green row predates r6)
+    "agg_salted_skew",
+    "asof_join_clicks",
+    "chunk_documents_200_50",
+    "cohort_retention_weekly",
+    "cosine_topk_lsh",
+    "csv_roundtrip",
+    "data_quality_audit",
+    "decontaminate_ngram",
+    "embedding_centroid_by_label",
+    "embedding_quantize",
+    "event_transitions",
+    "events_anomaly_zscore",
+    "exists_subquery_customers",
+    "filtered_aggs",
+    "funnel_view_click_purchase",
+    "join_null_safe",
+    "jsonl_roundtrip",
+    "merge_upsert_customers",
+    "multimodal_meta",
+    "multimodal_resize_plan",
+    "ngram_jaccard_pairs",
+    "over_range_sum_1h",
+    "pack_sequences_2k",
+    "posexplode_priorities",
+    "range_join_events",
+    "sample_hash_10pct",
+    "semantic_dedup",
+    "simhash_exact_dup_coverage",
+    "streaming_funnel",
+    "strip_high_df_terms",
+    "term_heavy_hitters",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_winnow_sketch",
+    "token_length_histogram",
+    "window_distribution",
+    "window_lag_lead",
     # displaced to positions 51+ (every one carries a green driver row
-    # from r5-r8; the local oracle gate re-checks all of them every CI
-    # run): the r5-r8 greens and the rest of the registry in
-    # registration order
+    # from r5-r9; the local oracle gate re-checks all of them every CI
+    # run): the r6-r9 greens and the rest of the registry in
+    # registration order. The r11 driver window should rotate the r6-era
+    # cohort (~39 rows whose latest green is r6).
 )
 
 

@@ -2420,6 +2420,10 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id")))
         .alias("rank"),
     )
+    # .select() drops bm25_topk's checkpoint handle — re-attach so
+    # rrf_fuse can propagate it to the fused result and loop callers can
+    # release_eager_checkpoints after consumption
+    sparse_r._eager_checkpoints = getattr(sparse, "_eager_checkpoints", ())
     dense = S2.cosine_topk(
         em,
         em.filter(F.col("vec_id") == 0),
@@ -2434,23 +2438,33 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lang_score_calibration",
-    # Reliability-diagram bins, all-integer: the x1e6 stopword-ratio
-    # score, decile bin = LEAST(9, score*10 // 1e6), per-bin integer sums
-    # with positive-operand floor divisions (Spark DIV == DuckDB //).
-    oracle=r"""
-WITH f AS (
-  SELECT (lang = 'en') AS label,
+def _lang_scored_sql(extra_cols: str = "") -> str:
+    """The f/s oracle CTEs computing the x1e6 lexical English-ness score
+    + gold ``lang = 'en'`` label — the ONE definition the calibration AND
+    ROC oracle families share (a lexicon or denominator change edits this
+    string once, or the families silently disagree about the same score).
+    ``extra_cols`` threads grouping columns (e.g. ``"source, "``) through
+    both CTEs for the grouped calibration arm."""
+    return rf"""
+f AS (
+  SELECT {extra_cols}(lang = 'en') AS label,
     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         w -> list_contains(['the','of','and','to','in','is','a'], lower(w)))) AS hits,
     len(regexp_split_to_array(trim(text), '\s+')) AS nw
   FROM documents
 ), s AS (
-  SELECT label,
+  SELECT {extra_cols}label,
          CAST(hits AS BIGINT) * 1000000 // GREATEST(nw, 1) AS score
   FROM f
-), b AS (
+)"""
+
+
+@query(
+    "lang_score_calibration",
+    # Reliability-diagram bins, all-integer: the x1e6 stopword-ratio
+    # score, decile bin = LEAST(9, score*10 // 1e6), per-bin integer sums
+    # with positive-operand floor divisions (Spark DIV == DuckDB //).
+    oracle="WITH " + _lang_scored_sql() + r""", b AS (
   SELECT LEAST(9, score * 10 // 1000000) AS bin, label, score FROM s
 ), g AS (
   SELECT bin,
@@ -2498,18 +2512,7 @@ def lang_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by (source, bin) — per-domain reliability, the form the
     # VERDICT-r8 brief asked for (a classifier can be calibrated in
     # aggregate yet badly off inside one domain).
-    oracle=r"""
-WITH f AS (
-  SELECT source, (lang = 'en') AS label,
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        w -> list_contains(['the','of','and','to','in','is','a'], lower(w)))) AS hits,
-    len(regexp_split_to_array(trim(text), '\s+')) AS nw
-  FROM documents
-), s AS (
-  SELECT source, label,
-         CAST(hits AS BIGINT) * 1000000 // GREATEST(nw, 1) AS score
-  FROM f
-), b AS (
+    oracle="WITH " + _lang_scored_sql("source, ") + r""", b AS (
   SELECT source, LEAST(9, score * 10 // 1000000) AS bin, label, score FROM s
 ), g AS (
   SELECT source, bin,
@@ -2595,3 +2598,210 @@ def posting_lists_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return posting_lists(docs, top_terms=20, postings_per_term=10)
+
+
+# ---------------------------------------------------------------------------
+# X5 x X2: image near-dup via perceptual-hash signatures (r10)
+# ---------------------------------------------------------------------------
+
+
+def _blockhash_sig_sql(src: str = "documents") -> str:
+    """Generated oracle CTE block computing the 64-bit block-mean
+    perceptual hash per document (mirrors
+    operators/multimodal.py:blockhash_signatures bit for bit). LIST-based
+    on purpose: a per-character UNNEST + substr formulation goes
+    superlinear in DuckDB (substr is O(pos) — quadratic per doc — and the
+    re-grouping dominates); here each doc is one codes list, block b's
+    sum is a list slice over the closed-form boundaries of
+    ``{{p : p*64 // n == b}}`` (0-based [ceil(b*n/64),
+    ceil((b+1)*n/64) - 1] — the exact inverse image, so the COUNTED
+    block sizes of the engine side are reproduced), the bit test is the
+    same non-negative cross-multiplication, and the pack runs in HUGEINT
+    shifts with one final signed-64 wrap. Linear: 5000 docs in ~1 s.
+    Ends with a CTE named ``sig`` = (media_id, phash64)."""
+    return f"""
+codes AS (
+  SELECT doc_id,
+    list_transform(list_filter(regexp_split_to_array(text, ''), c -> c != ''),
+                   c -> CAST(ascii(c) AS BIGINT)) AS px
+  FROM {src}
+), base AS (
+  SELECT doc_id, px, len(px) AS n,
+         COALESCE(list_sum(px), 0) AS total
+  FROM codes
+), packed AS (
+  SELECT doc_id, n,
+    (SELECT COALESCE(SUM(CASE
+        WHEN ((b+1)*n + 63)//64 - (b*n + 63)//64 > 0
+         AND list_sum(px[((b*n + 63)//64 + 1):(((b+1)*n + 63)//64)]) * n
+             >= total * (((b+1)*n + 63)//64 - (b*n + 63)//64)
+        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 0::HUGEINT) AS s
+     FROM range(0, 64) t(b)) AS s
+  FROM base
+), sig AS (
+  SELECT doc_id AS media_id,
+    CAST(CASE WHEN n = 0 THEN 0
+         WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT
+         ELSE s END AS BIGINT) AS phash64
+  FROM packed
+)"""
+
+
+@query(
+    "image_blockhash_signatures",
+    oracle="WITH " + _blockhash_sig_sql() + """
+SELECT media_id, phash64 FROM sig
+""",
+)
+def image_blockhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean perceptual hash per media payload
+    (operators/multimodal.py:blockhash_signatures over documents_as_media
+    — the X5 media framing: payload bytes stand in for the decoded pixel
+    stream a real pipeline's mapInPandas decode arm would emit). 64
+    integer-exact bits per image, 8 bytes regardless of payload size —
+    the signature artifact image near-dup (and retrieval-time dedup)
+    runs on. Map-only scale shape (plan-audited): block sums are in-row
+    slice aggregates and packing is in-row bit math — ZERO exchanges,
+    the whole operator pipelines into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    sigs = M.blockhash_signatures(
+        media.select("media_id", M.payload_pixel_codes("payload").alias("__px")),
+        id_col="media_id",
+        pixels_col="__px",
+        sig_col="phash64",
+    )
+    return sigs
+
+
+@query(
+    "image_phash_neardup_pairs",
+    oracle="WITH " + _blockhash_sig_sql() + """
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash64, b.phash64)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash64, b.phash64)) <= 12
+""",
+)
+def image_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs
+    (operators/multimodal.py:phash_neardup_pairs): blockhash signatures
+    banded into 16 chunks of 4 bits (lossless for Hamming <= 15; the
+    query's cut is <= 12), bucket-joined, verified by xor/popcount — the
+    SimHash Hamming-LSH machinery (operators/dedup.py:hamming_band_pairs)
+    reused over the image-signature space. The oracle is the all-pairs
+    definition; the engine never materializes all pairs — only bucket
+    co-occupants. 4-bit chunks have a 16-value domain, so at corpus scale
+    the hot-bucket cap (drop_hot_keys) is mandatory — the query leaves it
+    None so the oracle stays the pure definition; production uses the
+    8x8-bit banding (Hamming <= 7) where buckets are 256x sparser."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    pairs = M.phash_neardup_pairs(
+        media, max_hamming=12, n_chunks=16, max_bucket_size=None
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier QA: ROC (r10) — the decision-support twin of calibration_bins
+# ---------------------------------------------------------------------------
+
+_ROC_SCORED_SQL = _lang_scored_sql() + r""", g AS (
+  SELECT score,
+    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(COUNT(*) - SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM s GROUP BY 1
+)"""
+
+
+@query(
+    "roc_auc_lang_score",
+    oracle="WITH " + _ROC_SCORED_SQL + """
+, c AS (
+  SELECT n_pos, n_neg,
+    COALESCE(SUM(n_neg) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM g
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(CAST(n_pos AS HUGEINT) * (2 * CAST(neg_below AS HUGEINT) + n_neg))
+            * 1000000 // (2 * SUM(CAST(n_pos AS HUGEINT)) * SUM(n_neg))
+            AS BIGINT) AS auc_x1e6
+FROM c
+""",
+)
+def roc_auc_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/evaluation.py:roc_auc) of the
+    lexical English-ness score against the gold ``lang == 'en'`` label —
+    the Mann-Whitney rank statistic in pure integer arithmetic
+    (numerator x2 so ties contribute exactly half; DECIMAL(38,0)
+    products; one final floor division to x1e6). The single number a
+    curation stack checks before trusting the classifier's ranking at
+    all — calibration (lang_score_calibration) checks the scores'
+    MEANING, AUC checks their ORDER. Corpus collapses to the distinct-
+    score frame first, so the window runs over a score-domain-bounded
+    frame regardless of corpus size."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        roc_auc,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return roc_auc(scored, score_col="score_x1e6", label_col="is_en")
+
+
+@query(
+    "roc_threshold_sweep",
+    oracle="WITH " + _ROC_SCORED_SQL + """
+, c AS (
+  SELECT score AS threshold,
+    SUM(n_pos) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    SUM(n_neg) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+    SUM(n_pos) OVER () AS np,
+    SUM(n_neg) OVER () AS nn
+  FROM g
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+  CAST(tp AS BIGINT) AS tp,
+  CAST(fp AS BIGINT) AS fp,
+  CAST(np - tp AS BIGINT) AS fn,
+  CAST(nn - fp AS BIGINT) AS tn,
+  CAST(tp * 1000000 // np AS BIGINT) AS tpr_x1e6,
+  CAST(fp * 1000000 // nn AS BIGINT) AS fpr_x1e6,
+  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_x1e6,
+  CAST(tp * 2000000 // (tp + np + fp) AS BIGINT) AS f1_x1e6
+FROM c
+""",
+)
+def roc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep (operators/evaluation.py:roc_threshold_sweep) of
+    the lexical English-ness score against the gold label: per observed
+    score t ("predict positive iff score >= t"), the full confusion
+    counts plus TPR/FPR/precision/F1 as exact x1e6 integers — the table
+    an operating-point decision reads (ROC curve = (fpr, tpr) rows; PR
+    curve = (tpr, precision)). Same scale shape as the AUC: one counts-
+    of-counts collapse, then windows over the score-domain-bounded
+    frame."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        roc_threshold_sweep as sweep,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return sweep(scored, score_col="score_x1e6", label_col="is_en")

@@ -229,7 +229,8 @@ def split_group_aware_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH c AS (
   SELECT doc_id, CAST(n_chars AS HUGEINT) AS w,
-         SUM(CAST(n_chars AS HUGEINT)) OVER (ORDER BY doc_id) AS cum,
+         SUM(CAST(n_chars AS HUGEINT)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          SUM(CAST(n_chars AS HUGEINT)) OVER () AS tot
   FROM documents
 ), s AS (
@@ -257,3 +258,50 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.pps_systematic_sample(
         docs, id_col="doc_id", weight_col="n_chars", n=50
     )
+
+
+@query(
+    "epoch_shuffle_plan",
+    # Full-assignment oracle: the rendezvous argmax re-derived as a
+    # ROW_NUMBER over exploded (doc, epoch, shard) hashes (fine at oracle
+    # scale; the engine does it join-free in-row), then the same
+    # epoch-salted md5 order numbers documents within each shard.
+    oracle="""
+WITH ee AS (
+  SELECT doc_id, UNNEST(range(0, 3)) AS e FROM documents
+), pairs AS (
+  SELECT doc_id, e, UNNEST(range(0, 8)) AS s FROM ee
+), hashed AS (
+  SELECT doc_id, e, CAST(s AS BIGINT) AS s,
+         md5(doc_id || ':' || e || ':' || s) AS h
+  FROM pairs
+), best AS (
+  SELECT doc_id, e, s FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id, e ORDER BY h DESC, s DESC
+    ) AS rn FROM hashed
+  ) WHERE rn = 1
+)
+SELECT CAST(e AS BIGINT) AS epoch, s AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY e, s
+    ORDER BY md5(doc_id || ':' || e || ':order'), doc_id
+  ) AS BIGINT) AS seq_in_shard,
+  doc_id
+FROM best
+""",
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order assignment
+    (operators/sampling.py:epoch_shuffle_plan): every document placed on
+    one of 8 data-parallel shards by rendezvous hashing and ordered
+    within its shard by an epoch-salted md5, for 3 epochs — the last
+    step between a curated corpus and a resumable training run. Each
+    epoch is an independent frozen permutation; the whole plan is a pure
+    function of (doc_id, epoch), so retries and repartitioning reproduce
+    byte-identical training order. Scale shape: epoch fan-out and the
+    shard argmax are scan-stage row expressions; the only exchange is the
+    (epoch, shard)-keyed numbering window — 24 independent partitions
+    scanned in parallel, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.epoch_shuffle_plan(docs, id_col="doc_id", n_epochs=3, n_shards=8)

@@ -1200,7 +1200,13 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply(bdf, bid):
         # at-least-once re-delivery guard (streaming_upsert_totals idiom):
-        # an already-applied batch must not append its rows twice
+        # an already-applied batch must not append its rows twice. The
+        # guard covers fully-committed batches only: a failure BETWEEN the
+        # res_t append and the state-table appends, followed by a restart
+        # (this in-memory dict is lost), could double-append — at-least-
+        # once, not exactly-once. Fine here (tables are dropped per run);
+        # a durable deployment would overwrite a per-batch partition
+        # keyed on batch_id to make every append idempotent.
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
         arrs = sorted(

@@ -1447,3 +1447,308 @@ def test_posting_lists_matches_python_reference(spark):
         entries = sorted(inv[t].items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         want[t] = (occ, len(inv[t]), ",".join(f"{d}:{c}" for d, c in entries))
     assert got == want
+
+
+# --- r10: blockhash / pHash image near-dup -----------------------------------
+
+
+def _py_blockhash(text: str) -> int:
+    """Pure-Python reference of operators/multimodal.py:blockhash_signatures
+    over a text payload's code points (signed-64 result)."""
+    px = [ord(c) for c in text]
+    n = len(px)
+    if n == 0:
+        return 0
+    tot = sum(px)
+    s: dict[int, int] = {}
+    c: dict[int, int] = {}
+    for p, v in enumerate(px):
+        b = p * 64 // n
+        s[b] = s.get(b, 0) + v
+        c[b] = c.get(b, 0) + 1
+    sig = 0
+    for b in range(64):
+        if c.get(b, 0) > 0 and s[b] * n >= tot * c[b]:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def _blockhash_over_texts(spark, rows):
+    df = spark.createDataFrame(rows, "media_id long, payload string")
+    return {
+        r["media_id"]: r["sig"]
+        for r in M.blockhash_signatures(
+            df.select(
+                "media_id", M.payload_pixel_codes("payload").alias("px")
+            ),
+            id_col="media_id",
+            pixels_col="px",
+            sig_col="sig",
+        ).collect()
+    }
+
+
+def test_blockhash_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "aaaaaaaa",          # uniform => every block mean == global mean
+        "z",                 # shorter than 64 => most blocks empty
+        "",                  # empty payload => signature 0 by contract
+        "ab" * 200,
+        "the quick brown fox jumps over the lazy dog " * 3,  # exact dup
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = _blockhash_over_texts(spark, rows)
+    for i, t in enumerate(texts):
+        assert got[i] == _py_blockhash(t), f"doc {i}"
+    assert got[3] == 0
+    assert got[0] == got[5]  # identical payloads => identical signatures
+    # uniform payload: every non-empty block mean equals the global mean,
+    # so every bit with pixels is SET (ties => 1)
+    assert got[1] == _py_blockhash("aaaaaaaa") != 0
+
+
+def test_blockhash_brightness_shift_invariance(spark):
+    # block-mean vs global-mean comparison is invariant to adding a
+    # constant to every pixel: (sb + c*cb)*n >= (tot + c*n)*cb  <=>
+    # sb*n >= tot*cb. 'a'..'j' shifted by +1 per char is NOT a constant
+    # shift; chr(ord(c)+5) applied uniformly IS.
+    base = "the quick brown fox jumps over the lazy dog"
+    shifted = "".join(chr(ord(c) + 5) for c in base)
+    got = _blockhash_over_texts(spark, [(0, base), (1, shifted)])
+    assert got[0] == got[1]
+
+
+def test_hamming_band_pairs_lossless_vs_allpairs(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    sigs = []
+    for i in range(40):
+        flips = rng.sample(range(64), rng.randint(0, 6))
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        sigs.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+    sigd = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_band_pairs(
+            sigd, id_col="id", sig_col="sig", max_hamming=12, n_chunks=16
+        ).collect()
+    }
+    exp = {}
+    for (ia, va), (ib, vb) in itertools.combinations(sigs, 2):
+        h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if h <= 12:
+            exp[(ia, ib)] = h
+    assert got == exp  # banding at h <= n_chunks-1 is lossless
+
+
+def test_hamming_band_pairs_lossy_regime_is_subset_with_full_close_recall(spark):
+    # above n_chunks-1 the banding is best-effort: the result must be a
+    # SUBSET of the true <= max_hamming pairs and must still contain ALL
+    # pairs within the lossless radius n_chunks-1
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    base = rng.getrandbits(63)
+    sigs = []
+    for i in range(30):
+        v = base
+        for b in rng.sample(range(64), rng.randint(0, 8)):
+            v ^= 1 << b
+        sigs.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+    sigd = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.hamming_band_pairs(
+            sigd, id_col="id", sig_col="sig", max_hamming=8, n_chunks=4
+        ).collect()
+    }
+    true_pairs, close_pairs = set(), set()
+    for (ia, va), (ib, vb) in itertools.combinations(sigs, 2):
+        h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if h <= 8:
+            true_pairs.add((ia, ib))
+        if h <= 3:
+            close_pairs.add((ia, ib))
+    assert got <= true_pairs
+    assert close_pairs <= got
+
+
+def test_phash_neardup_pairs_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    # small local edit: one char bumped mid-payload => few blocks change
+    edited = base[:100] + "Z" + base[101:]
+    unrelated = "zzzz AAAA " * 40
+    media = spark.createDataFrame(
+        [(0, base), (1, edited), (2, unrelated)],
+        "media_id long, payload string",
+    ).select("media_id", F.col("payload").cast("binary").alias("payload"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_neardup_pairs(
+            media, max_hamming=12, n_chunks=16, max_bucket_size=None
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 12
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# --- r10: epoch shuffle / training order --------------------------------------
+
+
+def test_epoch_shuffle_plan_properties(spark):
+    from ibis_flink_example_spark.operators.sampling import epoch_shuffle_plan
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(120)], "doc_id long"
+    )
+    plan = epoch_shuffle_plan(
+        docs, id_col="doc_id", n_epochs=3, n_shards=4
+    ).collect()
+    assert len(plan) == 360  # every doc in every epoch exactly once
+    by_epoch: dict[int, list] = {}
+    by_part: dict[tuple, list] = {}
+    for r in plan:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+        by_part.setdefault((r["epoch"], r["shard"]), []).append(
+            r["seq_in_shard"]
+        )
+    for e, rows in by_epoch.items():
+        assert sorted(r["doc_id"] for r in rows) == list(range(120))
+    for key, seqs in by_part.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), key
+    # epochs are DIFFERENT permutations (overwhelmingly; fixed hash)
+    order0 = [
+        (r["shard"], r["seq_in_shard"], r["doc_id"])
+        for r in sorted(by_epoch[0], key=lambda r: r["doc_id"])
+    ]
+    order1 = [
+        (r["shard"], r["seq_in_shard"], r["doc_id"])
+        for r in sorted(by_epoch[1], key=lambda r: r["doc_id"])
+    ]
+    assert order0 != order1
+
+
+def test_epoch_shuffle_shard_is_per_doc_pure(spark):
+    # rendezvous shard assignment depends only on (doc_id, epoch) — a
+    # subset corpus must assign the SAME shards (the property that makes
+    # incremental corpus growth not reshuffle existing training shards)
+    from ibis_flink_example_spark.operators.sampling import epoch_shuffle_plan
+
+    full = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    sub = full.filter(F.col("doc_id") < 30)
+    sh_full = {
+        (r["epoch"], r["doc_id"]): r["shard"]
+        for r in epoch_shuffle_plan(
+            full, id_col="doc_id", n_epochs=2, n_shards=4
+        ).collect()
+    }
+    sh_sub = {
+        (r["epoch"], r["doc_id"]): r["shard"]
+        for r in epoch_shuffle_plan(
+            sub, id_col="doc_id", n_epochs=2, n_shards=4
+        ).collect()
+    }
+    for k, v in sh_sub.items():
+        assert sh_full[k] == v
+
+
+# --- r10: ROC QA ---------------------------------------------------------------
+
+
+def _py_roc_auc(pairs):
+    """Tie-aware AUC over (score, label) pairs — O(n²) reference."""
+    pos = [s for s, l in pairs if l]
+    neg = [s for s, l in pairs if not l]
+    num = 0.0
+    for p in pos:
+        for q in neg:
+            num += 1.0 if p > q else (0.5 if p == q else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_reference_with_ties(spark):
+    from ibis_flink_example_spark.operators.evaluation import roc_auc
+
+    pairs = [
+        (900000, True), (900000, False), (800000, True), (700000, True),
+        (700000, False), (700000, False), (500000, True), (300000, False),
+        (300000, True), (100000, False), (100000, False), (0, True),
+    ]
+    df = spark.createDataFrame(pairs, "score long, label boolean")
+    row = roc_auc(df, score_col="score", label_col="label").first()
+    exp = _py_roc_auc(pairs)
+    assert row["n_pos"] == 6 and row["n_neg"] == 6
+    assert row["auc_x1e6"] == int(exp * 1_000_000)  # exact rank statistic
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    from ibis_flink_example_spark.operators.evaluation import roc_auc
+
+    perfect = [(10, False), (20, False), (30, True), (40, True)]
+    inverted = [(s, not l) for s, l in perfect]
+    for pairs, want in ((perfect, 1_000_000), (inverted, 0)):
+        df = spark.createDataFrame(pairs, "score long, label boolean")
+        assert roc_auc(df, score_col="score", label_col="label").first()[
+            "auc_x1e6"
+        ] == want
+
+
+def test_roc_threshold_sweep_confusion_counts(spark):
+    from ibis_flink_example_spark.operators.evaluation import (
+        roc_threshold_sweep,
+    )
+
+    pairs = [
+        (900000, True), (700000, True), (700000, False),
+        (500000, False), (500000, True), (100000, False),
+    ]
+    df = spark.createDataFrame(pairs, "score long, label boolean")
+    rows = {
+        r["threshold"]: r
+        for r in roc_threshold_sweep(
+            df, score_col="score", label_col="label"
+        ).collect()
+    }
+    n_pos, n_neg = 3, 3
+    for t, r in rows.items():
+        tp = sum(1 for s, l in pairs if l and s >= t)
+        fp = sum(1 for s, l in pairs if not l and s >= t)
+        assert (r["tp"], r["fp"]) == (tp, fp), t
+        assert r["fn"] == n_pos - tp and r["tn"] == n_neg - fp
+        assert r["tpr_x1e6"] == tp * 1_000_000 // n_pos
+        assert r["fpr_x1e6"] == fp * 1_000_000 // n_neg
+        assert r["precision_x1e6"] == tp * 1_000_000 // (tp + fp)
+        assert r["f1_x1e6"] == 2 * tp * 1_000_000 // (2 * tp + fp + (n_pos - tp))
+    assert set(rows) == {900000, 700000, 500000, 100000}
+
+
+def test_blockhash_pixel_bound_raises_loudly(spark):
+    # the int64 overflow bound is a loud contract, not a silent wrap
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    big = spark.range(1).select(
+        F.col("id").alias("media_id"),
+        F.expr("sequence(0, 2000001)").alias("px"),
+    )
+    with pytest.raises(SparkRuntimeException, match="2M pixels"):
+        M.blockhash_signatures(
+            big, id_col="media_id", pixels_col="px", sig_col="sig"
+        ).collect()
+    ok = spark.range(1).select(
+        F.col("id").alias("media_id"),
+        F.expr("sequence(0, 100)").alias("px"),
+    )
+    assert (
+        M.blockhash_signatures(
+            ok, id_col="media_id", pixels_col="px", sig_col="sig"
+        ).count()
+        == 1
+    )

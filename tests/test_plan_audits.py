@@ -811,3 +811,61 @@ def test_posting_lists_windowgrouplimit_and_topk(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 1, executed[:2000]
+
+
+def test_blockhash_is_map_only(spark, sf_dir):
+    """blockhash_signatures is a pure per-row function and must plan as
+    one: ZERO exchanges, zero joins, zero explodes — the whole signature
+    (block sums via in-row slice aggregates, bit packing) pipelines into
+    the scan, which reads only (doc_id, text, n_chars) (the media
+    framing's inputs)."""
+    df = QUERIES["image_blockhash_signatures"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert exchange_count(df) == 0
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    )
+    assert ops["Generate"] == 0
+    (cols,) = scan_columns(df)
+    assert set(cols) <= {"doc_id", "text", "n_chars"}
+
+
+def test_epoch_shuffle_single_window_exchange(spark, sf_dir):
+    """epoch_shuffle_plan: epoch fan-out and the rendezvous argmax are
+    scan-stage row expressions (one Generate, no join, no per-(row, shard)
+    explosion); the ONLY exchange is the (epoch, shard)-keyed numbering
+    window — and it is keyed, not SinglePartition."""
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    df = QUERIES["epoch_shuffle_plan"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert exchange_count(df) == 1
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    assert ops["Generate"] == 1  # the epoch sequence explode
+    assert "SinglePartition" not in formatted_plan(df)
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"doc_id"}
+
+
+def test_roc_collapses_before_windows(spark, sf_dir):
+    """Both ROC operators must collapse the corpus to the distinct-score
+    frame FIRST (one keyed exchange with map-side combine); the cumulative
+    windows and the final rollup then run over that bounded frame (their
+    SinglePartition exchanges sit above the score-keyed collapse, fed by
+    <= |score domain| rows)."""
+    import re
+
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    for name in ("roc_auc_lang_score", "roc_threshold_sweep"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        # exactly one score-keyed hash exchange below the window stack
+        assert len(re.findall(r"hashpartitioning\(score", plan)) >= 1, name
+        ops = plan_ops(df)
+        assert (
+            ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"]
+            == 0
+        ), name
+        (cols,) = scan_columns(df)
+        assert set(cols) == {"text", "lang"}, name
