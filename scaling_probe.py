@@ -19,6 +19,19 @@ six operators where super-linear behavior would actually bite:
 - streaming near-dup ingest state probe (a FIXED batch joined against a
   bucketed shingle state that scales — the per-batch cost of
   streaming_neardup_ingest as the accepted corpus grows, round 9)
+- PPS systematic sampling (two-level distributed prefix sum,
+  operators/sampling.py, round 9)
+- posting-list build (term cut + broadcast-back + WindowGroupLimit,
+  operators/retrieval.py, round 9)
+- rendezvous shard plan (scan-stage HRW argmax + one rollup,
+  operators/bucketing.py, round 9)
+- blockhash perceptual-hash signatures (map-only: in-row slice
+  aggregates + bit packing, zero exchanges, operators/multimodal.py,
+  round 10)
+- epoch shuffle plan (scan-stage fan-out/argmax + keyed numbering
+  window, operators/sampling.py, round 10)
+- ROC-AUC (counts-of-counts collapse to the score-domain frame,
+  operators/evaluation.py, round 10)
 
 10x input construction (inputs are MATERIALIZED to parquet before any
 clock starts, so timings compare equal read paths, not build cost):
@@ -195,6 +208,10 @@ def main() -> int:
         "pagerank_5iter", "bfs_4hop", "minhash_dedup",
         "decontaminate_13gram", "top_pc_gram", "bm25_topk",
         "neardup_state_probe",
+        # r9 tier (VERDICT r9 task #3)
+        "pps_systematic_sample", "posting_lists", "rendezvous_shard_plan",
+        # r10 tier
+        "blockhash_signatures", "epoch_shuffle_plan", "roc_auc",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -210,7 +227,9 @@ def main() -> int:
     need_docs = bool(
         keep
         & {"minhash_dedup", "decontaminate_13gram", "bm25_topk",
-           "neardup_state_probe"}
+           "neardup_state_probe", "pps_systematic_sample", "posting_lists",
+           "rendezvous_shard_plan", "blockhash_signatures",
+           "epoch_shuffle_plan", "roc_auc"}
     )
     need_embs = bool(keep & {"top_pc_gram"})
 
@@ -323,6 +342,69 @@ def main() -> int:
                 d, ("dup", "spark", "window"), top_k=25
             ).count()
 
+        def pps_at(label):
+            from ibis_flink_example_spark.operators import sampling as SA
+
+            d = spark.read.parquet(docs[label]).select(
+                "doc_id", F.length("text").cast("long").alias("w")
+            )
+            return lambda: SA.pps_systematic_sample(
+                d, id_col="doc_id", weight_col="w", n=50
+            ).count()
+
+        def posting_lists_at(label):
+            d = spark.read.parquet(docs[label])
+            return lambda: R.posting_lists(
+                d, top_terms=20, postings_per_term=10
+            ).count()
+
+        def rendezvous_at(label):
+            from ibis_flink_example_spark.operators import bucketing as B
+
+            d = spark.read.parquet(docs[label]).select(
+                "doc_id", F.length("text").cast("long").alias("n_bytes")
+            )
+            return lambda: B.rendezvous_shard_plan(
+                d, id_col="doc_id", bytes_col="n_bytes", n_shards=16
+            ).count()
+
+        def blockhash_at(label):
+            from ibis_flink_example_spark.operators import multimodal as M
+
+            d = spark.read.parquet(docs[label])
+            return lambda: M.blockhash_signatures(
+                d.select(
+                    "doc_id", M.payload_pixel_codes("text").alias("px")
+                ),
+                id_col="doc_id",
+                pixels_col="px",
+            ).count()
+
+        def epoch_shuffle_at(label):
+            from ibis_flink_example_spark.operators import sampling as SA
+
+            d = spark.read.parquet(docs[label]).select("doc_id")
+            return lambda: SA.epoch_shuffle_plan(
+                d, id_col="doc_id", n_epochs=3, n_shards=8
+            ).count()
+
+        def roc_auc_at(label):
+            from ibis_flink_example_spark.operators import evaluation as EV
+            from ibis_flink_example_spark.operators.evaluation import (
+                stopword_lang_score_x1e6,
+            )
+            from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+            d = spark.read.parquet(docs[label]).select(
+                stopword_lang_score_x1e6(
+                    "text", LANG_MARKERS["en"]
+                ).alias("score"),
+                (F.col("doc_id") % 2 == 0).alias("label"),  # synthetic gold
+            )
+            return lambda: EV.roc_auc(
+                d, score_col="score", label_col="label"
+            ).count()
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
@@ -331,6 +413,12 @@ def main() -> int:
             "top_pc_gram": top_pc_at,
             "bm25_topk": bm25_at,
             "neardup_state_probe": neardup_state_at,
+            "pps_systematic_sample": pps_at,
+            "posting_lists": posting_lists_at,
+            "rendezvous_shard_plan": rendezvous_at,
+            "blockhash_signatures": blockhash_at,
+            "epoch_shuffle_plan": epoch_shuffle_at,
+            "roc_auc": roc_auc_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

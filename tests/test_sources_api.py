@@ -326,3 +326,27 @@ def test_kafka_generator_constants_and_records_match_datasource():
     assert r["payAmount"] == ((11 * 9973) % 1_000_000_000) / 100.0
     assert r["payPlatform"] == 0 and r["provinceId"] == (11 * 31) % 7
     assert r["createTime"] == "2024-01-01 00:00:11.000"
+
+
+def test_compose_stack_structure():
+    """The live-broker stack has never been executable in this sandbox (no
+    docker daemon, no compose plugin — only the bare docker CLI), so the
+    next-best runtime evidence is structural: the compose file must parse
+    and wire the exact reference topology (compose.yaml:1-77 parity —
+    broker + topic init creating payment_msg/sink + generator + demo), so
+    a host WITH a daemon can `docker compose up` it unmodified."""
+    import os
+
+    import yaml
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docker-compose.yml")
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    services = d["services"]
+    assert set(services) == {"kafka", "init-kafka", "data-generator", "demo"}
+    init_cmd = str(services["init-kafka"])
+    assert "payment_msg" in init_cmd and "sink" in init_cmd
+    assert "kafka_payment_generator.py" in str(services["data-generator"])
+    # generator and demo must gate on the broker, not race it
+    for dependent in ("data-generator", "demo"):
+        assert "depends_on" in services[dependent], dependent
