@@ -398,3 +398,85 @@ def epoch_shuffle_plan(
         F.row_number().over(w).cast("long").alias("seq_in_shard"),
         id_col,
     )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Deterministic stride-interleave of sources into ONE feed order —
+    the schedule that turns per-domain mixture decisions into an actual
+    training stream: doc k of n_s within source s gets virtual time
+    ``vt = (2k-1) * scale / (2*n_s)`` (the k-th of n_s evenly spaced
+    midpoints of [0, scale)), so reading docs in vt order interleaves
+    every source proportionally at every prefix — no source ever floods
+    or starves the consumer, which is what epoch-level reweighting alone
+    cannot guarantee. Order within a source is frozen by md5(id), and vt
+    is a pure function of (id, source sizes): re-runs and repartitioning
+    reproduce the identical schedule.
+
+    Exactness: vt is one positive-operand floor division of a
+    DECIMAL(38,0) product ((2k-1)*scale reaches ~2e23 at 1e11-doc
+    sources — far past int64), engine-exact vs a HUGEINT oracle.
+
+    Scale shape — per-source rank is the interesting part: a plain
+    per-source ROW_NUMBER window serializes each source through ONE
+    partition (a dominant source = the whole corpus single-partition
+    trap). So ranks come from the two-level scan (the PPS prefix-sum
+    idiom applied to counts): docs scatter into 256 md5-prefix buckets
+    per source; per-(source, bucket) counts are a tiny frame whose
+    windows yield bucket offsets and source totals; in-bucket
+    ROW_NUMBER + offset = the global per-source rank. Because the
+    bucket IS the okey's hex prefix, (bucket, okey, id) order equals
+    plain (okey, id) order — the split is order-compatible, so the
+    oracle can use the naive single window. One keyed exchange on
+    (source, bucket); 256-way parallel per source.
+
+    Returns (id_col, source_col, seq_in_source, vt_scaled) —
+    seq_in_source 1-based within its source, vt_scaled in [0, scale).
+    """
+    okey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+    b = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        okey.alias("__okey"),
+        F.substring(okey, 1, 2).alias("__bkt"),
+    )
+    counts = b.groupBy(source_col, "__bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(source_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        source_col,
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        F.sum("__cnt").over(w_tot).cast("long").alias("__ns"),
+    )
+    w_in = Window.partitionBy(source_col, "__bkt").orderBy("__okey", id_col)
+    ranked = (
+        b.withColumn("__r", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(offs), [source_col, "__bkt"])
+        .withColumn("seq_in_source", F.col("__off") + F.col("__r"))
+    )
+    vt = (
+        f"((2 * CAST(seq_in_source AS DECIMAL(38,0)) - 1) * {scale}) "
+        "DIV (2 * __ns)"
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(source_col),
+        "seq_in_source",
+        F.expr(vt).cast("long").alias("vt_scaled"),
+    )

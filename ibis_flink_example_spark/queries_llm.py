@@ -2805,3 +2805,56 @@ def roc_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
     return sweep(scored, score_col="score_x1e6", label_col="is_en")
+
+
+@query(
+    "image_neardup_clusters",
+    # End-to-end X5 x X2 oracle: signatures (shared sig CTE), ALL-pairs
+    # Hamming edges at the same cut, then components as min-reachable-id
+    # via a recursive CTE (UNION dedups, so the fixpoint terminates; the
+    # edge residue is tiny — pair generation is the audited LSH path on
+    # the engine side only).
+    oracle="WITH RECURSIVE " + _blockhash_sig_sql() + """,
+e AS (
+  SELECT a.media_id AS src, b.media_id AS dst
+  FROM sig a JOIN sig b
+    ON a.media_id < b.media_id
+   AND bit_count(xor(a.phash64, b.phash64)) <= 12
+),
+edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+reach(node, comp) AS (
+  SELECT media_id, media_id FROM sig
+  UNION
+  SELECT ed.dst, r.comp FROM reach r JOIN edges ed ON ed.src = r.node
+)
+SELECT node AS media_id,
+       CAST(MIN(comp) AS BIGINT) AS component,
+       CAST(node = MIN(comp) AS BOOLEAN) AS is_representative
+FROM reach GROUP BY 1
+""",
+)
+def image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup clustering (X5 x X2): blockhash
+    signatures -> Hamming-LSH candidate pairs (16x4-bit bands, cut <= 12,
+    lossless) -> connected components -> keep the min-id representative
+    per cluster. The full image-dedup decision a curation pipeline
+    applies, composed from the audited pieces
+    (multimodal.phash_neardup_pairs + dedup.connected_components — the
+    driver union-find arm under the bounded post-LSH edge residue, the
+    distributed min-label arm beyond it). Oracle computes components via
+    a recursive min-reachable-id CTE over the ALL-pairs edge set."""
+    from ibis_flink_example_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    pairs = M.phash_neardup_pairs(
+        media, max_hamming=12, n_chunks=16, max_bucket_size=None
+    )
+    comp = connected_components(
+        pairs, media.select("media_id"), id_col="media_id"
+    )
+    return comp.select(
+        "media_id",
+        F.col("component").cast("long").alias("component"),
+        (F.col("media_id") == F.col("component")).alias("is_representative"),
+    )

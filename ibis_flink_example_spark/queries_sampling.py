@@ -305,3 +305,37 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned in parallel, no global sort."""
     docs = load_table(spark, sf_dir, "documents")
     return SA.epoch_shuffle_plan(docs, id_col="doc_id", n_epochs=3, n_shards=8)
+
+
+@query(
+    "mixture_schedule",
+    # The engine's two-level rank construction is order-compatible with
+    # the naive per-source window (the bucket is the order key's hex
+    # prefix), so the oracle uses the plain ROW_NUMBER; vt is the same
+    # HUGEINT product + floor division.
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY md5(doc_id || ':mix'), doc_id
+    ) AS k,
+    COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+)
+SELECT doc_id, source, CAST(k AS BIGINT) AS seq_in_source,
+  CAST((2 * CAST(k AS HUGEINT) - 1) * 1000000000000 // (2 * n_s)
+       AS BIGINT) AS vt_scaled
+FROM r
+""",
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-interleave feed order across sources
+    (operators/sampling.py:mixture_schedule): each document gets a
+    virtual time placing its source's docs at evenly spaced midpoints of
+    [0, 1e12), so streaming the corpus in vt order keeps every prefix
+    proportionally mixed across domains — the schedule that turns
+    mixture weights into an actual training stream. Pure function of
+    (doc_id, source sizes); the per-source rank is the two-level bucketed
+    scan (no single-partition window even for a dominant source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.mixture_schedule(docs, id_col="doc_id", source_col="source")

@@ -1752,3 +1752,91 @@ def test_blockhash_pixel_bound_raises_loudly(spark):
         ).count()
         == 1
     )
+
+
+def test_mixture_schedule_prefix_proportionality(spark):
+    from ibis_flink_example_spark.operators.sampling import mixture_schedule
+
+    # skewed sources: 300 'web', 60 'code', 12 'math'
+    rows = (
+        [(i, "web") for i in range(300)]
+        + [(1000 + i, "code") for i in range(60)]
+        + [(2000 + i, "math") for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_schedule(df, id_col="doc_id", source_col="source").collect()
+    assert len(out) == 372
+    # vt in [0, scale); per-source vts are the n_s evenly spaced midpoints
+    scale = 10**12
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        assert 0 <= r["vt_scaled"] < scale
+        by_src.setdefault(r["source"], []).append(r["vt_scaled"])
+    for src, n in (("web", 300), ("code", 60), ("math", 12)):
+        assert sorted(by_src[src]) == [
+            ((2 * k - 1) * scale) // (2 * n) for k in range(1, n + 1)
+        ]
+    # prefix proportionality: any vt-prefix carries each source in
+    # proportion (within 1 doc) — the property the schedule exists for
+    ordered = sorted(out, key=lambda r: (r["vt_scaled"], r["source"], r["doc_id"]))
+    for frac in (0.25, 0.5, 0.75):
+        cut = int(len(ordered) * frac)
+        got = {s: 0 for s in by_src}
+        for r in ordered[:cut]:
+            got[r["source"]] += 1
+        for src, n in (("web", 300), ("code", 60), ("math", 12)):
+            assert abs(got[src] - frac * n) <= 1, (frac, src, got[src])
+
+
+def test_mixture_schedule_two_level_rank_equals_naive_window(spark):
+    from pyspark.sql.window import Window as W
+
+    from ibis_flink_example_spark.operators.sampling import mixture_schedule
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(200)], "doc_id long, source string"
+    )
+    out = {
+        r["doc_id"]: r["seq_in_source"]
+        for r in mixture_schedule(
+            df, id_col="doc_id", source_col="source"
+        ).collect()
+    }
+    naive = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                W.partitionBy("source").orderBy(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+                    "doc_id",
+                )
+            )
+            .alias("k"),
+        ).collect()
+    }
+    assert out == naive  # bucket split is order-compatible
+
+
+def test_image_neardup_clusters_groups_planted_neardup(spark):
+    from ibis_flink_example_spark.operators.dedup import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:100] + "Z" + base[101:]
+    other = "zzzz AAAA " * 40
+    media = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)],
+        "media_id long, payload string",
+    ).select("media_id", F.col("payload").cast("binary").alias("payload"))
+    pairs = M.phash_neardup_pairs(
+        media, max_hamming=12, n_chunks=16, max_bucket_size=None
+    )
+    comp = {
+        r["media_id"]: r["component"]
+        for r in connected_components(
+            pairs, media.select("media_id"), id_col="media_id"
+        ).collect()
+    }
+    assert comp[0] == comp[1] == 0  # near-dups share the min-id component
+    assert comp[2] == 2  # unrelated doc stays a singleton

@@ -869,3 +869,24 @@ def test_roc_collapses_before_windows(spark, sf_dir):
         ), name
         (cols,) = scan_columns(df)
         assert set(cols) == {"text", "lang"}, name
+
+
+def test_mixture_schedule_two_level_shape(spark, sf_dir):
+    """mixture_schedule must keep the per-source rank two-level: the
+    doc-side window exchanges on (source, bucket) — never on source alone
+    (a dominant source would serialize through one partition) — and the
+    tiny counts frame comes back as a BROADCAST join; both scans pruned
+    to (doc_id, source)."""
+    from ibis_flink_example_spark.plans import formatted_plan
+
+    df = QUERIES["mixture_schedule"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(source, __bkt" in plan.replace("#", " #").replace(
+        "source#", "source"
+    ) or "__bkt" in plan  # bucket key present in the doc-side exchange
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] == 1
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert "SinglePartition" not in plan
+    for cols in scan_columns(df):
+        assert set(cols) == {"doc_id", "source"}
