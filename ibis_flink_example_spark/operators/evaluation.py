@@ -244,3 +244,118 @@ def roc_auc(
         .cast("long")
         .alias("auc_x1e6"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve in
+    its standard step form): AP = Σ_g ΔR_g · P_g over distinct-score
+    groups descending — each group of ``n_pos_g`` positives contributes
+    its recall increment times the precision at its threshold. The PR
+    twin of :func:`roc_auc`: AUC ranks the classifier against the
+    negative class; AP weights performance by the positive class, which
+    is what a rare-positive curation filter actually cares about.
+
+    Exactness: AP_x1e6 = (Σ_g n_pos_g · (tp_g·1e6 DIV (tp_g+fp_g)))
+    DIV n_pos — two nested positive-operand floor divisions mirrored
+    verbatim in the oracle (both engines truncate identically), products
+    in DECIMAL(38,0). Same scale shape as roc_auc: one counts-of-counts
+    collapse, cumulative windows over the score-domain-bounded frame.
+    NULL scores/labels are excluded (see _score_class_counts).
+
+    Returns ONE row: (n_pos, n_neg, ap_x1e6).
+    """
+    g = _score_class_counts(df, score_col=score_col, label_col=label_col)
+    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w_cum).cast("long").alias("__tp"),
+        F.sum("n_neg").over(w_cum).cast("long").alias("__fp"),
+    )
+    prec = "(CAST(__tp AS DECIMAL(38,0)) * 1000000) DIV (__tp + __fp)"
+    agg = c.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(F.expr(f"CAST(n_pos AS DECIMAL(38,0)) * ({prec})")).alias(
+            "__num"
+        ),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr("__num DIV n_pos").cast("long").alias("ap_x1e6"),
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group exact ROC-AUC — the grouped arm of :func:`roc_auc`, the
+    same shape calibration_by_source gives the reliability diagram: a
+    classifier can rank well in aggregate yet be inverted inside one
+    domain. Groups missing a class get a NULL auc (there is no ranking
+    to measure) instead of a divide-by-zero.
+
+    Scale shape: the collapse keys on (group, score) — output bounded by
+    |groups| x score domain; the cumulative window partitions BY GROUP
+    (parallel across groups, never single-partition).
+
+    Returns one row per group: (group_cols..., n_pos, n_neg, auc_x1e6).
+    """
+    if not group_cols:
+        raise ValueError("roc_auc_by_group: need group_cols (else roc_auc)")
+    pos = F.col(label_col).cast("long")
+    g = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(score_col).cast("long").alias("score"),
+            pos.alias("__p"),
+        )
+        .groupBy(*group_cols, "score")
+        .agg(
+            F.sum("__p").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("n_neg"),
+        )
+    )
+    w_below = (
+        Window.partitionBy(*group_cols)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_below), F.lit(0))
+        .cast("long")
+        .alias("__neg_below"),
+    )
+    contrib = (
+        "CAST(n_pos AS DECIMAL(38,0)) * "
+        "(2 * CAST(__neg_below AS DECIMAL(38,0)) + n_neg)"
+    )
+    agg = c.groupBy(*group_cols).agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(F.expr(contrib)).alias("__num_x2"),
+    )
+    auc = (
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+        "ELSE CAST((__num_x2 * 1000000) DIV "
+        "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"
+    )
+    return agg.select(
+        *group_cols, "n_pos", "n_neg", F.expr(auc).alias("auc_x1e6")
+    )

@@ -2858,3 +2858,96 @@ def image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("component"),
         (F.col("media_id") == F.col("component")).alias("is_representative"),
     )
+
+
+@query(
+    "pr_average_precision",
+    oracle="WITH " + _ROC_SCORED_SQL + """
+, c AS (
+  SELECT n_pos, n_neg,
+    SUM(n_pos) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    SUM(n_neg) OVER (ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM g
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(CAST(n_pos AS HUGEINT)
+                * (CAST(tp AS HUGEINT) * 1000000 // (tp + fp)))
+            // SUM(n_pos) AS BIGINT) AS ap_x1e6
+FROM c
+""",
+)
+def pr_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (operators/evaluation.py:average_precision) of
+    the lexical English-ness score against the gold label — the PR-curve
+    area in its standard step form, all-integer (nested floor divisions
+    mirrored verbatim; DECIMAL(38,0) products). The positive-class-
+    weighted complement to roc_auc_lang_score: a rare-positive curation
+    filter is judged by precision at its recall, not by how it ranks
+    the majority class. Same score-domain-bounded collapse shape."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        average_precision,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return average_precision(scored, score_col="score_x1e6", label_col="is_en")
+
+
+@query(
+    "roc_auc_by_source",
+    oracle="WITH " + _lang_scored_sql("source, ") + """, g AS (
+  SELECT source, score,
+    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(COUNT(*) - SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM s GROUP BY 1, 2
+), c AS (
+  SELECT source, n_pos, n_neg,
+    COALESCE(SUM(n_neg) OVER (PARTITION BY source ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM g
+)
+SELECT source,
+  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+  CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN NULL
+       ELSE CAST(SUM(CAST(n_pos AS HUGEINT)
+                     * (2 * CAST(neg_below AS HUGEINT) + n_neg)) * 1000000
+                 // (2 * SUM(CAST(n_pos AS HUGEINT)) * SUM(n_neg))
+                 AS BIGINT) END AS auc_x1e6
+FROM c GROUP BY 1
+""",
+)
+def roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact ROC-AUC
+    (operators/evaluation.py:roc_auc_by_group) — the grouped arm of
+    roc_auc_lang_score, the ranking twin of calibration_by_source: a
+    classifier can rank well in aggregate yet be inverted inside one
+    domain. Collapse keys on (source, score); the cumulative window
+    partitions by source (parallel, never single-partition); a
+    single-class domain reports NULL auc instead of dividing by zero."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        roc_auc_by_group,
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score_x1e6"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return roc_auc_by_group(
+        scored,
+        score_col="score_x1e6",
+        label_col="is_en",
+        group_cols=("source",),
+    )

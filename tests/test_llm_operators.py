@@ -1840,3 +1840,56 @@ def test_image_neardup_clusters_groups_planted_neardup(spark):
     }
     assert comp[0] == comp[1] == 0  # near-dups share the min-id component
     assert comp[2] == 2  # unrelated doc stays a singleton
+
+
+def test_average_precision_matches_reference(spark):
+    from ibis_flink_example_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    pairs = [
+        (900000, True), (800000, False), (700000, True), (700000, True),
+        (500000, False), (500000, True), (300000, False), (100000, True),
+    ]
+    df = spark.createDataFrame(pairs, "score long, label boolean")
+    row = average_precision(df, score_col="score", label_col="label").first()
+    # step-form reference with the SAME nested floor divisions
+    from collections import Counter
+    by_score = {}
+    for s, l in pairs:
+        np_, nn_ = by_score.get(s, (0, 0))
+        by_score[s] = (np_ + (1 if l else 0), nn_ + (0 if l else 1))
+    tp = fp = 0
+    num = 0
+    for s in sorted(by_score, reverse=True):
+        np_, nn_ = by_score[s]
+        tp += np_; fp += nn_
+        num += np_ * (tp * 1_000_000 // (tp + fp))
+    exp = num // sum(1 for _, l in pairs if l)
+    assert row["ap_x1e6"] == exp
+    assert row["n_pos"] == 5 and row["n_neg"] == 3
+    # perfect ranking => AP = 1
+    perfect = [(10, False), (20, True), (30, True)]
+    dfp = spark.createDataFrame(perfect, "score long, label boolean")
+    assert average_precision(dfp, score_col="score", label_col="label").first()[
+        "ap_x1e6"
+    ] == 1_000_000
+
+
+def test_roc_auc_by_group_single_class_is_null(spark):
+    from ibis_flink_example_spark.operators.evaluation import roc_auc_by_group
+
+    rows = [
+        ("a", 10, True), ("a", 20, False), ("a", 30, True),
+        ("b", 10, True), ("b", 20, True),  # single-class group
+    ]
+    df = spark.createDataFrame(rows, "src string, score long, label boolean")
+    got = {
+        r["src"]: r
+        for r in roc_auc_by_group(
+            df, score_col="score", label_col="label", group_cols=("src",)
+        ).collect()
+    }
+    assert got["b"]["auc_x1e6"] is None
+    # group a: pos {10, 30}, neg {20} -> pairs (10<20 lose, 30>20 win) = 0.5
+    assert got["a"]["auc_x1e6"] == 500000
