@@ -104,10 +104,13 @@ def main() -> None:
     comp = connected_components(
         pairs, media.select("media_id"), id_col="media_id"
     )
-    n_clusters = comp.filter(
-        F.col("media_id") == F.col("component")
-    ).count()
-    n_media = comp.count()
+    stats2 = comp.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(
+            (F.col("media_id") == F.col("component")).cast("long")
+        ).alias("n_clusters"),
+    ).first()
+    n_media, n_clusters = stats2["n_media"], stats2["n_clusters"]
     print(
         f"\n== image near-dup == {n_media} media -> {n_clusters} clusters "
         f"({n_media - n_clusters} near-dups would be dropped)"

@@ -108,29 +108,46 @@ def stopword_lang_score_x1e6(text_col: str, markers: Sequence[str]) -> Column:
 
 
 def _score_class_counts(
-    df: DataFrame, *, score_col: str, label_col: str
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Counts-of-counts collapse shared by the ROC operators: one
     aggregation with map-side combine from corpus rows to one row per
-    DISTINCT score — (score, n_pos, n_neg). For an x1e6 fixed-point score
-    the output is bounded by the score DOMAIN (<= 1e6 + 1 rows) no matter
+    DISTINCT (group..., score) — (group_cols..., score, n_pos, n_neg).
+    For an x1e6 fixed-point score the output is bounded by
+    |groups| x the score DOMAIN (<= 1e6 + 1 rows per group) no matter
     the corpus size, so everything downstream runs on a small frame.
 
     Rows with a NULL score or NULL label are EXCLUDED (an unscored or
     unlabeled row carries no ranking evidence) — made explicit because
     Spark windows order NULLs FIRST while DuckDB orders them LAST, so a
     NULL leaking into the cumulative windows would diverge engine vs
-    oracle instead of failing loudly."""
+    oracle instead of failing loudly. Oracles must mirror the exclusion."""
     pos = F.col(label_col).cast("long")
     return (
         df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-        .select(F.col(score_col).cast("long").alias("score"), pos.alias("__p"))
-        .groupBy("score")
+        .select(
+            *group_cols,
+            F.col(score_col).cast("long").alias("score"),
+            pos.alias("__p"),
+        )
+        .groupBy(*group_cols, "score")
         .agg(
             F.sum("__p").cast("long").alias("n_pos"),
             (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("n_neg"),
         )
     )
+
+
+# the tie-aware Mann-Whitney x2 numerator term — shared by the global and
+# grouped AUC arms so a scale/NULL fix can never silently miss one of them
+_AUC_CONTRIB = (
+    "CAST(n_pos AS DECIMAL(38,0)) * "
+    "(2 * CAST(__neg_below AS DECIMAL(38,0)) + n_neg)"
+)
 
 
 def roc_threshold_sweep(
@@ -225,14 +242,10 @@ def roc_auc(
         .cast("long")
         .alias("__neg_below"),
     )
-    contrib = (
-        "CAST(n_pos AS DECIMAL(38,0)) * "
-        "(2 * CAST(__neg_below AS DECIMAL(38,0)) + n_neg)"
-    )
     agg = c.agg(
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
-        F.sum(F.expr(contrib)).alias("__num_x2"),
+        F.sum(F.expr(_AUC_CONTRIB)).alias("__num_x2"),
     )
     return agg.select(
         "n_pos",
@@ -287,10 +300,16 @@ def average_precision(
             "__num"
         ),
     )
+    # NULL (not an ANSI divide-by-zero) when there are no positives —
+    # AP over an all-negative input does not exist; mirrors DuckDB's
+    # `x // 0 -> NULL` so the oracle agrees by construction
     return agg.select(
         "n_pos",
         "n_neg",
-        F.expr("__num DIV n_pos").cast("long").alias("ap_x1e6"),
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN NULL "
+            "ELSE CAST(__num DIV n_pos AS BIGINT) END"
+        ).alias("ap_x1e6"),
     )
 
 
@@ -315,19 +334,8 @@ def roc_auc_by_group(
     """
     if not group_cols:
         raise ValueError("roc_auc_by_group: need group_cols (else roc_auc)")
-    pos = F.col(label_col).cast("long")
-    g = (
-        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
-        .select(
-            *group_cols,
-            F.col(score_col).cast("long").alias("score"),
-            pos.alias("__p"),
-        )
-        .groupBy(*group_cols, "score")
-        .agg(
-            F.sum("__p").cast("long").alias("n_pos"),
-            (F.count(F.lit(1)) - F.sum("__p")).cast("long").alias("n_neg"),
-        )
+    g = _score_class_counts(
+        df, score_col=score_col, label_col=label_col, group_cols=group_cols
     )
     w_below = (
         Window.partitionBy(*group_cols)
@@ -342,14 +350,10 @@ def roc_auc_by_group(
         .cast("long")
         .alias("__neg_below"),
     )
-    contrib = (
-        "CAST(n_pos AS DECIMAL(38,0)) * "
-        "(2 * CAST(__neg_below AS DECIMAL(38,0)) + n_neg)"
-    )
     agg = c.groupBy(*group_cols).agg(
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
-        F.sum(F.expr(contrib)).alias("__num_x2"),
+        F.sum(F.expr(_AUC_CONTRIB)).alias("__num_x2"),
     )
     auc = (
         "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "

@@ -132,8 +132,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # displaced to positions 51+ (every one carries a green driver row
     # from r5-r9; the local oracle gate re-checks all of them every CI
     # run): the r6-r9 greens and the rest of the registry in
-    # registration order. The r11 driver window should rotate the r6-era
-    # cohort (~39 rows whose latest green is r6).
+    # registration order. The r11 window must take (a) FIRST-ROWS for the
+    # four late-r10 registrations that had no slot left once the mandated
+    # 39-row r5 cohort was seated — mixture_schedule,
+    # image_neardup_clusters, pr_average_precision, roc_auc_by_source
+    # (all green in the local sf0.01/sf0.1 gates, zero external rows) —
+    # then (b) the r6-era cohort (~39 rows whose latest green is r6).
 )
 
 

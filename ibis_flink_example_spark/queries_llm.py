@@ -2713,7 +2713,9 @@ _ROC_SCORED_SQL = _lang_scored_sql() + r""", g AS (
   SELECT score,
     CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
     CAST(COUNT(*) - SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-  FROM s GROUP BY 1
+  FROM s
+  WHERE label IS NOT NULL AND score IS NOT NULL
+  GROUP BY 1
 )"""
 
 
@@ -2907,7 +2909,9 @@ def pr_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT source, score,
     CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
     CAST(COUNT(*) - SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-  FROM s GROUP BY 1, 2
+  FROM s
+  WHERE label IS NOT NULL AND score IS NOT NULL
+  GROUP BY 1, 2
 ), c AS (
   SELECT source, n_pos, n_neg,
     COALESCE(SUM(n_neg) OVER (PARTITION BY source ORDER BY score

@@ -1854,7 +1854,6 @@ def test_average_precision_matches_reference(spark):
     df = spark.createDataFrame(pairs, "score long, label boolean")
     row = average_precision(df, score_col="score", label_col="label").first()
     # step-form reference with the SAME nested floor divisions
-    from collections import Counter
     by_score = {}
     for s, l in pairs:
         np_, nn_ = by_score.get(s, (0, 0))
@@ -1893,3 +1892,15 @@ def test_roc_auc_by_group_single_class_is_null(spark):
     assert got["b"]["auc_x1e6"] is None
     # group a: pos {10, 30}, neg {20} -> pairs (10<20 lose, 30>20 win) = 0.5
     assert got["a"]["auc_x1e6"] == 500000
+
+
+def test_average_precision_no_positives_is_null(spark):
+    from ibis_flink_example_spark.operators.evaluation import (
+        average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [(10, False), (20, False)], "score long, label boolean"
+    )
+    row = average_precision(df, score_col="score", label_col="label").first()
+    assert row["n_pos"] == 0 and row["ap_x1e6"] is None  # no ANSI crash
