@@ -857,18 +857,30 @@ def test_roc_collapses_before_windows(spark, sf_dir):
 
     from ibis_flink_example_spark.plans import formatted_plan
 
-    for name in ("roc_auc_lang_score", "roc_threshold_sweep"):
+    for name, extra_cols in (
+        ("roc_auc_lang_score", set()),
+        ("roc_threshold_sweep", set()),
+        ("pr_average_precision", set()),
+        ("roc_auc_by_source", {"source"}),
+    ):
         df = QUERIES[name](spark, sf_dir)
         plan = formatted_plan(df)
-        # exactly one score-keyed hash exchange below the window stack
-        assert len(re.findall(r"hashpartitioning\(score", plan)) >= 1, name
+        # a score-keyed hash exchange below the window stack (grouped arm
+        # keys on (source, score))
+        assert (
+            len(re.findall(r"hashpartitioning\((source#\d+, )?score", plan)) >= 1
+        ), name
         ops = plan_ops(df)
         assert (
             ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"]
             == 0
         ), name
         (cols,) = scan_columns(df)
-        assert set(cols) == {"text", "lang"}, name
+        assert set(cols) == {"text", "lang"} | extra_cols, name
+        if extra_cols:
+            # grouped windows must partition by the group — never a
+            # SinglePartition over the per-group frames
+            assert "SinglePartition" not in plan, name
 
 
 def test_mixture_schedule_two_level_shape(spark, sf_dir):
