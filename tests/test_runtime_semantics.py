@@ -780,3 +780,89 @@ def test_rendezvous_shard_plan_mini(spark, tmp_path):
     assert got["n_docs"].sum() == 40
     assert got["total_bytes"].sum() == sum((i % 7) + 1 for i in range(40))
     assert got["n_moving_add_one"].sum() <= 40
+
+
+def _mini_docs(spark, rows):
+    """documents mini-frame from (doc_id, text, lang, source) tuples."""
+    return spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_blockhash_boundary_payloads_mini(spark, tmp_path):
+    """Engine-vs-oracle blockhash on the payloads the driver fixtures never
+    exercise: empty text (sig 0 contract), shorter-than-64 (most blocks
+    empty), uniform bytes (every non-empty block ties => bit set), a
+    NON-ASCII payload (Spark ascii() and DuckDB ascii() must agree on
+    code points, not bytes — the list-based oracle splits per CHARACTER),
+    and an exact duplicate pair."""
+    rows = [
+        (0, "", "en", "s0"),
+        (1, "z", "en", "s0"),
+        (2, "aaaaaaaa", "en", "s0"),
+        (3, "héllo wörld ünïcode 中文 über café " * 4, "en", "s0"),
+        (4, "the quick brown fox " * 10, "en", "s0"),
+        (5, "the quick brown fox " * 10, "en", "s0"),
+    ]
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    got = _check_mini(spark, d, "image_blockhash_signatures")
+    sig = dict(zip(got["media_id"], got["phash64"]))
+    assert sig[0] == 0  # empty payload contract
+    assert sig[4] == sig[5] != 0  # identical payloads
+    assert _check_mini(spark, d, "image_phash_neardup_pairs") is not None
+    clusters = _check_mini(spark, d, "image_neardup_clusters")
+    comp = dict(zip(clusters["media_id"], clusters["component"]))
+    assert comp[4] == comp[5] == 4  # exact dups cluster under min id
+
+
+def test_roc_family_single_class_source_mini(spark, tmp_path):
+    """A source whose docs are ALL one class must yield NULL auc in both
+    engines (the divide-by-zero guard), while mixed sources compute; the
+    global AUC/AP/sweep still run over the union."""
+    en = "the of and to in is a"  # every word a marker => score 1e6
+    zz = "zzz yyy xxx www"  # zero markers => score 0
+    rows = [
+        (0, en, "en", "pure"),   # 'pure': all positives
+        (1, en, "en", "pure"),
+        (2, en, "en", "mixed"),
+        (3, zz, "de", "mixed"),
+        (4, zz, "en", "mixed"),  # positive with score 0 (ranking error)
+        (5, en, "de", "mixed"),  # negative with score 1e6
+    ]
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    by_src = _check_mini(spark, d, "roc_auc_by_source")
+    row = {r["source"]: r for _, r in by_src.iterrows()}
+    import pandas as pd
+
+    assert pd.isna(row["pure"]["auc_x1e6"])  # single-class => NULL
+    assert row["mixed"]["n_pos"] == 2 and row["mixed"]["n_neg"] == 2
+    _check_mini(spark, d, "roc_auc_lang_score")
+    _check_mini(spark, d, "roc_threshold_sweep")
+    _check_mini(spark, d, "pr_average_precision")
+    _check_mini(spark, d, "lang_score_calibration")
+    _check_mini(spark, d, "calibration_by_source")
+
+
+def test_mixture_schedule_singleton_sources_mini(spark, tmp_path):
+    """Singleton sources land exactly at the midpoint vt = scale/2; a
+    dominant source interleaves around them — tie semantics (several
+    sources hitting the same vt) must hash identically across engines."""
+    rows = (
+        [(0, "solo one", "en", "only_a"), (1, "solo two", "en", "only_b")]
+        + [(10 + k, f"doc number x{k}", "en", "big") for k in range(7)]
+    )
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    got = _check_mini(spark, d, "mixture_schedule")
+    solo = got[got["source"].isin(["only_a", "only_b"])]
+    assert set(solo["vt_scaled"]) == {500_000_000_000}  # (2*1-1)*S // 2
+    assert set(solo["seq_in_source"]) == {1}
+
+
+def test_epoch_shuffle_plan_mini(spark, tmp_path):
+    """Tiny corpus end-to-end vs oracle (3 epochs x 8 shards over 5 docs)
+    — seq contiguity and the md5 order must match DuckDB exactly."""
+    rows = [(i, f"doc x{i}", "en", "s0") for i in range(5)]
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    got = _check_mini(spark, d, "epoch_shuffle_plan")
+    assert len(got) == 15  # 5 docs x 3 epochs
