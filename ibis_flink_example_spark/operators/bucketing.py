@@ -111,3 +111,77 @@ def rendezvous_shard_plan(
             ),
         )
     )
+
+
+def morton_key(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative ints bounded by
+    2^bits — the multi-dimensional clustering key: sorting/range-
+    partitioning files by this key keeps BOTH dimensions' value ranges
+    tight within every file, so min/max footer stats prune scans for
+    predicates on EITHER column (the layout trick behind Delta/Iceberg
+    Z-ORDER, expressed as a plain column so vanilla parquet gets it too).
+    Pure scan-stage bit math (2*bits shift/and/or terms, whole-stage
+    codegen), engine-portable: Spark shiftright/bitwiseAND == DuckDB
+    >>/& on BIGINT. Inputs outside [0, 2^bits) fold via pmod — the
+    standard hash-style domain clamp; callers wanting true range order
+    quantize first.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 31:
+        raise ValueError("morton_key: bits must be in [1, 31]")
+    xc = F.pmod((F.col(x) if isinstance(x, str) else x).cast("long"), F.lit(1 << bits))
+    yc = F.pmod((F.col(y) if isinstance(y, str) else y).cast("long"), F.lit(1 << bits))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key.bitwiseOR(
+            F.shiftright(xc, b).bitwiseAND(F.lit(1).cast("long")) * F.lit(1 << (2 * b)).cast("long")
+        ).bitwiseOR(
+            F.shiftright(yc, b).bitwiseAND(F.lit(1).cast("long")) * F.lit(1 << (2 * b + 1)).cast("long")
+        )
+    return key
+
+
+def zorder_layout_plan(
+    df,
+    *,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int = 64,
+) -> DataFrame:
+    """The write-layout QA for Z-order clustering: assign every row its
+    Morton key, cut the key space into ``n_files`` equal key ranges (the
+    files a clustered write would emit), and report each range's row
+    count plus the min/max of BOTH source dimensions — the table that
+    proves (or disproves) that a z-ordered layout keeps per-file
+    min/max stats tight on every dimension, which is exactly what makes
+    footer-stats pruning work for 2-D predicates at 100 TB.
+
+    Scale shape: key assignment is scan-stage bit math; the only
+    exchange is the n_files-group rollup with map-side combine (six
+    integer aggregates per group). The plan never sorts — range
+    membership is key DIV (keyspace/n_files), not a global ORDER BY
+    (the actual clustered WRITE would repartitionByRange on the key,
+    whose sampling-based sort is Spark's standard distributed sort).
+
+    Returns (file_idx, n_rows, x_min, x_max, y_min, y_max).
+    """
+    from pyspark.sql import functions as F
+
+    span = (1 << (2 * bits)) // n_files
+    keyed = df.select(
+        morton_key(x_col, y_col, bits).alias("__z"),
+        F.pmod(F.col(x_col).cast("long"), F.lit(1 << bits)).alias("__x"),
+        F.pmod(F.col(y_col).cast("long"), F.lit(1 << bits)).alias("__y"),
+    )
+    return (
+        keyed.groupBy(F.expr(f"__z DIV {span}").cast("long").alias("file_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__x").alias("x_min"),
+            F.max("__x").alias("x_max"),
+            F.min("__y").alias("y_min"),
+            F.max("__y").alias("y_max"),
+        )
+    )

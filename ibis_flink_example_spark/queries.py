@@ -135,7 +135,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # registration order. The r11 window must take (a) FIRST-ROWS for the
     # four late-r10 registrations that had no slot left once the mandated
     # 39-row r5 cohort was seated — mixture_schedule,
-    # image_neardup_clusters, pr_average_precision, roc_auc_by_source
+    # image_neardup_clusters, pr_average_precision, roc_auc_by_source,
+    # zorder_layout_plan
     # (all green in the local sf0.01/sf0.1 gates, zero external rows) —
     # then (b) the r6-era cohort (~39 rows whose latest green is r6).
 )

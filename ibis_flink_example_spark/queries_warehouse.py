@@ -1266,3 +1266,53 @@ def rendezvous_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return rsp(docs, id_col="doc_id", bytes_col="n_chars", n_shards=16)
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Generated Morton-interleave expression for the oracle — DuckDB
+    >>/&/* on BIGINT mirrors Spark's shiftright/bitwiseAND term list."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({y}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_plan",
+    oracle=f"""
+WITH k AS (
+  SELECT o_custkey % 65536 AS x,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536 AS y
+  FROM orders
+), z AS (
+  SELECT x, y, {_morton_sql('x', 'y')} AS zkey FROM k
+)
+SELECT CAST(zkey // {(1 << 32) // 64} AS BIGINT) AS file_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+""",
+)
+def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout QA
+    (operators/bucketing.py:zorder_layout_plan): orders keyed by the
+    Morton interleave of (o_custkey, order date as epoch days), cut into
+    64 equal key ranges — the files a Z-ORDER-clustered write would
+    emit — each reporting row count and min/max of BOTH dimensions. The
+    table that shows why a z-ordered layout prunes on either column's
+    footer stats at 100 TB where single-column sorting prunes only one.
+    Key assignment is scan-stage bit math; the only exchange is the
+    64-group rollup with map-side combine."""
+    from ibis_flink_example_spark.operators.bucketing import (
+        zorder_layout_plan as zp,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+            "o_days"
+        ),
+    )
+    return zp(orders, x_col="o_custkey", y_col="o_days", bits=16, n_files=64)

@@ -58,3 +58,49 @@ def test_bucketed_groupby_reuses_layout(spark, sf_dir):
         assert "Exchange" not in _plan(agg)  # agg on bucket key: no shuffle
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_morton_key_matches_python_reference(spark):
+    from ibis_flink_example_spark.operators.bucketing import morton_key
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 65536).alias("x"),
+        (F.col("id") * 101 % 65536).alias("y"),
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", morton_key("x", "y").alias("z")).collect()
+    }
+
+    def pz(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(got[(x, y)] == pz(x, y) for (x, y) in got)
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    # the property Z-ORDER exists for: every contiguous key-range "file"
+    # covers a small BOX in (x, y) — both dimensions' per-file ranges are
+    # ~sqrt(keyspace/n_files), never the full domain (which is what a
+    # one-column sort leaves the other dimension with)
+    from pyspark.sql import functions as F
+
+    from ibis_flink_example_spark.operators.bucketing import zorder_layout_plan
+
+    df = spark.range(20000).select(
+        (F.col("id") * 37 % 65536).alias("x"),
+        (F.col("id") * 101 % 65536).alias("y"),
+    )
+    plan = zorder_layout_plan(df, x_col="x", y_col="y", bits=16, n_files=64).collect()
+    assert sum(r["n_rows"] for r in plan) == 20000
+    for r in plan:
+        # a 2^26-key contiguous range spans x/y boxes of ~2^13 (allow 2x
+        # for ranges straddling a box boundary)
+        assert r["x_max"] - r["x_min"] <= 1 << 14, r
+        assert r["y_max"] - r["y_min"] <= 1 << 14, r

@@ -902,3 +902,17 @@ def test_mixture_schedule_two_level_shape(spark, sf_dir):
     assert "SinglePartition" not in plan
     for cols in scan_columns(df):
         assert set(cols) == {"doc_id", "source"}
+
+
+def test_zorder_plan_is_scan_plus_one_rollup(spark, sf_dir):
+    """Morton key assignment must stay scan-stage bit math: zero joins,
+    no sort, ONE exchange (the 64-group rollup); the scan reads only the
+    two clustering inputs."""
+    df = QUERIES["zorder_layout_plan"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert exchange_count(df) == 1
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    )
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"o_custkey", "o_orderdate"}
