@@ -169,6 +169,12 @@ def zorder_layout_plan(
     """
     from pyspark.sql import functions as F
 
+    if n_files < 1 or (1 << (2 * bits)) % n_files != 0:
+        raise ValueError(
+            "zorder_layout_plan: n_files must divide the 4^bits key space "
+            f"(got n_files={n_files}, bits={bits}) — a non-divisor emits an "
+            "unequal overflow range and n_files > 4^bits divides by zero"
+        )
     span = (1 << (2 * bits)) // n_files
     keyed = df.select(
         morton_key(x_col, y_col, bits).alias("__z"),

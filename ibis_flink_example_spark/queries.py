@@ -133,7 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # from r5-r9; the local oracle gate re-checks all of them every CI
     # run): the r6-r9 greens and the rest of the registry in
     # registration order. The r11 window must take (a) FIRST-ROWS for the
-    # four late-r10 registrations that had no slot left once the mandated
+    # five late-r10 registrations that had no slot left once the mandated
     # 39-row r5 cohort was seated — mixture_schedule,
     # image_neardup_clusters, pr_average_precision, roc_auc_by_source,
     # zorder_layout_plan

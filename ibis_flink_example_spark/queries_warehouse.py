@@ -1282,8 +1282,13 @@ def _morton_sql(x: str, y: str, bits: int = 16) -> str:
     "zorder_layout_plan",
     oracle=f"""
 WITH k AS (
-  SELECT o_custkey % 65536 AS x,
-         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536 AS y
+  -- ((v % m) + m) % m mirrors Spark's pmod (always non-negative): plain
+  -- DuckDB % keeps the dividend's sign, and a negative operand would
+  -- sign-extend through >> into a garbage zkey (the repo's recurring
+  -- negative-operand cross-engine trap)
+  SELECT ((o_custkey % 65536) + 65536) % 65536 AS x,
+         (((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536)
+          + 65536) % 65536 AS y
   FROM orders
 ), z AS (
   SELECT x, y, {_morton_sql('x', 'y')} AS zkey FROM k
