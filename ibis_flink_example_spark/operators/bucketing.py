@@ -149,6 +149,7 @@ def zorder_layout_plan(
     y_col: str,
     bits: int = 16,
     n_files: int = 64,
+    quantize: str = "range",
 ) -> DataFrame:
     """The write-layout QA for Z-order clustering: assign every row its
     Morton key, cut the key space into ``n_files`` equal key ranges (the
@@ -158,12 +159,30 @@ def zorder_layout_plan(
     min/max stats tight on every dimension, which is exactly what makes
     footer-stats pruning work for 2-D predicates at 100 TB.
 
-    Scale shape: key assignment is scan-stage bit math; the only
-    exchange is the n_files-group rollup with map-side combine (six
-    integer aggregates per group). The plan never sorts — range
-    membership is key DIV (keyspace/n_files), not a global ORDER BY
-    (the actual clustered WRITE would repartitionByRange on the key,
-    whose sampling-based sort is Spark's standard distributed sort).
+    ``quantize`` maps natural-domain inputs into the 2^bits key domain:
+
+    - ``"range"`` (default): affine range quantization
+      ``(v * 2^bits) DIV (max + 1)`` against the observed per-column max
+      (attached via a one-row aggregate broadcast crossJoin — the repo's
+      scalar idiom, no shuffle of the fact side). Order-PRESERVING, so
+      locality survives ANY key domain — ``o_custkey`` past 2^bits keeps
+      clustering instead of wrapping. Inputs must be non-negative (a
+      lazy ``raise_error`` guard makes violations loud, not wrapped).
+      The reported per-file min/max are the RAW column values — exactly
+      the footer stats a clustered parquet write would persist.
+    - ``"pmod"``: hash-style fold ``pmod(v, 2^bits)``. Cheapest (no
+      second scan for the max row) but order-DESTROYING past 2^bits:
+      v and v + 2^bits collide, so locality silently degrades once the
+      natural key outgrows the bit budget. Reported min/max are the
+      folded values. Keep only for inputs proven to fit the domain.
+
+    Scale shape: key assignment is scan-stage bit math; the exchanges
+    are the n_files-group rollup with map-side combine (six integer
+    aggregates per group) plus, under ``"range"``, the one-row max
+    aggregate. The plan never sorts — range membership is
+    key DIV (keyspace/n_files), not a global ORDER BY (the actual
+    clustered WRITE would repartitionByRange on the key, whose
+    sampling-based sort is Spark's standard distributed sort).
 
     Returns (file_idx, n_rows, x_min, x_max, y_min, y_max).
     """
@@ -175,12 +194,44 @@ def zorder_layout_plan(
             f"(got n_files={n_files}, bits={bits}) — a non-divisor emits an "
             "unequal overflow range and n_files > 4^bits divides by zero"
         )
+    if quantize not in ("range", "pmod"):
+        raise ValueError("zorder_layout_plan: quantize must be 'range' or 'pmod'")
     span = (1 << (2 * bits)) // n_files
-    keyed = df.select(
-        morton_key(x_col, y_col, bits).alias("__z"),
-        F.pmod(F.col(x_col).cast("long"), F.lit(1 << bits)).alias("__x"),
-        F.pmod(F.col(y_col).cast("long"), F.lit(1 << bits)).alias("__y"),
-    )
+    x_raw = F.col(x_col).cast("long")
+    y_raw = F.col(y_col).cast("long")
+    if quantize == "range":
+        def _nonneg(v, name):
+            return F.when(
+                v < 0,
+                F.raise_error(
+                    F.lit(
+                        f"zorder_layout_plan: negative {name} under range "
+                        "quantization — quantize negatives upstream"
+                    )
+                ).cast("long"),
+            ).otherwise(v)
+
+        maxes = df.agg(
+            F.max(x_raw).alias("__xmax"), F.max(y_raw).alias("__ymax")
+        )
+        xq = F.expr(f"(__x * {1 << bits}) DIV (__xmax + 1)")
+        yq = F.expr(f"(__y * {1 << bits}) DIV (__ymax + 1)")
+        keyed = (
+            df.select(
+                _nonneg(x_raw, x_col).alias("__x"),
+                _nonneg(y_raw, y_col).alias("__y"),
+            )
+            .crossJoin(F.broadcast(maxes))
+            .select(
+                morton_key(xq, yq, bits).alias("__z"), "__x", "__y"
+            )
+        )
+    else:
+        keyed = df.select(
+            morton_key(x_col, y_col, bits).alias("__z"),
+            F.pmod(x_raw, F.lit(1 << bits)).alias("__x"),
+            F.pmod(y_raw, F.lit(1 << bits)).alias("__y"),
+        )
     return (
         keyed.groupBy(F.expr(f"__z DIV {span}").cast("long").alias("file_idx"))
         .agg(

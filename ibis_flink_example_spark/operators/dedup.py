@@ -762,9 +762,12 @@ def simhash_neardup_pairs(
         what="simhash chunk bucket",
     )
     # release discipline: loop callers release via
-    # retrieval.release_eager_checkpoints(out) after consumption
-    out._eager_checkpoints = (sigd,)
-    return out
+    # checkpoints.release_eager_checkpoints(out) after consumption
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(out, handles=(sigd,))
 
 
 def hamming_band_pairs(
@@ -798,8 +801,13 @@ def hamming_band_pairs(
 
     Returns (id_a, id_b, hamming), id_a < id_b, distinct.
     """
-    if 64 % n_chunks != 0:
-        raise ValueError("hamming_band_pairs: n_chunks must divide 64")
+    # n_chunks=1 is rejected too: its chunk mask (1<<64)-1 overflows the
+    # LongType literal, and a single band degenerates to full-signature
+    # equality (can never surface a nonzero-Hamming pair).
+    if not (2 <= n_chunks <= 64) or 64 % n_chunks != 0:
+        raise ValueError(
+            "hamming_band_pairs: n_chunks must divide 64 and be in [2, 64]"
+        )
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunks = sigd.select(

@@ -433,6 +433,9 @@ def phash_neardup_pairs(
         what="phash chunk bucket",
     )
     # release discipline: loop callers release via
-    # retrieval.release_eager_checkpoints(out) after consumption
-    out._eager_checkpoints = (sigd,)
-    return out
+    # checkpoints.release_eager_checkpoints(out) after consumption
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(out, handles=(sigd,))

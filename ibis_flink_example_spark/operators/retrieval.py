@@ -33,7 +33,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ibis_flink_example_spark.operators.checkpoints import (
+    attach_eager_checkpoints,
+    release_eager_checkpoints,
+)
 from ibis_flink_example_spark.operators.text import doc_terms, term_frequencies
+
+# release_eager_checkpoints / attach_eager_checkpoints are re-exported
+# from operators/checkpoints.py (the centralized handle-bookkeeping
+# module) for existing callers.
 
 # BM25 parameters as exact rationals: k1 = K1_NUM/K1_DEN = 1.2,
 # b = B_NUM/B_DEN = 0.75 (the textbook defaults). Clearing denominators in
@@ -167,22 +175,7 @@ def bm25_topk(
         .orderBy(F.desc("score_x1e6"), F.col(id_col).asc())
         .limit(top_k)
     )
-    out._eager_checkpoints = (tf,)
-    return out
-
-
-def release_eager_checkpoints(df: DataFrame) -> None:
-    """Deterministically release the eager localCheckpoint blocks an
-    operator attached to its result (``_eager_checkpoints``) — call AFTER
-    the result is consumed. No-op for frames without the attribute; the
-    repo's release discipline for loop callers (bench/service loops),
-    mirroring dedup._release_local_checkpoint's contract."""
-    from ibis_flink_example_spark.operators.dedup import (
-        _release_local_checkpoint,
-    )
-
-    for ck in getattr(df, "_eager_checkpoints", ()):  # pragma: no branch
-        _release_local_checkpoint(ck)
+    return attach_eager_checkpoints(out, handles=(tf,))
 
 
 def feature_hash_profile(
@@ -332,12 +325,6 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
-    # Checkpoint handles attached to input rankings (bm25_topk's tf) must
-    # survive the fusion, or loop callers can never release them — see
-    # release_eager_checkpoints. Collected here; re-attached to the output.
-    inherited: tuple = ()
-    for r in rankings:
-        inherited += tuple(getattr(r, "_eager_checkpoints", ()))
     contribs = [
         r.select(
             F.col(id_col),
@@ -359,9 +346,9 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_x1e6"), F.col(id_col).asc())
         .limit(top_k)
     )
-    if inherited:
-        out._eager_checkpoints = inherited
-    return out
+    # Checkpoint handles attached to input rankings (bm25_topk's tf) must
+    # survive the fusion, or loop callers can never release them.
+    return attach_eager_checkpoints(out, *rankings)
 
 
 def posting_lists(

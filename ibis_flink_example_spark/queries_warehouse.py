@@ -1282,16 +1282,22 @@ def _morton_sql(x: str, y: str, bits: int = 16) -> str:
     "zorder_layout_plan",
     oracle=f"""
 WITH k AS (
-  -- ((v % m) + m) % m mirrors Spark's pmod (always non-negative): plain
-  -- DuckDB % keeps the dividend's sign, and a negative operand would
-  -- sign-extend through >> into a garbage zkey (the repo's recurring
-  -- negative-operand cross-engine trap)
-  SELECT ((o_custkey % 65536) + 65536) % 65536 AS x,
-         (((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 65536)
-          + 65536) % 65536 AS y
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
   FROM orders
+), m AS (
+  SELECT MAX(x) AS xmax, MAX(y) AS ymax FROM k
+), q AS (
+  -- affine range quantization into [0, 2^16): order-preserving, so the
+  -- layout QA holds for ANY natural key domain (o_custkey past 65535
+  -- keeps clustering instead of pmod-wrapping). `//` == Spark DIV here:
+  -- both operands are provably non-negative
+  SELECT x, y,
+         (x * 65536) // (xmax + 1) AS xq,
+         (y * 65536) // (ymax + 1) AS yq
+  FROM k CROSS JOIN m
 ), z AS (
-  SELECT x, y, {_morton_sql('x', 'y')} AS zkey FROM k
+  SELECT x, y, {_morton_sql('xq', 'yq')} AS zkey FROM q
 )
 SELECT CAST(zkey // {(1 << 32) // 64} AS BIGINT) AS file_idx,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1303,13 +1309,18 @@ FROM z GROUP BY 1
 def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering layout QA
     (operators/bucketing.py:zorder_layout_plan): orders keyed by the
-    Morton interleave of (o_custkey, order date as epoch days), cut into
-    64 equal key ranges — the files a Z-ORDER-clustered write would
-    emit — each reporting row count and min/max of BOTH dimensions. The
-    table that shows why a z-ordered layout prunes on either column's
-    footer stats at 100 TB where single-column sorting prunes only one.
-    Key assignment is scan-stage bit math; the only exchange is the
-    64-group rollup with map-side combine."""
+    Morton interleave of (o_custkey, order date as epoch days)
+    range-quantized into the 16-bit key domain, cut into 64 equal key
+    ranges — the files a Z-ORDER-clustered write would emit — each
+    reporting row count and RAW min/max of BOTH dimensions (the footer
+    stats the write would persist). The table that shows why a z-ordered
+    layout prunes on either column's footer stats at 100 TB where
+    single-column sorting prunes only one. Range quantization (vs the
+    old pmod fold) keeps the QA honest once the natural key outgrows
+    2^16 — o_custkey at sf1+ would otherwise wrap and silently destroy
+    the locality the QA claims to measure (ADVICE r10). Key assignment
+    is scan-stage bit math; the exchanges are the one-row max aggregate
+    (scalar broadcast crossJoin) and the 64-group rollup."""
     from ibis_flink_example_spark.operators.bucketing import (
         zorder_layout_plan as zp,
     )
@@ -1320,4 +1331,11 @@ def zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_days"
         ),
     )
-    return zp(orders, x_col="o_custkey", y_col="o_days", bits=16, n_files=64)
+    return zp(
+        orders,
+        x_col="o_custkey",
+        y_col="o_days",
+        bits=16,
+        n_files=64,
+        quantize="range",
+    )

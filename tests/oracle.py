@@ -138,6 +138,9 @@ BNLJ_ALLOWED = {
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",
+    # one-row (xmax, ymax) frame broadcast for order-preserving range
+    # quantization of the Morton key inputs
+    "zorder_layout_plan",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation

@@ -1519,6 +1519,49 @@ def test_blockhash_brightness_shift_invariance(spark):
     assert got[0] == got[1]
 
 
+def test_hamming_band_pairs_rejects_degenerate_n_chunks(spark):
+    # n_chunks=1 divides 64 but its chunk mask (1<<64)-1 overflows the
+    # LongType literal AND a single band is full-signature equality —
+    # reject loudly instead of the opaque Py4J plan-build error (ADVICE
+    # r10); n_chunks=3 fails the divisibility arm.
+    import pytest
+
+    from ibis_flink_example_spark.operators import dedup as D
+
+    sigd = spark.createDataFrame([(0, 0), (1, 1)], "id long, sig long")
+    for bad in (1, 0, 3, 128):
+        with pytest.raises(ValueError, match="n_chunks"):
+            D.hamming_band_pairs(
+                sigd, id_col="id", sig_col="sig", max_hamming=1, n_chunks=bad
+            )
+
+
+def test_attach_eager_checkpoints_inherits_through_wrapping(spark):
+    # the centralized handle idiom (ADVICE r10): producers attach via
+    # handles=, combinators inherit from EVERY input; a frame without
+    # the attribute contributes nothing and gains nothing.
+    from pyspark.sql import functions as F
+
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    a = spark.range(3)
+    ck1, ck2 = spark.range(1), spark.range(2)
+    prod = attach_eager_checkpoints(a.select("id"), handles=(ck1,))
+    assert prod._eager_checkpoints == (ck1,)
+    # a transformation drops the attribute (the failure mode the helper
+    # exists for) — re-attach inherits the producer's handle
+    wrapped = attach_eager_checkpoints(prod.filter(F.col("id") >= 0), prod)
+    assert wrapped._eager_checkpoints == (ck1,)
+    # combinator: inherits from both inputs plus its own handle
+    other = attach_eager_checkpoints(spark.range(4), handles=(ck2,))
+    combined = attach_eager_checkpoints(wrapped.union(other), wrapped, other)
+    assert combined._eager_checkpoints == (ck1, ck2)
+    plain = spark.range(5)
+    assert not hasattr(attach_eager_checkpoints(plain), "_eager_checkpoints")
+
+
 def test_hamming_band_pairs_lossless_vs_allpairs(spark):
     import itertools
     import random
