@@ -216,3 +216,98 @@ def bpe_encode_token_counts(
         ]
     )
     return docs.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Fixed demo tokenizer (r11): a PINNED merge table applied in closed form
+# ---------------------------------------------------------------------------
+
+# A tokenizer is normally a FROZEN artifact applied to new corpora, so a
+# fertility QA (tokens/word, bytes/token per language) evaluates a fixed
+# merge table — unlike bpe_learn_merges' data-dependent iteration, this is
+# SQL-expressible and therefore fully oracle-able. The table is a chain of
+# common-English merges; each component is a single char or an EARLIER
+# merge's output (the well-formedness every real BPE table has, because
+# learning emits ranks in order).
+FIXED_DEMO_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "t"),
+)
+
+
+def _fixed_merge_patterns() -> list[tuple[str, str]]:
+    """(flat_pattern, placeholder) per rank. BPE's lowest-rank-first loop
+    is equivalent to exhausting ranks in order (a rank-j merge creates
+    pairs only AROUND its new symbol, and no symbol here is a component
+    of an earlier rank), and exhausting one rank equals one left-to-right
+    non-overlapping string replace when earlier outputs are encoded as
+    single placeholder chars (chr(1)..chr(n) — can't be matched into by
+    later patterns). Equality against the real symbol-rewriting encoder
+    is pinned corpus-wide in tests/test_llm_operators.py."""
+    sym_to_ph: dict[str, str] = {}
+    pats: list[tuple[str, str]] = []
+    for rank, (left, right) in enumerate(FIXED_DEMO_MERGES):
+        for comp in (left, right):
+            if len(comp) > 1 and comp not in sym_to_ph:
+                raise ValueError(
+                    f"FIXED_DEMO_MERGES rank {rank}: component {comp!r} is "
+                    "neither a single char nor an earlier merge's output"
+                )
+        pat = sym_to_ph.get(left, left) + sym_to_ph.get(right, right)
+        sym_to_ph[left + right] = chr(rank + 1)
+        pats.append((pat, chr(rank + 1)))
+    return pats
+
+
+def fixed_merge_token_count(text_col) -> "F.Column":
+    """Per-row BPE token count of ``text_col`` under FIXED_DEMO_MERGES as
+    a pure JVM column: chain the rank-ordered replaces, then count = final
+    length minus the whitespace chars (whitespace survives every replace
+    1:1, and no pattern spans it, so words encode independently — the
+    Σ-over-words definition without splitting). Texts containing the
+    placeholder code points chr(1)..chr(8) would alias merged symbols;
+    that is raised lazily (loud, per-row) rather than silently folded."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    guarded = F.when(
+        c.rlike("[\\x01-\\x08]"),
+        F.raise_error(
+            F.lit(
+                "fixed_merge_token_count: text contains placeholder code "
+                "points U+0001..U+0008"
+            )
+        ),
+    ).otherwise(c)
+    rep = guarded
+    for pat, ph in _fixed_merge_patterns():
+        rep = F.replace(rep, F.lit(pat), F.lit(ph))
+    n_ws = F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))
+    return (F.length(rep) - n_ws).cast("long")
+
+
+def fixed_merge_token_count_sql(expr: str) -> str:
+    """The DuckDB mirror of fixed_merge_token_count as a generated SQL
+    expression over ``expr`` (placeholders via chr(n), pattern chars as
+    quoted literals concatenated with chr() pieces)."""
+
+    def lit(pat: str) -> str:
+        parts = []
+        for ch in pat:
+            if ord(ch) < 9:
+                parts.append(f"chr({ord(ch)})")
+            else:
+                parts.append("'" + ch.replace("'", "''") + "'")
+        return " || ".join(parts)
+
+    rep = expr
+    for pat, ph in _fixed_merge_patterns():
+        rep = f"replace({rep}, {lit(pat)}, chr({ord(ph)}))"
+    return (
+        f"length({rep}) - (length({expr}) - "
+        f"length(regexp_replace({expr}, '\\s', '', 'g')))"
+    )

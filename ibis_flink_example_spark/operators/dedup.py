@@ -928,6 +928,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_runs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring duplicate RUNS per document — the Lee et al.
+    ('Deduplicating Training Data Makes Language Models Better')
+    ExactSubstr insight in its distributed window-hash formulation:
+    anchor a k-word window at EVERY word position (stride 1 — unlike
+    ``dedup_chunk_exact``'s disjoint stride-k chunks, which miss any
+    duplicated span straddling a chunk boundary), mark anchors whose
+    window occurs >= 2 times anywhere in the corpus (including within
+    the same document), then coalesce each document's duplicated anchors
+    into maximal runs. A maximal duplicated substring of L >= k words
+    shows up as exactly L-k+1 CONSECUTIVE duplicated anchors, so run
+    extension falls out of gaps-and-islands over anchor positions — the
+    suffix-array "extend left/right" step without a suffix array.
+
+    Two island definitions, both reported:
+    - extension runs (gap == 1 merges): ``n_runs`` maximal duplicated
+      substrings; the longest spans ``max_run_tokens`` = anchors + k - 1
+      words;
+    - coverage islands (gap <= k merges, where the k-word intervals
+      still overlap or touch): ``dup_token_coverage`` = exact number of
+      words lying inside at least one duplicated window (interval-union
+      arithmetic: islands are contiguous, span = max_pos - min_pos + k —
+      no double counting).
+
+    Scale shape (100 TB): one word per row — the k-gram is assembled by
+    a doc-partitioned ROWS window (frame bounded by k), NEVER by
+    exploding anchor indices against the full word array (that
+    dedup_chunk_exact shape is O(len²) bytes per document at stride 1).
+    Window hashes are md5 (engine-portable), so the global dup test is
+    one hash-partitioned COUNT window over (16-byte hash, id, pos) rows;
+    the island windows are doc-partitioned with bounded lookback, and the
+    final rollups reuse the doc partitioning (grouping keys extend the
+    partition key). No joins anywhere.
+
+    Returns (id_col, n_runs, dup_anchors, max_run_tokens,
+    dup_token_coverage), one row per document that contains at least one
+    duplicated window.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("substring_dup_runs: k must be >= 2")
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    grams = tok.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
+        F.count("__w").over(frame).alias("__n"),
+    ).filter(F.col("__n") == k)
+    dup = grams.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    ).filter(F.col("__cnt") >= 2)
+    bypos = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(bypos)
+    flagged = dup.select(
+        id_col,
+        "pos",
+        # first row per doc: gap is NULL -> both flags default to 1
+        F.when(gap == 1, F.lit(0)).otherwise(F.lit(1)).alias("__run_brk"),
+        F.when(gap <= k, F.lit(0)).otherwise(F.lit(1)).alias("__cov_brk"),
+    )
+    ids = flagged.select(
+        id_col,
+        "pos",
+        F.sum("__run_brk").over(bypos).alias("__run_id"),
+        F.sum("__cov_brk").over(bypos).alias("__cov_id"),
+    )
+    # every coverage break is also a run break (gap > k implies gap > 1),
+    # so runs nest inside coverage islands and one grouping chain — each
+    # reusing the doc hash partitioning — yields both statistics
+    runs = ids.groupBy(id_col, "__cov_id", "__run_id").agg(
+        F.count(F.lit(1)).alias("__anchors"),
+        F.min("pos").alias("__p0"),
+        F.max("pos").alias("__p1"),
+    )
+    islands = runs.groupBy(id_col, "__cov_id").agg(
+        F.count(F.lit(1)).alias("__n_runs"),
+        F.sum("__anchors").alias("__anchors"),
+        F.max("__anchors").alias("__max_run_anchors"),
+        (F.max("__p1") - F.min("__p0") + F.lit(k)).alias("__span"),
+    )
+    return islands.groupBy(id_col).agg(
+        F.sum("__n_runs").cast("long").alias("n_runs"),
+        F.sum("__anchors").cast("long").alias("dup_anchors"),
+        (F.max("__max_run_anchors") + F.lit(k) - F.lit(1))
+        .cast("long")
+        .alias("max_run_tokens"),
+        F.sum("__span").cast("long").alias("dup_token_coverage"),
+    )
+
+
 def incremental_dedup(
     incoming: DataFrame,
     existing: DataFrame,

@@ -1947,3 +1947,62 @@ def test_average_precision_no_positives_is_null(spark):
     )
     row = average_precision(df, score_col="score", label_col="label").first()
     assert row["n_pos"] == 0 and row["ap_x1e6"] is None  # no ANSI crash
+
+
+def test_fixed_merge_token_count_equals_symbol_encoder(spark, sf_dir):
+    """The closed-form rank-ordered replace chain must equal the REAL
+    symbol-rewriting BPE encoder (lowest-rank-first, leftmost tie-break)
+    under the frozen merge table — corpus-wide AND on adversarial
+    cascade words the fixture vocabulary never hits."""
+    from pyspark.sql import functions as F
+
+    from ibis_flink_example_spark.operators import bpe as B
+
+    merges = [(i, l, r, 0) for i, (l, r) in enumerate(B.FIXED_DEMO_MERGES)]
+
+    def assert_equal(docs):
+        enc = B.bpe_encode_token_counts(docs, merges)
+        flat = docs.select(
+            "doc_id", B.fixed_merge_token_count("text").alias("n_flat")
+        )
+        bad = (
+            enc.join(flat, "doc_id")
+            .filter(F.col("n_tokens_bpe") != F.col("n_flat"))
+            .count()
+        )
+        assert bad == 0
+
+    assert_equal(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    # cascades: rank-2 consumes rank-1's output; 'er' vs 're' priority;
+    # overlapping candidates ('inther': in+the+r, not in+th+er); empty,
+    # whitespace-only, multi-space
+    tricky = [
+        "inther there thethe winter python,stone!",
+        "ere rere erere reer ther sthe thin sthin",
+        "",
+        "   ",
+        "a  b\tth\nthe",
+        "ananan ononon thth erer rere stst inin",
+    ]
+    assert_equal(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tricky)], "doc_id long, text string"
+        )
+    )
+
+
+def test_fixed_merge_token_count_rejects_placeholder_codepoints(spark):
+    """Text containing U+0001..U+0008 would alias merged symbols — the
+    guard must raise loudly instead of silently folding."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from ibis_flink_example_spark.operators import bpe as B
+
+    df = spark.createDataFrame([(0, "ok \x03 bad")], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="placeholder"):
+        df.select(B.fixed_merge_token_count("text")).collect()

@@ -919,3 +919,64 @@ def test_zorder_plan_is_scan_plus_one_rollup(spark, sf_dir):
     assert exchange_count(df) <= 3
     for cols in scan_columns(df):
         assert set(cols) == {"o_custkey", "o_orderdate"}
+
+
+def test_substring_runs_is_windows_plus_colocated_rollups(spark, sf_dir):
+    """dedup_substring_runs must never join and never re-exchange after
+    the windows: zero joins; exchanges are exactly the doc-partition
+    gram window, the hash-partition dup-count window, and the
+    doc-partition island windows (3) — the three rollups extend the doc
+    key, so they ride the existing partitioning. Scan reads only
+    (doc_id, text)."""
+    df = QUERIES["dedup_substring_runs"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    )
+    assert exchange_count(df) == 3
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_tokenizer_fertility_is_map_plus_one_rollup(spark, sf_dir):
+    """The closed-form replace chain is pure per-row JVM work: zero
+    joins, zero Generate, ONE exchange (the language rollup with
+    map-side partials); no Python anywhere."""
+    df = QUERIES["tokenizer_fertility_by_lang"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert exchange_count(df) == 1
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    )
+    assert ops["Generate"] == 0
+    (cols,) = scan_columns(df)
+    assert set(cols) <= {"lang", "text"}
+
+
+def test_mixture_quality_occupancy_collapses_before_branching(spark, sf_dir):
+    """The corpus collapses to (source, score) cells ONCE; the decile map
+    and the final rollup both branch off that aggregation, resolved as a
+    runtime ReusedExchange under AQE (one corpus pass, not two). The
+    decile map joins onto the DOMAIN-sized cells frame (broadcast), never
+    back onto per-doc rows; no shuffled join anywhere."""
+    df = QUERIES["mixture_quality_occupancy"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, executed[:2000]
+
+
+def test_phash_capped_plan_matches_uncapped_shape(spark, sf_dir):
+    """The production-shaped capped arm keeps the audited LSH shape: the
+    signature stage pipelines into the scan, pair generation is an
+    equi-join on (chunk_idx, chunk) — never CartesianProduct/BNLJ — and
+    the hot-bucket cap's count is computed per key (window or agg), not
+    via any global collect."""
+    df = QUERIES["image_phash_neardup_pairs_capped"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] == 0
+    assert ops["BroadcastNestedLoopJoin"] == 0
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] >= 1
+    )

@@ -866,3 +866,45 @@ def test_epoch_shuffle_plan_mini(spark, tmp_path):
     d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
     got = _check_mini(spark, d, "epoch_shuffle_plan")
     assert len(got) == 15  # 5 docs x 3 epochs
+
+
+def test_dedup_substring_runs_mini(spark, tmp_path):
+    """Gaps-and-islands semantics the driver fixtures never pin: a
+    cross-doc shared span (run extension), two duplicated windows at gap
+    3 (separate RUNS, one COVERAGE island — interval-union arithmetic,
+    no double count), the same pair at gap 11 > k (two coverage
+    islands), a within-doc all-same-word repeat, sub-k docs absent, and
+    the planted-dup twin of doc 0."""
+    b = [f"b{i}" for i in range(30)]
+    rows = [
+        # doc 0 (doc_id % 50 == 0): planted twin at 1000000 -> full-doc run
+        (0, " ".join(f"a{i}" for i in range(15)), "en", "s0"),
+        # docs 1/2 share the 20-word span b5..b24
+        (1, " ".join(b), "en", "s0"),
+        (2, " ".join(["c0", "c1"] + b[5:25] + ["c2", "c3"]), "en", "s0"),
+        # doc 3 = f0..f12; doc 4 duplicates windows f0..f9 and f3..f12
+        # NON-contiguously -> doc 3 dup anchors {0, 3}: 2 runs, 1 island
+        (3, " ".join(f"f{i}" for i in range(13)), "en", "s0"),
+        (4, " ".join([f"f{i}" for i in range(10)] + ["qq"]
+                     + [f"f{i}" for i in range(3, 13)]), "en", "s0"),
+        # shorter than k -> no anchors, absent from output
+        (5, "tiny doc here", "en", "s0"),
+        # within-doc repetition: 12 identical words -> 3 identical windows
+        (6, " ".join(["s"] * 12), "en", "s0"),
+    ]
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    got = _check_mini(spark, d, "dedup_substring_runs")
+    by = {int(r.doc_id): r for r in got.itertuples()}
+    assert 5 not in by
+    exp = {
+        0: (1, 6, 15, 15), 1000000: (1, 6, 15, 15),
+        1: (1, 11, 20, 20), 2: (1, 11, 20, 20),
+        3: (2, 2, 10, 13),   # gap 3: two runs, ONE island spanning 13
+        4: (2, 2, 10, 20),   # gap 11 > k: two islands, 10 + 10
+        6: (1, 3, 12, 12),
+    }
+    assert set(by) == set(exp)
+    for doc, (n_runs, anchors, max_run, cov) in exp.items():
+        r = by[doc]
+        assert (r.n_runs, r.dup_anchors, r.max_run_tokens,
+                r.dup_token_coverage) == (n_runs, anchors, max_run, cov), doc
