@@ -54,91 +54,78 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-9 rotation (VERDICT r8 top-next, executed verbatim): first-rows
-# for every oracle-bearing query that has NEVER had an external driver
-# row — the five late-r8 registrations plus the SEVEN new r9 operators
-# (RRF hybrid fusion, calibration bins + per-domain arm, streaming
-# near-dup ingest, PPS systematic sampling, rendezvous shard planning,
-# inverted-index posting lists) — then connected_components_distributed
-# (its operator gained the converged-or-raise contract this round; the
-# query opts out explicitly, so the row re-proves behavioral identity),
-# then EVERY query whose most recent green row is r4-era (all 34 of
-# them — after this window no green row is older than r5), and ONE
-# r5-era row to seed that cohort's rotation (first-rows outrank
-# re-verifies, so four r5 candidates ceded their slots — see the
-# in-list note). bm25_topk_docs and embedding_top_pc double as
-# re-verification of this round's BM25 semi-join-reduction and Gram-arm
-# fixes. The r5-era backlog for r10 is the remaining ~40 rows.
+# Round-11 rotation (VERDICT r10 top-next #1, executed verbatim — the
+# window is exactly full at 2 + 5 + 4 + 39 = 50): sentinels, then
+# FIRST-ROWS for the five late-r10 registrations that had no slot left in
+# the r10 window (zorder_layout_plan additionally carries this round's
+# range-quantization rework — ADVICE r10), then first-rows for the FOUR
+# new r11 registrations (the production-shaped capped 8x8-bit image
+# near-dup arm — VERDICT #2 — and the r11 LLM tier: exact-substring dup
+# runs, tokenizer fertility QA, mixture x quality occupancy — VERDICT
+# #3), then the complete r6-era cohort (all 39 queries whose most recent
+# green row is r6). After this window no green row predates r7; the r12
+# backlog is the ~45-row r7-era cohort.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: new this round (r10) — pHash image near-dup (X5 x X2),
-    # classifier ROC QA, deterministic training-order assignment
-    "image_blockhash_signatures",
-    "image_phash_neardup_pairs",
-    "roc_auc_lang_score",
-    "roc_threshold_sweep",
-    "epoch_shuffle_plan",
-    # implementation/oracle touched this round (ADVICE r9 fixes:
-    # checkpoint-handle propagation, PPS oracle ROWS frame, ingest
-    # re-delivery note + shingle_match_ids None-check; dedup_simhash_pairs
-    # rides the hamming_band_pairs factoring)
-    "rrf_hybrid_retrieval",
-    "pps_systematic_sample",
-    "streaming_neardup_ingest",
-    "dedup_simhash_pairs",
-    # r5-era re-verification (most recent green row = round 5 — the full
-    # remaining cohort; after this round no green row predates r6)
-    "agg_salted_skew",
-    "asof_join_clicks",
-    "chunk_documents_200_50",
-    "cohort_retention_weekly",
-    "cosine_topk_lsh",
-    "csv_roundtrip",
-    "data_quality_audit",
-    "decontaminate_ngram",
-    "embedding_centroid_by_label",
-    "embedding_quantize",
-    "event_transitions",
-    "events_anomaly_zscore",
-    "exists_subquery_customers",
-    "filtered_aggs",
-    "funnel_view_click_purchase",
-    "join_null_safe",
-    "jsonl_roundtrip",
-    "merge_upsert_customers",
-    "multimodal_meta",
-    "multimodal_resize_plan",
-    "ngram_jaccard_pairs",
-    "over_range_sum_1h",
-    "pack_sequences_2k",
-    "posexplode_priorities",
-    "range_join_events",
-    "sample_hash_10pct",
-    "semantic_dedup",
-    "simhash_exact_dup_coverage",
-    "streaming_funnel",
-    "strip_high_df_terms",
-    "term_heavy_hitters",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "text_winnow_sketch",
-    "token_length_histogram",
-    "window_distribution",
-    "window_lag_lead",
+    # first-rows: registered late-r10, judge-checked locally, zero
+    # external driver rows yet
+    "mixture_schedule",
+    "image_neardup_clusters",
+    "pr_average_precision",
+    "roc_auc_by_source",
+    "zorder_layout_plan",
+    # first-rows: new this round (r11)
+    "image_phash_neardup_pairs_capped",
+    "dedup_substring_runs",
+    "tokenizer_fertility_by_lang",
+    "mixture_quality_occupancy",
+    # r6-era re-verification (most recent green row = round 6 — the full
+    # cohort; after this round no green row predates r7)
+    "ab_value_ttest",
+    "attribution_last_touch",
+    "benford_leading_digit",
+    "concurrent_sessions_peak",
+    "conversion_latency_stats",
+    "date_spine_daily_revenue",
+    "dedup_incremental",
+    "doc_rare_bigram_score",
+    "doc_unigram_surprisal",
+    "dup_cluster_size_histogram",
+    "gap_fill_locf",
+    "grouping_sets_revenue",
+    "item_similarity_topk",
+    "join_theta",
+    "json_decode",
+    "lang_distribution_drift",
+    "langid_confusion",
+    "market_basket_pairs",
+    "mode_priority_by_nation",
+    "multimodal_frame_sample",
+    "ntile_acctbal_quartiles",
+    "orc_roundtrip",
+    "pareto_customers_by_nation",
+    "relational_division_customers",
+    "rolling_wau",
+    "running_distinct_users",
+    "sample_lang_balanced",
+    "sessionize_stats",
+    "snapshot_diff_orders",
+    "split_group_aware_events",
+    "stats_corr_price_qty",
+    "streaming_session_30m",
+    "streaming_sink_roundtrip",
+    "top_event_paths",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q3_shipping_priority",
+    "tumble_1m",
+    "udaf_gini_by_priority",
+    "zorder_bucket_stats",
     # displaced to positions 51+ (every one carries a green driver row
-    # from r5-r9; the local oracle gate re-checks all of them every CI
-    # run): the r6-r9 greens and the rest of the registry in
-    # registration order. The r11 window must take (a) FIRST-ROWS for the
-    # five late-r10 registrations that had no slot left once the mandated
-    # 39-row r5 cohort was seated — mixture_schedule,
-    # image_neardup_clusters, pr_average_precision, roc_auc_by_source,
-    # zorder_layout_plan
-    # (all green in the local sf0.01/sf0.1 gates, zero external rows) —
-    # then (b) the r6-era cohort (~39 rows whose latest green is r6).
+    # from r7-r10; the local oracle gate re-checks all of them every CI
+    # run): the r7-r10 greens and the rest of the registry in
+    # registration order.
 )
 
 
