@@ -172,6 +172,22 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 4)
+    # Normalization sanity bound (VERDICT r10 #5): the r10 driver run
+    # normalized 309.8s -> 235.6s under load_factor 1.31 — an
+    # over-correction vs the 300.8s idle truth, because sub-3s sentinels
+    # are MORE load-sensitive than the 230-query total they normalize.
+    # Outside the band where the factor is trustworthy (mild load, mild
+    # correction), publish the raw total only and say why.
+    value_norm = round(total / load_factor, 4) if load_factor else None
+    norm_suppressed = None
+    if value_norm is not None and (load_factor > 1.2 or load_factor < 0.8):
+        norm_suppressed = (
+            f"load_factor {load_factor} outside trust band [0.8, 1.2] "
+            f"(correction {abs(value_norm - total) / total:.0%} of raw); "
+            "sentinel-based normalization over-corrects under heavy load — "
+            "re-run on an idle machine for a comparable number"
+        )
+        value_norm = None
     result = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -197,7 +213,8 @@ def main() -> None:
         "calibration_basis": basis,
         "calibration_basis_match": basis_match,
         "load_factor": load_factor,
-        "value_load_normalized": round(total / load_factor, 4) if load_factor else None,
+        "value_load_normalized": value_norm,
+        "normalization_suppressed": norm_suppressed,
     }
     spark.stop()
     # Durable copy first: the driver's stdout capture truncates long tails,
@@ -211,6 +228,8 @@ def main() -> None:
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     if not errors:
         compact.pop("errors")
+    if compact.get("normalization_suppressed") is None:
+        compact.pop("normalization_suppressed")
     print(json.dumps(compact, separators=(",", ":")))
 
 
