@@ -229,6 +229,11 @@ def bpe_encode_token_counts(
 # common-English merges; each component is a single char or an EARLIER
 # merge's output (the well-formedness every real BPE table has, because
 # learning emits ranks in order).
+# Java's \s spelled out ([ \t\n\x0B\f\r]) — valid in Java regex AND RE2,
+# so Spark and DuckDB strip the identical set (the \s SHORTHAND differs:
+# RE2 excludes U+000B).
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 FIXED_DEMO_MERGES: tuple[tuple[str, str], ...] = (
     ("t", "h"),
     ("th", "e"),
@@ -286,7 +291,13 @@ def fixed_merge_token_count(text_col) -> "F.Column":
     rep = guarded
     for pat, ph in _fixed_merge_patterns():
         rep = F.replace(rep, F.lit(pat), F.lit(ph))
-    n_ws = F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))
+    # EXPLICIT whitespace class, not \s: Java \s includes U+000B while
+    # RE2 (DuckDB) \s does not, so the shorthand silently diverges
+    # engine-vs-oracle on vertical-tab payloads (review r11). The class
+    # below is Java's \s spelled out and is used VERBATIM by the SQL
+    # mirror; Python str.split (the reference encoder) also treats every
+    # member as a separator.
+    n_ws = F.length(c) - F.length(F.regexp_replace(c, _WS_CLASS, ""))
     return (F.length(rep) - n_ws).cast("long")
 
 
@@ -309,5 +320,5 @@ def fixed_merge_token_count_sql(expr: str) -> str:
         rep = f"replace({rep}, {lit(pat)}, chr({ord(ph)}))"
     return (
         f"length({rep}) - (length({expr}) - "
-        f"length(regexp_replace({expr}, '\\s', '', 'g')))"
+        f"length(regexp_replace({expr}, '{_WS_CLASS}', '', 'g')))"
     )

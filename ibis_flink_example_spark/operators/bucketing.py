@@ -165,9 +165,11 @@ def zorder_layout_plan(
       ``(v * 2^bits) DIV (max + 1)`` against the observed per-column max
       (attached via a one-row aggregate broadcast crossJoin — the repo's
       scalar idiom, no shuffle of the fact side). Order-PRESERVING, so
-      locality survives ANY key domain — ``o_custkey`` past 2^bits keeps
-      clustering instead of wrapping. Inputs must be non-negative (a
-      lazy ``raise_error`` guard makes violations loud, not wrapped).
+      locality survives any key domain up to ``(2^63-1) >> bits`` —
+      ``o_custkey`` past 2^bits keeps clustering instead of wrapping.
+      Inputs must be non-negative and leave the multiply's int64
+      headroom (a lazy ``raise_error`` guard makes violations loud, not
+      wrapped or ANSI-crashed).
       The reported per-file min/max are the RAW column values — exactly
       the footer stats a clustered parquet write would persist.
     - ``"pmod"``: hash-style fold ``pmod(v, 2^bits)``. Cheapest (no
@@ -200,13 +202,22 @@ def zorder_layout_plan(
     x_raw = F.col(x_col).cast("long")
     y_raw = F.col(y_col).cast("long")
     if quantize == "range":
-        def _nonneg(v, name):
+        # the quantizer multiplies by 2^bits before the DIV, so inputs
+        # must also leave that headroom in int64 — out-of-range values
+        # raise loudly (ANSI would throw an opaque overflow anyway, and
+        # with ANSI off they would silently wrap into garbage keys,
+        # review r11): supported domain is [0, (2^63-1) >> bits]
+        limit = ((1 << 63) - 1) >> bits
+
+        def _in_domain(v, name):
             return F.when(
-                v < 0,
+                (v < 0) | (v > F.lit(limit).cast("long")),
                 F.raise_error(
                     F.lit(
-                        f"zorder_layout_plan: negative {name} under range "
-                        "quantization — quantize negatives upstream"
+                        f"zorder_layout_plan: {name} outside "
+                        f"[0, {limit}] under range quantization "
+                        f"(bits={bits}) — pre-scale the column (e.g. "
+                        "epoch-micros -> days) or lower bits"
                     )
                 ).cast("long"),
             ).otherwise(v)
@@ -218,8 +229,8 @@ def zorder_layout_plan(
         yq = F.expr(f"(__y * {1 << bits}) DIV (__ymax + 1)")
         keyed = (
             df.select(
-                _nonneg(x_raw, x_col).alias("__x"),
-                _nonneg(y_raw, y_col).alias("__y"),
+                _in_domain(x_raw, x_col).alias("__x"),
+                _in_domain(y_raw, y_col).alias("__y"),
             )
             .crossJoin(F.broadcast(maxes))
             .select(

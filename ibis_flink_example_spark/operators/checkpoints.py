@@ -35,7 +35,12 @@ def attach_eager_checkpoints(
     ``out``. The single idiom for propagating release obligations across
     transformations — use this instead of assigning the attribute by
     hand, so no call site can silently drop an inherited handle."""
-    inherited: tuple = tuple(handles)
+    # MERGE with anything already on `out` (never overwrite): a caller
+    # stacking an extra handle onto a producer's result must not lose the
+    # producer's own — the helper existing is no excuse for it to drop
+    # handles itself (review r11).
+    inherited: tuple = tuple(getattr(out, "_eager_checkpoints", ()))
+    inherited += tuple(handles)
     for s in sources:
         inherited += tuple(getattr(s, "_eager_checkpoints", ()))
     if inherited:

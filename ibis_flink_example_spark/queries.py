@@ -54,17 +54,22 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-11 rotation (VERDICT r10 top-next #1, executed verbatim — the
-# window is exactly full at 2 + 5 + 4 + 39 = 50): sentinels, then
-# FIRST-ROWS for the five late-r10 registrations that had no slot left in
-# the r10 window (zorder_layout_plan additionally carries this round's
-# range-quantization rework — ADVICE r10), then first-rows for the FOUR
+# Round-11 rotation (VERDICT r10 top-next #1 — the window is exactly
+# full at 2 + 5 + 5 + 38 = 50): sentinels, then FIRST-ROWS for the five
+# late-r10 registrations that had no slot left in the r10 window
+# (zorder_layout_plan additionally carries this round's
+# range-quantization rework — ADVICE r10), then first-rows for the FIVE
 # new r11 registrations (the production-shaped capped 8x8-bit image
-# near-dup arm — VERDICT #2 — and the r11 LLM tier: exact-substring dup
+# near-dup arm — VERDICT #2; the r11 LLM tier: exact-substring dup
 # runs, tokenizer fertility QA, mixture x quality occupancy — VERDICT
-# #3), then the complete r6-era cohort (all 39 queries whose most recent
-# green row is r6). After this window no green row predates r7; the r12
-# backlog is the ~45-row r7-era cohort.
+# #3; and the exactly-once warehouse sink — T5 upgrade, VERDICT
+# 'missing' #2), then the r6-era cohort (39 queries whose most recent
+# green row is r6, MINUS one: first-rows outrank re-verifies, so
+# zorder_bucket_stats cedes its slot — its z-order machinery is
+# exercised in-window by zorder_layout_plan this round — and MUST seed
+# the r12 rotation). After this window the only green row older than r7
+# is zorder_bucket_stats; the r12 backlog is that row plus the ~45-row
+# r7-era cohort.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
@@ -81,6 +86,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_substring_runs",
     "tokenizer_fertility_by_lang",
     "mixture_quality_occupancy",
+    "streaming_exactly_once_sink",
     # r6-era re-verification (most recent green row = round 6 — the full
     # cohort; after this round no green row predates r7)
     "ab_value_ttest",
@@ -121,7 +127,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tumble_1m",
     "udaf_gini_by_priority",
-    "zorder_bucket_stats",
+    # zorder_bucket_stats: displaced (see header note) — r12 first pick
     # displaced to positions 51+ (every one carries a green driver row
     # from r7-r10; the local oracle gate re-checks all of them every CI
     # run): the r7-r10 greens and the rest of the registry in

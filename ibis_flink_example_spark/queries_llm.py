@@ -1768,15 +1768,24 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_tokens",
         "n_bytes",
+        # DECIMAL(38,0) products: corpus sums pass 9.2e12 well inside the
+        # 100 TB envelope, and BIGINT * 1e6 would overflow there (the
+        # repo's recorded overflow-audit trap); the oracle side is
+        # already HUGEINT (DuckDB SUM of BIGINT). The DIVISION results
+        # are small ratios, so Spark's decimal DIV -> BIGINT is safe.
         F.when(
             F.col("n_words") == 0, F.lit(None).cast("long")
         )
-        .otherwise(F.expr("n_tokens * 1000000 DIV n_words"))
+        .otherwise(
+            F.expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV n_words")
+        )
         .alias("tokens_per_word_x1e6"),
         F.when(
             F.col("n_tokens") == 0, F.lit(None).cast("long")
         )
-        .otherwise(F.expr("n_bytes * 1000000 DIV n_tokens"))
+        .otherwise(
+            F.expr("CAST(n_bytes AS DECIMAL(38,0)) * 1000000 DIV n_tokens")
+        )
         .alias("bytes_per_token_x1e6"),
     )
 

@@ -397,17 +397,17 @@ def main() -> int:
             # image_phash_neardup_pairs_capped registers.
             from ibis_flink_example_spark.operators import multimodal as M
 
+            # `work` is a fresh mkdtemp per run, so this always writes
+            # (mode=overwrite keeps a double call per label harmless —
+            # no cross-run cache exists or is intended)
             sigp = os.path.join(work, f"phash_sigs_{label}.parquet")
-            if not os.path.exists(sigp):
-                d = spark.read.parquet(docs[label])
-                M.blockhash_signatures(
-                    d.select(
-                        "doc_id", M.payload_pixel_codes("text").alias("px")
-                    ),
-                    id_col="doc_id",
-                    pixels_col="px",
-                    sig_col="ph",
-                ).write.mode("overwrite").parquet(sigp)
+            d = spark.read.parquet(docs[label])
+            M.blockhash_signatures(
+                d.select("doc_id", M.payload_pixel_codes("text").alias("px")),
+                id_col="doc_id",
+                pixels_col="px",
+                sig_col="ph",
+            ).write.mode("overwrite").parquet(sigp)
             sigs = spark.read.parquet(sigp)
             return lambda: D.hamming_band_pairs(
                 sigs,

@@ -1560,6 +1560,11 @@ def test_attach_eager_checkpoints_inherits_through_wrapping(spark):
     assert combined._eager_checkpoints == (ck1, ck2)
     plain = spark.range(5)
     assert not hasattr(attach_eager_checkpoints(plain), "_eager_checkpoints")
+    # stacking onto a frame that ALREADY carries handles must merge, not
+    # overwrite (review r11: the helper itself dropping handles would be
+    # the exact bug class it exists to prevent)
+    stacked = attach_eager_checkpoints(prod, handles=(ck2,))
+    assert stacked._eager_checkpoints == (ck1, ck2)
 
 
 def test_hamming_band_pairs_lossless_vs_allpairs(spark):
@@ -1987,6 +1992,9 @@ def test_fixed_merge_token_count_equals_symbol_encoder(spark, sf_dir):
         "   ",
         "a  b\tth\nthe",
         "ananan ononon thth erer rere stst inin",
+        # U+000B: Java \s strips it, RE2 \s does NOT — the explicit
+        # whitespace class must keep all three implementations agreeing
+        "a\x0Bb the\x0Bin \x0B",
     ]
     assert_equal(
         spark.createDataFrame(
