@@ -3230,7 +3230,12 @@ def image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal.phash_neardup_pairs + dedup.connected_components — the
     driver union-find arm under the bounded post-LSH edge residue, the
     distributed min-label arm beyond it). Oracle computes components via
-    a recursive min-reachable-id CTE over the ALL-pairs edge set."""
+    a recursive min-reachable-id CTE over the ALL-pairs edge set. The
+    16x4-bit uncapped banding here is the oracle-pure definition arm —
+    at corpus scale compose the clusters from the PRODUCTION pair
+    configuration instead (8x8-bit bands, cap on:
+    ``image_phash_neardup_pairs_capped``, measured pair-stage exponent
+    in SCALING.md)."""
     from ibis_flink_example_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
