@@ -113,6 +113,73 @@ def rendezvous_shard_plan(
     )
 
 
+def shard_file_manifest(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bytes_col: str,
+    n_shards: int = 16,
+    docs_per_file: int = 100,
+) -> DataFrame:
+    """The dataset MANIFEST a reproducible training run ships next to its
+    shards: rendezvous-assign every document to a shard, cut each shard
+    into files of ``docs_per_file`` documents in id order, and emit one
+    row per file with (n_docs, total_bytes, id range, content_md5) —
+    content_md5 being the md5 of the '|'-joined SORTED per-document text
+    digests, so any retry/re-partition/re-download of a shard can be
+    verified byte-for-byte against the card, and two manifests diff at
+    file granularity (which file changed, not just "something did").
+
+    Scale shape: the HRW argmax and the per-doc digest are scan-stage row
+    expressions; the one exchange is the shard-keyed numbering window
+    (n_shards independent partitions — no global sort), and the file
+    rollup reuses that partitioning (grouping keys extend the shard
+    key). The checksum concat is bounded by ``docs_per_file`` (~33 bytes
+    per digest), NEVER corpus- or shard-sized — the reason the manifest
+    is per FILE: a whole-shard sorted concat would be a gigabyte-scale
+    string at 100 TB. md5 + array_sort/array_join mirror exactly in
+    DuckDB (string_agg ORDER BY), the repo's deterministic
+    sequence-encoding idiom.
+
+    Returns (shard, file_seq, n_docs, total_bytes, min_id, max_id,
+    content_md5).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_shards < 1 or docs_per_file < 1:
+        raise ValueError("shard_file_manifest: n_shards and docs_per_file >= 1")
+    ids = F.col(id_col).cast("string")
+
+    def h(s: int):
+        return F.md5(F.concat(ids, F.lit(f":{s}")))
+
+    best = F.array_max(
+        F.array(*[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)])
+    )
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        best.getField("s").cast("long").alias("shard"),
+        F.md5(F.col(text_col)).alias("__digest"),
+        F.col(bytes_col).cast("long").alias("__bytes"),
+    )
+    seq = F.row_number().over(Window.partitionBy("shard").orderBy("__id"))
+    filed = assigned.withColumn("__seq", seq).withColumn(
+        "file_seq",
+        F.expr(f"CAST((__seq - 1) DIV {int(docs_per_file)} AS BIGINT)"),
+    )
+    return filed.groupBy("shard", "file_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__bytes").cast("long").alias("total_bytes"),
+        F.min("__id").alias("min_id"),
+        F.max("__id").alias("max_id"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("__digest")), "|")
+        ).alias("content_md5"),
+    )
+
+
 def morton_key(x, y, bits: int = 16):
     """Z-order (Morton) interleave of two non-negative ints bounded by
     2^bits — the multi-dimensional clustering key: sorting/range-

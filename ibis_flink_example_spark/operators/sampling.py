@@ -480,3 +480,92 @@ def mixture_schedule(
         "seq_in_source",
         F.expr(vt).cast("long").alias("vt_scaled"),
     )
+
+
+def mixture_reweight_iterative(
+    scores: DataFrame,
+    *,
+    domain_col: str,
+    score_col: str,
+    n_iters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DoReMi-flavored multiplicative-weights mixture reweighting
+    (Xie et al., 'DoReMi: Optimizing Data Mixtures Speeds Up Language
+    Model Pretraining' — the Group-DRO update, with the repo's
+    integer-exact discipline standing in for the proxy-model loss):
+    start every domain at weight ``scale`` and repeat ``n_iters`` times
+
+        mean_t  = SUM(w * s) DIV SUM(w)            (mixture-weighted mean)
+        w_{t+1} = w_t * GREATEST(scale + (s - mean_t), 1) DIV scale
+
+    so domains scoring ABOVE the current weighted mean (e.g. higher
+    excess loss / rarer-content signal) gain weight multiplicatively and
+    domains below lose it, converging toward the mixture that equalizes
+    the scores — the actual DoReMi fixpoint shape. NOT closed-form: the
+    weighted mean moves every step, so each iteration genuinely depends
+    on the previous one (the pagerank posture; the oracle unrolls the
+    recursion as generated CTEs).
+
+    Exactness: everything integer. ``mean`` is one floor division of two
+    POSITIVE sums; ``s - mean`` may be negative but is never divided
+    (the Spark-DIV-vs-DuckDB-// negative-operand trap); the multiplier
+    is clamped to >= 1 so weights stay positive; with scores in
+    [0, scale] the multiplier is <= 2*scale and weights are bounded by
+    scale * 2^n_iters — far inside int64 for any sane n_iters.
+
+    Scale shape: the caller pays the corpus pass ONCE building
+    ``scores`` (one row per domain); the loop here runs on that tiny
+    frame — coalesce(1) + eager localCheckpoint per iteration (the r8
+    iterative-loop discipline: lineage cut, no 32-task stages on a
+    KB-sized frame), scalar mean attached via one-row broadcast
+    crossJoin (BNLJ_ALLOWED shape).
+
+    Returns (domain_col, score_col, weight_x{scale}) with the FINAL
+    weights; callers release the last checkpoint via
+    checkpoints.release_eager_checkpoints.
+    """
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    if n_iters < 0 or not 2 <= scale <= 10**9:
+        raise ValueError("mixture_reweight_iterative: bad n_iters/scale")
+    w = (
+        scores.select(
+            F.col(domain_col),
+            F.col(score_col).cast("long").alias("__s"),
+            F.lit(scale).cast("long").alias("__w"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        tot = w.agg(
+            F.sum(F.expr("__w * __s")).alias("__ws"),
+            F.sum("__w").alias("__wsum"),
+        )
+        nxt = (
+            w.crossJoin(F.broadcast(tot))
+            .select(
+                domain_col,
+                "__s",
+                F.expr(
+                    f"CAST(__w * GREATEST({scale} + (__s - __ws DIV __wsum), 1) "
+                    f"DIV {scale} AS BIGINT)"
+                ).alias("__w"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(w)
+        w = nxt
+    out = w.select(
+        domain_col,
+        F.col("__s").alias(score_col),
+        F.col("__w").alias(f"weight_x{scale}"),
+    )
+    return attach_eager_checkpoints(out, handles=(w,))

@@ -68,8 +68,10 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # zorder_bucket_stats cedes its slot — its z-order machinery is
 # exercised in-window by zorder_layout_plan this round — and MUST seed
 # the r12 rotation). After this window the only green row older than r7
-# is zorder_bucket_stats; the r12 backlog is that row plus the ~45-row
-# r7-era cohort.
+# is zorder_bucket_stats; the r12 window must take (a) zorder_bucket_stats,
+# (b) FIRST-ROWS for the late-r11 registrations with zero external rows
+# (shard_file_manifest, mixture_reweight_iterative — both green in the
+# local sf0.01 gates), then (c) the ~45-row r7-era cohort.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",

@@ -339,3 +339,110 @@ def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (no single-partition window even for a dominant source)."""
     docs = load_table(spark, sf_dir, "documents")
     return SA.mixture_schedule(docs, id_col="doc_id", source_col="source")
+
+
+def _reweight_oracle(n_iters: int = 5, scale: int = 1_000_000) -> str:
+    """Generated unrolled-recursion oracle (the pagerank idiom): w0..wN
+    CTEs, each step's weighted mean a scalar subquery over the previous
+    frame. HUGEINT throughout (w*s products pass int64 at corpus scale);
+    the engine's DECIMAL(38,0) mirrors it."""
+    ctes = [
+        f"w0 AS (SELECT source, s, CAST({scale} AS HUGEINT) AS w FROM sc)"
+    ]
+    for t in range(1, n_iters + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"w{t} AS (SELECT source, s, "
+            f"w * GREATEST({scale} + (s - (SELECT SUM(w * s) // SUM(w) "
+            f"FROM {prev})), 1) // {scale} AS w FROM {prev})"
+        )
+    steps = ",\n".join(ctes)
+    return rf"""
+WITH wd AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), bg AS (
+  SELECT wd.source, concat_ws(' ', ws[i], ws[i+1]) AS bigram
+  FROM wd, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), cf AS (
+  SELECT bigram, COUNT(*) AS corpus_count FROM bg GROUP BY 1
+), persrc AS (
+  SELECT bg.source,
+    SUM(CASE WHEN cf.corpus_count < 5 THEN 1 ELSE 0 END) AS n_rare,
+    COUNT(*) AS n_bg
+  FROM bg JOIN cf USING (bigram) GROUP BY 1
+), sc AS (
+  SELECT d.source,
+    CAST(COALESCE(p.n_rare * {scale} // p.n_bg, 0) AS BIGINT) AS s
+  FROM (SELECT DISTINCT source FROM documents) d
+  LEFT JOIN persrc p USING (source)
+),
+{steps}
+SELECT source, CAST(s AS BIGINT) AS score_x1e6,
+       CAST(w AS BIGINT) AS weight_x{scale}
+FROM w{n_iters}
+"""
+
+
+@query("mixture_reweight_iterative", oracle=_reweight_oracle(5))
+def mixture_reweight_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored mixture solve
+    (operators/sampling.py:mixture_reweight_iterative): 5 rounds of
+    multiplicative weights over per-source rare-bigram quality scores —
+    sources scoring above the CURRENT mixture-weighted mean gain weight,
+    below lose it, converging toward the score-equalizing mixture (the
+    Group-DRO update DoReMi runs with proxy-model losses; the rare-rate
+    stands in as the integer-exact signal). Genuinely iterative — the
+    weighted mean moves every round — so the oracle unrolls the
+    recursion as generated CTEs (the pagerank idiom). The corpus is
+    scanned ONCE (bigram rates per source); the loop runs on the
+    source-count-sized frame with coalesce(1) + eager localCheckpoint
+    per step and one-row scalar broadcasts (BNLJ whitelist). Closes the
+    audit -> solve -> schedule chain: mixture_quality_occupancy shows
+    the problem, this solves the weights, mixture_schedule streams
+    them."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = docs.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    cf = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_count"))
+    rare = F.when(F.col("corpus_count") < 5, 1).otherwise(0)
+    persrc = (
+        bigrams.join(cf, "bigram")
+        .groupBy("source")
+        .agg(
+            F.sum(rare).alias("n_rare"),
+            F.count(F.lit(1)).alias("n_bg"),
+        )
+    )
+    scores = (
+        docs.select("source")
+        .distinct()
+        .join(persrc, "source", "left")
+        .select(
+            "source",
+            F.coalesce(
+                F.expr(
+                    "CAST(n_rare AS DECIMAL(38,0)) * 1000000 DIV n_bg"
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("score_x1e6"),
+        )
+    )
+    return SA.mixture_reweight_iterative(
+        scores, domain_col="source", score_col="score_x1e6", n_iters=5
+    )

@@ -1268,6 +1268,69 @@ def rendezvous_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsp(docs, id_col="doc_id", bytes_col="n_chars", n_shards=16)
 
 
+@query(
+    "shard_file_manifest",
+    # Rendezvous shard via the md5-argmax (ROW_NUMBER ORDER BY h DESC,
+    # s DESC — the _rendezvous_oracle shape), in-shard id-ordered file
+    # cut, per-file sorted-digest md5 (string_agg ORDER BY == Spark's
+    # array_sort+array_join — the journey-strings idiom).
+    oracle="""
+WITH pairs AS (
+  SELECT doc_id, n_chars, t.s
+  FROM documents, UNNEST(range(0, 16)) AS t(s)
+), hashed AS (
+  SELECT doc_id, n_chars, CAST(s AS BIGINT) AS s,
+         md5(doc_id || ':' || s) AS h
+  FROM pairs
+), best AS (
+  SELECT doc_id, n_chars, s AS shard
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY h DESC, s DESC
+    ) AS rn FROM hashed
+  ) WHERE rn = 1
+), filed AS (
+  SELECT b.shard, b.doc_id, b.n_chars, md5(d.text) AS digest,
+    CAST((ROW_NUMBER() OVER (PARTITION BY b.shard ORDER BY b.doc_id) - 1)
+         // 100 AS BIGINT) AS file_seq
+  FROM best b JOIN documents d USING (doc_id)
+)
+SELECT shard, file_seq,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+  md5(string_agg(digest, '|' ORDER BY digest)) AS content_md5
+FROM filed GROUP BY 1, 2
+""",
+)
+def shard_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset manifest / data card (operators/bucketing.py:
+    shard_file_manifest): the documents corpus rendezvous-assigned to 16
+    shards, each shard cut into 100-doc files in id order, one row per
+    file with doc/byte counts, id range and a content md5 over the
+    file's sorted per-doc digests — the artifact that makes a 100 TB
+    corpus VERIFIABLE (re-download or re-materialization diffs against
+    the manifest at file granularity) and training runs reproducible
+    (the manifest pins exactly which bytes went in). Checksum concat is
+    bounded by docs_per_file, never shard-sized; the one exchange is the
+    shard-keyed numbering window, and the file rollup rides the same
+    partitioning."""
+    from ibis_flink_example_spark.operators.bucketing import (
+        shard_file_manifest as sfm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sfm(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        bytes_col="n_chars",
+        n_shards=16,
+        docs_per_file=100,
+    )
+
+
 def _morton_sql(x: str, y: str, bits: int = 16) -> str:
     """Generated Morton-interleave expression for the oracle — DuckDB
     >>/&/* on BIGINT mirrors Spark's shiftright/bitwiseAND term list."""

@@ -2014,3 +2014,45 @@ def test_fixed_merge_token_count_rejects_placeholder_codepoints(spark):
     df = spark.createDataFrame([(0, "ok \x03 bad")], "doc_id long, text string")
     with pytest.raises(SparkRuntimeException, match="placeholder"):
         df.select(B.fixed_merge_token_count("text")).collect()
+
+
+def test_mixture_reweight_iterative_matches_python_sim(spark):
+    """Exact integer equality vs a pure-Python simulation of the
+    multiplicative-weights recursion, plus the semantics the update
+    exists for: above-mean domains gain weight, below-mean lose it,
+    and the weighted mean drifts toward the high scorers."""
+    from ibis_flink_example_spark.operators import sampling as SA
+
+    scores = {"a": 100_000, "b": 500_000, "c": 900_000, "d": 0}
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in scores.items()], "source string, s long"
+    )
+    out = {
+        r["source"]: r["weight_x1000000"]
+        for r in SA.mixture_reweight_iterative(
+            sdf, domain_col="source", score_col="s", n_iters=5
+        ).collect()
+    }
+
+    w = {k: 1_000_000 for k in scores}
+    for _ in range(5):
+        mean = sum(w[k] * scores[k] for k in w) // sum(w.values())
+        w = {
+            k: w[k] * max(1_000_000 + (scores[k] - mean), 1) // 1_000_000
+            for k in w
+        }
+    assert out == w
+    # direction: the top scorer gained, the bottom lost, ordering by
+    # score is preserved in the final weights
+    assert out["c"] > 1_000_000 > out["d"]
+    assert out["c"] > out["b"] > out["a"] > out["d"]
+
+
+def test_mixture_reweight_zero_iters_is_uniform(spark):
+    from ibis_flink_example_spark.operators import sampling as SA
+
+    sdf = spark.createDataFrame([("x", 7), ("y", 9)], "source string, s long")
+    out = SA.mixture_reweight_iterative(
+        sdf, domain_col="source", score_col="s", n_iters=0
+    ).collect()
+    assert {r["weight_x1000000"] for r in out} == {1_000_000}

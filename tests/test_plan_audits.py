@@ -980,3 +980,18 @@ def test_phash_capped_plan_matches_uncapped_shape(spark, sf_dir):
     assert (
         ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] >= 1
     )
+
+
+def test_shard_manifest_is_one_window_plus_colocated_rollup(spark, sf_dir):
+    """shard_file_manifest: the HRW argmax and per-doc digest are
+    scan-stage expressions — zero joins; ONE exchange (the shard-keyed
+    numbering window), with the file rollup riding the same
+    partitioning; the scan reads only the three inputs."""
+    df = QUERIES["shard_file_manifest"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] == 0
+    )
+    assert exchange_count(df) == 1
+    (cols,) = scan_columns(df)
+    assert set(cols) == {"doc_id", "text", "n_chars"}

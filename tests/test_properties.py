@@ -594,3 +594,67 @@ def test_shingle_match_ids_matches_bruteforce(spark, docs, num, den):
             if nc and den * nc >= num * (len(si) + len(sets[j]) - nc):
                 want.add(i)
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),  # tiny vocab -> dups
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_substring_dup_runs_matches_bruteforce(spark, docs_words):
+    """substring_dup_runs (k=3) vs a brute-force reference: duplicated
+    k-window anchors by dictionary count, runs by consecutive-position
+    islands, coverage by exact interval union — for ANY corpus shape
+    (within-doc repeats, cross-doc shares, sub-k docs)."""
+    from collections import Counter
+
+    from ibis_flink_example_spark.operators.dedup import substring_dup_runs
+
+    k = 3
+    texts = [" ".join(f"w{t}" for t in ws) for ws in docs_words]
+    # brute force (on the SAME split semantics: split on single space,
+    # empty text -> [''])
+    grams = Counter()
+    per_doc = []
+    for txt in texts:
+        ws = txt.split(" ")
+        anchors = [tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        per_doc.append(anchors)
+        grams.update(anchors)
+    expected = {}
+    for i, anchors in enumerate(per_doc):
+        dup = [p for p, a in enumerate(anchors) if grams[a] >= 2]
+        if not dup:
+            continue
+        runs = 1 + sum(1 for a, b in zip(dup, dup[1:]) if b - a != 1)
+        best = 1
+        cur = 1
+        for a, b in zip(dup, dup[1:]):
+            cur = cur + 1 if b - a == 1 else 1
+            best = max(best, cur)
+        covered = set()
+        for p in dup:
+            covered.update(range(p, p + k))
+        expected[i] = (runs, len(dup), best + k - 1, len(covered))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_runs"],
+            r["dup_anchors"],
+            r["max_run_tokens"],
+            r["dup_token_coverage"],
+        )
+        for r in substring_dup_runs(
+            df, id_col="doc_id", text_col="text", k=k
+        ).collect()
+    }
+    assert got == expected

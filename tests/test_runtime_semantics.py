@@ -908,3 +908,38 @@ def test_dedup_substring_runs_mini(spark, tmp_path):
         r = by[doc]
         assert (r.n_runs, r.dup_anchors, r.max_run_tokens,
                 r.dup_token_coverage) == (n_runs, anchors, max_run, cov), doc
+
+
+def test_mixture_quality_occupancy_mini(spark, tmp_path):
+    """Decile semantics the fixtures never pin: bigram-free docs (0 or 1
+    word) audit as score 0; ties share one decile (a dominant score mass
+    lands every tied doc in the decile of its cumulative LOWER bound);
+    shares are floor divisions of the tiny cell rollup. 10 docs: 6 share
+    a repeated phrase (score 0 — every bigram has corpus count >= 5),
+    2 are unique gibberish (score 1e6 — all-rare bigrams), 2 have no
+    bigrams at all (score 0 by definition)."""
+    common = "the cat sat on the mat"  # repeated 6x -> bigrams common
+    rows = (
+        [(i, common, "en", "web") for i in range(6)]
+        + [(10, "zq1 zq2 zq3 zq4", "en", "crawl"),
+           (11, "zq5 zq6 zq7 zq8", "en", "crawl")]
+        + [(20, "solo", "en", "web"), (21, "", "en", "crawl")]
+    )
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    got = _check_mini(spark, d, "mixture_quality_occupancy")
+    cells = {(r.source, int(r.decile)): r for r in got.itertuples()}
+    # score 0 covers 8 of 10 docs -> decile (0*10)//10 = 0; the two
+    # all-rare docs sit at cum_before 8 -> decile (8*10)//10 = 8
+    assert set(cells) == {("web", 0), ("crawl", 0), ("crawl", 8)}
+    assert cells[("web", 0)].n_docs == 7        # 6 common + 1 one-word
+    assert cells[("crawl", 0)].n_docs == 1      # the empty doc
+    assert cells[("crawl", 8)].n_docs == 2
+    # token accounting: empty doc counts 0 words; 'solo' counts 1
+    assert cells[("web", 0)].n_tokens == 6 * 6 + 1
+    assert cells[("crawl", 0)].n_tokens == 0
+    assert cells[("crawl", 8)].n_tokens == 8
+    total = 6 * 6 + 1 + 8
+    assert cells[("web", 0)].token_share_x1e6 == (37 * 10**6) // total
+    # within-source: crawl's token mass is entirely in decile 8
+    assert cells[("crawl", 8)].source_share_x1e6 == 10**6
+    assert cells[("crawl", 0)].source_share_x1e6 == 0
