@@ -229,10 +229,8 @@ def bpe_encode_token_counts(
 # common-English merges; each component is a single char or an EARLIER
 # merge's output (the well-formedness every real BPE table has, because
 # learning emits ranks in order).
-# Java's \s spelled out ([ \t\n\x0B\f\r]) — valid in Java regex AND RE2,
-# so Spark and DuckDB strip the identical set (the \s SHORTHAND differs:
-# RE2 excludes U+000B).
-_WS_CLASS = r"[ \t\n\x0B\f\r]"
+# Java's \s spelled out — the shared cross-engine class (see text.py).
+from ibis_flink_example_spark.operators.text import WS_CLASS as _WS_CLASS
 
 FIXED_DEMO_MERGES: tuple[tuple[str, str], ...] = (
     ("t", "h"),

@@ -52,6 +52,30 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def _hrw_best(id_col: str, n_shards: int):
+    """The rendezvous (HRW) argmax as a column: per row, the struct-max
+    of (md5(id || ':' || s), s) over all candidate shards — one
+    scan-stage expression, no explode. ONE definition shared by every
+    HRW consumer in this module: the hash recipe and the tie-break
+    (higher hash, then higher shard — mirror any oracle's ORDER BY h
+    DESC, s DESC if this ever changes) must never drift apart between
+    the shard plan and the manifest (review r11)."""
+    from pyspark.sql import functions as F
+
+    ids = F.col(id_col).cast("string")
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.md5(F.concat(ids, F.lit(f":{s}"))).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )
+
+
 def rendezvous_shard_plan(
     df: DataFrame,
     *,
@@ -88,18 +112,12 @@ def rendezvous_shard_plan(
     if n_shards < 1:
         raise ValueError("rendezvous_shard_plan: n_shards must be >= 1")
     ids = F.col(id_col).cast("string")
-
-    def h(s: int):
-        return F.md5(F.concat(ids, F.lit(f":{s}")))
-
-    best = F.array_max(
-        F.array(*[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)])
-    )
+    best = _hrw_best(id_col, n_shards)
     assigned = df.select(
         best.getField("s").cast("long").alias("shard"),
         best.getField("h").alias("__hmax"),
         F.col(bytes_col).cast("long").alias("__bytes"),
-        h(n_shards).alias("__hnew"),
+        F.md5(F.concat(ids, F.lit(f":{n_shards}"))).alias("__hnew"),
     )
     return (
         assigned.groupBy("shard")
@@ -150,16 +168,14 @@ def shard_file_manifest(
 
     if n_shards < 1 or docs_per_file < 1:
         raise ValueError("shard_file_manifest: n_shards and docs_per_file >= 1")
-    ids = F.col(id_col).cast("string")
-
-    def h(s: int):
-        return F.md5(F.concat(ids, F.lit(f":{s}")))
-
-    best = F.array_max(
-        F.array(*[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n_shards)])
-    )
+    best = _hrw_best(id_col, n_shards)
+    # the in-shard order (and min_id/max_id) use the ORIGINAL id column —
+    # a cast("long") here would NULL string ids and make the file cut
+    # nondeterministic, destroying the manifest's reproducibility
+    # contract (review r11); any orderable id type works, lexicographic
+    # for strings
     assigned = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         best.getField("s").cast("long").alias("shard"),
         F.md5(F.col(text_col)).alias("__digest"),
         F.col(bytes_col).cast("long").alias("__bytes"),

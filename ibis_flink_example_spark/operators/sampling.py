@@ -532,12 +532,30 @@ def mixture_reweight_iterative(
         _release_local_checkpoint,
     )
 
-    if n_iters < 0 or not 2 <= scale <= 10**9:
+    # n_iters is capped because weights are bounded by scale * 2^n_iters:
+    # past ~20 the int64 headroom (with scale 1e6) is gone and ANSI-off
+    # sessions would wrap silently against the HUGEINT oracle.
+    if not 0 <= n_iters <= 20 or not 2 <= scale <= 10**9:
         raise ValueError("mixture_reweight_iterative: bad n_iters/scale")
+    s_raw = F.col(score_col).cast("long")
+    # scores outside [0, scale] void the exactness proof: a negative
+    # score makes SUM(w*s) negative and `DIV` (truncate) diverges from
+    # the oracle's `//` (floor) on the mean — the repo's recorded
+    # negative-operand trap; > scale breaks the weight bound. Lazy
+    # per-row raise (the pps_systematic_sample idiom), review r11.
+    s_guarded = F.when(
+        (s_raw < 0) | (s_raw > scale),
+        F.raise_error(
+            F.lit(
+                f"mixture_reweight_iterative: {score_col} outside "
+                f"[0, {scale}] — center/clip scores upstream"
+            )
+        ).cast("long"),
+    ).otherwise(s_raw)
     w = (
         scores.select(
             F.col(domain_col),
-            F.col(score_col).cast("long").alias("__s"),
+            s_guarded.alias("__s"),
             F.lit(scale).cast("long").alias("__w"),
         )
         .coalesce(1)

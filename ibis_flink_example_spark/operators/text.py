@@ -12,6 +12,15 @@ from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.operators.dedup import words
 
+# Java's \s spelled out ([ \t\n\x0B\f\r]) — valid and IDENTICAL in Java
+# regex and RE2. The \s SHORTHAND is a cross-engine trap: Java includes
+# U+000B, RE2 (DuckDB) does not, so engine+oracle pairs splitting on \s+
+# silently diverge on vertical-tab payloads. New pairs must use
+# WS_SPLIT / this class verbatim on BOTH sides; the pre-r11 \s+ users
+# are latent-only (ASCII fixtures) and queue for the r12 sweep.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_SPLIT = WS_CLASS + "+"
+
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # (Real pipelines use fastText/CLD3; the heuristic keeps the operator
 # dependency-free and deterministic — the Spark plumbing is identical.)

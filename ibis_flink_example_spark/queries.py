@@ -137,6 +137,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Queries with NO external driver row yet that did not fit this round's
+# 50-slot window: the NEXT rotation must seat these FIRST (ahead of any
+# re-verify cohort). Machine-readable so the deferral cannot rot in a
+# comment — tests enforce that every entry is registered, oracle-bearing
+# and genuinely outside the current window, and the next round's
+# rotation empties it.
+_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
+    "zorder_bucket_stats",  # ceded its r11 slot (latest green row: r6)
+    "shard_file_manifest",  # registered late-r11, local greens only
+    "mixture_reweight_iterative",  # registered late-r11, local greens only
+)
+
+
 def _apply_driver_priority() -> None:
     prio = [n for n in _DRIVER_PRIORITY if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(prio)]

@@ -1525,7 +1525,8 @@ def _fertility_oracle() -> str:
 WITH t AS (
   SELECT lang,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         ELSE len(regexp_split_to_array(trim(text),
+                  '[ \t\n\x0B\f\r]+')) END AS n_words,
     strlen(text) AS n_bytes,
     {fixed_merge_token_count_sql('text')} AS n_tokens
   FROM documents
@@ -1556,8 +1557,9 @@ FROM t GROUP BY 1
 WITH w AS (
   SELECT doc_id, source,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-    regexp_split_to_array(trim(text), '\s+') AS ws
+         ELSE len(regexp_split_to_array(trim(text),
+                  '[ \t\n\x0B\f\r]+')) END AS n_words,
+    regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents
 ), bg AS (
   SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS bigram
@@ -1627,7 +1629,9 @@ def mixture_quality_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
-    ws = F.split(trimmed, r"\s+")
+    # explicit whitespace class (operators/text.py:WS_SPLIT) — the \s+
+    # shorthand diverges engine-vs-oracle on U+000B
+    ws = F.split(trimmed, X.WS_SPLIT)
     base = docs.select(
         "doc_id",
         "source",
@@ -1750,7 +1754,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.select(
         "lang",
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, X.WS_SPLIT)))
         .cast("long")
         .alias("n_words"),
         F.octet_length("text").cast("long").alias("n_bytes"),

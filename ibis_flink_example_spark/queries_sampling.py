@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
 from ibis_flink_example_spark.operators import sampling as SA
+from ibis_flink_example_spark.operators import text as X
 from ibis_flink_example_spark.queries import query
 
 
@@ -359,7 +360,7 @@ def _reweight_oracle(n_iters: int = 5, scale: int = 1_000_000) -> str:
     steps = ",\n".join(ctes)
     return rf"""
 WITH wd AS (
-  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents
 ), bg AS (
   SELECT wd.source, concat_ws(' ', ws[i], ws[i+1]) AS bigram
@@ -403,7 +404,9 @@ def mixture_reweight_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     the problem, this solves the weights, mixture_schedule streams
     them."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    # explicit whitespace class (operators/text.py:WS_SPLIT) — the \s+
+    # shorthand diverges engine-vs-oracle on U+000B
+    ws = F.split(F.trim(F.col("text")), X.WS_SPLIT)
     bigrams = docs.select(
         "source",
         F.explode(

@@ -104,3 +104,24 @@ def test_zorder_files_bound_both_dimensions(spark):
         # for ranges straddling a box boundary)
         assert r["x_max"] - r["x_min"] <= 1 << 14, r
         assert r["y_max"] - r["y_min"] <= 1 << 14, r
+
+
+def test_shard_file_manifest_string_ids_deterministic(spark):
+    """The manifest must be a pure function of the data for ANY orderable
+    id type: string ids order lexicographically (review r11 — a silent
+    cast('long') NULLed them and made the file cut partition-order-
+    dependent, destroying the reproducibility contract). Same rows under
+    a different physical partitioning => byte-identical manifest."""
+    from ibis_flink_example_spark.operators.bucketing import shard_file_manifest
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"text {i}", 10 + i) for i in range(40)],
+        "sid string, body string, nb long",
+    )
+    kw = dict(
+        id_col="sid", text_col="body", bytes_col="nb", n_shards=4, docs_per_file=5
+    )
+    a = sorted(map(tuple, shard_file_manifest(df, **kw).collect()))
+    b = sorted(map(tuple, shard_file_manifest(df.repartition(7), **kw).collect()))
+    assert a == b
+    assert all(r[4] is not None and r[5] is not None for r in a)  # id range

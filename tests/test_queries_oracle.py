@@ -45,6 +45,27 @@ def test_driver_priority_is_sound():
     assert list(QUERIES)[:50] == list(_DRIVER_PRIORITY)[:50]
 
 
+def test_deferred_first_rows_are_real_and_actually_deferred():
+    """_NEXT_ROUND_FIRST_ROWS is the machine-readable queue of queries the
+    NEXT rotation must seat first (they have no external driver row):
+    every entry must be registered, oracle-bearing, and genuinely outside
+    the current 50-slot window — an entry that is missing, rows-only, or
+    already seated means the queue has rotted and the next rotation would
+    be planned from stale state."""
+    from ibis_flink_example_spark.queries import (
+        _DRIVER_PRIORITY,
+        _NEXT_ROUND_FIRST_ROWS,
+        ORACLES,
+        QUERIES,
+    )
+
+    window = set(list(_DRIVER_PRIORITY)[:50])
+    for name in _NEXT_ROUND_FIRST_ROWS:
+        assert name in QUERIES, f"deferred query not registered: {name}"
+        assert name in ORACLES, f"deferred query has no oracle: {name}"
+        assert name not in window, f"deferred query already in window: {name}"
+
+
 def test_plan_hygiene_audited_everything():
     """The fleet plan-hygiene audit must have actually RUN for every query
     the gate executed (this file's parametrized tests run first): an

@@ -943,3 +943,19 @@ def test_mixture_quality_occupancy_mini(spark, tmp_path):
     # within-source: crawl's token mass is entirely in decile 8
     assert cells[("crawl", 8)].source_share_x1e6 == 10**6
     assert cells[("crawl", 0)].source_share_x1e6 == 0
+
+
+def test_mixture_reweight_vertical_tab_mini(spark, tmp_path):
+    """U+000B payloads: the explicit whitespace class must split
+    identically in Spark (Java regex) and DuckDB (RE2) — with the \\s+
+    shorthand this text makes different bigram sets per engine and five
+    compounded iterations of diverged weights."""
+    rows = [
+        (0, "alpha\x0bbeta gamma alpha\x0bbeta gamma", "en", "s_vt"),
+        (1, "alpha beta gamma delta epsilon", "en", "s_plain"),
+        (2, "alpha beta gamma delta epsilon", "en", "s_plain"),
+    ]
+    d = _write_mini(spark, tmp_path, {"documents": _mini_docs(spark, rows)})
+    _check_mini(spark, d, "mixture_reweight_iterative")
+    _check_mini(spark, d, "mixture_quality_occupancy")
+    _check_mini(spark, d, "tokenizer_fertility_by_lang")
