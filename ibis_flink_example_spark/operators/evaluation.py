@@ -363,3 +363,198 @@ def roc_auc_by_group(
     return agg.select(
         *group_cols, "n_pos", "n_neg", F.expr(auc).alias("auc_x1e6")
     )
+
+
+# Rank discounts for nDCG, precomputed in Python as integer literals:
+# DCG_DISCOUNT_X1E6[r-1] = round(1e6 / log2(r + 1)). Embedding LITERALS
+# (not engine-evaluated log2) removes the transcendental from both sides
+# of the oracle comparison entirely — the one place the whole-bit floor
+# argument (operators/retrieval.py) does not apply, because 1/log2(r+1)
+# lands arbitrarily close to quantization boundaries for some r.
+def _dcg_discounts_x1e6(k: int) -> list[int]:
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    gold: DataFrame,
+    *,
+    id_col: str,
+    order_cols: Sequence[str] = ("score_x1e6",),
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-ranking QA: nDCG@k, MRR, precision/recall@k of a ranked
+    candidate list against a gold relevant-document set — the metric pass
+    that closes the retrieval loop (BM25/dense rankers are judged by
+    ranking quality, not by their own scores).
+
+    ``ranked`` is the top-N candidate frame (N small, e.g. 25 — already
+    the output of a TakeOrderedAndProject top-k); ``gold`` is the
+    corpus-scale relevant set (only its ids are consumed). Ranks are
+    recomputed here as ``row_number() over (order_cols DESC, id ASC)`` so
+    the metric never trusts incoming row order; that window runs over the
+    ≤N-row candidate frame — bounded, never corpus-scale.
+
+    Scale shape: gold is reduced by a BROADCAST semi-join against the ≤N
+    candidate ids (the corpus-sized side never shuffles); the only
+    corpus-scale aggregation is COUNT(gold) for the recall denominator,
+    riding a one-row broadcast. All metrics are integers: DCG uses the
+    precomputed x1e6 discount literals (same literals in any oracle), and
+    every ratio is one final positive-operand floor division.
+
+    Returns ONE row: (k, n_rel_total, hits_at_k, first_rel_rank,
+    mrr_x1e6, dcg_at_k, idcg_at_k, ndcg_at_k_x1e6, precision_at_k_x1e6,
+    recall_at_k_x1e6). ``first_rel_rank``/``mrr_x1e6`` are 0 when no
+    relevant doc appears in the candidate list; nDCG/recall are NULL when
+    the gold set is empty.
+    """
+    disc = _dcg_discounts_x1e6(k)
+    cum = [sum(disc[: j + 1]) for j in range(k)]
+    w = Window.orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col(id_col).asc()
+    )
+    cand = ranked.select(
+        F.col(id_col).alias("__id"), F.row_number().over(w).alias("rank")
+    )
+    gold_ids = gold.select(F.col(id_col).alias("__id")).distinct()
+    n_rel = gold_ids.agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    hits = gold_ids.join(F.broadcast(cand), "__id").select("rank")
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    cum_arr = F.array(*[F.lit(c).cast("long") for c in cum])
+    agg = hits.agg(
+        F.count(F.when(F.col("rank") <= k, 1)).cast("long").alias("hits_at_k"),
+        F.coalesce(F.min("rank"), F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rank") <= k, F.element_at(disc_arr, F.col("rank"))
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dcg_at_k"),
+    )
+    out = agg.crossJoin(F.broadcast(n_rel)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_rel_total",
+        "hits_at_k",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank") > 0, F.expr("1000000 DIV first_rel_rank"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mrr_x1e6"),
+        "dcg_at_k",
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.element_at(cum_arr, F.least(F.col("n_rel_total"), F.lit(k)).cast("int")),
+        ).alias("idcg_at_k"),
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.expr(
+                "CAST(dcg_at_k AS DECIMAL(38,0)) * 1000000 DIV "
+                f"element_at(array({', '.join(str(c) + 'L' for c in cum)}), "
+                f"CAST(least(n_rel_total, {k}) AS INT))"
+            ),
+        )
+        .cast("long")
+        .alias("ndcg_at_k_x1e6"),
+        F.expr(f"hits_at_k * 1000000 DIV {k}").cast("long").alias("precision_at_k_x1e6"),
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.expr("hits_at_k * 1000000 DIV n_rel_total"),
+        )
+        .cast("long")
+        .alias("recall_at_k_x1e6"),
+    )
+    return out
+
+
+# Two-sided KS critical-value coefficient c(alpha=0.05) = sqrt(-ln(0.025)/2)
+# as a fixed literal (x1e6) — embedding the CONSTANT keeps ln out of both
+# engines (the ranking_metrics discount-literal argument).
+KS_CRIT_05_X1E6 = 1_358_102
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where boolean ``group_col`` is true (sample A) and false (sample B):
+    D = sup_x |F_A(x) − F_B(x)| — the distribution-level drift test that
+    complements the moment-level Welch t (a shifted tail with equal means
+    is invisible to t, loud in D).
+
+    Exactness: ``value_col`` must be integer-valued (quantize upstream —
+    cents, x1e6 scores). The ECDF difference at each distinct value is
+    the INTEGER |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0) products), so the
+    sup and its argmax are engine-exact; D itself is one final floor
+    division to x1e6. The α=0.05 decision compares integers after an
+    identical double chain (sqrt is IEEE-correctly-rounded; the c(α)
+    coefficient is a fixed literal — no transcendental is ever evaluated).
+
+    Scale shape (the ROC-collapse idiom): the corpus collapses to
+    per-distinct-value class counts FIRST — the only corpus-scale pass is
+    that aggregation; the cumulative windows run over the value-DOMAIN
+    frame (score-domain-bounded, cf. roc_threshold_sweep).
+
+    Returns ONE row: (n_a, n_b, d_x1e6, d_at_value, d_crit_05_x1e6,
+    reject_05). ``d_at_value`` is the smallest value attaining the sup.
+    Requires both samples nonempty (integer division by n_a·n_b).
+    """
+    g = (
+        df.select(
+            F.col(value_col).cast("long").alias("value"),
+            F.col(group_col).cast("boolean").alias("__is_a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("__is_a"), 1)).cast("long").alias("ca"),
+            F.count(F.when(~F.col("__is_a"), 1)).cast("long").alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "value",
+        F.sum("ca").over(w_cum).cast("long").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("long").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("long").alias("n_a"),
+        F.sum("cb").over(w_all).cast("long").alias("n_b"),
+    ).withColumn(
+        "__diff",
+        F.expr(
+            "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b "
+            "- CAST(cum_b AS DECIMAL(38,0)) * n_a)"
+        ),
+    )
+    dmax = c.withColumn("__dmax", F.max("__diff").over(w_all))
+    agg = dmax.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("__diff").alias("__d"),
+        F.min(F.when(F.col("__diff") == F.col("__dmax"), F.col("value")))
+        .cast("long")
+        .alias("d_at_value"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(__d * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+        .alias("d_x1e6"),
+        "d_at_value",
+        F.expr(
+            f"CAST(floor({KS_CRIT_05_X1E6} * sqrt("
+            "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))) AS BIGINT)"
+        ).alias("d_crit_05_x1e6"),
+    ).withColumn(
+        "reject_05", F.col("d_x1e6") > F.col("d_crit_05_x1e6")
+    )

@@ -222,3 +222,87 @@ def bfs_distances(
     _release_local_checkpoint(edges_cp)
     _release_local_checkpoint(frontier)
     return visited
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count over an undirected simple graph, by
+    degree orientation (the standard distributed algorithm — cf. Suri &
+    Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+    Reducer"):
+
+    1. canonicalize: undirected edges dedup to (lo, hi) pairs, self-loops
+       dropped;
+    2. orient each edge from its lower-(degree, id) endpoint to the
+       higher one — a total order, so the oriented graph is acyclic and
+       every triangle has exactly ONE source node with out-edges to the
+       other two;
+    3. wedges: self-join the oriented adjacency on the source, keeping
+       (v, w) with v before w in the same order;
+    4. count wedges whose closing edge (v, w) exists (semi-join
+       before the count — the wedge frame never materializes past the
+       probe).
+
+    Why orientation matters at 100 TB: out-degrees under (degree, id)
+    orientation are bounded by O(sqrt(|E|)) for any graph, so the wedge
+    self-join generates O(|E|^1.5) candidates WORST case instead of the
+    Θ(Σ deg²) a naive neighbor self-join pays — a star node (every
+    co-purchase graph has them) produces ZERO wedges from its hub side.
+    All joins are equi-joins (hash-partitioned); no driver-side state.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("x"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_x"),
+    )
+    lhs = oriented.select("u", F.col("x").alias("v"), F.col("deg_x").alias("deg_v"))
+    rhs = oriented.select("u", F.col("x").alias("w"), F.col("deg_x").alias("deg_w"))
+    wedges = lhs.join(rhs, "u").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    # the closing edge (v, w) is oriented v->w by construction: the wedge
+    # filter above uses the SAME (degree, id) total order as step 2
+    closing = oriented.select(F.col("u").alias("v"), F.col("x").alias("w"))
+    tri = wedges.select("v", "w").join(closing, ["v", "w"], "left_semi")
+    counts = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+        )
+        .crossJoin(
+            F.broadcast(
+                wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        )
+    )
+    return counts.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

@@ -587,3 +587,118 @@ def mixture_reweight_iterative(
         F.col("__w").alias(f"weight_x{scale}"),
     )
     return attach_eager_checkpoints(out, handles=(w,))
+
+
+# Priority sampling (Duffield–Lund–Thorup, JACM 2007): draw u_i uniform,
+# q_i = w_i / u_i, keep the k largest priorities; with tau = the (k+1)-th
+# priority, est_i = max(w_i, tau) is an (essentially) unbiased estimator
+# of w_i — the weighted-sampling-without-replacement design whose top-k
+# form distributes as ONE TakeOrderedAndProject pass. u_i comes from an
+# md5 prefix, so the whole draw is a pure function of the id: portable,
+# repartition-stable, engine-exact.
+PRIORITY_HEX_DIGITS = 12
+PRIORITY_HASH_SCALE = 16**PRIORITY_HEX_DIGITS  # 2^48
+# weights above this bound could overflow the int64 priority (w * 2^48);
+# guard loudly instead of silently wrapping
+PRIORITY_MAX_WEIGHT = (2**63 - 1) // PRIORITY_HASH_SCALE
+
+
+def hex_prefix_int_sql(hex_col: str, n_hex: int = PRIORITY_HEX_DIGITS) -> str:
+    """One SQL expression turning a lowercase-hex column prefix into its
+    integer value via per-nibble instr lookups — the SAME text is a valid
+    Spark SQL and DuckDB expression (instr/substr are 1-based in both), so
+    engine and oracle share one source of truth for the u-draw."""
+    # each term CAST to BIGINT: Spark types small integral literals as
+    # INT, and (nibble * 16^7) already overflows int32 under ANSI mode
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({hex_col}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex)
+    )
+    return f"({terms})"
+
+
+def priority_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio",
+) -> DataFrame:
+    """Deterministic priority sample of size ``k`` with the
+    Duffield–Lund–Thorup weight estimator.
+
+    The draw: ``u_i = (h_i + 1) / 2^48`` with ``h_i`` the first 12 md5-hex
+    digits of ``id:salt``; ``priority_i = floor(w_i * 2^48 / (h_i + 1))``
+    — an exact integer rational, never a transcendental. The sample is
+    the top-k frame by (priority DESC, id ASC); ``tau`` is the (k+1)-th
+    priority (0 when the corpus has <= k rows, making every estimate
+    exact); ``est_weight = greatest(w, tau)`` is the per-item
+    Horvitz–Thompson-style estimate whose sum approximates total corpus
+    weight using only the k kept rows.
+
+    Scale shape: the draw and the priority are map-only scan-stage
+    columns; selection is ONE TakeOrderedAndProject (top k+1 per
+    partition, merged — never a global sort); the rank/tau bookkeeping
+    runs over the <= k+1-row result (bounded single-partition window);
+    tau rides a one-row broadcast. Weights must be in
+    [0, PRIORITY_MAX_WEIGHT] — negative or overflow-scale weights raise
+    at evaluation time rather than silently corrupting the order.
+
+    Returns (id_col, weight, priority, est_weight), k rows (fewer iff the
+    corpus is smaller), deterministic under any partitioning.
+    """
+    if k < 1:
+        raise ValueError("priority_sample: k must be >= 1")
+    w_guard = F.when(
+        (F.col(weight_col).cast("long") < 0)
+        | (F.col(weight_col).cast("long") > PRIORITY_MAX_WEIGHT),
+        F.raise_error(
+            F.lit(
+                f"priority_sample: weight outside [0, {PRIORITY_MAX_WEIGHT}]"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
+    hexed = df.select(
+        F.col(id_col),
+        w_guard.alias("__w"),
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+            1,
+            PRIORITY_HEX_DIGITS,
+        ).alias("__hex"),
+    )
+    drawn = hexed.select(
+        id_col,
+        "__w",
+        F.expr(
+            f"CAST(CAST(__w AS DECIMAL(38,0)) * {PRIORITY_HASH_SCALE} "
+            f"DIV ({hex_prefix_int_sql('__hex')} + 1) AS BIGINT)"
+        ).alias("priority"),
+    )
+    cand = drawn.orderBy(F.desc("priority"), F.col(id_col).asc()).limit(k + 1)
+    w_rank = Window.orderBy(F.desc("priority"), F.col(id_col).asc())
+    ranked = cand.select(
+        id_col,
+        "__w",
+        "priority",
+        F.row_number().over(w_rank).alias("__rn"),
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__tau")
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            F.col("__w").alias("weight"),
+            "priority",
+            F.greatest(F.col("__w"), F.col("__tau")).cast("long").alias("est_weight"),
+        )
+    )

@@ -837,3 +837,59 @@ def top_pc_power_iteration(
         F.col("d").cast("long").alias("dim_idx"),
         (F.col("val") * F.col("s")).cast("long").alias("pc_x1e5"),
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus items carrying a DIFFERENT label — the
+    near-misses that make the strongest negatives (a random negative is
+    trivially separable; the ones next to the decision boundary carry
+    the gradient).
+
+    Same scale shape as :func:`cosine_topk`: the anchor set broadcasts
+    (contrastive batches mine against tens-to-thousands of anchors, never
+    the whole corpus at once), the corpus scan is embarrassingly parallel,
+    the label-mismatch filter lands in the scan stage BEFORE any score is
+    kept, and the top-k cut is a per-anchor window. Swap the brute-force
+    scorer for lsh_topk's bucketed probe at corpus scales where the full
+    scan stops paying.
+
+    Output: (anchor_id, anchor_label, id_col, neg_label, cosine, rank),
+    rank 1..k per anchor, ties broken on id.
+    """
+    from ibis_flink_example_spark.catalog import fan_out
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("__avec"),
+        )
+    )
+    scored = (
+        fan_out(corpus.select(id_col, label_col, vec_col), min_partitions=8)
+        .crossJoin(a)
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            cosine(F.col(vec_col), F.col("__avec"), dim).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -7,7 +7,7 @@ zero Python, zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.operators.dedup import words
@@ -155,6 +155,109 @@ def repetition_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataF
         n_words.alias("n_words"),
         dup_word_frac.alias("dup_word_frac"),
         top_2gram_frac.alias("top_2gram_frac"),
+    )
+
+
+# The Gopher repetition-free quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1.1 — public). Required-word set
+# verbatim from the paper; thresholds verbatim. Every ratio test below is
+# restated as an INTEGER cross-multiplication so the flags are bit-exact
+# in any engine (no float ever materializes).
+GOPHER_REQUIRED_WORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_SYMBOLS_REGEX = r"#|\.\.\.|…"  # hash or ellipsis (ASCII + U+2026)
+GOPHER_BULLET_CHARS = ("•", "-", "*")
+
+
+def gopher_flags(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """Per-document Gopher quality-rule audit (Rae et al. 2021 A1.1):
+
+    - ``pass_word_count``: 50 <= n_words <= 100000;
+    - ``pass_mean_word_len``: mean word length in [3, 10], tested as the
+      integer inequality ``3*n_words <= word_chars <= 10*n_words``;
+    - ``pass_symbol_ratio``: symbol-to-word ratio (# / ellipsis) <= 0.1,
+      i.e. ``10*symbol_hits <= n_words``;
+    - ``pass_alpha_frac``: >= 80% of words contain an alphabetic char,
+      i.e. ``5*n_alpha_words >= 4*n_words``;
+    - ``pass_req_words``: >= 2 distinct words from the paper's required
+      set {the, be, to, of, and, that, have, with};
+    - ``pass_lines``: < 90% of lines start with a bullet AND < 30% end
+      with an ellipsis (``10*bullet < 9*n_lines`` / ``10*ellip < 3*n_lines``);
+    - ``pass_gopher``: AND of all of the above — the keep decision.
+
+    Map-only pure column expressions (higher-order functions over the
+    split arrays): at 100 TB this is a zero-shuffle scan-stage pass, and
+    the integer restatement of every threshold means the flags — not just
+    the counts — are engine-exact."""
+    ws = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    n_words = F.size(ws).cast("long")
+    word_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    req = [w for w in GOPHER_REQUIRED_WORDS]
+    req_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, lambda w: F.lower(w))),
+            F.array(*[F.lit(w) for w in req]),
+        )
+    ).cast("long")
+    symbol_hits = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(GOPHER_SYMBOLS_REGEX), 0)
+    ).cast("long")
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(*GOPHER_BULLET_CHARS),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    pass_word_count = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    pass_mean_word_len = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+    pass_symbol_ratio = 10 * symbol_hits <= n_words
+    pass_alpha_frac = 5 * n_alpha_words >= 4 * n_words
+    pass_req_words = req_kinds >= 2
+    pass_lines = (10 * bullet_lines < 9 * n_lines) & (
+        10 * ellipsis_lines < 3 * n_lines
+    )
+    return df.select(
+        *extra_cols,
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha_words.alias("n_alpha_words"),
+        req_kinds.alias("req_word_kinds"),
+        symbol_hits.alias("symbol_hits"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        pass_word_count.alias("pass_word_count"),
+        pass_mean_word_len.alias("pass_mean_word_len"),
+        pass_symbol_ratio.alias("pass_symbol_ratio"),
+        pass_alpha_frac.alias("pass_alpha_frac"),
+        pass_req_words.alias("pass_req_words"),
+        pass_lines.alias("pass_lines"),
+        (
+            pass_word_count
+            & pass_mean_word_len
+            & pass_symbol_ratio
+            & pass_alpha_frac
+            & pass_req_words
+            & pass_lines
+        ).alias("pass_gopher"),
     )
 
 
@@ -415,3 +518,97 @@ def term_heavy_hitters(
         F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("df_term")
     )
     return totals.orderBy(F.col("total_tf").desc(), F.col("term").asc()).limit(k)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    targets: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Token-mass coverage curve: rank the vocabulary by frequency and
+    report, for each target percentage, the smallest rank whose cumulative
+    token mass reaches it — "how many term types cover 50/90/99% of all
+    tokens", the Zipf-shape diagnostic that sizes vocabularies and
+    estimates the tail a tokenizer must absorb.
+
+    Scale shape — the cumulative-mass scan is the same two-level
+    distributed prefix sum as pps_systematic_sample, NOT a global-ORDER-BY
+    window (the vocabulary of a 100 TB web corpus is billions of types):
+
+    1. term counts bucket by ``63 - floor(log2(count))`` — bucket order is
+       count order between buckets, and equal counts can never straddle a
+       bucket boundary, so (bucket ASC, count DESC, term ASC) is exactly
+       the global rank order;
+    2. per-bucket token/type totals form a <= 64-row frame (count domain
+       is int64); offsets and the grand totals come from windows over THAT
+       frame;
+    3. within-bucket running sums/row_numbers partition by bucket —
+       parallel, never corpus-wide.
+
+    ``floor(log2(count))`` of an integer is whole-bit floor-stable across
+    engines (the operators/retrieval.py gap argument). The crossing test
+    is the INTEGER inequality ``cum*100 >= target*T`` against
+    ``prev*100 < target*T`` — each target is crossed by exactly one rank,
+    no float coverage ratio ever materializes.
+
+    Returns one row per target: (target_pct, rank, cum_tokens,
+    total_tokens, vocab_size), target-ascending.
+    """
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), WS_SPLIT)
+        ).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    bkt = F.expr("63 - CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT)")
+    c = cnt.select("term", "cnt", bkt.alias("__bkt"))
+    bs = c.groupBy("__bkt").agg(
+        F.sum("cnt").alias("__bw"), F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = bs.select(
+        "__bkt",
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).cast("long").alias("__toff"),
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).cast("long").alias("__noff"),
+        F.sum("__bw").over(w_tot).cast("long").alias("__T"),
+        F.sum("__bn").over(w_tot).cast("long").alias("__V"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        c.join(offs, "__bkt")
+        .select(
+            "term",
+            "cnt",
+            (F.col("__noff") + F.row_number().over(w_in)).cast("long").alias("rank"),
+            (F.col("__toff") + F.sum("cnt").over(w_in)).cast("long").alias("cum"),
+            "__T",
+            "__V",
+        )
+    )
+    tgt_arr = F.array(*[F.lit(int(t)).cast("long") for t in targets])
+    crossed = ranked.select(
+        "rank",
+        F.col("cum").alias("cum_tokens"),
+        F.col("__T").alias("total_tokens"),
+        F.col("__V").alias("vocab_size"),
+        F.filter(
+            tgt_arr,
+            lambda t: (F.col("cum") * 100 >= t * F.col("__T"))
+            & ((F.col("cum") - F.col("cnt")) * 100 < t * F.col("__T")),
+        ).alias("__crossed"),
+    ).filter(F.size("__crossed") > 0)
+    return crossed.select(
+        F.explode("__crossed").alias("target_pct"),
+        "rank",
+        "cum_tokens",
+        "total_tokens",
+        "vocab_size",
+    ).orderBy("target_pct")

@@ -68,10 +68,10 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 # zorder_bucket_stats cedes its slot — its z-order machinery is
 # exercised in-window by zorder_layout_plan this round — and MUST seed
 # the r12 rotation). After this window the only green row older than r7
-# is zorder_bucket_stats; the r12 window must take (a) zorder_bucket_stats,
-# (b) FIRST-ROWS for the late-r11 registrations with zero external rows
-# (shard_file_manifest, mixture_reweight_iterative — both green in the
-# local sf0.01 gates), then (c) the ~45-row r7-era cohort.
+# is zorder_bucket_stats; the r12 window must take (a) every entry of
+# _NEXT_ROUND_FIRST_ROWS below (zorder_bucket_stats + the late-r11
+# registrations with zero external rows — all green in the local sf0.01
+# gates), then (b) as much of the ~45-row r7-era cohort as fits.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
@@ -147,6 +147,13 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "zorder_bucket_stats",  # ceded its r11 slot (latest green row: r6)
     "shard_file_manifest",  # registered late-r11, local greens only
     "mixture_reweight_iterative",  # registered late-r11, local greens only
+    "gopher_quality_flags",  # registered late-r11, local greens only
+    "retrieval_ndcg_mrr",  # registered late-r11, local greens only
+    "priority_sample_topk",  # registered late-r11, local greens only
+    "vocab_coverage_curve",  # registered late-r11, local greens only
+    "triangle_count_copurchase",  # registered late-r11, local greens only
+    "ks_value_by_bucket",  # registered late-r11, local greens only
+    "hard_negative_mining",  # registered late-r11, local greens only
 )
 
 

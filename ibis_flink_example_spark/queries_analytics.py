@@ -3140,3 +3140,140 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE num DIV weight_us END AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    # Same algorithm unrolled in SQL: canonical distinct edges, (degree,
+    # id)-oriented adjacency, wedge self-join, closing-edge semi-join.
+    # Every count is an exact integer; the 10% order sample is the md5
+    # threshold (pure function of o_orderkey, identical hex both sides).
+    oracle=r"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 4) < '199a'
+), e AS (
+  SELECT DISTINCT x.pk AS a, y.pk AS b
+  FROM basket x JOIN basket y ON x.ok = y.ok AND x.pk < y.pk
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+         CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS x,
+         CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END AS deg_x
+  FROM e
+  JOIN deg da ON da.v = e.a
+  JOIN deg db ON db.v = e.b
+), wedges AS (
+  SELECT l.x AS v, r.x AS w
+  FROM oriented l JOIN oriented r ON l.u = r.u
+  WHERE (l.deg_x, l.x) < (r.deg_x, r.x)
+), tri AS (
+  SELECT 1 FROM wedges WHERE EXISTS (
+    SELECT 1 FROM oriented o WHERE o.u = wedges.v AND o.x = wedges.w
+  )
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+""",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed triangle count (operators/graph.py:triangle_count,
+    degree-orientation à la Suri & Vassilvitskii) over the part
+    co-purchase graph: parts are adjacent iff they appear in the same
+    order, on a deterministic 10% md5 sample of orders (the QA-scale
+    probe — the operator itself takes any edge list). Completes the graph
+    family (PageRank = authority, BFS = reachability, CC = clusters,
+    triangles = local clustering/community strength — the spam-subgraph
+    signal in web-corpus curation). The (degree, id) orientation bounds
+    wedge generation by O(|E|^1.5) regardless of hub skew."""
+    from ibis_flink_example_spark.operators import sampling as SA
+    from ibis_flink_example_spark.operators.graph import triangle_count
+
+    orders = SA.hash_sample(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", 0.1
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    basket = li.join(
+        orders.withColumnRenamed("o_orderkey", "ok"), "ok"
+    ).distinct()
+    rhs = basket.withColumnRenamed("pk", "pk2")
+    edges = (
+        basket.join(rhs, "ok")
+        .filter(F.col("pk") < F.col("pk2"))
+        .select(F.col("pk").alias("src"), F.col("pk2").alias("dst"))
+    )
+    return triangle_count(edges, src_col="src", dst_col="dst")
+
+
+@query(
+    "ks_value_by_bucket",
+    # Integer-exact two-sample KS over cents: ECDF gaps as
+    # |cum_a*n_b - cum_b*n_a| HUGEINT products, sup + argmax, one final
+    # x1e6 floor division; the alpha=.05 critical value uses the c(.05)
+    # literal x sqrt (correctly-rounded) — mirrored op-for-op.
+    oracle="""
+WITH g AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS value,
+    CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS ca,
+    CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS cb
+  FROM events GROUP BY 1
+), c AS (
+  SELECT value,
+    CAST(SUM(ca) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+    CAST(SUM(cb) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+    CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+  FROM g
+), d AS (
+  SELECT value, n_a, n_b,
+    abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a) AS diff,
+    MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+      OVER () AS dmax
+  FROM c
+), m AS (
+  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b, MAX(diff) AS d,
+    CAST(MIN(CASE WHEN diff = dmax THEN value END) AS BIGINT) AS d_at_value
+  FROM d
+)
+SELECT n_a, n_b,
+  CAST(d * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_x1e6,
+  d_at_value,
+  CAST(floor(1358102 * sqrt(
+    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))) AS BIGINT)
+    AS d_crit_05_x1e6,
+  CAST(d * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+    > CAST(floor(1358102 * sqrt(
+        (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))) AS BIGINT)
+    AS reject_05
+FROM m
+""",
+)
+def ks_value_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the same user-parity
+    buckets as ab_value_ttest (operators/evaluation.py:ks_two_sample) —
+    the distribution-level drift readout next to the moment-level t: a
+    reweighted tail with matched means is invisible to Welch's t and loud
+    here. Corpus collapses to per-cent-value class counts first (the ROC
+    score-domain idiom); the sup and its location are exact integers."""
+    from ibis_flink_example_spark.functions.exact import cents
+    from ibis_flink_example_spark.operators.evaluation import ks_two_sample
+
+    events = load_table(spark, sf_dir, "events")
+    prepared = events.select(
+        cents("value").alias("value_cents"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    return ks_two_sample(prepared, value_col="value_cents", group_col="is_a")

@@ -201,6 +201,58 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hard_negative_mining",
+    # cosine_topk's oracle shape + the label-mismatch predicate; the dot
+    # chain is the same strict left-to-right fold, ROUND(.,6) on output.
+    oracle=r"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS avec
+  FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label AS neg_label,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+      * sqrt(list_sum(list_transform(range(1, len(a.avec) + 1),
+          i -> CAST(a.avec[i] AS DOUBLE) * CAST(a.avec[i] AS DOUBLE)))) ) AS cos
+  FROM embeddings e CROSS JOIN a
+  WHERE e.label <> a.anchor_label
+), ranked AS (
+  SELECT anchor_id, anchor_label, vec_id, neg_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label,
+       ROUND(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 training-feed staple: per-anchor hard negatives — the top-5
+    most-cosine-similar embeddings with a DIFFERENT label
+    (operators/similarity.py:hard_negative_mining), for the same 5 anchor
+    vectors as cosine_topk. The contrastive-batch construction step: a
+    random negative is trivially separable, the near-miss next to the
+    boundary carries the gradient. Label filter lands in the scan stage;
+    anchors broadcast; per-anchor window top-k."""
+    em = load_table(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    out = S.hard_negative_mining(
+        em, anchors, id_col="vec_id", vec_col="embedding", label_col="label", k=5
+    )
+    return out.select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "neg_label",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
 def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     """FULL value oracle for hyperplane LSH: the hyperplanes are seeded
     driver-side literals (random_hyperplanes, seed 42), so the whole
@@ -735,6 +787,67 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter stack as pure columns)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.quality_features(docs, "text", "doc_id")
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws,
+    string_split(text, chr(10)) AS lines,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS symbol_hits
+  FROM documents
+), g AS (
+  SELECT doc_id, symbol_hits,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)
+      AS word_chars,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      AS n_alpha_words,
+    CAST(len(list_intersect(
+      list_distinct(list_transform(ws, w -> lower(w))),
+      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      AS req_word_kinds,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+      l -> substr(ltrim(l), 1, 1) IN ('•','-','*'))) AS BIGINT) AS bullet_lines,
+    CAST(len(list_filter(lines,
+      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS BIGINT)
+      AS ellipsis_lines
+  FROM f
+)
+SELECT doc_id, n_words, word_chars, n_alpha_words, req_word_kinds, symbol_hits,
+  n_lines, bullet_lines, ellipsis_lines,
+  (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+  (word_chars BETWEEN 3 * n_words AND 10 * n_words) AS pass_mean_word_len,
+  (10 * symbol_hits <= n_words) AS pass_symbol_ratio,
+  (5 * n_alpha_words >= 4 * n_words) AS pass_alpha_frac,
+  (req_word_kinds >= 2) AS pass_req_words,
+  (10 * bullet_lines < 9 * n_lines AND 10 * ellipsis_lines < 3 * n_lines)
+    AS pass_lines,
+  ((n_words BETWEEN 50 AND 100000)
+   AND (word_chars BETWEEN 3 * n_words AND 10 * n_words)
+   AND (10 * symbol_hits <= n_words)
+   AND (5 * n_alpha_words >= 4 * n_words)
+   AND (req_word_kinds >= 2)
+   AND (10 * bullet_lines < 9 * n_lines AND 10 * ellipsis_lines < 3 * n_lines))
+    AS pass_gopher
+FROM g
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the published Gopher quality-rule stack (Rae et al. 2021 A1.1)
+    as per-document keep/drop flags — word-count band, mean-word-length
+    band, symbol ratio, alphabetic-word fraction, required-word presence,
+    bullet/ellipsis line ratios (operators/text.py:gopher_flags). Every
+    threshold is an integer cross-multiplication, so the FLAGS themselves
+    (not just the counts) are engine-exact; map-only, zero shuffles —
+    the pure scan-stage filter pass a 100 TB curation run starts with.
+    Complements text_quality (the soft composite score) with the paper's
+    hard rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.gopher_flags(docs, "text", "doc_id")
 
 
 @query(
@@ -2524,6 +2637,142 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return R.bm25_topk(docs, _BM25_QUERY_TERMS, top_k=25)
+
+
+@query(
+    "vocab_coverage_curve",
+    # The oracle computes the SAME rank/cumulative quantities with one
+    # global window — value-identical because (bucket ASC, cnt DESC, term
+    # ASC) is exactly the global (cnt DESC, term ASC) order; the engine
+    # side uses the two-level bucketed scan for the 100 TB posture. The
+    # crossing test is the integer inequality cum*100 >= t*T (> prev*100).
+    oracle=r"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'))
+         AS t(term)
+), cnt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+), ranked AS (
+  SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank,
+    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    cnt,
+    CAST(SUM(cnt) OVER () AS BIGINT) AS total_tokens,
+    CAST(COUNT(*) OVER () AS BIGINT) AS vocab_size
+  FROM cnt
+)
+SELECT CAST(t.target_pct AS BIGINT) AS target_pct, rank,
+       cum AS cum_tokens, total_tokens, vocab_size
+FROM ranked, UNNEST([50, 90, 99]) AS t(target_pct)
+WHERE cum * 100 >= t.target_pct * total_tokens
+  AND (cum - cnt) * 100 < t.target_pct * total_tokens
+ORDER BY target_pct
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus statistic: the Zipf coverage curve — the smallest
+    frequency-rank whose cumulative token mass reaches 50/90/99% of the
+    corpus (operators/text.py:vocab_coverage). The number that sizes a
+    tokenizer vocabulary and prices the tail. Engine side runs the
+    two-level log2-bucketed prefix sum (no global-ORDER-BY window over
+    the vocabulary — billions of types at 100 TB); the crossing is an
+    exact integer inequality, so each target maps to exactly one rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_coverage(docs, text_col="text", targets=(50, 90, 99))
+
+
+# Gold-relevance rule for the ranking-metrics QA: a doc is relevant iff it
+# contains the exact adjacent bigram "spark window" — BM25 is bag-of-words,
+# the gold rule is the PHRASE intent, so the metric measures something the
+# ranker does not directly optimize (the standard eval asymmetry). One rule
+# string, used verbatim by both sides.
+_NDCG_K = 10
+
+
+def _ndcg_metric_tail_sql(k: int) -> str:
+    from ibis_flink_example_spark.operators.evaluation import _dcg_discounts_x1e6
+
+    disc = _dcg_discounts_x1e6(k)
+    cum = [sum(disc[: j + 1]) for j in range(k)]
+    disc_sql = "[" + ", ".join(str(d) for d in disc) + "]"
+    cum_sql = "[" + ", ".join(str(c) for c in cum) + "]"
+    return rf"""
+gold AS (
+  SELECT doc_id FROM documents
+  WHERE concat(' ', lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')
+        LIKE '% spark window %'
+),
+nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel_total FROM gold),
+hits AS (SELECT rank FROM gold JOIN cand USING (doc_id)),
+m AS (
+  SELECT
+    CAST(COUNT(CASE WHEN rank <= {k} THEN 1 END) AS BIGINT) AS hits_at_k,
+    CAST(COALESCE(MIN(rank), 0) AS BIGINT) AS first_rel_rank,
+    CAST(COALESCE(SUM(CASE WHEN rank <= {k}
+         THEN {disc_sql}[rank] ELSE 0 END), 0) AS BIGINT) AS dcg_at_k
+  FROM hits
+)
+SELECT CAST({k} AS BIGINT) AS k, n_rel_total, hits_at_k, first_rel_rank,
+  CAST(CASE WHEN first_rel_rank > 0 THEN 1000000 // first_rel_rank
+       ELSE 0 END AS BIGINT) AS mrr_x1e6,
+  dcg_at_k,
+  CAST(CASE WHEN n_rel_total > 0
+       THEN {cum_sql}[LEAST(n_rel_total, {k})] END AS BIGINT) AS idcg_at_k,
+  CAST(CASE WHEN n_rel_total > 0
+       THEN CAST(dcg_at_k AS HUGEINT) * 1000000
+            // {cum_sql}[LEAST(n_rel_total, {k})] END AS BIGINT)
+    AS ndcg_at_k_x1e6,
+  CAST(hits_at_k * 1000000 // {k} AS BIGINT) AS precision_at_k_x1e6,
+  CAST(CASE WHEN n_rel_total > 0 THEN hits_at_k * 1000000 // n_rel_total
+       END AS BIGINT) AS recall_at_k_x1e6
+FROM m CROSS JOIN nrel
+"""
+
+
+@query(
+    "retrieval_ndcg_mrr",
+    oracle=rf"""
+WITH {_TF_CTE},
+{_BM25_SCORE_CTES},
+scores AS (
+  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_x1e6
+  FROM per_term GROUP BY 1
+),
+cand AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id ASC) AS rank
+  FROM scores ORDER BY score_x1e6 DESC, doc_id ASC LIMIT 25
+),
+{_ndcg_metric_tail_sql(_NDCG_K)}
+""",
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality QA for the sparse retrieval stack
+    (operators/evaluation.py:ranking_metrics): nDCG@10, MRR,
+    precision/recall@10 of the BM25 top-25 against a phrase-intent gold
+    set (docs containing the exact bigram "spark window"). The metric pass
+    a retrieval pipeline is judged by — calibration/ROC cover the
+    CLASSIFIER scores, this covers the RANKER. All-integer: the nDCG
+    discounts are precomputed x1e6 literals shared with the oracle, so no
+    engine ever evaluates a transcendental. Scale shape: the candidate
+    frame is the bm25 top-25 (bounded), gold reduces through a broadcast
+    semi-join, and the only corpus-scale aggregate is COUNT(gold)."""
+    from ibis_flink_example_spark.operators import retrieval as R
+    from ibis_flink_example_spark.operators.evaluation import ranking_metrics
+    from ibis_flink_example_spark.operators.text import WS_SPLIT
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = R.bm25_topk(docs, _BM25_QUERY_TERMS, top_k=25)
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), WS_SPLIT, " "))
+    gold = docs.filter(
+        F.concat(F.lit(" "), normalized, F.lit(" ")).contains(" spark window ")
+    ).select("doc_id")
+    return ranking_metrics(
+        ranked, gold, id_col="doc_id", order_cols=("score_x1e6",), k=_NDCG_K
+    )
 
 
 @query(

@@ -449,3 +449,51 @@ def mixture_reweight_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.mixture_reweight_iterative(
         scores, domain_col="source", score_col="score_x1e6", n_iters=5
     )
+
+
+def _priority_sample_oracle(k: int) -> str:
+    from ibis_flink_example_spark.operators.sampling import (
+        PRIORITY_HASH_SCALE,
+        hex_prefix_int_sql,
+    )
+
+    h = hex_prefix_int_sql("__hex")
+    return rf"""
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         substr(md5(CAST(doc_id AS STRING) || ':prio'), 1, 12) AS __hex
+  FROM documents
+), p AS (
+  SELECT doc_id, weight,
+    CAST(CAST(weight AS HUGEINT) * {PRIORITY_HASH_SCALE} // ({h} + 1)
+         AS BIGINT) AS priority
+  FROM b
+), r AS (
+  SELECT doc_id, weight, priority,
+         ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM p QUALIFY rn <= {k + 1}
+), t AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN priority END), 0) AS tau
+  FROM r
+)
+SELECT doc_id, weight, priority,
+       CAST(GREATEST(weight, tau) AS BIGINT) AS est_weight
+FROM r CROSS JOIN t WHERE rn <= {k}
+"""
+
+
+@query("priority_sample_topk", oracle=_priority_sample_oracle(60))
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) of 60 docs weighted by
+    n_chars, with the tau-threshold weight estimator
+    (operators/sampling.py:priority_sample) — the classic one-pass
+    weighted-sample-without-replacement design: u from an md5 prefix
+    (pure function of doc_id — resumable, repartition-stable), priorities
+    as exact integer rationals w*2^48/(h+1), selection as ONE
+    TakeOrderedAndProject, tau on a one-row broadcast. Complements
+    pps_systematic_sample (fixed-rate systematic) with the top-k
+    estimator form subsetting-with-error-bars pipelines use."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.priority_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=60
+    )

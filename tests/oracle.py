@@ -112,6 +112,8 @@ BNLJ_ALLOWED = {
     "kll_daily_value_quantiles", "stats_mad_value", "ann_recall_ivf",
     "minhash_vs_exact_pairs", "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity", "cosine_topk",
+    # cosine_topk's shape: the 5-row anchor frame broadcast over the scan
+    "hard_negative_mining",
     "simhash_exact_dup_coverage", "text_tfidf_top_terms",
     "doc_unigram_surprisal", "sample_lang_balanced",
     "split_group_aware_events", "gap_fill_locf", "conversion_latency_stats",
@@ -135,6 +137,14 @@ BNLJ_ALLOWED = {
     # the term-stat tables
     "bm25_topk_docs",
     "dsir_target_weights",
+    # bm25's one-row corpus-totals frames + the one-row COUNT(gold)
+    # recall-denominator frame broadcast onto the ≤25-row metric row
+    "retrieval_ndcg_mrr",
+    # one-row tau-threshold frame broadcast onto the k-row sample
+    "priority_sample_topk",
+    # one-row (n_nodes, n_wedges, n_triangles) count frames cross-joined
+    # to assemble the single summary row
+    "triangle_count_copurchase",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",

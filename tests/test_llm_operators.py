@@ -2056,3 +2056,265 @@ def test_mixture_reweight_zero_iters_is_uniform(spark):
         sdf, domain_col="source", score_col="s", n_iters=0
     ).collect()
     assert {r["weight_x1000000"] for r in out} == {1_000_000}
+
+
+def test_gopher_flags_adversarial_line_rules(spark):
+    """The parquet fixtures carry no newlines/bullets/symbols, so the
+    oracle gate never exercises the Gopher LINE rules — pin them here on
+    crafted docs: a bulleted list fails pass_lines, ellipsis-heavy text
+    fails pass_lines, a hashtag-dense doc fails pass_symbol_ratio, a
+    numeric doc fails pass_alpha_frac, and a clean 60-word English doc
+    passes everything."""
+    from ibis_flink_example_spark.operators.text import gopher_flags
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and that one have "
+        "been seen with many other animals of note " * 3
+    ).strip()  # 63 words, all alpha, required words present
+    bullets = "\n".join(f"• item {i} of the list" for i in range(10))
+    ellipsis = "\n".join(f"to be continued with that {i}..." for i in range(10))
+    symbols = " ".join("#tag" for _ in range(60))
+    numeric = " ".join(str(i) for i in range(60))
+    rows = [
+        (1, clean),
+        (2, bullets),
+        (3, ellipsis),
+        (4, symbols),
+        (5, numeric),
+        (6, "too short to pass the word count rule"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_flags(df, "text", "doc_id").collect()}
+
+    assert out[1]["pass_gopher"] is True
+    assert out[1]["n_words"] == 63 and out[1]["req_word_kinds"] >= 2
+
+    assert out[2]["bullet_lines"] == 10 and out[2]["n_lines"] == 10
+    assert out[2]["pass_lines"] is False  # 100% bulleted >= 90% cap
+
+    assert out[3]["ellipsis_lines"] == 10
+    assert out[3]["pass_lines"] is False  # 100% ellipsis-ended >= 30% cap
+    # the '...' occurrences also count as symbols: 10 symbols / 60 words
+    assert out[3]["symbol_hits"] == 10
+
+    assert out[4]["symbol_hits"] == 60
+    assert out[4]["pass_symbol_ratio"] is False
+
+    assert out[5]["n_alpha_words"] == 0
+    assert out[5]["pass_alpha_frac"] is False
+
+    assert out[6]["pass_word_count"] is False
+    assert out[6]["pass_gopher"] is False
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """Pin nDCG@k / MRR / P@k / R@k on a crafted ranking where every
+    quantity is hand-derivable: candidates ranked 1..5 by score, gold =
+    {ranks 2 and 4} plus one doc OUTSIDE the candidate list (recall
+    denominator 3). k=3 so only the rank-2 hit is inside the cutoff."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        _dcg_discounts_x1e6,
+        ranking_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(10, 500), (11, 400), (12, 300), (13, 200), (14, 100)],
+        "doc_id long, score_x1e6 long",
+    )
+    gold = spark.createDataFrame([(11,), (13,), (99,)], "doc_id long")
+    row = ranking_metrics(
+        ranked, gold, id_col="doc_id", order_cols=("score_x1e6",), k=3
+    ).collect()[0]
+    disc = _dcg_discounts_x1e6(3)
+    assert row["k"] == 3 and row["n_rel_total"] == 3
+    assert row["hits_at_k"] == 1  # only rank-2 (doc 11) is <= k
+    assert row["first_rel_rank"] == 2
+    assert row["mrr_x1e6"] == 1_000_000 // 2
+    assert row["dcg_at_k"] == disc[1]  # one hit at rank 2
+    assert row["idcg_at_k"] == sum(disc)  # min(n_rel=3, k=3) ideal hits
+    assert row["ndcg_at_k_x1e6"] == disc[1] * 1_000_000 // sum(disc)
+    assert row["precision_at_k_x1e6"] == 1_000_000 // 3
+    assert row["recall_at_k_x1e6"] == 1_000_000 // 3
+
+
+def test_ranking_metrics_empty_gold_and_no_hits(spark):
+    """Degenerate regimes: empty gold -> NULL nDCG/recall, zero MRR;
+    nonempty gold disjoint from candidates -> zeros, not NULLs."""
+    from ibis_flink_example_spark.operators.evaluation import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 50), (2, 40)], "doc_id long, score_x1e6 long"
+    )
+    empty = spark.createDataFrame([], "doc_id long")
+    r = ranking_metrics(ranked, empty, id_col="doc_id", k=3).collect()[0]
+    assert r["n_rel_total"] == 0 and r["mrr_x1e6"] == 0
+    assert r["ndcg_at_k_x1e6"] is None and r["recall_at_k_x1e6"] is None
+
+    disjoint = spark.createDataFrame([(77,)], "doc_id long")
+    r2 = ranking_metrics(ranked, disjoint, id_col="doc_id", k=3).collect()[0]
+    assert r2["hits_at_k"] == 0 and r2["first_rel_rank"] == 0
+    assert r2["mrr_x1e6"] == 0 and r2["dcg_at_k"] == 0
+    assert r2["ndcg_at_k_x1e6"] == 0 and r2["recall_at_k_x1e6"] == 0
+
+
+def test_priority_sample_estimator_properties(spark):
+    """Priority-sampling invariants on a 200-row corpus: exactly k rows;
+    deterministic across runs; every priority >= its weight (u <= 1); tau
+    logic — each estimate is max(weight, tau) with one shared tau; and
+    the estimator sums to within 35% of true total weight (the DLT bound
+    is probabilistic; the md5 draw is fixed, so this is a pinned value,
+    not a flaky assertion)."""
+    from ibis_flink_example_spark.operators.sampling import priority_sample
+
+    rows = [(i, 1 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = priority_sample(df, id_col="doc_id", weight_col="w", k=40).collect()
+    assert len(out) == 40
+    assert all(r["priority"] >= r["weight"] for r in out)
+    taus = {r["est_weight"] for r in out if r["est_weight"] > r["weight"]}
+    assert len(taus) == 1  # one global tau threshold
+    total = sum(w for _, w in rows)
+    est = sum(r["est_weight"] for r in out)
+    assert abs(est - total) / total < 0.35
+    again = priority_sample(
+        df.repartition(7), id_col="doc_id", weight_col="w", k=40
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
+
+def test_priority_sample_small_corpus_is_exact(spark):
+    """Corpus <= k: no (k+1)-th priority exists, tau = 0, and every
+    estimate equals the true weight — the estimator degrades to exact
+    enumeration instead of inflating."""
+    from ibis_flink_example_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "doc_id long, w long")
+    out = priority_sample(df, id_col="doc_id", weight_col="w", k=5).collect()
+    assert len(out) == 3
+    assert all(r["est_weight"] == r["weight"] for r in out)
+
+
+def test_priority_sample_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from ibis_flink_example_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, -5)], "doc_id long, w long")
+    with _pytest.raises(Exception, match="priority_sample"):
+        priority_sample(df, id_col="doc_id", weight_col="w", k=2).collect()
+    with _pytest.raises(ValueError):
+        priority_sample(df, id_col="doc_id", weight_col="w", k=0)
+
+
+def test_vocab_coverage_two_level_equals_naive_window(spark):
+    """The log2-bucketed two-level prefix sum must equal the naive global
+    (cnt DESC, term ASC) window on a skewed synthetic vocabulary,
+    including count TIES and exact power-of-two counts (the bucket
+    boundary cases); every target is crossed by exactly one rank."""
+    import collections
+
+    from ibis_flink_example_spark.operators.text import vocab_coverage
+
+    text = " ".join(
+        ["alpha"] * 64 + ["beta"] * 64 + ["gamma"] * 32 + ["delta"] * 17
+        + ["eps"] * 16 + ["zeta"] * 3 + ["eta"] * 2 + ["theta"] * 1 + ["iota"] * 1
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = vocab_coverage(df, text_col="text", targets=(50, 90, 99)).collect()
+
+    counts = collections.Counter(text.split())
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    cum, expect = 0, {}
+    for rank, (_, c) in enumerate(order, start=1):
+        prev = cum
+        cum += c
+        for t in (50, 90, 99):
+            if cum * 100 >= t * total and prev * 100 < t * total:
+                expect[t] = (rank, cum)
+    got = {r["target_pct"]: (r["rank"], r["cum_tokens"]) for r in out}
+    assert got == expect
+    assert all(r["total_tokens"] == total for r in out)
+    assert all(r["vocab_size"] == len(counts) for r in out)
+    assert len(out) == 3  # exactly one crossing row per target
+
+
+def test_triangle_count_hand_built_graphs(spark):
+    """Pin triangle counting on graphs with known answers: K4 (4
+    triangles), a 5-spoke star (0 triangles — and 0 wedges from the hub,
+    the degree-orientation guarantee), a triangle with a pendant edge
+    (1), and duplicate/reversed/self-loop edges that must canonicalize
+    away."""
+    from ibis_flink_example_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_count(
+        spark.createDataFrame(k4, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    star = [(0, i) for i in range(1, 6)]
+    r = triangle_count(
+        spark.createDataFrame(star, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        6, 5, 0, 0,
+    )
+
+    messy = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (3, 4), (1, 2)]
+    r = triangle_count(
+        spark.createDataFrame(messy, "src long, dst long")
+    ).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """KS on separable and identical samples: disjoint supports give
+    D = 1 at the last A value; identical samples give D = 0; a partial
+    shift pins the exact sup and argmax (hand-enumerated ECDFs)."""
+    from ibis_flink_example_spark.operators.evaluation import ks_two_sample
+
+    def run(a_vals, b_vals):
+        rows = [(v, True) for v in a_vals] + [(v, False) for v in b_vals]
+        df = spark.createDataFrame(rows, "v long, is_a boolean")
+        return ks_two_sample(df, value_col="v", group_col="is_a").collect()[0]
+
+    r = run([1, 2, 3], [4, 5, 6])
+    assert (r["d_x1e6"], r["d_at_value"]) == (1_000_000, 3)
+    assert r["reject_05"] is False  # n=3 vs 3: crit > 1 at this size
+
+    r = run([1, 2, 3], [1, 2, 3])
+    assert r["d_x1e6"] == 0
+
+    # A = {1,1,2,4}, B = {2,3,4,4}: ECDF gaps |cumA*4 - cumB*4| reach the
+    # sup 8/16 = 1/2 at BOTH value 1 (2-0) and value 2 (3-1); the argmax
+    # contract is the SMALLEST attaining value
+    r = run([1, 1, 2, 4], [2, 3, 4, 4])
+    assert (r["d_x1e6"], r["d_at_value"]) == (500_000, 1)
+
+
+def test_hard_negative_mining_planted_geometry(spark):
+    """Plant a geometry where the hardest negative is unambiguous: anchor
+    (label 0) at e1; a label-1 vector at cos ~0.995, another label-1 at
+    cos ~0.1, and a label-0 DECOY at cos 1.0 that must be EXCLUDED by the
+    label filter despite being the global nearest neighbor."""
+    from ibis_flink_example_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),          # anchor
+        (1, [1.0, 0.0, 0.0], 0),          # same-label decoy, cos = 1
+        (2, [0.995, 0.0998, 0.0], 1),     # hard negative
+        (3, [0.1, 0.995, 0.0], 1),        # easy negative
+        (4, [0.0, 0.0, 1.0], 1),          # orthogonal negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter("vec_id = 0")
+    out = hard_negative_mining(
+        df, anchors, id_col="vec_id", vec_col="embedding", label_col="label", k=2
+    ).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["neg_label"] != r["anchor_label"] for r in out)
+    assert 1 not in {r["vec_id"] for r in out}  # same-label decoy excluded
