@@ -558,3 +558,109 @@ def ks_two_sample(
     ).withColumn(
         "reject_05", F.col("d_x1e6") > F.col("d_crit_05_x1e6")
     )
+
+
+def ks_vs_pooled(
+    counts: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    value_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Per-group exact KS distance against the POOLED distribution — the
+    drift monitor form: given pre-aggregated (group, value, count) rows
+    (e.g. closed streaming windows), compute for every group
+    D_g = sup_x |F_g(x) − F_pool(x)| where the pool is all groups
+    together (the group under test included, the standard control-chart
+    convention: the reference is the long-run mixture).
+
+    Exactness — the sup over a CONTINUOUS x is reduced to per-row integer
+    arithmetic: |F_g − F_pool| can only attain its sup at a jump of
+    either ECDF. At each of the group's own values v the candidate gaps
+    are the right-limit gap |cum_g(v)·n_pool − cum_pool(v)·n_g| and the
+    LEFT-limit gap |(cum_g(v)−c_g(v))·n_pool − (cum_pool(v)−c_pool(v))·n_g|
+    — the latter also dominates every pool-only jump in the open interval
+    below v (F_g is constant there while F_pool rises monotonically to
+    its left limit at v), including the interval below the group's first
+    value. So max over the group's rows of max(gap, gap_pre) IS the sup,
+    with only equi-joins and group-partitioned windows — no group×domain
+    grid, no cartesian.
+
+    Scale shape: the pooled cumulative runs over the value-DOMAIN frame
+    (the ROC-collapse bound); per-group cumulatives partition by group
+    (parallel); n_pool rides the pooled frame's own unbounded window into
+    the equi-join — no one-row crossJoin anywhere.
+
+    Returns one row per group: (*group_cols, n_group, n_pool, d_x1e6).
+    """
+    gcols = list(group_cols)
+    g = counts.select(
+        *gcols,
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(count_col).cast("long").alias("__c"),
+    )
+    w_ref_cum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    w_ref_all = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ref = (
+        g.groupBy("__v")
+        .agg(F.sum("__c").cast("long").alias("__cref"))
+        .select(
+            "__v",
+            "__cref",
+            F.sum("__cref").over(w_ref_cum).cast("long").alias("__cum_ref"),
+            F.sum("__cref").over(w_ref_all).cast("long").alias("__n_pool"),
+        )
+    )
+    w_g_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_g_all = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    j = (
+        g.select(
+            *gcols,
+            "__v",
+            "__c",
+            F.sum("__c").over(w_g_cum).cast("long").alias("__cum_g"),
+            F.sum("__c").over(w_g_all).cast("long").alias("__n_g"),
+        )
+        .join(ref, "__v")
+        .withColumn(
+            "__gap",
+            F.expr(
+                "abs(CAST(__cum_g AS DECIMAL(38,0)) * __n_pool "
+                "- CAST(__cum_ref AS DECIMAL(38,0)) * __n_g)"
+            ),
+        )
+        .withColumn(
+            "__gap_pre",
+            F.expr(
+                "abs(CAST(__cum_g - __c AS DECIMAL(38,0)) * __n_pool "
+                "- CAST(__cum_ref - __cref AS DECIMAL(38,0)) * __n_g)"
+            ),
+        )
+    )
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.max("__n_g").alias("n_group"),
+            F.max("__n_pool").alias("n_pool"),
+            F.max(F.greatest(F.col("__gap"), F.col("__gap_pre"))).alias("__d"),
+        )
+        .select(
+            *gcols,
+            "n_group",
+            "n_pool",
+            F.expr(
+                "CAST(__d * 1000000 "
+                "DIV (CAST(n_group AS DECIMAL(38,0)) * n_pool) AS BIGINT)"
+            ).alias("d_x1e6"),
+        )
+    )

@@ -154,6 +154,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "triangle_count_copurchase",  # registered late-r11, local greens only
     "ks_value_by_bucket",  # registered late-r11, local greens only
     "hard_negative_mining",  # registered late-r11, local greens only
+    "streaming_ks_drift",  # registered late-r11, local greens only
 )
 
 

@@ -1093,7 +1093,7 @@ def streaming_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_INGEST_ORACLE = r"""
 WITH w AS (
   SELECT doc_id, doc_id % 4 AS b,
-         regexp_split_to_array(trim(text), '\s+') AS ws
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, b,
@@ -1426,4 +1426,86 @@ def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("value")).cast("double").alias("sum_value"),
             F.countDistinct("arrival").cast("long").alias("n_batches"),
         )
+    )
+
+
+@query(
+    "streaming_ks_drift",
+    # Closed 1-day windows (append mode, watermark max(ts)-15s) -> per-
+    # window KS vs the pooled closed-window distribution. The sup is
+    # exact: at each window value, the right-limit gap and the LEFT-limit
+    # gap (which dominates every pool-only jump below it) — integer
+    # ECDF cross-products, one final x1e6 floor division.
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 15 SECOND AS w FROM events),
+closed AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS window_end,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, wm
+  GROUP BY 1, 2, 3, wm.w
+  HAVING time_bucket(INTERVAL 1 DAY, MIN(ts)) + INTERVAL 1 DAY <= wm.w
+),
+ref AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS cref,
+    CAST(SUM(SUM(c)) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+    CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_pool
+  FROM closed GROUP BY v
+),
+j AS (
+  SELECT window_start, window_end, v, c,
+    CAST(SUM(c) OVER (PARTITION BY window_start ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g,
+    CAST(SUM(c) OVER (PARTITION BY window_start) AS BIGINT) AS n_g,
+    cref, cum_ref, n_pool
+  FROM closed JOIN ref USING (v)
+),
+d AS (
+  SELECT window_start, window_end,
+    MAX(n_g) AS n_group, MAX(n_pool) AS n_pool,
+    MAX(GREATEST(
+      abs(CAST(cum_g AS HUGEINT) * n_pool - CAST(cum_ref AS HUGEINT) * n_g),
+      abs(CAST(cum_g - c AS HUGEINT) * n_pool
+          - CAST(cum_ref - cref AS HUGEINT) * n_g)
+    )) AS dd
+  FROM j GROUP BY 1, 2
+)
+SELECT window_start, window_end, n_group, n_pool,
+  CAST(dd * 1000000 // (CAST(n_group AS HUGEINT) * n_pool) AS BIGINT)
+    AS d_x1e6
+FROM d
+""",
+)
+def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: a real streaming job rolls
+    1-day tumbling windows of per-cent-value counts (append mode — closed
+    windows emit once, state evicted), then the drained result feeds the
+    exact per-window KS distance against the pooled closed-window
+    distribution (operators/evaluation.py:ks_vs_pooled) — the control
+    chart that catches a day whose VALUE DISTRIBUTION shifted even when
+    its mean/count look normal (the batch ks_value_by_bucket's streaming
+    twin). Streaming state is (window x value-domain) counts — bounded by
+    the domain per window, evicted at the watermark; the KS post-pass
+    runs on closed-window aggregates only, never raw events."""
+    from ibis_flink_example_spark.functions.exact import cents
+    from ibis_flink_example_spark.operators.evaluation import ks_vs_pooled
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "15 seconds")
+    keyed = stream.select("ts", cents("value").alias("value_cents"))
+    agged = tumble(
+        keyed,
+        "ts",
+        "1 day",
+        {"n": F.count(F.lit(1))},
+        keys=["value_cents"],
+    )
+    drained = run_available_now(agged, output_mode="append")
+    return ks_vs_pooled(
+        drained,
+        group_cols=("window_start", "window_end"),
+        value_col="value_cents",
+        count_col="n",
     )

@@ -2318,3 +2318,48 @@ def test_hard_negative_mining_planted_geometry(spark):
     assert got == [(2, 1), (3, 2)]
     assert all(r["neg_label"] != r["anchor_label"] for r in out)
     assert 1 not in {r["vec_id"] for r in out}  # same-label decoy excluded
+
+
+def test_ks_vs_pooled_matches_bruteforce(spark):
+    """ks_vs_pooled's two-limit trick (right gap + left gap at the
+    group's own values) must equal a brute-force sup over ALL pooled jump
+    points — including groups whose values skip pool-only jumps, the case
+    the left-limit term exists for."""
+    from ibis_flink_example_spark.operators.evaluation import ks_vs_pooled
+
+    counts = [
+        # group A concentrated low, never sees values 30/40
+        ("A", 10, 5), ("A", 20, 5),
+        # group B concentrated high
+        ("B", 30, 4), ("B", 40, 6),
+        # group C spread out
+        ("C", 10, 2), ("C", 30, 2), ("C", 40, 2),
+    ]
+    df = spark.createDataFrame(counts, "g string, v long, c long")
+    out = {
+        r["g"]: (r["n_group"], r["n_pool"], r["d_x1e6"])
+        for r in ks_vs_pooled(
+            df, group_cols=("g",), value_col="v", count_col="c"
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    pool = defaultdict(int)
+    per_g = defaultdict(lambda: defaultdict(int))
+    for g, v, c in counts:
+        pool[v] += c
+        per_g[g][v] += c
+    values = sorted(pool)
+    n_pool = sum(pool.values())
+    for g, vc in per_g.items():
+        n_g = sum(vc.values())
+        cum_g = cum_p = 0
+        best = 0
+        for v in values:  # sup over every pooled jump point
+            cum_g += vc.get(v, 0)
+            cum_p += pool[v]
+            best = max(best, abs(cum_g * n_pool - cum_p * n_g))
+        expect = best * 1_000_000 // (n_g * n_pool)
+        assert out[g] == (n_g, n_pool, expect), g
+
