@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ibis_flink_example_spark.operators.dedup import WS_SPLIT
+
 _SYMS_SCHEMA = T.StructType(
     [
         T.StructField("word", T.StringType()),
@@ -42,7 +44,7 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the one corpus-sized pass; everything after works on the vocabulary."""
     return (
         docs.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(F.trim(F.col(text_col)), WS_SPLIT)).alias("word")
         )
         .where(F.length("word") > 0)
         .groupBy("word")

@@ -111,12 +111,19 @@ def perm_hash(h: Column, j: int) -> Column:
     return F.xxhash64(h, F.lit(j))
 
 
+# Java's \s spelled out — the canonical whitespace class for every
+# engine+oracle pair (Java \s includes U+000B, RE2/DuckDB \s does not;
+# the explicit class is IDENTICAL in both). Re-exported by operators/text.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_SPLIT = WS_CLASS + "+"
+
+
 def content_digest(col: Column | str, normalize: bool = True) -> Column:
     """Stable 256-bit content key. Normalization: lowercase + collapse
     whitespace (the cheap canonicalization every dedup paper starts with)."""
     c = F.col(col) if isinstance(col, str) else col
     if normalize:
-        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        c = F.lower(F.regexp_replace(F.trim(c), WS_SPLIT, " "))
     return F.sha2(c.cast("binary"), 256)
 
 
@@ -135,7 +142,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def words(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_SPLIT)
 
 
 def word_shingles(words_col: Column, n: int) -> Column:

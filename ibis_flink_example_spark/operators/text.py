@@ -10,16 +10,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ibis_flink_example_spark.operators.dedup import words
+from ibis_flink_example_spark.operators.dedup import (  # noqa: F401
+    WS_CLASS,
+    WS_SPLIT,
+    words,
+)
 
-# Java's \s spelled out ([ \t\n\x0B\f\r]) — valid and IDENTICAL in Java
-# regex and RE2. The \s SHORTHAND is a cross-engine trap: Java includes
-# U+000B, RE2 (DuckDB) does not, so engine+oracle pairs splitting on \s+
-# silently diverge on vertical-tab payloads. New pairs must use
-# WS_SPLIT / this class verbatim on BOTH sides; the pre-r11 \s+ users
-# are latent-only (ASCII fixtures) and queue for the r12 sweep.
-WS_CLASS = r"[ \t\n\x0B\f\r]"
-WS_SPLIT = WS_CLASS + "+"
+# WS_CLASS/WS_SPLIT (canonical home: operators/dedup.py) are Java's \s
+# spelled out ([ \t\n\x0B\f\r]) — valid and IDENTICAL in Java regex and
+# RE2. The \s SHORTHAND is a cross-engine trap: Java includes U+000B,
+# RE2 (DuckDB) does not. As of the late-r11 sweep EVERY engine+oracle
+# pair uses the explicit class on both sides; new pairs must too.
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # (Real pipelines use fastText/CLD3; the heuristic keeps the operator
@@ -32,7 +33,8 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 DEFAULT_LANG = "und"
 
-TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: word pieces or single punct
+# BPE-ish: word pieces or single punct (whitespace class spelled out)
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_count_whitespace(text_col: str) -> Column:
@@ -73,7 +75,9 @@ def quality_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFram
     n_chars = F.length(F.col(text_col))
     ws = words(text_col)
     n_words = F.size(ws)
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w \t\n\x0B\f\r]"), 0)
+    )
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     n_stop = F.size(F.filter(ws, lambda w: F.lower(w).isin(all_markers)))
     mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of separators
@@ -265,7 +269,9 @@ def fingerprint(text_col: str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, collapsed whitespace) — the join key for cross-corpus
     exact-dup lookup."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.col(text_col)), WS_SPLIT, " ")
+    )
     return F.md5(normalized.cast("binary"))
 
 
@@ -291,7 +297,7 @@ def rolling_shingle_fingerprints(
     hex sketches (bit-identical in Spark/DuckDB/etc.) for cross-engine
     verification or cross-system corpus exchange, at higher per-shingle
     cost."""
-    c = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    c = F.lower(F.regexp_replace(F.trim(F.col(text_col)), WS_SPLIT, " "))
     if unit == "word":
         from ibis_flink_example_spark.operators.dedup import word_shingles
 

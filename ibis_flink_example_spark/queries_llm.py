@@ -30,7 +30,7 @@ SELECT doc_id, lang, source, n_chars
 FROM (
   SELECT doc_id, lang, source, n_chars,
          ROW_NUMBER() OVER (
-           PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           PARTITION BY md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
            ORDER BY doc_id
          ) AS rn
   FROM documents
@@ -68,7 +68,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD_ORACLE = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
 ), sh0 AS (
   SELECT DISTINCT doc_id,
     UNNEST(list_transform(range(1, len(ws) - 1),
@@ -743,8 +743,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle=r"""
 SELECT doc_id,
-  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
+  len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_regex_tokens
 FROM documents
 """,
 )
@@ -763,9 +763,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT doc_id,
     length(text) AS n_chars_measured,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
+    len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
         w -> list_contains(['a','and','das','de','der','die','el','en','est','et','ein','in','is','ist','la','le','les','los','nicht','of','que','the','to','und','une','y'], lower(w)))) AS n_stopwords
   FROM documents
 )
@@ -855,7 +855,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH w AS (
   SELECT doc_id, lang AS labeled_lang,
-         list_transform(regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS ws
+         list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), w -> lower(w)) AS ws
   FROM documents
 ), scores AS (
   SELECT doc_id, labeled_lang,
@@ -891,7 +891,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=r"""
 SELECT doc_id,
-  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
 )
@@ -906,7 +906,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     oracle=r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
 ), base AS (
   SELECT doc_id, ws, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
   FROM w
@@ -945,7 +945,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH s AS (
   SELECT doc_id,
-    regexp_split_to_array(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+    regexp_split_to_array(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS ws
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -1053,7 +1053,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixture split: doc_id % 97 == 0 plays the held-out eval set.
     oracle=r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
 ), g AS (
   SELECT doc_id,
     CASE WHEN len(ws) >= 13 THEN
@@ -1096,9 +1096,9 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT doc_id, lang, text,
     length(text) AS n_chars_measured,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
-    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_words,
+    len(regexp_extract_all(text, '[^\w \t\n\x0B\f\r]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
         w -> list_contains(['a','and','das','de','der','die','el','en','est','et','ein','in','is','ist','la','le','les','los','nicht','of','que','the','to','und','une','y'], lower(w)))) AS n_stopwords
   FROM documents
 ), scored AS (
@@ -1115,7 +1115,7 @@ WITH f AS (
 ), deduped AS (
   SELECT doc_id, lang, quality_score,
          ROW_NUMBER() OVER (
-           PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           PARTITION BY md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
            ORDER BY doc_id
          ) AS rn
   FROM kept
@@ -1346,7 +1346,7 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_length_histogram",
     oracle=r"""
 WITH t AS (
-  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents
+  SELECT len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens FROM documents
 )
 SELECT CAST(floor(log2(n_tokens + 1)) AS INTEGER) AS len_bucket,
   COUNT(*) AS n_docs,
@@ -1571,7 +1571,7 @@ def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fraction — pure integer counts plus one final division, engine-exact.
     oracle=r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
 ), bg AS (
   SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS bigram
   FROM w, UNNEST(range(1, len(ws))) AS t(i)
@@ -1599,7 +1599,7 @@ def doc_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused), one doc rollup. All counts integer; the only float op is
     the final division."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    ws = F.split(F.trim(F.col("text")), X.WS_SPLIT)
     bigrams = docs.select(
         "doc_id",
         F.explode(
@@ -1933,7 +1933,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH dg AS (
   SELECT doc_id, lang, source, n_chars,
-    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS digest
+    md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS digest
   FROM documents
 ), inc AS (SELECT * FROM dg WHERE doc_id % 2 = 1),
 ex AS (SELECT DISTINCT digest FROM dg WHERE doc_id % 2 = 0),
@@ -1967,7 +1967,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH w AS (
   SELECT lang,
-         list_transform(regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS ws
+         list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), w -> lower(w)) AS ws
   FROM documents
 ), scores AS (
   SELECT lang,
@@ -2507,7 +2507,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, lang,
-    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
     n_chars
   FROM documents
 ), ordered AS (
@@ -3046,9 +3046,9 @@ def _lang_scored_sql(extra_cols: str = "") -> str:
     return rf"""
 f AS (
   SELECT {extra_cols}(lang = 'en') AS label,
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+    len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
         w -> list_contains(['the','of','and','to','in','is','a'], lower(w)))) AS hits,
-    len(regexp_split_to_array(trim(text), '\s+')) AS nw
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS nw
   FROM documents
 ), s AS (
   SELECT {extra_cols}label,

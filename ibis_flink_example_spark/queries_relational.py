@@ -901,8 +901,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT
   e.event_id,
-  regexp_extract(e.props, '"(\w+)"\s*:', 1) AS prop_key,
-  CAST(regexp_extract(e.props, ':\s*(-?\d+)', 1) AS BIGINT) AS prop_value
+  regexp_extract(e.props, '"(\w+)"[ \t\n\r]*:', 1) AS prop_key,
+  CAST(regexp_extract(e.props, ':[ \t\n\r]*(-?\d+)', 1) AS BIGINT) AS prop_value
 FROM events e
 """,
 )
@@ -971,13 +971,13 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "map_funcs",
-    oracle="""
+    oracle=r"""
 SELECT
   event_id,
   1 AS n_keys,
   'k' AS first_key,
-  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) AS k_value,
-  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) * 2 AS k_doubled
+  CAST(regexp_extract(props, ':[ \t\n\r]*(-?\d+)', 1) AS BIGINT) AS k_value,
+  CAST(regexp_extract(props, ':[ \t\n\r]*(-?\d+)', 1) AS BIGINT) * 2 AS k_doubled
 FROM events
 """,
 )
@@ -1408,11 +1408,11 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_props",
-    oracle="""
+    oracle=r"""
 SELECT
   event_id,
-  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) AS k_value,
-  CAST(regexp_extract(props, ':\\s*(-?\\d+)', 1) AS BIGINT) IS NULL AS k_missing
+  CAST(regexp_extract(props, ':[ \t\n\r]*(-?\d+)', 1) AS BIGINT) AS k_value,
+  CAST(regexp_extract(props, ':[ \t\n\r]*(-?\d+)', 1) AS BIGINT) IS NULL AS k_missing
 FROM events
 """,
 )

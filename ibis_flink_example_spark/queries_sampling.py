@@ -83,7 +83,7 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH t AS (
   SELECT doc_id,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens,
     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS ord8
   FROM documents

@@ -2363,3 +2363,38 @@ def test_ks_vs_pooled_matches_bruteforce(spark):
         expect = best * 1_000_000 // (n_g * n_pool)
         assert out[g] == (n_g, n_pool, expect), g
 
+def test_ws_class_vertical_tab_cross_engine_agreement(spark):
+    """The late-r11 whitespace sweep: Java \\s includes U+000B, RE2
+    (DuckDB) \\s does not, so every engine+oracle pair now uses the
+    explicit WS_CLASS on both sides. Prove agreement on the one payload
+    the shorthand diverged on: a vertical-tab-separated doc must tokenize
+    identically in Spark (words(), token_count_whitespace) and DuckDB
+    (regexp_split_to_array with the same class)."""
+    import duckdb
+
+    from ibis_flink_example_spark.operators.dedup import WS_SPLIT, words
+    from ibis_flink_example_spark.operators.text import (
+        fingerprint,
+        token_count_whitespace,
+    )
+
+    payload = "alpha\x0bbeta gamma\tdelta\x0b\x0beps"
+    df = spark.createDataFrame([(1, payload)], "doc_id long, text string")
+    row = df.select(
+        words("text").alias("ws"),
+        token_count_whitespace("text").alias("n"),
+        fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row["ws"] == ["alpha", "beta", "gamma", "delta", "eps"]
+    assert row["n"] == 5
+
+    con = duckdb.connect()
+    dws, dfp = con.execute(
+        r"""
+        SELECT regexp_split_to_array(trim(?), '[ \t\n\x0B\f\r]+'),
+               md5(lower(regexp_replace(trim(?), '[ \t\n\x0B\f\r]+', ' ', 'g')))
+        """,
+        [payload, payload],
+    ).fetchone()
+    assert dws == row["ws"]
+    assert dfp == row["fp"]  # normalized fingerprints agree byte-for-byte
