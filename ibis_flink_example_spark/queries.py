@@ -155,6 +155,8 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "ks_value_by_bucket",  # registered late-r11, local greens only
     "hard_negative_mining",  # registered late-r11, local greens only
     "streaming_ks_drift",  # registered late-r11, local greens only
+    "dup_inflation_by_source",  # registered late-r11, local greens only
+    "cross_source_dup_overlap",  # registered late-r11, local greens only
 )
 
 

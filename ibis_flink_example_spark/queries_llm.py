@@ -2105,6 +2105,98 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared augmentation for the dup-PROVENANCE QA pair: in-source replays
+# (doc_id % 50, same source — ingestion retries) and cross-source copies
+# (doc_id % 70, source 'syndicated' — mirror sites). One definition, both
+# oracles inline the same arithmetic.
+_DUP_PROVENANCE_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'syndicated' FROM documents
+  WHERE doc_id % 70 = 0
+)"""
+
+
+def _dup_provenance_aug(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text", "source")
+    replay = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    syndicated = docs.filter(F.col("doc_id") % 70 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text",
+        F.lit("syndicated").alias("source"),
+    )
+    return base.unionAll(replay).unionAll(syndicated)
+
+
+@query(
+    "dup_inflation_by_source",
+    oracle="WITH" + _DUP_PROVENANCE_AUG_SQL + """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+  CAST(COUNT(*) * 1000000 // COUNT(DISTINCT md5(text)) AS BIGINT)
+    AS inflation_x1e6
+FROM aug GROUP BY 1
+""",
+)
+def dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 provenance QA: per-source duplicate inflation — docs over
+    distinct content fingerprints, the first number a curation run reads
+    per domain (a source at 3x inflation is a crawler trap or a replayed
+    feed; weighting it by raw doc count triples its real mixture share).
+    Runs on the planted-provenance corpus (in-source replays + a
+    syndicated mirror). One digest-keyed aggregation; text never
+    shuffles, the md5 digest rides the exchange."""
+    aug = _dup_provenance_aug(load_table(spark, sf_dir, "documents"))
+    return aug.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("dup_docs"),
+        F.expr(
+            "CAST(COUNT(1) * 1000000 DIV COUNT(DISTINCT md5(text)) AS BIGINT)"
+        ).alias("inflation_x1e6"),
+    )
+
+
+@query(
+    "cross_source_dup_overlap",
+    oracle="WITH" + _DUP_PROVENANCE_AUG_SQL + """,
+hs AS (SELECT DISTINCT md5(text) AS h, source FROM aug)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def cross_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 provenance QA, the pairwise arm: which source PAIRS share
+    content — the mirror-site / syndication detector that tells dedup
+    WHERE its duplicates come from (and which source to drop wholesale
+    instead of deduping doc-by-doc). Distinct (digest, source) pairs
+    self-join on the digest: per-fingerprint fanout is bounded by the
+    source count (<= |sources| per digest by construction after the
+    distinct), so the join is cluster-size-safe even on a corpus where
+    one document is mirrored everywhere."""
+    aug = _dup_provenance_aug(load_table(spark, sf_dir, "documents"))
+    hs = aug.select(F.md5("text").alias("h"), "source").distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+    )
+
+
 @query(
     "cms_term_counts",
     # Count-Min sketch QA: the probe set is the EXACT top-20 terms (the
