@@ -140,3 +140,114 @@ def cms_inner_product(
         .cast("decimal(38,0)")
         .alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (md5-positioned, engine-portable) — the MEMBERSHIP sketch,
+# completing the family (frequency=CMS, cardinality=HLL, quantiles=GK,
+# similarity=MinHash/SimHash). This is Spark's runtime bloom-filter
+# semi-join reduction made explicit and auditable: build a compact bitmap
+# over the small side's keys, broadcast it, and pre-filter the fact scan
+# map-side before any shuffle — the classic 100 TB join-reduction move.
+# Positions come from md5 (identical hex in any engine), words are 32-bit
+# (bit 63 overflows DuckDB's checked left shift), so the filter CONTENTS
+# — not just the decisions — are cross-engine exact.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_hex_cols(key: Column, k: int) -> list[Column]:
+    return [
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":bloom:{i}"))), 1, 8
+        ).alias(f"__bh{i}")
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Build the filter as ONE row: (words array<long> of 32-bit words,
+    n_keys). Construction is an explode to k (word, mask) cells with
+    map-side combine, one bit_or aggregation bounded by m_bits/32 rows,
+    then a dense-array assembly — sketch size is independent of |keys|.
+    """
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+
+    if m_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    n_words = m_bits // BLOOM_WORD_BITS
+    hexed = keys.select(
+        F.col(key_col).alias("__k"), *_bloom_hex_cols(F.col(key_col), k)
+    ).distinct()
+    cells = None
+    for i in range(k):
+        pos = F.expr(f"pmod({hex_prefix_int_sql(f'__bh{i}', 8)}, {m_bits})")
+        # F.shiftleft needs a LITERAL bit count; the SQL function form
+        # accepts a column
+        c = hexed.select(
+            (pos / BLOOM_WORD_BITS).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod({hex_prefix_int_sql(f'__bh{i}', 8)}, {m_bits}) "
+                f"% {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    words = cells.groupBy("word").agg(F.bit_or("mask").alias("w"))
+    nk = hexed.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    dense = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "w")))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("words")
+    )
+    return dense.crossJoin(F.broadcast(nk))
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Tag each probe row with ``bloom_maybe`` (true = possibly a member;
+    false = DEFINITELY not — the one-sided guarantee). The filter row is
+    a broadcast crossJoin (the literal runtime-filter shape: every
+    executor holds the bitmap, the membership test is pure map-side
+    column math on the scan — zero shuffle)."""
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+
+    hexed = probes.select(
+        "*", *_bloom_hex_cols(F.col(key_col), k)
+    ).crossJoin(F.broadcast(bloom))
+    cond = None
+    for i in range(k):
+        pos = F.expr(f"pmod({hex_prefix_int_sql(f'__bh{i}', 8)}, {m_bits})")
+        word = F.element_at(
+            F.col("words"), (pos / BLOOM_WORD_BITS).cast("int") + 1
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod({hex_prefix_int_sql(f'__bh{i}', 8)}, {m_bits}) "
+            f"% {BLOOM_WORD_BITS} AS INT))"
+        )
+        hit = word.bitwiseAND(mask) == mask
+        cond = hit if cond is None else (cond & hit)
+    return hexed.withColumn("bloom_maybe", cond).drop(
+        "words", *[f"__bh{i}" for i in range(k)]
+    )

@@ -157,6 +157,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "streaming_ks_drift",  # registered late-r11, local greens only
     "dup_inflation_by_source",  # registered late-r11, local greens only
     "cross_source_dup_overlap",  # registered late-r11, local greens only
+    "bloom_semijoin_fpr",  # registered late-r11, local greens only
 )
 
 

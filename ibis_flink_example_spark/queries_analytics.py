@@ -3277,3 +3277,110 @@ def ks_value_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2 == 0).alias("is_a"),
     )
     return ks_two_sample(prepared, value_col="value_cents", group_col="is_a")
+
+
+def _bloom_fpr_oracle(m_bits: int = 1024, k: int = 3) -> str:
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+
+    def pos(key_sql: str, i: int) -> str:
+        h = f"substr(md5(CAST({key_sql} AS STRING) || ':bloom:{i}'), 1, 8)"
+        return f"({hex_prefix_int_sql(h, 8)} % {m_bits})"
+
+    branches = " ".join(
+        f"WHEN {i} THEN {pos('key', i)}" for i in range(k)
+    )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {pos('key', i)} AS pos FROM members" for i in range(k)
+    )
+    idx = "[" + ", ".join(str(i) for i in range(k)) + "]"
+    return f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_nationkey = 0
+),
+cells AS (
+  SELECT pos // 32 AS word,
+         CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER) AS mask
+  FROM ({unions})
+),
+words AS (SELECT word, bit_or(mask) AS w FROM cells GROUP BY 1),
+probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pp AS (
+  SELECT key, CASE t.i {branches} END AS pos
+  FROM probes, UNNEST({idx}) t(i)
+),
+flags AS (
+  SELECT pp.key,
+    bool_and(COALESCE((w >> CAST(pos % 32 AS INTEGER)) & 1, 0) = 1)
+      AS predicted
+  FROM pp LEFT JOIN words ON words.word = pp.pos // 32
+  GROUP BY 1
+),
+joined AS (
+  SELECT f.predicted, (m.key IS NOT NULL) AS actual
+  FROM flags f LEFT JOIN members m ON m.key = f.key
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_keys,
+  CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+  CAST(SUM(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_positives,
+  CAST(SUM(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_negatives,
+  CAST(SUM(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) * 1000000
+       // NULLIF(COUNT(*) - SUM(CASE WHEN actual THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS fpr_x1e6
+FROM joined
+"""
+
+
+@query("bloom_semijoin_fpr", oracle=_bloom_fpr_oracle(1024, 3))
+def bloom_semijoin_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-sketch QA: Spark's runtime bloom-filter semi-join
+    reduction made explicit (operators/sketches.py:bloom_build/probe) —
+    build a 1024-bit, 3-hash md5-positioned filter over nation-0 customer
+    keys, broadcast it as ONE row, tag every distinct orders customer
+    map-side, and measure the sketch against the exact semi-join: false
+    negatives must be ZERO (the one-sided guarantee, asserted as an
+    output column the value-hash pins), false positives price the
+    reduction. The filter CONTENTS are engine-exact (md5 positions,
+    32-bit words — bit 63 overflows DuckDB's checked shift), so the
+    oracle rebuilds the identical bitmap. At 100 TB this shape runs as:
+    dim-side build (sketch size independent of |keys|), broadcast,
+    fact-scan pre-filter before any exchange."""
+    from ibis_flink_example_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(members, "key", m_bits=1024, k=3)
+    probes = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    tagged = bloom_probe(probes, "key", bloom, m_bits=1024, k=3)
+    actual = tagged.join(
+        members.withColumn("__is_member", F.lit(True)), "key", "left"
+    ).withColumn("actual", F.coalesce(F.col("__is_member"), F.lit(False)))
+    return actual.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.count(F.when(F.col("actual"), 1)).cast("long").alias("n_members"),
+        F.count(F.when(F.col("bloom_maybe"), 1)).cast("long").alias("n_predicted"),
+        F.count(F.when(F.col("bloom_maybe") & ~F.col("actual"), 1))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.count(F.when(F.col("actual") & ~F.col("bloom_maybe"), 1))
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN bloom_maybe AND NOT actual THEN 1 END) * 1000000 "
+            "DIV NULLIF(COUNT(1) - COUNT(CASE WHEN actual THEN 1 END), 0) AS BIGINT)"
+        ).alias("fpr_x1e6"),
+    )

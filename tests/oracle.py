@@ -145,6 +145,9 @@ BNLJ_ALLOWED = {
     # one-row (n_nodes, n_wedges, n_triangles) count frames cross-joined
     # to assemble the single summary row
     "triangle_count_copurchase",
+    # the one-row bloom bitmap + one-row n_keys broadcast onto the probe
+    # scan — the literal runtime-filter shape
+    "bloom_semijoin_fpr",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",

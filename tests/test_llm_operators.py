@@ -2398,3 +2398,46 @@ def test_ws_class_vertical_tab_cross_engine_agreement(spark):
     ).fetchone()
     assert dws == row["ws"]
     assert dfp == row["fp"]  # normalized fingerprints agree byte-for-byte
+
+
+def test_bloom_filter_one_sided_guarantee(spark):
+    """Bloom membership on crafted keys: every inserted key MUST test
+    positive (zero false negatives, the defining guarantee) under any
+    partitioning; a saturated 32-bit filter still never false-negatives;
+    and a disjoint probe set's false positives stay under a loose bound
+    at sensible load."""
+    from ibis_flink_example_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(40)], "key long")
+    bloom = bloom_build(members, "key", m_bits=1024, k=3)
+    self_probe = bloom_probe(
+        members.repartition(5), "key", bloom, m_bits=1024, k=3
+    )
+    assert self_probe.filter("NOT bloom_maybe").count() == 0
+
+    others = spark.createDataFrame([(i,) for i in range(1000, 1400)], "key long")
+    fp = bloom_probe(others, "key", bloom, m_bits=1024, k=3).filter(
+        "bloom_maybe"
+    ).count()
+    # load 40*3/1024 -> theoretical fpr ~0.1%; 400 probes -> expect ~0,
+    # allow a wide margin (deterministic, but don't pin the exact count)
+    assert fp <= 10
+
+    # saturation: tiny filter, many keys -> everything positive, still
+    # zero false negatives
+    tiny = bloom_build(members, "key", m_bits=32, k=2)
+    sp = bloom_probe(members, "key", tiny, m_bits=32, k=2)
+    assert sp.filter("NOT bloom_maybe").count() == 0
+
+
+def test_bloom_build_rejects_bad_geometry(spark):
+    import pytest as _pytest
+
+    from ibis_flink_example_spark.operators.sketches import bloom_build
+
+    df = spark.createDataFrame([(1,)], "key long")
+    with _pytest.raises(ValueError):
+        bloom_build(df, "key", m_bits=100, k=3)  # not a multiple of 32
