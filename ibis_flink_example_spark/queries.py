@@ -158,6 +158,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "dup_inflation_by_source",  # registered late-r11, local greens only
     "cross_source_dup_overlap",  # registered late-r11, local greens only
     "bloom_semijoin_fpr",  # registered late-r11, local greens only
+    "stratified_kfold_plan",  # registered late-r11, local greens only
 )
 
 

@@ -497,3 +497,59 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.priority_sample(
         docs, id_col="doc_id", weight_col="n_chars", k=60
     )
+
+
+def _kfold_oracle(k: int = 5) -> str:
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+
+    h = hex_prefix_int_sql("substr(md5(CAST(doc_id AS STRING) || ':fold'), 1, 4)", 4)
+    return f"""
+WITH assigned AS (
+  SELECT lang, {h} % {k} AS fold FROM documents
+), occ AS (
+  SELECT lang, CAST(fold AS BIGINT) AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY 1, 2
+)
+SELECT lang, fold, n_docs,
+  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+    AS share_x1e6
+FROM occ
+"""
+
+
+@query("stratified_kfold_plan", oracle=_kfold_oracle(5))
+def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation infrastructure: deterministic 5-fold assignment
+    by md5(doc_id) — pure function of the id (repartition-stable,
+    resumable, engine-portable), reported as the (lang, fold) occupancy
+    table with within-language shares, the balance audit run before
+    trusting fold-wise metrics. Map-only assignment; one grouped
+    aggregation; the share window partitions by language (parallel).
+    Complements split_train_val_test (fixed split) and
+    split_group_aware_events (leakage-safe grouping) with the k-fold
+    rotation form."""
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold_sql = (
+        hex_prefix_int_sql(
+            "substr(md5(CAST(doc_id AS STRING) || ':fold'), 1, 4)", 4
+        )
+        + " % 5"
+    )
+    occ = (
+        docs.select("lang", F.expr(fold_sql).cast("long").alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = W.partitionBy("lang")
+    return occ.select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 1000000 DIV SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("share_x1e6"),
+    )
