@@ -159,6 +159,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "cross_source_dup_overlap",  # registered late-r11, local greens only
     "bloom_semijoin_fpr",  # registered late-r11, local greens only
     "stratified_kfold_plan",  # registered late-r11, local greens only
+    "semantic_dup_threshold_sweep",  # registered late-r11, local greens only
 )
 
 

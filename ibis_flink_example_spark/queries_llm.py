@@ -3691,3 +3691,89 @@ def roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col="is_en",
         group_cols=("source",),
     )
+
+
+_SWEEP_THRESHOLDS_X1E6 = (350_000, 500_000, 700_000, 900_000)
+
+
+@query(
+    "semantic_dup_threshold_sweep",
+    # One pair scan, every threshold: pairs quantize to cos6 =
+    # round(cos*1e6) (away-from-zero halves in BOTH engines for the
+    # mirrored float chain — the same 6-dp contract the neardup-pairs
+    # value hash already rests on), then integer threshold compares.
+    oracle=r"""
+WITH n AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+    ) AS nvec
+  FROM embeddings
+), p AS (
+  SELECT
+    CAST(round(list_sum(list_transform(range(1, len(a.nvec) + 1),
+      i -> a.nvec[i] * b.nvec[i])) * 1000000) AS BIGINT) AS cos6,
+    a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+), t AS (
+  SELECT CAST(UNNEST([350000, 500000, 700000, 900000]) AS BIGINT) AS thr
+), e AS (
+  SELECT thr, id_a, id_b FROM p JOIN t ON p.cos6 >= t.thr
+), pc AS (
+  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM e GROUP BY 1
+), dc AS (
+  SELECT thr, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs_in_dups
+  FROM (SELECT thr, UNNEST([id_a, id_b]) AS id FROM e) GROUP BY 1
+)
+SELECT t.thr AS threshold_x1e6,
+  COALESCE(pc.n_pairs, 0) AS n_pairs,
+  COALESCE(dc.n_docs_in_dups, 0) AS n_docs_in_dups
+FROM t LEFT JOIN pc ON pc.thr = t.thr LEFT JOIN dc ON dc.thr = t.thr
+""",
+)
+def semantic_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 threshold-selection audit: pair and affected-document counts
+    at cosine thresholds 0.35/0.50/0.70/0.90 from ONE blocked pair scan
+    (the curve that decides where semantic_dedup's threshold should sit —
+    too low merges topics, too high misses paraphrases; this table is
+    how you see the knee). The pair stage reuses
+    embedding_neardup_pairs' blocked equi-join; the sweep is an in-row
+    array filter + explode, so adding thresholds costs nothing extra at
+    100 TB. Thresholds with no surviving pairs report explicit zeros."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs(
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("cos6"),
+    )
+    thr_arr = F.array(*[F.lit(t).cast("long") for t in _SWEEP_THRESHOLDS_X1E6])
+    exploded = scored.select(
+        F.explode(F.filter(thr_arr, lambda t: F.col("cos6") >= t)).alias("thr"),
+        "id_a",
+        "id_b",
+    )
+    pc = exploded.groupBy("thr").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    dc = (
+        exploded.select("thr", F.explode(F.array("id_a", "id_b")).alias("id"))
+        .groupBy("thr")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs_in_dups"))
+    )
+    thresholds = spark.range(1).select(
+        F.explode(thr_arr).alias("threshold_x1e6")
+    )
+    return (
+        thresholds.join(pc, thresholds.threshold_x1e6 == pc.thr, "left")
+        .drop("thr")
+        .join(dc, thresholds.threshold_x1e6 == dc.thr, "left")
+        .drop("thr")
+        .select(
+            "threshold_x1e6",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_in_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_dups"),
+        )
+    )
