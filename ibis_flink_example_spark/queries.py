@@ -160,6 +160,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "bloom_semijoin_fpr",  # registered late-r11, local greens only
     "stratified_kfold_plan",  # registered late-r11, local greens only
     "semantic_dup_threshold_sweep",  # registered late-r11, local greens only
+    "embedding_outliers_by_centroid",  # registered late-r11, local greens only
 )
 
 

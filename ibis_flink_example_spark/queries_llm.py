@@ -3777,3 +3777,95 @@ def semantic_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_in_dups"),
         )
     )
+
+
+@query(
+    "embedding_outliers_by_centroid",
+    # Integer-exact within-label outlier ranking: micro-quantized
+    # components (the centroid query's idiom), then the n²-scaled squared
+    # distance Σ(micro·n − Σmicro)² — no float centroid ever materializes,
+    # so rank order (and the reported d²) is engine-exact.
+    oracle=r"""
+WITH ex AS (
+  SELECT vec_id, label,
+    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim_idx,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS micro
+  FROM embeddings
+), s AS (
+  SELECT label, dim_idx, CAST(SUM(micro) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+), d AS (
+  SELECT ex.vec_id, ex.label, s.n,
+    SUM((CAST(ex.micro AS HUGEINT) * s.n - s.sm)
+        * (CAST(ex.micro AS HUGEINT) * s.n - s.sm)) AS d2n2
+  FROM ex JOIN s ON ex.label = s.label AND ex.dim_idx = s.dim_idx
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT label, vec_id,
+    CAST(d2n2 * 1000000 // (CAST(n AS HUGEINT) * n * 1000000000000)
+         AS BIGINT) AS d2_x1e6,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id)
+      AS rank
+  FROM d
+)
+SELECT label, vec_id, rank, d2_x1e6 FROM r WHERE rank <= 5
+""",
+)
+def embedding_outliers_by_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 label-noise QA: per label, the 5 vectors farthest from their
+    label centroid — the embedding-space mislabeling detector (a point
+    deep inside another cluster is a labeling error or a polysemous doc;
+    this surfaces them for review before the label feeds a classifier).
+    Distances are the n²-scaled integer form of ||x − μ||²
+    (micro-quantized components, the embedding_centroid_by_label idiom),
+    so ranking needs no float centroid. Scale shape: the per-(label,dim)
+    sum frame is |labels|·dim rows (broadcast side of the join back onto
+    the exploded components); the per-vector reduce and the within-label
+    ranking window both partition by label."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim_idx", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim_idx",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    s = ex.groupBy("label", "dim_idx").agg(
+        F.sum("micro").cast("long").alias("sm"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    d = (
+        ex.join(F.broadcast(s), ["label", "dim_idx"])
+        .withColumn(
+            "__t",
+            F.expr(
+                "(CAST(micro AS DECIMAL(38,0)) * n - sm)"
+                " * (CAST(micro AS DECIMAL(38,0)) * n - sm)"
+            ),
+        )
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum("__t").alias("d2n2"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label").orderBy(F.desc("d2n2"), F.col("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            "rank",
+            F.expr(
+                "CAST(d2n2 * 1000000 DIV "
+                "(CAST(n AS DECIMAL(38,0)) * n * 1000000000000) AS BIGINT)"
+            ).alias("d2_x1e6"),
+        )
+    )
