@@ -161,6 +161,8 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "stratified_kfold_plan",  # registered late-r11, local greens only
     "semantic_dup_threshold_sweep",  # registered late-r11, local greens only
     "embedding_outliers_by_centroid",  # registered late-r11, local greens only
+    "chi2_terms_by_lang",  # registered late-r11, local greens only
+    "conformal_score_threshold",  # registered late-r11, local greens only
 )
 
 

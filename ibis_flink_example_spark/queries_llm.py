@@ -3869,3 +3869,241 @@ def embedding_outliers_by_centroid(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("d2_x1e6"),
         )
     )
+
+
+@query(
+    "chi2_terms_by_lang",
+    # Pearson chi-square on the 2x2 (term presence x lang='en') table as a
+    # deterministic integer chain: diff = ad-bc in BIGINT, then
+    # (diff^2 * 1e6 DIV ((a+b)(c+d))) * N DIV ((a+c)(b+d)) with the square
+    # in DECIMAL(38,0) — exact and identically floored in both engines
+    # (headroom to N ~ 1e8 docs; divide by the margins first at larger N).
+    oracle="WITH " + _TF_CTE + r""",
+pres AS (SELECT DISTINCT doc_id, term FROM toks),
+lab AS (SELECT doc_id, (lang = 'en') AS pos FROM documents),
+scal AS (
+  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM lab
+),
+tc AS (
+  SELECT term,
+    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM pres JOIN lab USING (doc_id) GROUP BY 1
+),
+x AS (
+  SELECT term, a, np - a AS b, c, nn - c AS d, np + nn AS n,
+         a * (nn - c) - (np - a) * c AS diff
+  FROM tc CROSS JOIN scal
+  WHERE a + c >= 5
+)
+SELECT term, a AS df_en, c AS df_other,
+  CAST((CAST(diff AS HUGEINT) * diff * 1000000 // ((a + b) * (c + d)))
+       * n // ((a + c) * (b + d)) AS BIGINT) AS chi2_x1e6
+FROM x
+ORDER BY chi2_x1e6 DESC, term LIMIT 20
+""",
+)
+def chi2_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 feature selection: the top-20 terms most associated with
+    lang='en' by Pearson chi-square over the (presence, class) 2x2 table —
+    the classic pick-the-classifier-features pass (and, inverted, the
+    leakage detector: a 'content' term with extreme chi2 against a
+    metadata label usually means contamination). Presence is one distinct
+    over the scan-stage token explode; class margins ride a one-row
+    broadcast; the statistic is an exact integer chain so the RANKING is
+    engine-exact, with TakeOrderedAndProject for the cut."""
+    from ibis_flink_example_spark.operators.text import doc_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres = doc_terms(docs, id_col="doc_id", text_col="text").distinct()
+    lab = docs.select("doc_id", (F.col("lang") == "en").alias("pos"))
+    scal = lab.agg(
+        F.count(F.when(F.col("pos"), 1)).cast("long").alias("np"),
+        F.count(F.when(~F.col("pos"), 1)).cast("long").alias("nn"),
+    )
+    tc = (
+        pres.join(lab, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("pos"), 1)).cast("long").alias("a"),
+            F.count(F.when(~F.col("pos"), 1)).cast("long").alias("c"),
+        )
+    )
+    x = (
+        tc.crossJoin(F.broadcast(scal))
+        .filter(F.col("a") + F.col("c") >= 5)
+        .select(
+            "term",
+            "a",
+            (F.col("np") - F.col("a")).alias("b"),
+            "c",
+            (F.col("nn") - F.col("c")).alias("d"),
+            (F.col("np") + F.col("nn")).alias("n"),
+            (
+                F.col("a") * (F.col("nn") - F.col("c"))
+                - (F.col("np") - F.col("a")) * F.col("c")
+            ).alias("diff"),
+        )
+    )
+    return (
+        x.select(
+            "term",
+            F.col("a").alias("df_en"),
+            F.col("c").alias("df_other"),
+            F.expr(
+                "CAST((CAST(diff AS DECIMAL(38,0)) * diff * 1000000"
+                " DIV ((a + b) * (c + d)))"
+                " * n DIV ((a + c) * (b + d)) AS BIGINT)"
+            ).alias("chi2_x1e6"),
+        )
+        .orderBy(F.desc("chi2_x1e6"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "conformal_score_threshold",
+    # Split-conformal threshold for the lexical English-ness score:
+    # calibration = a deterministic md5 half, t = the k-th smallest
+    # calibration-POSITIVE score with k = max(1, (n_cal+1) DIV 10)
+    # (alpha = 0.1), read off the cumulative distinct-score frame; the
+    # held-out half reports empirical coverage and false-admit — all
+    # integer rank selection, no quantile interpolation.
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(
+      regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+      w -> list_contains(['the','of','and','to','in','is','a'], w)))
+      * 1000000
+      // GREATEST(len(regexp_split_to_array(trim(lower(text)),
+                  '[ \t\n\x0B\f\r]+')), 1) AS BIGINT) AS score,
+    (lang = 'en') AS pos,
+    substr(md5(CAST(doc_id AS STRING) || ':conf'), 1, 4) < '8000' AS is_cal
+  FROM documents
+),
+calp AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM s
+  WHERE is_cal AND pos GROUP BY 1
+),
+cum AS (
+  SELECT score,
+    CAST(SUM(c) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+    CAST(SUM(c) OVER () AS BIGINT) AS n_cal_pos
+  FROM calp
+),
+t AS (
+  SELECT n_cal_pos,
+    GREATEST(1, (n_cal_pos + 1) // 10) AS k_rank,
+    MIN(CASE WHEN cc >= GREATEST(1, (n_cal_pos + 1) // 10)
+        THEN score END) AS threshold_x1e6
+  FROM cum GROUP BY n_cal_pos
+),
+ev AS (SELECT score, pos FROM s WHERE NOT is_cal)
+SELECT t.n_cal_pos, CAST(t.k_rank AS BIGINT) AS k_rank,
+  CAST(t.threshold_x1e6 AS BIGINT) AS threshold_x1e6,
+  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_pos,
+  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_neg,
+  CAST(SUM(CASE WHEN pos AND score >= threshold_x1e6 THEN 1 ELSE 0 END)
+       * 1000000 // NULLIF(SUM(CASE WHEN pos THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS eval_coverage_x1e6,
+  CAST(SUM(CASE WHEN NOT pos AND score >= threshold_x1e6 THEN 1 ELSE 0 END)
+       * 1000000 // NULLIF(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS eval_false_admit_x1e6
+FROM ev CROSS JOIN t
+GROUP BY 1, 2, 3
+""",
+)
+def conformal_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-QA: split-conformal admission threshold (alpha = 0.1)
+    for the stopword English-ness score — the distribution-free way to
+    turn a raw score into a filter with a coverage guarantee (admit
+    score >= t, where t is the k-th smallest calibration-positive score,
+    k = max(1, (n+1) DIV 10)), plus the held-out readout: empirical
+    coverage of true positives (expected ~ 1-alpha) and the false-admit
+    rate the guarantee does NOT control. Calibration membership is a pure
+    md5 function of doc_id (resumable, engine-portable); the rank
+    selection runs on the distinct-score collapse (the ROC idiom); the
+    one-row threshold frame broadcasts onto the held-out aggregation.
+
+    The score here is token-share-based (stopword hits x1e6 over word
+    count) rather than the raw hit count, so the threshold transfers
+    across document lengths."""
+    from ibis_flink_example_spark.operators.text import LANG_MARKERS, WS_SPLIT
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), WS_SPLIT)
+    hits = F.size(
+        F.filter(ws, lambda w: w.isin([m.lower() for m in LANG_MARKERS["en"]]))
+    )
+    s = docs.select(
+        hits.cast("long").alias("__h"),
+        F.greatest(F.size(ws), F.lit(1)).cast("long").alias("__w"),
+        (F.col("lang") == "en").alias("pos"),
+        (
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":conf"))),
+                1,
+                4,
+            )
+            < "8000"
+        ).alias("is_cal"),
+    ).select(
+        F.expr("CAST(__h * 1000000 DIV __w AS BIGINT)").alias("score"),
+        "pos",
+        "is_cal",
+    )
+    calp = (
+        s.filter(F.col("is_cal") & F.col("pos"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = calp.select(
+        "score",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(w_all).cast("long").alias("n_cal_pos"),
+    )
+    k = F.greatest(F.lit(1).cast("long"), F.expr("(n_cal_pos + 1) DIV 10"))
+    t = cum.groupBy("n_cal_pos").agg(
+        F.max(k).cast("long").alias("k_rank"),
+        F.min(F.when(F.col("cc") >= k, F.col("score")))
+        .cast("long")
+        .alias("threshold_x1e6"),
+    )
+    ev = s.filter(~F.col("is_cal"))
+    return (
+        ev.crossJoin(F.broadcast(t))
+        .groupBy("n_cal_pos", "k_rank", "threshold_x1e6")
+        .agg(
+            F.count(F.when(F.col("pos"), 1)).cast("long").alias("n_eval_pos"),
+            F.count(F.when(~F.col("pos"), 1)).cast("long").alias("n_eval_neg"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN pos AND score >= threshold_x1e6 THEN 1 END)"
+                " * 1000000 DIV NULLIF(COUNT(CASE WHEN pos THEN 1 END), 0)"
+                " AS BIGINT)"
+            ).alias("eval_coverage_x1e6"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN NOT pos AND score >= threshold_x1e6 THEN 1 END)"
+                " * 1000000 DIV NULLIF(COUNT(CASE WHEN NOT pos THEN 1 END), 0)"
+                " AS BIGINT)"
+            ).alias("eval_false_admit_x1e6"),
+        )
+        .select(
+            "n_cal_pos",
+            "k_rank",
+            "threshold_x1e6",
+            "n_eval_pos",
+            "n_eval_neg",
+            "eval_coverage_x1e6",
+            "eval_false_admit_x1e6",
+        )
+    )

@@ -148,6 +148,10 @@ BNLJ_ALLOWED = {
     # the one-row bloom bitmap + one-row n_keys broadcast onto the probe
     # scan — the literal runtime-filter shape
     "bloom_semijoin_fpr",
+    # one-row class-margin frame broadcast onto the per-term 2x2 counts
+    "chi2_terms_by_lang",
+    # one-row conformal-threshold frame broadcast onto the held-out half
+    "conformal_score_threshold",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",
