@@ -418,3 +418,117 @@ def posting_lists(
             ).alias("postings_csv")
         )
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_share_den: int = 20,
+    min_df: int = 2,
+    cos2_threshold_x1e12: int = 250_000_000_000,
+) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs with rare-term candidate
+    generation — the prefix-filtering similarity join (PPJoin-family):
+    two documents become a CANDIDATE pair only if they share at least one
+    discriminative term (document frequency df in [min_df, N/df_share_den]),
+    then the exact weighted cosine is computed over ALL shared terms and
+    thresholded. The weighted sparse complement of MinHash (set overlap)
+    and dense embedding pairs (semantic): catches near-dups whose
+    evidence is a handful of rare tokens.
+
+    Exactness: weights are integers w = tf * idf_bits (the whole-bit idf
+    of operators/retrieval.py bm25 — floor-stable across engines), norms
+    and dots are integer sums, and the threshold test is the SQUARED
+    integer inequality dot²·1e12 >= thr·‖a‖²·‖b‖² — no sqrt, no float.
+    Reported ``cos2_x1e12`` = dot²·1e12 // (‖a‖²‖b‖²) (DECIMAL(38,0)
+    products; exact for ‖·‖² up to ~1e13 — repartition weights first at
+    corpora beyond that).
+
+    Scale shape: candidate generation is an equi self-join on the RARE
+    posting lists only — the df ceiling (df <= N/df_share_den) is the
+    hot-key cap: no stop-word posting list ever self-joins, so pair count
+    is Σ_rare df² with every df bounded. The dot-join restricts the
+    doc-term table to candidate members (semi-join reduction) before
+    joining on term. Returns (id_a, id_b, n_shared_terms, cos2_x1e12),
+    id_a < id_b.
+    """
+    from ibis_flink_example_spark.operators.text import doc_terms
+
+    tf = (
+        doc_terms(docs, id_col=id_col, text_col=text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "df",
+            "n_docs",
+            (
+                F.col("tf")
+                * F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        F.log2(
+                            (F.lit(2) * (F.col("n_docs") + 1)).cast("double")
+                            / (F.lit(2) * F.col("df") + 1).cast("double")
+                        )
+                    ).cast("long"),
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.expr("w * w")).cast("long").alias("n2"))
+    rare = w.filter(
+        (F.col("df") >= min_df) & (F.col("df") * df_share_den <= F.col("n_docs"))
+    ).select(id_col, "term")
+    ra = rare.select(F.col(id_col).alias("id_a"), "term")
+    rb = rare.select(F.col(id_col).alias("id_b"), "term")
+    cand = (
+        ra.join(rb, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa")).join(
+        cand.select("id_a").distinct(), "id_a", "left_semi"
+    )
+    wb = w.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb")).join(
+        cand.select("id_b").distinct(), "id_b", "left_semi"
+    )
+    dots = (
+        wa.join(wb, "term")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.expr("wa * wb")).cast("long").alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb2"))
+    scored = dots.join(na, "id_a").join(nb, "id_b")
+    return (
+        scored.filter(
+            F.expr(
+                "CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000 >= "
+                f"CAST({cos2_threshold_x1e12} AS DECIMAL(38,0)) * na2 * nb2"
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            F.expr(
+                "CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000 "
+                "DIV (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
+            ).alias("cos2_x1e12"),
+        )
+    )

@@ -163,6 +163,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "embedding_outliers_by_centroid",  # registered late-r11, local greens only
     "chi2_terms_by_lang",  # registered late-r11, local greens only
     "conformal_score_threshold",  # registered late-r11, local greens only
+    "sparse_cosine_neardup_pairs",  # registered late-r11, local greens only
 )
 
 

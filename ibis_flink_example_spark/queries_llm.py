@@ -4107,3 +4107,64 @@ def conformal_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eval_false_admit_x1e6",
         )
     )
+
+
+@query(
+    "sparse_cosine_neardup_pairs",
+    # Mirror of operators/retrieval.py:sparse_cosine_pairs — whole-bit
+    # idf weights, integer norms/dots, squared-threshold test (no sqrt,
+    # no float anywhere).
+    oracle=rf"""
+WITH {_TF_CTE},
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, dfq.df, nd.n_docs,
+    tf.tf * GREATEST(CAST(1 AS BIGINT),
+      CAST(floor(log2(CAST(2 * (nd.n_docs + 1) AS DOUBLE)
+                      / CAST(2 * dfq.df + 1 AS DOUBLE))) AS BIGINT)) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+rare AS (SELECT doc_id, term FROM w WHERE df >= 2 AND df * 20 <= n_docs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+    CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot,
+    CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_terms,
+  CAST(CAST(dot AS HUGEINT) * dot * 1000000000000
+       // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_x1e12
+FROM dots
+JOIN norms na ON na.doc_id = dots.id_a
+JOIN norms nb ON nb.doc_id = dots.id_b
+WHERE CAST(dot AS HUGEINT) * dot * 1000000000000
+      >= CAST(250000000000 AS HUGEINT) * na.n2 * nb.n2
+""",
+)
+def sparse_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2's weighted-sparse arm: tf-idf cosine near-dup pairs with
+    rare-term candidate generation (operators/retrieval.py:
+    sparse_cosine_pairs, the PPJoin-family prefix filter) — pairs must
+    share a discriminative term (df in [2, N/20]) before the exact
+    weighted cosine is computed over ALL shared terms and squared-
+    threshold-tested at cos² >= 0.25. Complements MinHash (unweighted
+    set overlap) and embedding pairs (dense semantic): the evidence here
+    is a handful of rare tokens. Whole-bit idf, integer norms/dots, the
+    threshold as an integer cross-multiplication — the pair SET and the
+    reported cos² are engine-exact. The df ceiling is the hot-key cap:
+    stop-word posting lists never self-join."""
+    from ibis_flink_example_spark.operators.retrieval import (
+        sparse_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs)

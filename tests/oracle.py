@@ -152,6 +152,8 @@ BNLJ_ALLOWED = {
     "chi2_terms_by_lang",
     # one-row conformal-threshold frame broadcast onto the held-out half
     "conformal_score_threshold",
+    # one-row corpus-count frame broadcast into the idf weights
+    "sparse_cosine_neardup_pairs",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",

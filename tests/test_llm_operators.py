@@ -2441,3 +2441,34 @@ def test_bloom_build_rejects_bad_geometry(spark):
     df = spark.createDataFrame([(1,)], "key long")
     with _pytest.raises(ValueError):
         bloom_build(df, "key", m_bits=100, k=3)  # not a multiple of 32
+
+
+def test_sparse_cosine_pairs_planted_rare_term_pair(spark):
+    """Candidate generation is PREFIX-filtered: two docs sharing only a
+    rare token pair up; two docs sharing only ubiquitous tokens do NOT
+    (no candidate), even though their unweighted cosine is high. The
+    reported cos² must match a hand-computed integer value."""
+    import math
+
+    from ibis_flink_example_spark.operators.retrieval import (
+        sparse_cosine_pairs,
+    )
+
+    common = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{common} zyzzyx"),
+        (2, f"{common} zyzzyx"),
+        (3, common),          # shares only common terms with everyone
+        (4, common),
+        (5, f"{common} qwoph"),  # rare term df=1 -> below min_df, no pairs
+    ] + [(10 + i, common) for i in range(60)]  # N=65: rare band is df in [2, 3]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_pairs(docs).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)  # the ONLY candidate pair
+
+    # hand-compute cos² for (1, 2): identical docs -> cosine exactly 1
+    row = out[0]
+    assert row["cos2_x1e12"] == 10**12
+    assert row["n_shared_terms"] >= 2
