@@ -164,6 +164,8 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "chi2_terms_by_lang",  # registered late-r11, local greens only
     "conformal_score_threshold",  # registered late-r11, local greens only
     "sparse_cosine_neardup_pairs",  # registered late-r11, local greens only
+    "doc_bigram_surprisal",  # registered late-r11, local greens only
+    "pmi_top_collocations",  # registered late-r11, local greens only
 )
 
 

@@ -4168,3 +4168,176 @@ def sparse_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sparse_cosine_pairs(docs)
+
+
+# Shared whitespace-bigram CTE (the doc_rare_bigram_score construction,
+# plus the prefix word) for the bigram-LM pair below.
+_BIGRAM_CTE = r"""
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2,
+         concat_ws(' ', ws[i], ws[i+1]) AS bigram
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), cb AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1
+), cp AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+)"""
+
+
+@query(
+    "doc_bigram_surprisal",
+    # Whole-bit bigram-MLE surprisal: bits = floor(log2(c1)) -
+    # floor(log2(c12)) per bigram occurrence (the doc_unigram_surprisal
+    # floor-gap argument, applied to the prefix-normalized bigram LM —
+    # the conditional upgrade of the unigram scorer). Integer sums
+    # cross rows; one final double division.
+    oracle="WITH " + _BIGRAM_CTE + r"""
+SELECT bg.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(floor(log2(cp.c1)) AS BIGINT)
+           - CAST(floor(log2(cb.c12)) AS BIGINT)) AS BIGINT)
+    AS surprisal_bits,
+  CAST(SUM(CAST(floor(log2(cp.c1)) AS BIGINT)
+           - CAST(floor(log2(cb.c12)) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS bits_per_bigram
+FROM bg JOIN cb USING (bigram) JOIN cp USING (w1)
+GROUP BY 1
+""",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus-LM quality scoring, the CONDITIONAL upgrade of
+    doc_unigram_surprisal: per-bigram whole-bit surprisal under the
+    corpus bigram MLE, -log2 c(w1 w2)/c(w1 ·) as the exact integer
+    floor(log2 c1) - floor(log2 c12) — a document of individually-common
+    words in improbable ORDER (shuffled text, spam templates) scores
+    high where the unigram lens sees nothing. In-corpus scoring never
+    backs off (every observed bigram has c12 >= 1); the operator family's
+    stupid-backoff path (Brants et al. 2007, alpha=1/2 -> +1 whole bit)
+    is the held-out extension. Plan: in-row bigram arrays, one
+    bigram-keyed and one prefix-keyed count shuffle, joins on those same
+    keys, one doc rollup — text never reshuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), X.WS_SPLIT)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,bigram:string>>")
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bits = (
+        F.floor(F.log2(F.col("c1"))).cast("long")
+        - F.floor(F.log2(F.col("c12"))).cast("long")
+    )
+    return (
+        bg.join(cb, "bigram")
+        .join(cp, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+            (F.sum(bits).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+
+
+@query(
+    "pmi_top_collocations",
+    # Whole-bit PMI: (floor log2 c12 + floor log2 T) - (floor log2 c1 +
+    # floor log2 c2), suffix counts from the same bigram frame; min
+    # support 5; TakeOrderedAndProject cut.
+    oracle="WITH " + _BIGRAM_CTE + r""",
+cs AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+), tb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(floor(log2(COUNT(*))) AS BIGINT) AS t_bits
+  FROM bg
+), scored AS (
+  SELECT DISTINCT cb.bigram, cb.c12,
+    (CAST(floor(log2(cb.c12)) AS BIGINT) + tb.t_bits)
+    - (CAST(floor(log2(cp.c1)) AS BIGINT)
+       + CAST(floor(log2(cs.c2)) AS BIGINT)) AS pmi_bits
+  FROM bg
+  JOIN cb USING (bigram) JOIN cp USING (w1) JOIN cs USING (w2)
+  CROSS JOIN tb
+  WHERE cb.c12 >= 5
+)
+SELECT bigram, c12, pmi_bits FROM scored
+ORDER BY pmi_bits DESC, c12 DESC, bigram LIMIT 15
+""",
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 collocation mining: the 15 word bigrams with the highest
+    whole-bit pointwise mutual information (min support 5) — the phrase
+    detector (multi-word expressions, named entities, boilerplate
+    signatures) that feeds tokenizer merge candidates and template
+    discovery. PMI's four log2 terms are each whole-bit floors of plain
+    integer counts (engine-stable by the floor-gap argument); the
+    bigram/prefix/suffix count frames come from one in-row bigram
+    explode; T rides a one-row broadcast; the cut is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), X.WS_SPLIT)
+    bg = docs.select(
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"),
+                        b.alias("w2"),
+                        F.concat_ws(" ", a, b).alias("bigram"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<w1:string,w2:string,bigram:string>>"
+                )
+            )
+        ).alias("p"),
+    ).select("p.w1", "p.w2", "p.bigram")
+    cb = bg.groupBy("bigram", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    cp = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    cs = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    tb = bg.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.floor(F.log2(F.count(F.lit(1)))).cast("long").alias("t_bits"),
+    )
+    pmi = (
+        F.floor(F.log2(F.col("c12"))).cast("long")
+        + F.col("t_bits")
+        - F.floor(F.log2(F.col("c1"))).cast("long")
+        - F.floor(F.log2(F.col("c2"))).cast("long")
+    )
+    return (
+        cb.filter(F.col("c12") >= 5)
+        .join(cp, "w1")
+        .join(cs, "w2")
+        .crossJoin(F.broadcast(tb))
+        .select("bigram", "c12", pmi.alias("pmi_bits"))
+        .orderBy(F.desc("pmi_bits"), F.desc("c12"), "bigram")
+        .limit(15)
+    )

@@ -154,6 +154,8 @@ BNLJ_ALLOWED = {
     "conformal_score_threshold",
     # one-row corpus-count frame broadcast into the idf weights
     "sparse_cosine_neardup_pairs",
+    # one-row total-bigram frame broadcast into the PMI bits
+    "pmi_top_collocations",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",
