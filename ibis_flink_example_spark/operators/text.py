@@ -618,3 +618,69 @@ def vocab_coverage(
         "total_tokens",
         "vocab_size",
     ).orderBy("target_pct")
+
+
+# Unicode script ranges for the mixed-script profile. \x{...} hex escapes
+# parse identically in Java regex and RE2, so ONE range table serves both
+# the Spark expressions and any SQL oracle. Coarse BMP blocks — a real
+# pipeline extends the table, the plumbing is identical.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "cjk": r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]",
+}
+SCRIPT_MIN_SHARE_DEN = 20  # a script "counts" at >= 1/20 of letter mass
+
+
+def _all_of(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def script_profile(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
+    """Per-document Unicode script profile: letter counts per coarse
+    script block, the dominant script (fixed precedence tie-break), and
+    ``mixed_script`` — true when >= 2 scripts each hold >= 5% of the
+    letter mass (integer cross-multiplication, no ratio floats). The
+    homoglyph/obfuscation signal: spam swaps Latin letters for Cyrillic
+    lookalikes, and a corpus claiming lang='en' with a Cyrillic-heavy
+    tail has a labeling or crawling problem. Map-only regexp counts —
+    a zero-shuffle scan-stage pass at any scale."""
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(rx), 0)
+        ).cast("long")
+        for name, rx in SCRIPT_RANGES.items()
+    }
+    n_digit = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]"), 0)
+    ).cast("long")
+    letters = None
+    for c in counts.values():
+        letters = c if letters is None else letters + c
+    dominant = F.lit("none")
+    # reversed precedence chain: earlier names win ties
+    for name in reversed(list(SCRIPT_RANGES)):
+        c = counts[name]
+        is_max = (c > 0) & _all_of(
+            [c >= counts[o] for o in SCRIPT_RANGES if o != name]
+        )
+        dominant = F.when(is_max, F.lit(name)).otherwise(dominant)
+    n_significant = None
+    for c in counts.values():
+        sig = (c * SCRIPT_MIN_SHARE_DEN >= letters).cast("long")
+        n_significant = sig if n_significant is None else n_significant + sig
+    return df.select(
+        *extra_cols,
+        F.length(F.col(text_col)).cast("long").alias("n_chars_total"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        n_digit.alias("n_digit"),
+        letters.alias("n_letters"),
+        dominant.alias("dominant_script"),
+        ((letters > 0) & (n_significant >= 2)).alias("mixed_script"),
+    )
+

@@ -166,6 +166,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "sparse_cosine_neardup_pairs",  # registered late-r11, local greens only
     "doc_bigram_surprisal",  # registered late-r11, local greens only
     "pmi_top_collocations",  # registered late-r11, local greens only
+    "unicode_script_profile",  # registered late-r11, local greens only
 )
 
 

@@ -4341,3 +4341,60 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_bits"), F.desc("c12"), "bigram")
         .limit(15)
     )
+
+
+def _script_profile_oracle() -> str:
+    from ibis_flink_example_spark.operators.text import (
+        SCRIPT_MIN_SHARE_DEN,
+        SCRIPT_RANGES,
+    )
+
+    cnt = {
+        name: f"CAST(len(regexp_extract_all(text, '{rx}')) AS BIGINT)"
+        for name, rx in SCRIPT_RANGES.items()
+    }
+    cols = ",\n    ".join(f"{e} AS n_{name}" for name, e in cnt.items())
+    letters = " + ".join(f"n_{name}" for name in SCRIPT_RANGES)
+    names = list(SCRIPT_RANGES)
+    dom = "CASE "
+    for name in names:
+        others = " AND ".join(
+            f"n_{name} >= n_{o}" for o in names if o != name
+        )
+        dom += f"WHEN n_{name} > 0 AND {others} THEN '{name}' "
+    dom += "ELSE 'none' END"
+    sig = " + ".join(
+        f"(CASE WHEN n_{name} * {SCRIPT_MIN_SHARE_DEN} >= ({letters})"
+        f" THEN 1 ELSE 0 END)"
+        for name in names
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_total,
+    {cols},
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM documents
+)
+SELECT doc_id, n_chars_total,
+  {', '.join('n_' + n for n in names)}, n_digit,
+  CAST({letters} AS BIGINT) AS n_letters,
+  {dom} AS dominant_script,
+  (({letters}) > 0 AND ({sig}) >= 2) AS mixed_script
+FROM c
+"""
+
+
+@query("unicode_script_profile", oracle=_script_profile_oracle())
+def unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 homoglyph/obfuscation QA: per-document Unicode script profile
+    (operators/text.py:script_profile) — letter counts per coarse script
+    block, the dominant script, and the mixed-script flag (>= 2 scripts
+    each holding >= 5% of letter mass, as an integer
+    cross-multiplication). Spam swaps Latin letters for Cyrillic
+    lookalikes; a lang='en' corpus with a Cyrillic-heavy tail has a
+    crawling or labeling problem. The \\x{{...}} range table parses
+    identically in Java regex and RE2, so ONE table serves the engine
+    and the oracle; map-only, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.script_profile(docs, "text", "doc_id")

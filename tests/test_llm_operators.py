@@ -2472,3 +2472,45 @@ def test_sparse_cosine_pairs_planted_rare_term_pair(spark):
     row = out[0]
     assert row["cos2_x1e12"] == 10**12
     assert row["n_shared_terms"] >= 2
+
+
+def test_script_profile_mixed_script_detection(spark):
+    """The fixtures are pure ASCII, so pin the non-Latin paths on crafted
+    docs: a homoglyph attack (Latin text with Cyrillic lookalikes) must
+    flag mixed_script; pure Cyrillic must dominate without the flag; a
+    digits-only doc has no dominant script. Spark counts must equal
+    DuckDB's for the same range table (one shared \\x{...} syntax)."""
+    import duckdb
+
+    from ibis_flink_example_spark.operators.text import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    homoglyph = "pаypаl sеcurity аlert plеase vеrify"  # Cyrillic а/е planted
+    cyrillic = "привет мир это тест на кириллице"
+    digits = "123 456 789"
+    pure = "plain english words only here"
+    rows = [(1, homoglyph), (2, cyrillic), (3, digits), (4, pure)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in script_profile(df, "text", "doc_id").collect()}
+
+    assert out[1]["mixed_script"] is True
+    assert out[1]["n_cyrillic"] >= 5 and out[1]["n_latin"] > out[1]["n_cyrillic"]
+    assert out[1]["dominant_script"] == "latin"
+
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[2]["mixed_script"] is False and out[2]["n_latin"] == 0
+
+    assert out[3]["dominant_script"] == "none"
+    assert out[3]["n_letters"] == 0 and out[3]["n_digit"] == 9
+
+    assert out[4]["dominant_script"] == "latin" and out[4]["mixed_script"] is False
+
+    # cross-engine: the same range table gives the same counts in DuckDB
+    con = duckdb.connect()
+    for name, rx in SCRIPT_RANGES.items():
+        d = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [homoglyph, rx]
+        ).fetchone()[0]
+        assert d == out[1][f"n_{name}"], name
