@@ -256,6 +256,7 @@ def main() -> int:
         # late-r11 tier
         "triangle_count", "vocab_coverage", "priority_sample",
         "ks_two_sample", "gopher_flags", "hard_negative_mining",
+        "sparse_cosine_pairs", "bigram_surprisal",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -275,7 +276,7 @@ def main() -> int:
            "rendezvous_shard_plan", "blockhash_signatures",
            "epoch_shuffle_plan", "roc_auc", "phash_pair_join",
            "vocab_coverage", "priority_sample", "ks_two_sample",
-           "gopher_flags"}
+           "gopher_flags", "sparse_cosine_pairs", "bigram_surprisal"}
     )
     need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
     need_copurchase = "triangle_count" in keep
@@ -533,6 +534,57 @@ def main() -> int:
                 label_col="label", k=5,
             ).count()
 
+        def sparse_pairs_at(label):
+            from ibis_flink_example_spark.operators.retrieval import (
+                sparse_cosine_pairs,
+            )
+
+            d = spark.read.parquet(docs[label])
+            # rare terms carry per-copy suffixes, so candidates stay
+            # within copies — the replica shape: 10x docs, 10x pairs
+            return lambda: sparse_cosine_pairs(d).count()
+
+        def bigram_surprisal_at(label):
+            d = spark.read.parquet(docs[label])
+            ws = F.split(F.trim(F.col("text")), "[ \t\n\x0B\f\r]+")
+            bg = d.select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size(ws) >= 2,
+                        F.zip_with(
+                            F.slice(ws, 1, F.size(ws) - 1),
+                            F.slice(ws, 2, F.size(ws) - 1),
+                            lambda a, b: F.struct(
+                                a.alias("w1"),
+                                F.concat_ws(" ", a, b).alias("bigram"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,bigram:string>>"
+                        )
+                    )
+                ).alias("p"),
+            ).select("doc_id", "p.w1", "p.bigram")
+
+            def run():
+                cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+                cp = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+                bits = (
+                    F.floor(F.log2(F.col("c1"))).cast("long")
+                    - F.floor(F.log2(F.col("c12"))).cast("long")
+                )
+                return (
+                    bg.join(cb, "bigram")
+                    .join(cp, "w1")
+                    .groupBy("doc_id")
+                    .agg(F.sum(bits).alias("surprisal_bits"))
+                    .count()
+                )
+
+            return run
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
@@ -554,6 +606,8 @@ def main() -> int:
             "ks_two_sample": ks_at,
             "gopher_flags": gopher_at,
             "hard_negative_mining": hard_negatives_at,
+            "sparse_cosine_pairs": sparse_pairs_at,
+            "bigram_surprisal": bigram_surprisal_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
