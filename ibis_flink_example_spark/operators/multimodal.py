@@ -439,3 +439,79 @@ def phash_neardup_pairs(
     )
 
     return attach_eager_checkpoints(out, handles=(sigd,))
+
+
+def audio_metadata(sample_rate: Column, n_samples: Column) -> Column:
+    return F.struct(
+        F.lit("audio").alias("modality"),
+        F.lit("audio/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        sample_rate.cast("int").alias("sample_rate"),
+        n_samples.cast("int").alias("n_frames"),  # raw samples for audio
+    )
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic audio media derived from the documents fixture: text
+    bytes stand in for PCM samples (1 byte = 1 sample), sample_rate
+    8k/16k by doc parity — the audio twin of documents_as_media, giving
+    the audio stages a reproducible input without any codec."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        audio_metadata(
+            F.when(F.col("doc_id") % 2 == 0, F.lit(16000)).otherwise(
+                F.lit(8000)
+            ),
+            F.col("n_chars"),
+        ).alias("metadata"),
+    )
+
+
+def audio_frame_plan(
+    media: DataFrame,
+    *,
+    frame_samples: int = 400,
+    hop_samples: int = 160,
+) -> DataFrame:
+    """Framing plan for audio payloads — the boundary math every
+    feature-extraction stage (fbank/MFCC/ASR windows) needs, computed as
+    pure metadata columns so the PLAN never touches payload bytes (the
+    scan prunes to the metadata struct): with the classic 25 ms frame /
+    10 ms hop at 16 kHz defaults,
+
+    - ``n_frames`` = 1 + floor((n_samples - frame) / hop) — FULL frames
+      only, a partial tail is dropped (the fbank convention); sub-frame
+      clips get one right-padded frame; empty payloads get 0;
+    - ``last_frame_start`` = (n_frames - 1) * hop (NULL when empty);
+    - ``tail_padded`` = true exactly for the sub-frame-clip case (the
+      one frame that must be right-padded to frame_samples).
+
+    All integer arithmetic on non-negative operands — engine-exact. The
+    actual per-frame slicing happens in the mapInPandas feature stage
+    (media_features' shape); this plan is what sizes and partitions it.
+    """
+    ns = F.col("metadata.n_frames").cast("long")  # raw samples (audio)
+    n_frames = (
+        F.when(ns <= 0, F.lit(0))
+        .when(ns < frame_samples, F.lit(1))
+        .otherwise(
+            F.lit(1) + F.expr(f"(metadata.n_frames - {frame_samples}) DIV {hop_samples}")
+        )
+        .cast("long")
+    )
+    last_start = F.when(
+        n_frames > 0, (n_frames - 1) * hop_samples
+    ).cast("long")
+    tail_padded = F.when(ns <= 0, F.lit(False)).otherwise(
+        last_start + frame_samples > ns
+    )
+    return media.select(
+        "media_id",
+        F.col("metadata.sample_rate").cast("long").alias("sample_rate"),
+        ns.alias("n_samples"),
+        n_frames.alias("n_frames"),
+        last_start.alias("last_frame_start"),
+        tail_padded.alias("tail_padded"),
+    )

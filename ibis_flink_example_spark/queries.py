@@ -167,6 +167,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "doc_bigram_surprisal",  # registered late-r11, local greens only
     "pmi_top_collocations",  # registered late-r11, local greens only
     "unicode_script_profile",  # registered late-r11, local greens only
+    "audio_frame_plan",  # registered late-r11, local greens only
 )
 
 

@@ -4398,3 +4398,43 @@ def unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle; map-only, zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return X.script_profile(docs, "text", "doc_id")
+
+
+@query(
+    "audio_frame_plan",
+    # Mirror of operators/multimodal.py:audio_frame_plan over the
+    # deterministic documents_as_audio derivation (n_samples = n_chars,
+    # sample_rate 16k/8k by doc parity); pure non-negative integer math.
+    oracle="""
+WITH a AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS sample_rate,
+    CAST(n_chars AS BIGINT) AS n_samples
+  FROM documents
+), f AS (
+  SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate, n_samples,
+    CAST(CASE WHEN n_samples <= 0 THEN 0
+         WHEN n_samples < 400 THEN 1
+         ELSE 1 + (n_samples - 400) // 160 END AS BIGINT) AS n_frames
+  FROM a
+)
+SELECT media_id, sample_rate, n_samples, n_frames,
+  CAST(CASE WHEN n_frames > 0 THEN (n_frames - 1) * 160 END AS BIGINT)
+    AS last_frame_start,
+  CASE WHEN n_samples <= 0 THEN false
+       ELSE (n_frames - 1) * 160 + 400 > n_samples END AS tail_padded
+FROM f
+""",
+)
+def audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio arm: the 25 ms / 10 ms framing plan (400/160 samples)
+    over the deterministic audio derivation of the documents fixture
+    (operators/multimodal.py:documents_as_audio / audio_frame_plan) —
+    frame counts, last-frame offset, and tail-padding flags as pure
+    metadata columns (the payload column is never read: the scan prunes
+    to the metadata struct). The boundary math that sizes the
+    mapInPandas fbank/MFCC stage; completes the modality plans next to
+    image resize_plan and video frame_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_audio(docs)
+    return M.audio_frame_plan(media)

@@ -2514,3 +2514,32 @@ def test_script_profile_mixed_script_detection(spark):
             "SELECT len(regexp_extract_all(?, ?))", [homoglyph, rx]
         ).fetchone()[0]
         assert d == out[1][f"n_{name}"], name
+
+
+def test_audio_frame_plan_boundary_math(spark):
+    """Pin the framing boundaries: empty payload -> 0 frames; sub-frame
+    clip -> 1 padded frame; exactly one frame -> unpadded; one sample
+    past a hop boundary -> extra padded frame; exact multi-frame fit ->
+    unpadded."""
+    from ibis_flink_example_spark.operators.multimodal import (
+        audio_frame_plan,
+        audio_metadata,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, 0), (2, 100), (3, 400), (4, 561), (5, 720)]
+    media = spark.createDataFrame(rows, "media_id long, ns int").select(
+        "media_id",
+        audio_metadata(F.lit(16000), F.col("ns")).alias("metadata"),
+    )
+    out = {r["media_id"]: r.asDict() for r in audio_frame_plan(media).collect()}
+    assert (out[1]["n_frames"], out[1]["tail_padded"]) == (0, False)
+    assert out[1]["last_frame_start"] is None
+    assert (out[2]["n_frames"], out[2]["tail_padded"]) == (1, True)
+    assert (out[3]["n_frames"], out[3]["tail_padded"]) == (1, False)
+    # 561 samples: full frames at 0 and 160 end at 560; the 1-sample
+    # partial tail is DROPPED (fbank convention), not padded
+    assert (out[4]["n_frames"], out[4]["last_frame_start"]) == (2, 160)
+    assert out[4]["tail_padded"] is False
+    # 720 = 400 + 2*160 exactly -> 3 frames, last ends at sample 720
+    assert (out[5]["n_frames"], out[5]["tail_padded"]) == (3, False)
