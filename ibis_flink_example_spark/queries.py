@@ -168,6 +168,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "pmi_top_collocations",  # registered late-r11, local greens only
     "unicode_script_profile",  # registered late-r11, local greens only
     "audio_frame_plan",  # registered late-r11, local greens only
+    "matryoshka_truncation_recall",  # registered late-r11, local greens only
 )
 
 

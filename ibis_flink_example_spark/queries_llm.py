@@ -4438,3 +4438,84 @@ def audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_audio(docs)
     return M.audio_frame_plan(media)
+
+
+@query(
+    "matryoshka_truncation_recall",
+    # Both rankings mirrored with the strict left-to-right fold; the
+    # truncated leg scores over the first 16 components only (array
+    # slice in both engines); overlap is an integer count per anchor.
+    oracle=r"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+), fullr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        / ( sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+              i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) )
+        DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 10
+), truncr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(range(1, 17),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        / ( sqrt(list_sum(list_transform(range(1, 17),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 17),
+              i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) )
+        DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 10
+)
+SELECT f.query_id,
+  CAST(10 AS BIGINT) AS k,
+  CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+  CAST(COUNT(t.vec_id) * 1000000 // 10 AS BIGINT) AS recall_x1e6
+FROM fullr f LEFT JOIN truncr t USING (query_id, vec_id)
+GROUP BY 1
+""",
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 representation QA: how much of the full-dimension cosine top-10
+    survives truncating embeddings to their first 16 components — the
+    acceptance test for Matryoshka-style dimension reduction (store/scan
+    the prefix at 4x less cost iff recall holds; this table is the
+    decision). Both rankings run the brute-force broadcast-anchor scan
+    (cosine_topk's shape); the truncated leg scores over the sliced
+    prefix only; overlap is an exact integer count per anchor. At 100 TB
+    the same query prices an ANN index built on the prefix."""
+    em = load_table(spark, sf_dir, "embeddings")
+    anchors = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    full = S.cosine_topk(
+        em, anchors, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", k=10,
+    ).select("query_id", "vec_id")
+    em16 = em.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    anchors16 = anchors.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = S.cosine_topk(
+        em16, anchors16, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", k=10,
+    ).select("query_id", F.col("vec_id").alias("t_vec_id"))
+    joined = full.join(
+        trunc,
+        (full.query_id == trunc.query_id) & (full.vec_id == trunc.t_vec_id),
+        "left",
+    ).select(full.query_id.alias("query_id"), "t_vec_id")
+    return joined.groupBy("query_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count("t_vec_id").cast("long").alias("n_overlap"),
+        F.expr("CAST(COUNT(t_vec_id) * 1000000 DIV 10 AS BIGINT)").alias(
+            "recall_x1e6"
+        ),
+    )

@@ -156,6 +156,8 @@ BNLJ_ALLOWED = {
     "sparse_cosine_neardup_pairs",
     # one-row total-bigram frame broadcast into the PMI bits
     "pmi_top_collocations",
+    # cosine_topk's 5-row anchor broadcast, in both ranking legs
+    "matryoshka_truncation_recall",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in
     # each power-iteration step
     "embedding_top_pc",
