@@ -702,3 +702,105 @@ def priority_sample(
             F.greatest(F.col("__w"), F.col("__tau")).cast("long").alias("est_weight"),
         )
     )
+
+
+# Cumulative Poisson(1) CDF thresholds scaled to 16^8, k = 0..7, computed
+# once and frozen as integer literals — the inverse-CDF table for the
+# deterministic Poisson draw below (tail mass beyond 7 is ~1e-5 and maps
+# to weight 8; any engine gets the identical draw from the same md5 u).
+POISSON1_THRESHOLDS_X2_32: tuple[int, ...] = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 40,
+    trim: int = 2,
+    salt: str = "boot",
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean, by the
+    POISSON bootstrap (the with-replacement resample each row simulates
+    locally with an independent Poisson(1) weight — the standard
+    distributed formulation, since true multinomial resampling needs
+    global coordination). Everything is deterministic and integer-exact:
+
+    - the per-(row, replicate) weight is the inverse-CDF Poisson(1) draw
+      from u = md5(id:salt:b) (first 8 hex), via the frozen integer
+      threshold table above — a pure function of (id, b), identical in
+      any engine, resumable and repartition-stable;
+    - replicate means are one integer floor division of exact integer
+      sums Σw·v and Σw (``value_col`` must be integer — quantize
+      upstream: cents, x1e6 scores);
+    - the CI is RANK-BASED: with B replicates, the interval is the
+      (1+trim)-th smallest to the (B−trim)-th smallest replicate mean
+      (trim=2 of B=40 ≈ a central 90% interval; exact order statistics,
+      no quantile interpolation).
+
+    Scale shape: the replicate fan-out is an in-row explode (x B); the
+    only exchange is the B-group aggregation with map-side partial sums
+    (each partition collapses to B rows before the shuffle); the rank
+    selection runs over the B-row frame (bounded). Returns ONE row:
+    (n_rows, b, point_mean_x1e6, ci_lo_mean_x1e6, ci_hi_mean_x1e6).
+    """
+    if n_replicates < 2 * trim + 1:
+        raise ValueError("poisson_bootstrap_mean_ci: B too small for trim")
+    thresholds = F.array(
+        *[F.lit(t).cast("long") for t in POISSON1_THRESHOLDS_X2_32]
+    )
+    fanned = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b"),
+    ).select(
+        "__b",
+        "__v",
+        F.expr(
+            f"{hex_prefix_int_sql('''substr(md5(CAST(__id AS STRING) || ':{salt}:' || CAST(__b AS STRING)), 1, 8)'''.format(salt=salt), 8)}"
+        ).alias("__u"),
+    )
+    w = F.size(F.filter(thresholds, lambda t: F.col("__u") >= t)).cast("long")
+    reps = (
+        fanned.select("__b", "__v", w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.expr("__w * __v")).cast("long").alias("__s"),
+            F.sum("__w").cast("long").alias("__n"),
+        )
+        .select(
+            "__b",
+            F.expr(
+                "CAST(CAST(__s AS DECIMAL(38,0)) * 1000000 DIV __n AS BIGINT)"
+            ).alias("__mean_x1e6"),
+        )
+    )
+    w_rank = Window.orderBy("__mean_x1e6", "__b")
+    ranked = reps.select(
+        "__mean_x1e6", F.row_number().over(w_rank).alias("__rn")
+    )
+    ci = ranked.agg(
+        F.max(
+            F.when(F.col("__rn") == 1 + trim, F.col("__mean_x1e6"))
+        ).alias("ci_lo_mean_x1e6"),
+        F.max(
+            F.when(F.col("__rn") == n_replicates - trim, F.col("__mean_x1e6"))
+        ).alias("ci_hi_mean_x1e6"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"CAST(CAST(SUM(CAST({value_col} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            f" * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("point_mean_x1e6"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(n_replicates).cast("long").alias("b"),
+        "point_mean_x1e6",
+        "ci_lo_mean_x1e6",
+        "ci_hi_mean_x1e6",
+    )

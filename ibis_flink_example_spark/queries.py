@@ -169,6 +169,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "unicode_script_profile",  # registered late-r11, local greens only
     "audio_frame_plan",  # registered late-r11, local greens only
     "matryoshka_truncation_recall",  # registered late-r11, local greens only
+    "poisson_bootstrap_mean_ci",  # registered late-r11, local greens only
 )
 
 

@@ -3384,3 +3384,72 @@ def bloom_semijoin_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV NULLIF(COUNT(1) - COUNT(CASE WHEN actual THEN 1 END), 0) AS BIGINT)"
         ).alias("fpr_x1e6"),
     )
+
+
+def _bootstrap_oracle(b: int = 40, trim: int = 2) -> str:
+    from ibis_flink_example_spark.operators.sampling import (
+        POISSON1_THRESHOLDS_X2_32,
+        hex_prefix_int_sql,
+    )
+
+    thr = "[" + ", ".join(str(t) for t in POISSON1_THRESHOLDS_X2_32) + "]"
+    u = hex_prefix_int_sql(
+        "substr(md5(CAST(event_id AS STRING) || ':boot:' "
+        "|| CAST(t.b AS STRING)), 1, 8)",
+        8,
+    )
+    return f"""
+WITH fanned AS (
+  SELECT t.b, CAST(round(value * 100) AS BIGINT) AS v,
+    CAST(len(list_filter({thr}, x -> {u} >= x)) AS BIGINT) AS w
+  FROM events, UNNEST(range(0, {b})) AS t(b)
+), reps AS (
+  SELECT b,
+    CAST(CAST(SUM(w * v) AS HUGEINT) * 1000000 // SUM(w) AS BIGINT)
+      AS mean_x1e6
+  FROM fanned GROUP BY 1
+), ranked AS (
+  SELECT mean_x1e6,
+    ROW_NUMBER() OVER (ORDER BY mean_x1e6, b) AS rn
+  FROM reps
+), ci AS (
+  SELECT
+    MAX(CASE WHEN rn = {1 + trim} THEN mean_x1e6 END) AS ci_lo_mean_x1e6,
+    MAX(CASE WHEN rn = {b - trim} THEN mean_x1e6 END) AS ci_hi_mean_x1e6
+  FROM ranked
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+  CAST({b} AS BIGINT) AS b,
+  (SELECT CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+          * 1000000 // COUNT(*) AS BIGINT) FROM events) AS point_mean_x1e6,
+  ci_lo_mean_x1e6, ci_hi_mean_x1e6
+FROM ci
+"""
+
+
+@query("poisson_bootstrap_mean_ci", oracle=_bootstrap_oracle(40, 2))
+def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-bootstrap confidence interval for mean event value
+    (operators/sampling.py:poisson_bootstrap_mean_ci): 40 Poisson(1)
+    resampling replicates, each row's per-replicate weight a frozen
+    inverse-CDF draw from md5(id:boot:b) — the standard distributed
+    bootstrap (per-row local weights, no global resample coordination),
+    here made fully deterministic and engine-exact: integer weighted
+    sums, one floor division per replicate mean, and a rank-based
+    trimmed interval (2nd..39th order statistic ≈ central 90%). The
+    error-bar companion to ab_value_ttest's parametric readout. Fan-out
+    is an in-row explode; the only exchange is the 40-group aggregation
+    with map-side partials; rank selection runs on the 40-row frame."""
+    from ibis_flink_example_spark.functions.exact import cents
+    from ibis_flink_example_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci as boot,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", cents("value").alias("value_cents")
+    )
+    return boot(
+        events, id_col="event_id", value_col="value_cents",
+        n_replicates=40, trim=2,
+    )

@@ -2543,3 +2543,33 @@ def test_audio_frame_plan_boundary_math(spark):
     assert out[4]["tail_padded"] is False
     # 720 = 400 + 2*160 exactly -> 3 frames, last ends at sample 720
     assert (out[5]["n_frames"], out[5]["tail_padded"]) == (3, False)
+
+
+def test_poisson_bootstrap_properties(spark):
+    """Bootstrap invariants: the trimmed CI brackets the point mean on a
+    well-behaved sample; the whole procedure is a pure function of ids
+    (identical under repartitioning); B below the trim budget raises."""
+    import pytest as _pytest
+
+    from ibis_flink_example_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    rows = [(i, 100 + (i * 17) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    r = poisson_bootstrap_mean_ci(
+        df, id_col="id", value_col="v", n_replicates=40, trim=2
+    ).collect()[0]
+    assert r["n_rows"] == 500 and r["b"] == 40
+    assert r["ci_lo_mean_x1e6"] <= r["point_mean_x1e6"] <= r["ci_hi_mean_x1e6"]
+    assert r["ci_lo_mean_x1e6"] < r["ci_hi_mean_x1e6"]
+
+    r2 = poisson_bootstrap_mean_ci(
+        df.repartition(7), id_col="id", value_col="v", n_replicates=40, trim=2
+    ).collect()[0]
+    assert r2 == r  # deterministic resample, not rng-per-run
+
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_mean_ci(
+            df, id_col="id", value_col="v", n_replicates=4, trim=2
+        )
