@@ -188,6 +188,19 @@ def main() -> None:
             "re-run on an idle machine for a comparable number"
         )
         value_norm = None
+    # Hot-query gate (VERDICT r11 #6): r11 shipped a query that was 42%
+    # of the entire bench because it was registered AFTER the last idle
+    # snapshot — nobody saw the number until the driver ran. Any single
+    # query above ~15% of the fleet total is either a plan defect or
+    # deserves its own explicit budget; surface it as a gate failure
+    # (non-zero exit) so it cannot ship silently again. Only enforced on
+    # meaningful totals — a tiny-SF smoke run's shares are noise.
+    HOT_SHARE = 0.15
+    hot_violations = {
+        name: {"sec": t, "share": round(t / total, 3)}
+        for name, t in timings.items()
+        if total >= 60 and t / total > HOT_SHARE
+    }
     result = {
         "metric": "sum_query_seconds",
         "value": total,
@@ -215,6 +228,7 @@ def main() -> None:
         "load_factor": load_factor,
         "value_load_normalized": value_norm,
         "normalization_suppressed": norm_suppressed,
+        "hot_query_violations": hot_violations,
     }
     spark.stop()
     # Durable copy first: the driver's stdout capture truncates long tails,
@@ -230,7 +244,18 @@ def main() -> None:
         compact.pop("errors")
     if compact.get("normalization_suppressed") is None:
         compact.pop("normalization_suppressed")
+    if not hot_violations:
+        compact.pop("hot_query_violations")
     print(json.dumps(compact, separators=(",", ":")))
+    if hot_violations:
+        for name, v in hot_violations.items():
+            print(
+                f"HOT-QUERY GATE: {name} is {v['share']:.0%} of the fleet "
+                f"total ({v['sec']:.1f}s of {total:.1f}s) — single-query "
+                f"budget is {HOT_SHARE:.0%}; fix the plan or re-budget",
+                file=sys.stderr,
+            )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

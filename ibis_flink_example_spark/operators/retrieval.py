@@ -428,6 +428,7 @@ def sparse_cosine_pairs(
     df_share_den: int = 20,
     min_df: int = 2,
     cos2_threshold_x1e12: int = 250_000_000_000,
+    max_broadcast_vocab_terms: int = 2_000_000,
 ) -> DataFrame:
     """Sparse tf-idf cosine near-dup pairs with rare-term candidate
     generation — the prefix-filtering similarity join (PPJoin-family):
@@ -451,8 +452,13 @@ def sparse_cosine_pairs(
     hot-key cap: no stop-word posting list ever self-joins, so pair count
     is Σ_rare df² with every df bounded. The dot-join restricts the
     doc-term table to candidate members (semi-join reduction) before
-    joining on term. Returns (id_a, id_b, n_shared_terms, cos2_x1e12),
-    id_a < id_b.
+    joining on term. The per-term document-frequency table is corpus
+    VOCABULARY-sized (unbounded at 100 TB — multi-GB driver OOM if
+    broadcast blindly), so its join is a MEASURED-cardinality guarded
+    broadcast: above ``max_broadcast_vocab_terms`` distinct terms it
+    falls back to a shuffle join on ``term`` — the same key the tf table
+    is already about to shuffle on. Returns
+    (id_a, id_b, n_shared_terms, cos2_x1e12), id_a < id_b.
     """
     from ibis_flink_example_spark.operators.text import doc_terms
 
@@ -463,8 +469,12 @@ def sparse_cosine_pairs(
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_vocab = dfq.count()
+    dfq_side = (
+        F.broadcast(dfq) if n_vocab <= max_broadcast_vocab_terms else dfq
+    )
     w = (
-        tf.join(F.broadcast(dfq), "term")
+        tf.join(dfq_side, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

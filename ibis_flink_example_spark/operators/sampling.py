@@ -34,17 +34,20 @@ def hash_bucket(col: Column | str, hex_digits: int = 4) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, hex_digits)
 
 
-def split_thresholds(weights: dict[str, float], hex_digits: int = 4) -> list[tuple[str, str]]:
-    """[(label, exclusive upper hex bound), ...] covering [0, 1) in
-    declaration order; the last label absorbs rounding remainder."""
+def split_thresholds(weights: dict[str, float], hex_digits: int = 4) -> list[tuple[str, int]]:
+    """[(label, exclusive upper INTEGER bound), ...] covering [0, 16^d) in
+    declaration order; the last label absorbs rounding remainder. Bounds are
+    integers, not hex strings: a cumulative weight that rounds to the full
+    space would format as a (d+1)-char hex string that compares
+    lexicographically BELOW most d-char buckets — callers must treat
+    ``bound >= 16^d`` as "matches everything" instead of formatting it."""
     total = sum(weights.values())
     space = 16**hex_digits
     acc = 0.0
-    out: list[tuple[str, str]] = []
+    out: list[tuple[str, int]] = []
     for label, w in weights.items():
         acc += w / total
-        bound = min(space, round(acc * space))
-        out.append((label, format(bound, f"0{hex_digits}x")))
+        out.append((label, min(space, round(acc * space))))
     return out
 
 
@@ -59,11 +62,20 @@ def hash_split(
     """Assign every row to a named split by md5(key) — deterministic,
     repartition-stable, engine-portable (see module docstring). Map-only."""
     bucket = hash_bucket(key_col, hex_digits)
+    space = 16**hex_digits
     thresholds = split_thresholds(weights, hex_digits)
     expr: Column = F.lit(thresholds[-1][0])  # last label = else-branch
     cond = None
     for label, bound in thresholds[:-1]:
-        c = bucket < F.lit(bound)
+        # bound >= space (cumulative weight rounded to the full space):
+        # this label absorbs every remaining bucket — a hex-formatted
+        # bound would be d+1 chars and compare lexicographically BELOW
+        # most buckets, silently routing ~15/16 of rows past the label.
+        c = (
+            F.lit(True)
+            if bound >= space
+            else bucket < F.lit(format(bound, f"0{hex_digits}x"))
+        )
         cond = F.when(c, label) if cond is None else cond.when(c, label)
     if cond is not None:
         expr = cond.otherwise(thresholds[-1][0])
@@ -76,7 +88,13 @@ def hash_sample(
     """Keep a deterministic ~``fraction`` of rows by md5(key) threshold.
     Unlike ``df.sample`` the kept set is a pure function of the key.
     Map-only: the predicate pipelines into the scan."""
-    bound = format(round(fraction * 16**hex_digits), f"0{hex_digits}x")
+    bound_int = round(fraction * 16**hex_digits)
+    if bound_int >= 16**hex_digits:
+        # fraction ~ 1: the exclusive bound would format as a (d+1)-char
+        # hex string that sorts BELOW most d-char buckets and keeps ~1/16
+        # of rows — the whole frame is the correct sample.
+        return df
+    bound = format(bound_int, f"0{hex_digits}x")
     return df.filter(hash_bucket(key_col, hex_digits) < F.lit(bound))
 
 
@@ -741,29 +759,52 @@ def poisson_bootstrap_mean_ci(
       (trim=2 of B=40 ≈ a central 90% interval; exact order statistics,
       no quantile interpolation).
 
-    Scale shape: the replicate fan-out is an in-row explode (x B); the
+    Scale shape: the replicate fan-out is an in-row explode (x B) over a
+    ``fan_out``-widened scan (a single-split file must not run the whole
+    B-times-heavier fan-out as ONE task; at real split counts the widen
+    is a no-op); the u-draw is ONE codegen'd md5 per fanned row
+    (``conv(substr(md5 ..))`` — never rebuilt inside a higher-order
+    lambda, where project-collapse would inline the full expression per
+    threshold term and fall out of whole-stage codegen); the weight is a
+    plain 8-branch integer comparison ladder that stays in codegen; the
     only exchange is the B-group aggregation with map-side partial sums
     (each partition collapses to B rows before the shuffle); the rank
-    selection runs over the B-row frame (bounded). Returns ONE row:
+    selection runs over the B-row frame (bounded). A replicate whose
+    Poisson weights sum to 0 (probability e^-n — realized only on tiny
+    inputs) is defined as ABSENT rather than dividing by zero, on both
+    engine and oracle sides. Returns ONE row:
     (n_rows, b, point_mean_x1e6, ci_lo_mean_x1e6, ci_hi_mean_x1e6).
     """
+    from ibis_flink_example_spark.catalog import fan_out
+
     if n_replicates < 2 * trim + 1:
         raise ValueError("poisson_bootstrap_mean_ci: B too small for trim")
-    thresholds = F.array(
-        *[F.lit(t).cast("long") for t in POISSON1_THRESHOLDS_X2_32]
+    fanned = (
+        fan_out(df.select(F.col(id_col).alias("__id"), F.col(value_col).cast("long").alias("__v")))
+        .select(
+            "__id",
+            "__v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_replicates - 1))
+            ).alias("__b"),
+        )
+        .select(
+            "__b",
+            "__v",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(__id AS STRING) || "
+                f"':{salt}:' || CAST(__b AS STRING)), 1, 8), 16, 10) "
+                "AS BIGINT)"
+            ).alias("__u"),
+        )
     )
-    fanned = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(value_col).cast("long").alias("__v"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b"),
-    ).select(
-        "__b",
-        "__v",
-        F.expr(
-            f"{hex_prefix_int_sql('''substr(md5(CAST(__id AS STRING) || ':{salt}:' || CAST(__b AS STRING)), 1, 8)'''.format(salt=salt), 8)}"
-        ).alias("__u"),
+    # Plain comparison ladder (NOT F.filter over an array literal): each
+    # term reads the materialized __u column, codegen CSE keeps the md5
+    # single, and the Project stays inside WholeStageCodegen.
+    w = sum(
+        ((F.col("__u") >= F.lit(t)).cast("long") for t in POISSON1_THRESHOLDS_X2_32),
+        F.lit(0).cast("long"),
     )
-    w = F.size(F.filter(thresholds, lambda t: F.col("__u") >= t)).cast("long")
     reps = (
         fanned.select("__b", "__v", w.alias("__w"))
         .groupBy("__b")
@@ -771,6 +812,7 @@ def poisson_bootstrap_mean_ci(
             F.sum(F.expr("__w * __v")).cast("long").alias("__s"),
             F.sum("__w").cast("long").alias("__n"),
         )
+        .filter(F.col("__n") > 0)
         .select(
             "__b",
             F.expr(

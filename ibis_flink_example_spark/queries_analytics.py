@@ -3407,7 +3407,7 @@ WITH fanned AS (
   SELECT b,
     CAST(CAST(SUM(w * v) AS HUGEINT) * 1000000 // SUM(w) AS BIGINT)
       AS mean_x1e6
-  FROM fanned GROUP BY 1
+  FROM fanned GROUP BY 1 HAVING SUM(w) > 0
 ), ranked AS (
   SELECT mean_x1e6,
     ROW_NUMBER() OVER (ORDER BY mean_x1e6, b) AS rn
@@ -3439,8 +3439,13 @@ def poisson_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, one floor division per replicate mean, and a rank-based
     trimmed interval (2nd..39th order statistic ≈ central 90%). The
     error-bar companion to ab_value_ttest's parametric readout. Fan-out
-    is an in-row explode; the only exchange is the 40-group aggregation
-    with map-side partials; rank selection runs on the 40-row frame."""
+    is an in-row explode over a fan_out-widened scan (single-split
+    fixtures must not run the x40 fan-out as one task); the u-draw is
+    one codegen'd md5 per fanned row with a plain comparison-ladder
+    weight (no higher-order lambda — project-collapse would inline the
+    hash per threshold term and drop out of codegen); the only exchange
+    is the 40-group aggregation with map-side partials; rank selection
+    runs on the 40-row frame."""
     from ibis_flink_example_spark.functions.exact import cents
     from ibis_flink_example_spark.operators.sampling import (
         poisson_bootstrap_mean_ci as boot,

@@ -3436,6 +3436,56 @@ def image_phash_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_PLANT_EDIT_SQL = "concat(substr(text, 1, 100), 'Z', substr(text, 102))"
+
+
+@query(
+    "image_phash_capped_planted_pairs",
+    oracle="WITH aug AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    f"  SELECT doc_id + 10000000, {_PLANT_EDIT_SQL}"
+    "  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 200"
+    "), " + _blockhash_sig_sql("aug") + """
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash64, b.phash64)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash64, b.phash64)) <= 7
+""",
+)
+def image_phash_capped_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall witness for the PRODUCTION capped image near-dup arm: the
+    fixture corpus has no Hamming <= 7 signature pairs, so the capped
+    query's green row is trivially 0-vs-0 — this arm PLANTS
+    deterministic near-duplicates (every 97th document with a one-char
+    mid-payload edit — same length, so block boundaries are unchanged
+    and only the touched block's bit can flip) and runs the IDENTICAL
+    8x8-bit, Hamming <= 7, max_bucket_size=50_000 configuration over
+    the augmented corpus. The oracle is the pure all-pairs definition
+    over the same augmentation, so the row proves, with NON-ZERO output,
+    that the banded + capped production path recovers every planted
+    pair. Same scale shape as image_phash_neardup_pairs_capped (the
+    augmentation is a second scan-stage branch, union before the
+    signature stage)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.length("text") >= 200)
+    ).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.expr(_PLANT_EDIT_SQL).alias("text"),
+    )
+    media = docs.unionByName(planted).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    pairs = M.phash_neardup_pairs(
+        media, max_hamming=7, n_chunks=8, max_bucket_size=50_000
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classifier QA: ROC (r10) — the decision-support twin of calibration_bins
 # ---------------------------------------------------------------------------
@@ -3705,14 +3755,14 @@ _SWEEP_THRESHOLDS_X1E6 = (350_000, 500_000, 700_000, 900_000)
     oracle=r"""
 WITH n AS (
   SELECT vec_id, label,
-    list_transform(embedding, x -> CAST(x AS DOUBLE) /
-      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-    ) AS nvec
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+      AS nrm
   FROM embeddings
 ), p AS (
   SELECT
-    CAST(round(list_sum(list_transform(range(1, len(a.nvec) + 1),
-      i -> a.nvec[i] * b.nvec[i])) * 1000000) AS BIGINT) AS cos6,
+    CAST(round(list_sum(list_transform(range(1, len(a.vec) + 1),
+      i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos6,
     a.vec_id AS id_a, b.vec_id AS id_b
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 ), t AS (
@@ -3739,10 +3789,18 @@ def semantic_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     how you see the knee). The pair stage reuses
     embedding_neardup_pairs' blocked equi-join; the sweep is an in-row
     array filter + explode, so adding thresholds costs nothing extra at
-    100 TB. Thresholds with no surviving pairs report explicit zeros."""
+    100 TB. Thresholds with no surviving pairs report explicit zeros.
+    The pre-filter sits strictly BELOW the lowest sweep value (0.3499 <
+    0.35): membership is gated ONLY on the quantized cos6 >= thr, so a
+    pair whose float cosine lands in [0.3499995, 0.35) — which rounds
+    to the 350000 boundary — cannot be dropped by the float pre-filter
+    on one engine and kept by the rounded gate on the other. The oracle
+    mirrors the engine's exact float chain (dot / (norm_a * norm_b),
+    scalar norms carried per row) so the 6-dp quantization sees
+    bit-identical inputs."""
     em = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_neardup_pairs(
-        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+        em, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3499
     )
     scored = pairs.select(
         "id_a",

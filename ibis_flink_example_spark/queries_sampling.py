@@ -530,7 +530,6 @@ def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_group_aware_events (leakage-safe grouping) with the k-fold
     rotation form."""
     from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
-    from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     fold_sql = (
@@ -544,7 +543,6 @@ def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "fold")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    w = W.partitionBy("lang")
     return occ.select(
         "lang",
         "fold",

@@ -257,6 +257,9 @@ def main() -> int:
         "triangle_count", "vocab_coverage", "priority_sample",
         "ks_two_sample", "gopher_flags", "hard_negative_mining",
         "sparse_cosine_pairs", "bigram_surprisal",
+        # r12: the exact-substring run coalescer — corpus-token-sized
+        # hash-count window, the heaviest legitimate shuffle in the tier
+        "substring_dup_runs",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -276,7 +279,8 @@ def main() -> int:
            "rendezvous_shard_plan", "blockhash_signatures",
            "epoch_shuffle_plan", "roc_auc", "phash_pair_join",
            "vocab_coverage", "priority_sample", "ks_two_sample",
-           "gopher_flags", "sparse_cosine_pairs", "bigram_surprisal"}
+           "gopher_flags", "sparse_cosine_pairs", "bigram_surprisal",
+           "substring_dup_runs"}
     )
     need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
     need_copurchase = "triangle_count" in keep
@@ -585,6 +589,23 @@ def main() -> int:
 
             return run
 
+        def substring_runs_at(label):
+            # the registered query's planted-dup shape, replicated per
+            # copy (copies have per-copy word suffixes, so each copy's
+            # dup structure is its own — corpus-linear, never cross-copy):
+            # every 50th doc gains an exact duplicate, and the operator's
+            # hash-partitioned count window is the heaviest legitimate
+            # shuffle in the LLM tier (one row per corpus TOKEN).
+            d = spark.read.parquet(docs[label])
+            planted = d.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                "text",
+            )
+            aug = d.select("doc_id", "text").unionByName(planted)
+            return lambda: D.substring_dup_runs(
+                aug, id_col="doc_id", text_col="text", k=10
+            ).count()
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
@@ -608,6 +629,7 @@ def main() -> int:
             "hard_negative_mining": hard_negatives_at,
             "sparse_cosine_pairs": sparse_pairs_at,
             "bigram_surprisal": bigram_surprisal_at,
+            "substring_dup_runs": substring_runs_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

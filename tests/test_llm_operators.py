@@ -1647,6 +1647,29 @@ def test_phash_neardup_pairs_finds_planted_neardup(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_phash_neardup_pairs_capped_config_finds_planted_neardup(spark):
+    """The PRODUCTION configuration (8 chunks x 8 bits, Hamming <= 7,
+    max_bucket_size ON — the image_phash_neardup_pairs_capped query and
+    the operator defaults) must also recover a planted near-dup: its
+    fixture driver row is legitimately 0-pairs, so without this pin the
+    capped band/cap plumbing has no recall evidence."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:100] + "Z" + base[101:]  # same length: blocks align
+    unrelated = "zzzz AAAA " * 40
+    media = spark.createDataFrame(
+        [(0, base), (1, edited), (2, unrelated)],
+        "media_id long, payload string",
+    ).select("media_id", F.col("payload").cast("binary").alias("payload"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.phash_neardup_pairs(
+            media, max_hamming=7, n_chunks=8, max_bucket_size=50_000
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
 # --- r10: epoch shuffle / training order --------------------------------------
 
 
@@ -2472,6 +2495,35 @@ def test_sparse_cosine_pairs_planted_rare_term_pair(spark):
     row = out[0]
     assert row["cos2_x1e12"] == 10**12
     assert row["n_shared_terms"] >= 2
+
+
+def test_sparse_cosine_pairs_vocab_broadcast_guard(spark):
+    """The per-term df table is corpus-vocabulary-sized — at 100 TB an
+    unconditional broadcast of it is a driver OOM. Above the measured
+    cardinality budget the join must FALL BACK to a shuffle join (no
+    broadcast hint on the vocab frame) and produce identical results."""
+    from ibis_flink_example_spark.operators.retrieval import (
+        sparse_cosine_pairs,
+    )
+
+    common = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{common} zyzzyx"),
+        (2, f"{common} zyzzyx"),
+    ] + [(10 + i, common) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bc = sparse_cosine_pairs(docs)  # vocab well under the default budget
+    fb = sparse_cosine_pairs(docs, max_broadcast_vocab_terms=0)  # forced fallback
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, fb.collect()))
+
+    # the weighted-term subtree is reused (norms, rare, wa, wb), so each
+    # of its two hints (vocab join + one-row n_docs) appears once per
+    # reuse in the analyzed plan; the fallback must drop exactly the
+    # vocab-join half and keep the n_docs half
+    n_hints_bc = bc._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    n_hints_fb = fb._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert n_hints_fb == n_hints_bc // 2 and n_hints_fb >= 1
 
 
 def test_script_profile_mixed_script_detection(spark):
