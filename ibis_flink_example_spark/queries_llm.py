@@ -2384,6 +2384,188 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_attribution",
+    # Same stride-1 anchor table as dedup_substring_runs, then occurrence
+    # PAIRS along constant diagonals (pos_a - pos_b) coalesced into
+    # maximal shared runs per (doc_a, doc_b) — the provenance step. The
+    # hot-gram cap (occurrences <= 50) is mirrored exactly: it is a
+    # deterministic function of the corpus, not an engine heuristic.
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM aug
+), grams AS (
+  SELECT doc_id, t.i AS pos,
+    md5(array_to_string(list_slice(ws, t.i + 1, t.i + 10), ' ')) AS h
+  FROM w, UNNEST(range(0, GREATEST(len(ws) - 9, 0))) AS t(i)
+), occ AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS cnt FROM grams
+  ) WHERE cnt >= 2 AND cnt <= 50
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b ON a.h = b.h AND a.doc_id < b.doc_id
+), l AS (
+  SELECT id_a, id_b, diag, pa,
+    CASE WHEN pa - LAG(pa) OVER wd = 1 THEN 0 ELSE 1 END AS brk
+  FROM pairs WINDOW wd AS (PARTITION BY id_a, id_b, diag ORDER BY pa)
+), runs AS (
+  SELECT id_a, id_b, diag,
+         SUM(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS run_id,
+         pa
+  FROM l
+), agg AS (
+  SELECT id_a, id_b, diag, run_id, COUNT(*) AS anchors
+  FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+  CAST(COUNT(*) AS BIGINT) AS n_shared_runs,
+  CAST(SUM(anchors) AS BIGINT) AS shared_anchors,
+  CAST(MAX(anchors) + 9 AS BIGINT) AS max_shared_run_tokens
+FROM agg GROUP BY 1, 2
+""",
+)
+def dedup_substring_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-run ATTRIBUTION (VERDICT r11 #7a —
+    operators/dedup.py:substring_dup_attribution): which (doc_a, doc_b)
+    pairs share maximal duplicated runs, over the same planted-dup
+    corpus as dedup_substring_runs. The removal-policy provenance table
+    Lee et al.'s ExactSubstr pass acts on: per pair, how many maximal
+    shared runs, how many shared anchors, and the longest shared span in
+    words. Pair generation is the hash-keyed occurrence self-join with
+    the >= 2 duplication filter and the <= 50 hot-gram cap (both
+    deterministic, both mirrored in the oracle); shared runs coalesce by
+    gaps-and-islands along constant (pos_a - pos_b) diagonals — the
+    suffix-array extend step as window arithmetic."""
+    from ibis_flink_example_spark.operators.dedup import (
+        substring_dup_attribution,
+    )
+
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
+    return substring_dup_attribution(
+        aug, id_col="doc_id", text_col="text", k=10,
+        max_occurrences_per_gram=50,
+    )
+
+
+_CONTAM_GRAMS_SQL = """CASE WHEN len(ws) >= 13
+      THEN list_transform(range(1, len(ws) - 11),
+                          i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+      ELSE [array_to_string(ws, ' ')] END"""
+
+
+@query(
+    "contamination_leaderboard",
+    # 13-gram eval-overlap hits attributed per (eval_set, train source),
+    # ranked within each eval set — the decontaminate_ngram membership
+    # test composed with dup_inflation_by_source's provenance rollup.
+    oracle=rf"""
+WITH ev AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'dev' ELSE 'test' END AS eval_set,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+), evg AS (
+  SELECT DISTINCT eval_set, UNNEST({_CONTAM_GRAMS_SQL}) AS gram FROM ev
+), tr AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+  FROM documents WHERE doc_id % 97 <> 0
+), trg AS (
+  SELECT DISTINCT doc_id, UNNEST({_CONTAM_GRAMS_SQL}) AS gram FROM tr
+), hits AS (
+  SELECT DISTINCT evg.eval_set, trg.doc_id
+  FROM trg JOIN evg USING (gram)
+), src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs FROM tr GROUP BY 1
+), sets AS (
+  SELECT DISTINCT eval_set FROM ev
+), cont AS (
+  SELECT h.eval_set, t.source,
+         CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS n_contaminated
+  FROM hits h JOIN tr t ON t.doc_id = h.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.eval_set, d.source, d.n_train_docs,
+  COALESCE(c.n_contaminated, 0) AS n_contaminated,
+  CAST(COALESCE(c.n_contaminated, 0) * 1000000 // d.n_train_docs AS BIGINT)
+    AS contamination_x1e6,
+  CAST(ROW_NUMBER() OVER (PARTITION BY s.eval_set
+       ORDER BY COALESCE(c.n_contaminated, 0) DESC, d.source) AS BIGINT)
+    AS rank
+FROM sets s CROSS JOIN src d
+LEFT JOIN cont c ON c.eval_set = s.eval_set AND c.source = d.source
+""",
+)
+def contamination_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-set, per-domain contamination ranking (VERDICT r11 #7c —
+    operators/text.py:contamination_hits): the 13-gram GPT-3-style
+    overlap test attributed to WHICH eval set ('dev' / 'test' carved
+    deterministically from every-97th doc) leaks into WHICH training
+    source domain, ranked within each eval set — the table a data-vendor
+    audit or a per-domain decontamination budget reads. Hit generation
+    is the guarded-broadcast gram join (eval grams measured, broadcast
+    under budget, shuffle fallback above); rollups are domain-sized;
+    every (eval_set, source) cell is explicit, zeros included, so the
+    leaderboard shape is stable as contamination goes to zero."""
+    from ibis_flink_example_spark.operators.text import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    train = docs.filter(~is_eval).select("doc_id", "source", "text")
+    evald = docs.filter(is_eval).select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("dev"))
+        .otherwise(F.lit("test"))
+        .alias("eval_set"),
+        "text",
+    )
+    hits = contamination_hits(
+        train,
+        evald,
+        id_col="doc_id",
+        text_col="text",
+        set_col="eval_set",
+        n=13,
+    )
+    cont = (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("eval_set", "source")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_contaminated"))
+    )
+    src = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs")
+    )
+    from pyspark.sql import Window as W
+
+    sets = evald.select("eval_set").distinct()
+    w = W.partitionBy("eval_set").orderBy(
+        F.desc("n_contaminated"), F.col("source")
+    )
+    return (
+        sets.crossJoin(src)
+        .join(cont, ["eval_set", "source"], "left")
+        .select(
+            "eval_set",
+            "source",
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_x1e6",
+            F.expr(
+                "CAST(n_contaminated * 1000000 DIV n_train_docs AS BIGINT)"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+@query(
     "domain_mixture_weights",
     # DoReMi/data-mixing shape: per-domain resampling weights to hit a
     # UNIFORM target mixture, computed in pure integer arithmetic

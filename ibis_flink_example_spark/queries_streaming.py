@@ -1297,6 +1297,282 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(res_t).select("doc_id", "batch_id", "accepted")
 
 
+def _minhash_ingest_oracle() -> str:
+    """Arrival-prefix definition of the banded-MinHash ingest: candidates
+    are same-(band_idx, band_key) pairs under the prefix order, accepted
+    = no candidate verifies at exact 3-gram Jaccard >= 1/2. The md5
+    k-rehash signature (16 hashes, 8 bands x 2 rows, 12-hex prefix
+    integers) is bit-replayed via the shared hex-prefix idiom."""
+    from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
+
+    h = hex_prefix_int_sql(
+        "substr(md5(shingle || ':mh:' || CAST(t.j AS VARCHAR)), 1, 12)", 12
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, doc_id % 4 AS b,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, b,
+    UNNEST(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1),
+                               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+           ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM w
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1
+), sig AS (
+  SELECT doc_id, b, t.j AS j, MIN({h}) AS m
+  FROM sh, UNNEST(range(0, 16)) AS t(j)
+  GROUP BY 1, 2, 3
+), bands AS (
+  SELECT doc_id, b, j // 2 AS band_idx,
+         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, b, j // 2
+), cand AS (
+  SELECT DISTINCT n.doc_id AS id_n, o.doc_id AS id_o
+  FROM bands n JOIN bands o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+   AND (o.b < n.b OR (o.b = n.b AND o.doc_id < n.doc_id))
+), inter AS (
+  SELECT c.id_n, c.id_o, COUNT(*) AS nc
+  FROM cand c
+  JOIN sh n ON n.doc_id = c.id_n
+  JOIN sh o ON o.doc_id = c.id_o AND o.shingle = n.shingle
+  GROUP BY 1, 2
+), rej AS (
+  SELECT DISTINCT id_n
+  FROM inter
+  JOIN sizes sn ON sn.doc_id = inter.id_n
+  JOIN sizes so ON so.doc_id = inter.id_o
+  WHERE 2 * nc >= 1 * (sn.ns + so.ns - nc)
+)
+SELECT w.doc_id,
+       CAST(w.b AS BIGINT) AS batch_id,
+       (rej.id_n IS NULL) AS accepted
+FROM w LEFT JOIN rej ON w.doc_id = rej.id_n
+"""
+
+
+@query("streaming_minhash_neardup_ingest", oracle=_minhash_ingest_oracle())
+def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-shaped sibling of streaming_neardup_ingest
+    (VERDICT r11 #7b, named by that query's own docstring): candidate
+    generation through BANDED MINHASH over the same append-only state
+    instead of full shingle co-occurrence. Per batch: one engine-portable
+    md5 k-rehash signature pass (operators/dedup.py:
+    md5_minhash_band_rows — 16 hashes, 8 bands x 2 rows; the xxhash64
+    OPH arm is the cheaper non-replayable production default), band rows
+    equi-joined against the persistent band state + smaller-id same-batch
+    rows (hot band buckets capped via drop_hot_keys), and ONLY the
+    surviving candidate pairs verified at exact 3-gram Jaccard >= 1/2 —
+    the LSH-candidates-then-exact-verify pipeline, incremental form.
+    Per-batch cost is bounded by band-bucket co-occupancy (8 rows per doc
+    in the band join, never per-shingle co-occurrence), the band and
+    shingle states are BUCKETED on their join keys so the state never
+    reshuffles, and all state tables only APPEND. Same replay infra,
+    re-delivery guard and arrival-order assertion as the exact sibling.
+    Returns one row per doc: (doc_id, batch_id, accepted)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ibis_flink_example_spark.catalog import (
+        drop_table_and_location,
+        scratch_dir,
+        table_path,
+    )
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+        drop_hot_keys,
+        md5_minhash_band_rows,
+        word_shingles,
+        words,
+    )
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    stage = scratch_dir("minhash_neardup_replay", sf_dir)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    tbl = pq.read_table(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    arr = pc.cast(
+        pc.bit_wise_and(tbl.column("doc_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    tbl = tbl.append_column("arrival_batch", arr)
+    base = time.time() - 3600
+    for k in range(4):
+        part = tbl.filter(
+            pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32()))
+        )
+        p = os.path.join(stage, f"batch_{k}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base + 2 * k, base + 2 * k))
+
+    sch = mk_schema(
+        {"doc_id": "int64", "text": "string", "arrival_batch": "int32"}
+    )
+    res_t = "minhash_ingest_results"
+    seen_sh_t = "minhash_ingest_seen_sh"
+    seen_sz_t = "minhash_ingest_seen_sizes"
+    seen_bd_t = "minhash_ingest_seen_bands"
+    for t in (res_t, seen_sh_t, seen_sz_t, seen_bd_t):
+        drop_table_and_location(spark, t)
+
+    state = {"last_bid": None, "last_arr": -1, "has_seen": False}
+
+    def apply(bdf, bid):
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
+        arrs = sorted(
+            r["arrival_batch"]
+            for r in bdf.select("arrival_batch").distinct().collect()
+        )
+        if not arrs:
+            state["last_bid"] = bid
+            return
+        if len(arrs) != 1 or arrs[0] <= state["last_arr"]:
+            raise RuntimeError(
+                f"minhash ingest: replay disorder — arrival tags {arrs} "
+                f"after {state['last_arr']}; refusing to mis-order the prefix"
+            )
+        arrival = int(arrs[0])
+        sess = bdf.sparkSession
+        # shingle STRINGS (not hashes): the md5 signature and the exact
+        # verify both consume them; one pass, materialized once
+        sh_b = (
+            bdf.select(
+                "doc_id",
+                F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sizes_b = sh_b.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        )
+        bands_b = md5_minhash_band_rows(
+            sh_b, id_col="doc_id", shingle_col="shingle"
+        ).localCheckpoint(eager=True)
+        probe = bands_b.select(
+            F.col("doc_id").alias("id_n"), "band_idx", "band_key"
+        )
+        pool = bands_b.select(
+            F.col("doc_id").alias("id_o"),
+            "band_idx",
+            "band_key",
+            F.lit(arrival).cast("int").alias("arr"),
+        )
+        if state["has_seen"]:
+            pool = pool.unionByName(
+                sess.table(seen_bd_t).select(
+                    F.col("doc_id").alias("id_o"), "band_idx", "band_key", "arr"
+                )
+            )
+        pool = drop_hot_keys(
+            pool,
+            ["band_idx", "band_key"],
+            max_rows_per_key=50_000,
+            what="minhash band bucket",
+        )
+        cand = (
+            probe.join(pool, ["band_idx", "band_key"])
+            .filter(
+                (F.col("arr") < F.lit(arrival))
+                | ((F.col("arr") == F.lit(arrival)) & (F.col("id_o") < F.col("id_n")))
+            )
+            .select("id_n", "id_o")
+            .distinct()
+        )
+        pool_sh = sh_b
+        pool_sz = sizes_b
+        if state["has_seen"]:
+            pool_sh = pool_sh.unionByName(sess.table(seen_sh_t))
+            pool_sz = pool_sz.unionByName(sess.table(seen_sz_t))
+        nn = sh_b.select(F.col("doc_id").alias("id_n"), "shingle").join(
+            cand.select("id_n").distinct(), "id_n", "left_semi"
+        )
+        oo = pool_sh.select(F.col("doc_id").alias("id_o"), "shingle").join(
+            cand.select("id_o").distinct(), "id_o", "left_semi"
+        )
+        inter = (
+            nn.join(oo, "shingle")
+            .join(cand, ["id_n", "id_o"], "left_semi")
+            .groupBy("id_n", "id_o")
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        rejected = (
+            inter.join(
+                sizes_b.select(
+                    F.col("doc_id").alias("id_n"),
+                    F.col("n_shingles").alias("ns"),
+                ),
+                "id_n",
+            )
+            .join(
+                pool_sz.select(
+                    F.col("doc_id").alias("id_o"),
+                    F.col("n_shingles").alias("no"),
+                ),
+                "id_o",
+            )
+            .filter(F.expr("2 * nc >= 1 * (ns + no - nc)"))
+            .select(F.col("id_n").alias("doc_id"))
+            .distinct()
+        )
+        res = (
+            bdf.select("doc_id")
+            .join(rejected.withColumn("__rej", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(arrival).cast("long").alias("batch_id"),
+                F.col("__rej").isNull().alias("accepted"),
+            )
+        )
+        res.write.mode("append").saveAsTable(res_t)
+        # band state bucketed on the band join key; shingle state bucketed
+        # on the verify join key — the next batch reads both
+        # pre-partitioned, only the (small) batch side exchanges
+        bands_b.select(
+            "doc_id",
+            "band_idx",
+            "band_key",
+            F.lit(arrival).cast("int").alias("arr"),
+        ).write.mode("append").bucketBy(8, "band_key").sortBy(
+            "band_key"
+        ).saveAsTable(seen_bd_t)
+        sh_b.write.mode("append").bucketBy(8, "shingle").sortBy(
+            "shingle"
+        ).saveAsTable(seen_sh_t)
+        sizes_b.write.mode("append").saveAsTable(seen_sz_t)
+        _release_local_checkpoint(sh_b)
+        _release_local_checkpoint(bands_b)
+        state["last_bid"] = bid
+        state["last_arr"] = arrival
+        state["has_seen"] = True
+
+    stream = (
+        _docs_stream_session(spark)
+        .readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = foreach_batch(stream, apply, available_now=True)
+    q.awaitTermination()
+    if state["last_bid"] is None:
+        return spark.createDataFrame(
+            [], "doc_id long, batch_id long, accepted boolean"
+        )
+    return spark.table(res_t).select("doc_id", "batch_id", "accepted")
+
+
 def _docs_stream_session(spark: SparkSession):
     """Documents-replay twin of ``_events_stream``'s session discipline: a
     conf-isolated clone carrying the bounded-run state partitioning (no

@@ -259,7 +259,9 @@ def main() -> int:
         "sparse_cosine_pairs", "bigram_surprisal",
         # r12: the exact-substring run coalescer — corpus-token-sized
         # hash-count window, the heaviest legitimate shuffle in the tier
+        # — and its pair-attribution sibling (capped occurrence self-join)
         "substring_dup_runs",
+        "substring_dup_attribution",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -280,7 +282,7 @@ def main() -> int:
            "epoch_shuffle_plan", "roc_auc", "phash_pair_join",
            "vocab_coverage", "priority_sample", "ks_two_sample",
            "gopher_flags", "sparse_cosine_pairs", "bigram_surprisal",
-           "substring_dup_runs"}
+           "substring_dup_runs", "substring_dup_attribution"}
     )
     need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
     need_copurchase = "triangle_count" in keep
@@ -606,6 +608,21 @@ def main() -> int:
                 aug, id_col="doc_id", text_col="text", k=10
             ).count()
 
+        def substring_attr_at(label):
+            # same planted-dup augmentation as the runs probe; the
+            # measured stage adds the hash-keyed occurrence self-join
+            # (capped at 50 occurrences/gram) + diagonal islands
+            d = spark.read.parquet(docs[label])
+            planted = d.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                "text",
+            )
+            aug = d.select("doc_id", "text").unionByName(planted)
+            return lambda: D.substring_dup_attribution(
+                aug, id_col="doc_id", text_col="text", k=10,
+                max_occurrences_per_gram=50,
+            ).count()
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
@@ -630,6 +647,7 @@ def main() -> int:
             "sparse_cosine_pairs": sparse_pairs_at,
             "bigram_surprisal": bigram_surprisal_at,
             "substring_dup_runs": substring_runs_at,
+            "substring_dup_attribution": substring_attr_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

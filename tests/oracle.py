@@ -166,6 +166,9 @@ BNLJ_ALLOWED = {
     # one-row (xmax, ymax) frame broadcast for order-preserving range
     # quantization of the Morton key inputs
     "zorder_layout_plan",
+    # the <= 2-row eval-set frame crossJoined with the domain-sized
+    # source rollup to make zero-contamination cells explicit
+    "contamination_leaderboard",
 }
 
 # Queries allowed to plan row-at-a-time Python evaluation

@@ -2497,6 +2497,101 @@ def test_sparse_cosine_pairs_planted_rare_term_pair(spark):
     assert row["n_shared_terms"] >= 2
 
 
+def test_md5_minhash_band_rows_properties(spark):
+    """Identical shingle sets -> identical band keys in EVERY band;
+    disjoint sets share (overwhelmingly) none; row count = bands per
+    doc; keys replay the md5 hex-prefix draw exactly (cross-checked
+    against a Python-side recomputation)."""
+    import hashlib
+
+    from ibis_flink_example_spark.operators.dedup import (
+        md5_minhash_band_rows,
+    )
+
+    a = [f"tok{i} tok{i+1} tok{i+2}" for i in range(10)]
+    c = [f"zz{i} zz{i+1} zz{i+2}" for i in range(10)]
+    rows = (
+        [(1, s) for s in a] + [(2, s) for s in a] + [(3, s) for s in c]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = md5_minhash_band_rows(sh, id_col="doc_id").collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["band_idx"]] = r["band_key"]
+    assert all(len(b) == 8 for b in by_doc.values())
+    assert by_doc[1] == by_doc[2]
+    assert all(by_doc[1][i] != by_doc[3][i] for i in range(8))
+
+    # bit-replay: recompute doc 1's band 0 key in pure Python
+    def h(s, j):
+        return int(hashlib.md5(f"{s}:mh:{j}".encode()).hexdigest()[:12], 16)
+
+    m0 = min(h(s, 0) for s in a)
+    m1 = min(h(s, 1) for s in a)
+    assert by_doc[1][0] == f"{m0}:{m1}"
+
+
+def test_substring_dup_attribution_hot_gram_cap(spark):
+    """A gram above ``max_occurrences_per_gram`` contributes NO pairs;
+    the docs it would have paired still pair through their rarer shared
+    windows. Doc 1/2 share a rare 3-word run; docs 3..8 all share one
+    ubiquitous gram (6 occurrences > cap 5) and must produce no rows."""
+    from ibis_flink_example_spark.operators.dedup import (
+        substring_dup_attribution,
+    )
+
+    rare = "alpha beta gamma delta"  # 2 anchors at k=3, shared by 1,2
+    common = "x y z"
+    rows = [(1, rare), (2, rare)] + [(i, common) for i in range(3, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dup_attribution(
+        df, id_col="doc_id", text_col="text", k=3, max_occurrences_per_gram=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["n_shared_runs"] == 1
+    assert r["shared_anchors"] == 2
+    assert r["max_shared_run_tokens"] == 4
+    # uncapped: the common gram pairs all 15 combinations of docs 3..8
+    un = substring_dup_attribution(
+        df, id_col="doc_id", text_col="text", k=3,
+        max_occurrences_per_gram=None,
+    ).collect()
+    assert len(un) == 1 + 15
+
+
+def test_contamination_hits_attributes_per_eval_set(spark):
+    """A train doc sharing a 13-gram with BOTH eval sets hits both; one
+    sharing with only one set hits only it; clean docs hit none. The
+    short-doc degenerate (whole-text gram) must also attribute."""
+    from ibis_flink_example_spark.operators.text import contamination_hits
+
+    g1 = " ".join(f"a{i}" for i in range(13))
+    g2 = " ".join(f"b{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (1, f"{g1} filler words here"),       # hits dev only
+            (2, f"{g1} mid {g2}"),                # hits both
+            (3, "totally clean document text"),   # no hit
+            (4, "tiny"),                          # whole-text gram, hits test
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [("dev", g1), ("test", g2), ("test", "tiny")],
+        "eval_set string, text string",
+    )
+    got = {
+        (r["eval_set"], r["doc_id"])
+        for r in contamination_hits(
+            train, evald, id_col="doc_id", text_col="text",
+            set_col="eval_set", n=13,
+        ).collect()
+    }
+    assert got == {("dev", 1), ("dev", 2), ("test", 2), ("test", 4)}
+
+
 def test_sparse_cosine_pairs_vocab_broadcast_guard(spark):
     """The per-term df table is corpus-vocabulary-sized — at 100 TB an
     unconditional broadcast of it is a driver OOM. Above the measured

@@ -982,6 +982,52 @@ def test_phash_capped_plan_matches_uncapped_shape(spark, sf_dir):
     )
 
 
+def test_poisson_bootstrap_fan_out_and_codegen_draw(spark, sf_dir):
+    """The r11 plan defect must stay fixed: the x40 replicate fan-out
+    runs on a fan_out-widened scan (RoundRobinPartitioning exchange —
+    on the single-split fixture the explode would otherwise run as ONE
+    task), and the u-draw is a plain projected expression (no
+    higher-order-function filter that would inline the md5 per threshold
+    term and drop the Project out of whole-stage codegen)."""
+    df = QUERIES["poisson_bootstrap_mean_ci"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert "ArrayFilter" not in plan and "LambdaFunction" not in plan
+    ops = plan_ops(df)
+    assert ops["Generate"] >= 1  # the replicate explode
+    assert ops["CartesianProduct"] == 0
+
+
+def test_substring_attribution_is_capped_hash_join_plus_windows(spark, sf_dir):
+    """dedup_substring_attribution: pair generation must be the
+    hash-keyed occurrence equi-join (>= 1 shuffled/broadcast join, never
+    CartesianProduct/BNLJ); the islands ride (id_a, id_b, diag)
+    partition windows; the scan reads only (doc_id, text)."""
+    df = QUERIES["dedup_substring_attribution"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] == 0
+    assert ops["BroadcastNestedLoopJoin"] == 0
+    assert (
+        ops["SortMergeJoin"] + ops["ShuffledHashJoin"] + ops["BroadcastHashJoin"] >= 1
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_contamination_leaderboard_broadcasts_eval_grams(spark, sf_dir):
+    """contamination_leaderboard: under the gram budget the eval-gram
+    probe joins as a BROADCAST onto the training gram explode (the
+    training side must not shuffle per gram); rollups are domain-sized.
+    The only nested-loop join is the <= 2-row eval-set crossJoin
+    (whitelisted in tests/oracle.py BNLJ_ALLOWED)."""
+    df = QUERIES["contamination_leaderboard"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["BroadcastHashJoin"] >= 1
+    assert ops["CartesianProduct"] == 0
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "source", "text"}
+
+
 def test_shard_manifest_is_one_window_plus_colocated_rollup(spark, sf_dir):
     """shard_file_manifest: the HRW argmax and per-doc digest are
     scan-stage expressions — zero joins; ONE exchange (the shard-keyed

@@ -658,3 +658,77 @@ def test_substring_dup_runs_matches_bruteforce(spark, docs_words):
         ).collect()
     }
     assert got == expected
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_substring_dup_attribution_matches_bruteforce(spark, docs_words):
+    """substring_dup_attribution (k=3, uncapped) vs brute force: for every
+    doc pair, occurrence pairs of equal k-grams grouped by diagonal
+    (pos_a - pos_b), maximal runs by consecutive-pos islands — shared run
+    count, total shared anchors, and longest shared span must all match
+    for ANY corpus shape (multi-occurrence grams fan out into every
+    cross pair; within-doc repeats never pair with themselves)."""
+    from ibis_flink_example_spark.operators.dedup import (
+        substring_dup_attribution,
+    )
+
+    k = 3
+    texts = [" ".join(f"w{t}" for t in ws) for ws in docs_words]
+    per_doc = []
+    for txt in texts:
+        ws = txt.split(" ")
+        per_doc.append([tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)])
+    expected = {}
+    for i in range(len(per_doc)):
+        for j in range(i + 1, len(per_doc)):
+            pairs = [
+                (pa, pa - pb)
+                for pa, ga in enumerate(per_doc[i])
+                for pb, gb in enumerate(per_doc[j])
+                if ga == gb
+            ]
+            if not pairs:
+                continue
+            by_diag: dict[int, list[int]] = {}
+            for pa, d in pairs:
+                by_diag.setdefault(d, []).append(pa)
+            n_runs, best = 0, 1
+            for pas in by_diag.values():
+                pas.sort()
+                n_runs += 1 + sum(
+                    1 for a, b in zip(pas, pas[1:]) if b - a != 1
+                )
+                cur = 1
+                for a, b in zip(pas, pas[1:]):
+                    cur = cur + 1 if b - a == 1 else 1
+                    best = max(best, cur)
+            expected[(i, j)] = (n_runs, len(pairs), best + k - 1)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_shared_runs"],
+            r["shared_anchors"],
+            r["max_shared_run_tokens"],
+        )
+        for r in substring_dup_attribution(
+            df,
+            id_col="doc_id",
+            text_col="text",
+            k=k,
+            max_occurrences_per_gram=None,
+        ).collect()
+    }
+    assert got == expected
