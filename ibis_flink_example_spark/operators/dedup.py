@@ -329,19 +329,39 @@ def md5_minhash_band_rows(
     (map-side partial aggregation collapses each doc before the
     id-keyed shuffle); band assembly is in-row array math. Output rows:
     num_hashes / rows_per_band per document.
+
+    Hash economics: one md5 yields 32 hex chars = FOUR independent
+    32-bit draws, so permutation j reads an 8-hex slice of
+    md5(shingle || ':salt:' || j DIV 4) — ceil(k/4) md5 evaluations per
+    shingle instead of k (the md5s are projected ONCE in their own
+    select; the 16 min-aggregates then read plain substr/conv over the
+    projected columns, so no re-evaluation however the aggregate plans).
+    32-bit draw space keeps min-collision ties negligible at any
+    realistic per-doc shingle count.
     """
     if num_hashes % rows_per_band != 0:
         raise ValueError("md5_minhash_band_rows: bands must divide evenly")
+    n_md5 = (num_hashes + 3) // 4
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    hexed = sh_rows.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(c, F.lit(f":{salt}:{g}")).cast("binary")).alias(
+                f"__x{g}"
+            )
+            for g in range(n_md5)
+        ],
+    )
     aggs = [
         F.min(
             F.expr(
-                f"CAST(conv(substr(md5(concat({shingle_col}, ':{salt}:{j}')),"
-                f" 1, 12), 16, 10) AS BIGINT)"
+                f"CAST(conv(substr(__x{j // 4}, {(j % 4) * 8 + 1}, 8),"
+                f" 16, 10) AS BIGINT)"
             )
         ).alias(f"__m{j}")
         for j in range(num_hashes)
     ]
-    sigs = sh_rows.groupBy(id_col).agg(*aggs)
+    sigs = hexed.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // rows_per_band
     entries = F.array(
         *[
@@ -1182,6 +1202,104 @@ def substring_dup_attribution(
         .cast("long")
         .alias("max_shared_run_tokens"),
     )
+
+
+def substring_dup_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    pos_bits: int = 20,
+) -> DataFrame:
+    """The REMOVAL step of the Lee et al. ExactSubstr pass — the
+    transform the runs/attribution tables inform: delete every token
+    that lies only inside NON-CANONICAL duplicated windows, keeping the
+    single canonical occurrence of each duplicated span. Canonical
+    occurrence of a window hash = the globally smallest (doc_id, pos)
+    pair carrying it (encoded as doc_id·2^pos_bits + pos so the argmin
+    is ONE integer MIN window — engine-portable, no struct ordering). A
+    token survives iff it is outside every duplicated window, or at
+    least one duplicated window covering it is canonical — so exactly
+    one copy of each duplicated region remains and unique text is never
+    touched.
+
+    Scale shape: the anchor table is the substring_dup_runs machinery
+    (bounded ROWS window, one hash-partitioned MIN+COUNT window); each
+    duplicated anchor explodes to its k covered positions (x k on the
+    DUPLICATED subset only, never the whole corpus); kept tokens
+    reassemble per doc via sort_array(collect_list) — one doc-keyed
+    aggregation whose input is one row per corpus token. Returns one
+    row per document that LOST at least one token:
+    (id_col, n_tokens, n_removed, clean_md5) — clean_md5 is the md5 of
+    the space-rejoined surviving tokens, the receiving pipeline's
+    content digest.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("substring_dup_removal: k must be >= 2")
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    grams = tok.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
+        F.count("__w").over(frame).alias("__n"),
+    ).filter(F.col("__n") == k)
+    byhash = Window.partitionBy("__h")
+    # the packed argmin key needs pos < 2^pos_bits — raise loudly on a
+    # document long enough to wrap instead of silently mis-ranking
+    pos_guard = F.when(
+        F.col("pos") >= F.lit(2**pos_bits),
+        F.raise_error(
+            F.lit(f"substring_dup_removal: pos >= 2^{pos_bits}; raise pos_bits")
+        ).cast("long"),
+    ).otherwise(F.col("pos"))
+    enc = (F.col(id_col) * F.lit(2**pos_bits) + pos_guard).cast("long")
+    dup = (
+        grams.select(
+            id_col,
+            "pos",
+            enc.alias("__enc"),
+            F.count(F.lit(1)).over(byhash).alias("__cnt"),
+            F.min(enc).over(byhash).alias("__canon_enc"),
+        )
+        .filter(F.col("__cnt") >= 2)
+    )
+    covered = dup.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+        (F.col("__enc") == F.col("__canon_enc")).alias("__canon"),
+    )
+    removed = (
+        covered.groupBy(id_col, "pos")
+        .agg(F.max(F.col("__canon").cast("int")).alias("__any_canon"))
+        .filter(F.col("__any_canon") == 0)
+        .select(id_col, "pos", F.lit(True).alias("__rm"))
+    )
+    marked = tok.join(removed, [id_col, "pos"], "left")
+    entry = F.struct(F.col("pos").alias("p"), F.col("__w").alias("w"))
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("__rm"), 1)).cast("long").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("__rm").isNull(), entry))
+                    ),
+                    lambda x: x["w"],
+                ),
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+    return out.filter(F.col("n_removed") > 0)
 
 
 def incremental_dedup(

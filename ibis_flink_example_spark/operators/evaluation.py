@@ -664,3 +664,69 @@ def ks_vs_pooled(
             ).alias("d_x1e6"),
         )
     )
+
+
+def cohen_kappa_by_group(
+    df: DataFrame,
+    *,
+    rater_a_col: str,
+    rater_b_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Chance-corrected inter-rater agreement (Cohen's kappa) between two
+    BOOLEAN rater columns, per group — the QA readout for any pair of
+    labeling passes (two quality classifiers, a heuristic vs a model
+    judge, annotator A vs B): raw agreement is inflated whenever one
+    label dominates; kappa subtracts the agreement two independent
+    raters with these marginals would reach by luck.
+
+    Exactness: kappa = (n·(n11+n00) − (a1·b1 + a0·b0)) /
+    (n² − (a1·b1 + a0·b0)) entirely in int64/decimal products; the
+    x1e6 fixed-point result uses SIGN-FACTORED truncating division
+    (kappa is negative when raters agree less than chance, and Spark's
+    DIV truncates toward zero while other engines floor — factoring the
+    sign makes both divide non-negative integers). A degenerate group
+    where chance agreement is total (pe = 1, all four marginal products
+    collapse) reports NULL instead of 0/0.
+
+    Scale shape: ONE grouped aggregation with map-side partials over the
+    scan-stage rater columns; everything after is per-group scalar math.
+    Returns (*group_cols, n_docs, n_both_pos, n_both_neg, n_only_a,
+    n_only_b, kappa_x1e6).
+    """
+    gcols = list(group_cols)
+    a = F.col(rater_a_col)
+    b = F.col(rater_b_col)
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(a & b, 1)).cast("long").alias("n_both_pos"),
+        F.count(F.when(~a & ~b, 1)).cast("long").alias("n_both_neg"),
+        F.count(F.when(a & ~b, 1)).cast("long").alias("n_only_a"),
+        F.count(F.when(~a & b, 1)).cast("long").alias("n_only_b"),
+    )
+    return agg.select(
+        *gcols,
+        "n_docs",
+        "n_both_pos",
+        "n_both_neg",
+        "n_only_a",
+        "n_only_b",
+        F.expr(
+            """CAST(CASE
+  WHEN CAST(n_docs AS DECIMAL(38,0)) * n_docs
+       - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS DECIMAL(38,0))
+          + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS DECIMAL(38,0))) = 0
+  THEN NULL
+  ELSE (CASE WHEN n_docs * CAST(n_both_pos + n_both_neg AS DECIMAL(38,0))
+             - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS DECIMAL(38,0))
+                + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS DECIMAL(38,0))) >= 0
+        THEN 1 ELSE -1 END)
+     * (abs(n_docs * CAST(n_both_pos + n_both_neg AS DECIMAL(38,0))
+            - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS DECIMAL(38,0))
+               + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS DECIMAL(38,0)))) * 1000000
+        DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs
+             - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS DECIMAL(38,0))
+                + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS DECIMAL(38,0)))))
+END AS BIGINT)"""
+        ).alias("kappa_x1e6"),
+    )

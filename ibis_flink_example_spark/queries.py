@@ -134,11 +134,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it. EMPTY this round: all four r12 registrations fit
-# the window, so nothing defers. The r13 rotation's re-verify queue is
-# the 27-row r7-era remainder named above (those have green rows, so
-# they do not belong in this first-row queue).
-_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = ()
+# rotation empties it. The early-r12 registrations all fit the window;
+# the two late-r12 registrations below arrived after it was full. The
+# r13 rotation seats these two first, then the 27-row r7-era remainder
+# named above (those have green rows, so they do not belong in this
+# first-row queue).
+_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
+    "rater_agreement_kappa",  # registered late-r12, local greens only
+    "int8_retrieval_agreement",  # registered late-r12, local greens only
+    "dedup_substring_removal",  # registered late-r12, local greens only
+)
 
 
 def _apply_driver_priority() -> None:

@@ -2566,6 +2566,76 @@ def contamination_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_removal",
+    # Token-level removal: delete tokens covered only by NON-CANONICAL
+    # duplicated windows (canonical = global min doc_id*2^20+pos per
+    # hash), reassemble survivors in position order, digest. A fully
+    # duplicated doc loses everything — md5('') on both sides, hence
+    # the COALESCE.
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM aug
+), tok AS (
+  SELECT doc_id, t.i AS pos, ws[t.i + 1] AS wd
+  FROM w, UNNEST(range(0, len(ws))) AS t(i)
+), grams AS (
+  SELECT doc_id, t.i AS pos,
+    md5(array_to_string(list_slice(ws, t.i + 1, t.i + 10), ' ')) AS h
+  FROM w, UNNEST(range(0, GREATEST(len(ws) - 9, 0))) AS t(i)
+), dup AS (
+  SELECT doc_id, pos, enc, canon_enc FROM (
+    SELECT doc_id, pos, doc_id * 1048576 + pos AS enc,
+      COUNT(*) OVER (PARTITION BY h) AS cnt,
+      MIN(doc_id * 1048576 + pos) OVER (PARTITION BY h) AS canon_enc
+    FROM grams
+  ) WHERE cnt >= 2
+), covered AS (
+  SELECT doc_id, pos + t.o AS pos, (enc = canon_enc) AS canon
+  FROM dup, UNNEST(range(0, 10)) AS t(o)
+), removed AS (
+  SELECT doc_id, pos FROM covered
+  GROUP BY 1, 2
+  HAVING MAX(CASE WHEN canon THEN 1 ELSE 0 END) = 0
+), marked AS (
+  SELECT t.doc_id, t.pos, t.wd, (r.pos IS NOT NULL) AS rm
+  FROM tok t LEFT JOIN removed r
+    ON r.doc_id = t.doc_id AND r.pos = t.pos
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  md5(COALESCE(string_agg(CASE WHEN NOT rm THEN wd END, ' ' ORDER BY pos), ''))
+    AS clean_md5
+FROM marked GROUP BY 1
+HAVING SUM(CASE WHEN rm THEN 1 ELSE 0 END) > 0
+""",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL transform completing the ExactSubstr trilogy
+    (runs -> attribution -> removal; operators/dedup.py:
+    substring_dup_removal): over the planted-dup corpus, delete every
+    token lying only inside non-canonical duplicated 10-word windows —
+    one canonical copy of each duplicated span survives (the global
+    min-(doc,pos) occurrence), unique text is untouched, and each
+    affected document reports its surviving-text digest. On this
+    corpus the planted full-copy docs lose ALL tokens (their every
+    window is non-canonical) while the originals lose none — exactly
+    first-occurrence-wins at span granularity. Same anchor machinery
+    and scale shape as dedup_substring_runs plus one k-bounded explode
+    of the duplicated subset and one doc-keyed reassembly."""
+    from ibis_flink_example_spark.operators.dedup import (
+        substring_dup_removal,
+    )
+
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
+    return substring_dup_removal(aug, id_col="doc_id", text_col="text", k=10)
+
+
+@query(
     "domain_mixture_weights",
     # DoReMi/data-mixing shape: per-domain resampling weights to hit a
     # UNIFORM target mixture, computed in pure integer arithmetic
@@ -4757,5 +4827,186 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_vec_id").cast("long").alias("n_overlap"),
         F.expr("CAST(COUNT(t_vec_id) * 1000000 DIV 10 AS BIGINT)").alias(
             "recall_x1e6"
+        ),
+    )
+
+
+@query(
+    "rater_agreement_kappa",
+    # kappa entirely in HUGEINT products with sign-factored truncating
+    # division (DuckDB // floors, Spark DIV truncates — they agree only
+    # on non-negative operands, and kappa CAN be negative).
+    oracle=r"""
+WITH r AS (
+  SELECT lang,
+    n_chars >= 300 AS a,
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) >= 60 AS b
+  FROM documents
+), g AS (
+  SELECT lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_pos,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_neg,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+  FROM r GROUP BY 1
+), k AS (
+  SELECT *,
+    CAST(n_docs AS HUGEINT) * (n_both_pos + n_both_neg)
+      - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS HUGEINT)
+         + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS HUGEINT))
+      AS num,
+    CAST(n_docs AS HUGEINT) * n_docs
+      - ((n_both_pos + n_only_a) * CAST(n_both_pos + n_only_b AS HUGEINT)
+         + (n_both_neg + n_only_b) * CAST(n_both_neg + n_only_a AS HUGEINT))
+      AS den
+  FROM g
+)
+SELECT lang, n_docs, n_both_pos, n_both_neg, n_only_a, n_only_b,
+  CAST(CASE WHEN den = 0 THEN NULL
+       ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+            * (abs(num) * 1000000 // den) END AS BIGINT) AS kappa_x1e6
+FROM k
+""",
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 labeling-QA readout: Cohen's kappa between two deterministic
+    quality raters per language (operators/evaluation.py:
+    cohen_kappa_by_group) — a char-length rule (n_chars >= 300) vs a
+    token-count rule (>= 60 whitespace tokens). Raw agreement is
+    inflated whenever one label dominates a language; kappa subtracts
+    the marginal-product chance agreement, which is exactly the audit
+    you run before trusting any pair of labeling passes (two quality
+    classifiers, heuristic vs model judge, annotator vs annotator) to
+    vote on training-set admission. One counts-only aggregation; the
+    fixed-point kappa is sign-factored integer division, engine-exact
+    including negative (below-chance) values."""
+    from ibis_flink_example_spark.operators.dedup import words
+    from ibis_flink_example_spark.operators.evaluation import (
+        cohen_kappa_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "lang",
+        (F.col("n_chars") >= 300).alias("rater_len"),
+        (F.size(words("text")) >= 60).alias("rater_tok"),
+    )
+    return cohen_kappa_by_group(
+        rated,
+        rater_a_col="rater_len",
+        rater_b_col="rater_tok",
+        group_cols=("lang",),
+    )
+
+
+_DEQ_SQL = """list_transform(embedding, v ->
+      CASE WHEN mab = 0 THEN CAST(0 AS DOUBLE)
+           ELSE floor(CAST(v AS DOUBLE) / (mab / 127.0) + 0.5) * (mab / 127.0)
+      END)"""
+
+
+@query(
+    "int8_retrieval_agreement",
+    # Both legs are the broadcast-anchor brute-force ranking; the int8
+    # leg scores over DEQUANTIZED vectors (q * scale) built with the
+    # embedding_quantize idiom (floor(x/scale + 0.5): round() half-tie
+    # direction differs between engines for negatives; floor(+0.5) is
+    # the identical IEEE op), so the oracle replays the distortion
+    # bit-for-bit.
+    oracle=rf"""
+WITH mx AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mab
+  FROM embeddings
+), deq AS (
+  SELECT vec_id, {_DEQ_SQL} AS dvec FROM mx
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN (0,1,2,3,4)
+), qd AS (
+  SELECT vec_id AS query_id, dvec AS qvec FROM deq
+  WHERE vec_id IN (0,1,2,3,4)
+), full_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        / ( sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+              i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) )
+        DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 10
+), int8_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(range(1, len(e.dvec) + 1),
+          i -> e.dvec[i] * q.qvec[i]))
+        / ( sqrt(list_sum(list_transform(range(1, len(e.dvec) + 1),
+              i -> e.dvec[i] * e.dvec[i])))
+          * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+              i -> q.qvec[i] * q.qvec[i]))) )
+        DESC, e.vec_id) AS rank
+    FROM deq e CROSS JOIN qd q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= 10
+)
+SELECT f.query_id,
+  CAST(10 AS BIGINT) AS k,
+  CAST(COUNT(i.vec_id) AS BIGINT) AS n_overlap,
+  CAST(COUNT(i.vec_id) * 1000000 // 10 AS BIGINT) AS agreement_x1e6
+FROM full_ranked f
+LEFT JOIN int8_ranked i
+  ON i.query_id = f.query_id AND i.vec_id = f.vec_id
+GROUP BY 1
+""",
+)
+def int8_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 serving-quantization QA: how much of the float cosine top-10
+    survives symmetric per-vector int8 quantization — the acceptance
+    test for shipping int8 embeddings to the ANN index (4x memory/
+    bandwidth cut iff agreement holds; this table is the decision, the
+    matryoshka query's twin for the PRECISION axis instead of the
+    dimension axis). The int8 leg ranks over dequantized vectors
+    (q * scale with the embedding_quantize idiom) — mathematically the
+    same order as ranking the int8 codes, and it reuses the audited
+    broadcast-anchor brute-force scan on both legs. Overlap is an exact
+    integer count per anchor. At 100 TB the same query prices an int8
+    HNSW/IVF index against the float baseline."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(xd, F.abs))
+    scale = max_abs / F.lit(127.0)
+    deq = F.when(
+        max_abs == 0, F.transform(xd, lambda v: F.lit(0.0))
+    ).otherwise(
+        F.transform(xd, lambda v: F.floor(v / scale + F.lit(0.5)) * scale)
+    )
+    emq = em.select("vec_id", deq.alias("embedding"))
+    anchors = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    anchorsq = emq.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    full = S.cosine_topk(
+        em, anchors, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", k=10,
+    ).select("query_id", "vec_id")
+    int8 = S.cosine_topk(
+        emq, anchorsq, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", k=10,
+    ).select("query_id", F.col("vec_id").alias("q_vec_id"))
+    joined = full.join(
+        int8,
+        (full.query_id == int8.query_id) & (full.vec_id == int8.q_vec_id),
+        "left",
+    ).select(full.query_id.alias("query_id"), "q_vec_id")
+    return joined.groupBy("query_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count("q_vec_id").cast("long").alias("n_overlap"),
+        F.expr("CAST(COUNT(q_vec_id) * 1000000 DIV 10 AS BIGINT)").alias(
+            "agreement_x1e6"
         ),
     )

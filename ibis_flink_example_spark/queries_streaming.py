@@ -1305,8 +1305,12 @@ def _minhash_ingest_oracle() -> str:
     integers) is bit-replayed via the shared hex-prefix idiom."""
     from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
 
+    # permutation j = 8-hex slice (j % 4) of md5 group (j DIV 4) — four
+    # 32-bit draws per md5, mirroring md5_minhash_band_rows exactly
     h = hex_prefix_int_sql(
-        "substr(md5(shingle || ':mh:' || CAST(t.j AS VARCHAR)), 1, 12)", 12
+        "substr(md5(shingle || ':mh:' || CAST(t.j // 4 AS VARCHAR)),"
+        " (t.j % 4) * 8 + 1, 8)",
+        8,
     )
     return f"""
 WITH w AS (

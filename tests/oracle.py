@@ -158,6 +158,8 @@ BNLJ_ALLOWED = {
     "pmi_top_collocations",
     # cosine_topk's 5-row anchor broadcast, in both ranking legs
     "matryoshka_truncation_recall",
+    # the same dual-leg 5-row anchor broadcast (float vs dequantized-int8)
+    "int8_retrieval_agreement",
     # one-row CI frame broadcast onto the one-row point-estimate frame
     "poisson_bootstrap_mean_ci",
     # one-row max-norm / sign frames broadcast onto the 64-row vector in

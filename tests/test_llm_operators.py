@@ -2523,8 +2523,10 @@ def test_md5_minhash_band_rows_properties(spark):
     assert all(by_doc[1][i] != by_doc[3][i] for i in range(8))
 
     # bit-replay: recompute doc 1's band 0 key in pure Python
+    # (permutation j = 8-hex slice j%4 of md5 group j//4)
     def h(s, j):
-        return int(hashlib.md5(f"{s}:mh:{j}".encode()).hexdigest()[:12], 16)
+        hx = hashlib.md5(f"{s}:mh:{j // 4}".encode()).hexdigest()
+        return int(hx[(j % 4) * 8 : (j % 4) * 8 + 8], 16)
 
     m0 = min(h(s, 0) for s in a)
     m1 = min(h(s, 1) for s in a)
@@ -2590,6 +2592,67 @@ def test_contamination_hits_attributes_per_eval_set(spark):
         ).collect()
     }
     assert got == {("dev", 1), ("dev", 2), ("test", 2), ("test", 4)}
+
+
+def test_substring_dup_removal_first_occurrence_wins(spark):
+    """Hand-crafted corpus at k=3: a verbatim copy loses ALL tokens
+    (clean_md5 = md5('')), a doc sharing a 5-token span with a
+    smaller-id doc loses exactly that span (surviving prefix digested),
+    and the canonical (min-id) holder plus unique docs lose nothing —
+    first-occurrence-wins at span granularity."""
+    import hashlib
+
+    from ibis_flink_example_spark.operators.dedup import (
+        substring_dup_removal,
+    )
+
+    rows = [
+        (1, "p q r s t"),        # canonical holder: untouched
+        (2, "p q r s t"),        # verbatim copy: loses everything
+        (3, "u v p q r s t"),    # shared suffix: loses the 5-token span
+        (4, "lone unique words here now"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_dup_removal(
+            df, id_col="doc_id", text_col="text", k=3
+        ).collect()
+    }
+    assert set(out) == {2, 3}  # 1 and 4 lose nothing -> no row
+    assert out[2]["n_tokens"] == 5 and out[2]["n_removed"] == 5
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[3]["n_tokens"] == 7 and out[3]["n_removed"] == 5
+    assert out[3]["clean_md5"] == hashlib.md5(b"u v").hexdigest()
+
+
+def test_cohen_kappa_hand_computed_cases(spark):
+    """Three hand-computed groups: perfect agreement (kappa=1), perfect
+    DISagreement (kappa=-1 — the sign-factored division must not
+    truncate toward zero differently than the oracle's floor), and the
+    degenerate all-one-cell group where chance agreement is total
+    (pe=1 -> NULL, not 0/0)."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        cohen_kappa_by_group,
+    )
+
+    rows = (
+        [("perfect", True, True), ("perfect", False, False)]
+        + [("inverse", True, False)] * 2
+        + [("inverse", False, True)] * 2
+        + [("degenerate", True, True)] * 3
+    )
+    df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+    out = {
+        r["g"]: r
+        for r in cohen_kappa_by_group(
+            df, rater_a_col="a", rater_b_col="b", group_cols=("g",)
+        ).collect()
+    }
+    assert out["perfect"]["kappa_x1e6"] == 1_000_000
+    assert out["inverse"]["kappa_x1e6"] == -1_000_000
+    assert out["degenerate"]["kappa_x1e6"] is None
+    assert out["inverse"]["n_only_a"] == 2 and out["inverse"]["n_only_b"] == 2
 
 
 def test_sparse_cosine_pairs_vocab_broadcast_guard(spark):
