@@ -893,3 +893,117 @@ def hard_negative_mining(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def lsh_label_agreement(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    max_bucket_size: int | None = 50_000,
+) -> DataFrame:
+    """Per-label kNN label-agreement — the classic embedding-space
+    label-noise detector, in its LSH-bucketed scale form: every vector's
+    k nearest neighbors are found among its hyperplane-bucket
+    co-occupants (query side multi-probes the Hamming-1 buckets), and a
+    vector whose neighborhood mostly wears OTHER labels is a suspected
+    mislabel. Rolled up per label so the readout is the audit table:
+    which classes are noisy, how noisy, how many suspects.
+
+    Unlike ``lsh_topk`` (anchor-batch shape: the handful of queries
+    broadcasts), every vector is a query here, so the candidate stage is
+    a bucket-keyed EQUI SELF-JOIN — both sides shuffle once on the
+    bucket id, the probe explosion (1 + n_planes rows) rides the query
+    side, and ``max_bucket_size`` caps degenerate buckets via
+    ``drop_hot_keys`` (a bucket holding a constant-vector pile would
+    otherwise self-join quadratically). Exact cosine + per-query top-k
+    inside buckets; per-query and per-label rollups ride the query-key
+    partitioning.
+
+    Returns one row per label: (label_col, n_vectors, n_with_neighbors,
+    n_suspect, agreement_x1e6) where suspect = strictly-minority own
+    label among the neighbors (2*same < nbrs) and agreement is the
+    label's pooled neighbor-agreement rate (NULL when no vector of the
+    label found any candidate).
+    """
+    from ibis_flink_example_spark.catalog import fan_out
+    from ibis_flink_example_spark.operators.dedup import drop_hot_keys
+
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
+    planes = random_hyperplanes(dim, n_planes, seed)
+    base = fan_out(
+        df.select(id_col, vec_col, label_col), min_partitions=8
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    c = drop_hot_keys(
+        base,
+        ["__bucket"],
+        max_rows_per_key=max_bucket_size,
+        what="hyperplane bucket",
+    )
+    if probe_hamming == 1:
+        probe = F.explode(
+            F.array(
+                F.col("__bucket"),
+                *[
+                    F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+        )
+    else:
+        probe = F.col("__bucket")
+    q = base.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+        probe.alias("__qbucket"),
+    )
+    scored = (
+        c.join(q, F.col("__bucket") == F.col("__qbucket"))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            "__qid",
+            "__qlabel",
+            F.col(label_col).alias("__nlabel"),
+            F.col(id_col).alias("__nid"),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__cos").desc(), F.col("__nid")
+    )
+    top = scored.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= k
+    )
+    per_q = top.groupBy("__qid", "__qlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("__nbrs"),
+        F.count(F.when(F.col("__nlabel") == F.col("__qlabel"), 1))
+        .cast("long")
+        .alias("__same"),
+    )
+    joined = df.select(F.col(id_col), F.col(label_col)).join(
+        per_q, F.col(id_col) == F.col("__qid"), "left"
+    )
+    return joined.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.count("__qid").cast("long").alias("n_with_neighbors"),
+        F.count(F.when(F.col("__same") * 2 < F.col("__nbrs"), 1))
+        .cast("long")
+        .alias("n_suspect"),
+        F.expr(
+            "CAST(CASE WHEN SUM(__nbrs) IS NULL OR SUM(__nbrs) = 0 THEN NULL "
+            "ELSE SUM(__same) * 1000000 DIV SUM(__nbrs) END AS BIGINT)"
+        ).alias("agreement_x1e6"),
+    )

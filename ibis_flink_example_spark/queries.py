@@ -143,6 +143,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "rater_agreement_kappa",  # registered late-r12, local greens only
     "int8_retrieval_agreement",  # registered late-r12, local greens only
     "dedup_substring_removal",  # registered late-r12, local greens only
+    "knn_label_agreement",  # registered late-r12, local greens only
 )
 
 

@@ -313,6 +313,109 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank FROM ranked WHERE rank <=
 """
 
 
+def _knn_label_agreement_oracle(
+    n_planes: int = 8, dim: int = 64, k: int = 5
+) -> str:
+    """Full replay of the LSH-bucketed kNN label-agreement: seeded
+    hyperplanes as literals (the cosine_topk_lsh idiom), EVERY vector a
+    query with Hamming-1 probes, exact in-bucket cosine top-k, then the
+    per-label noise rollup."""
+    from ibis_flink_example_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, n_planes, seed=42)
+
+    def proj(vec: str, p: list[float]) -> str:
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    proj_cols = ",\n    ".join(
+        f"{proj('embedding', p)} AS pj{i}" for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN pj{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probes = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << i})" for i in range(n_planes)]
+    )
+    cos = (
+        "list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qvec[i] AS DOUBLE)))"
+        " / ( sqrt(list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(range(1, {d}+1),"
+        " i -> CAST(p.qvec[i] AS DOUBLE) * CAST(p.qvec[i] AS DOUBLE)))) )"
+    ).format(d=dim)
+    return f"""
+WITH c AS (
+  SELECT vec_id, label, embedding,
+    {proj_cols}
+  FROM embeddings
+), cb AS (
+  SELECT vec_id, label, embedding, {bucket} AS bucket FROM c
+), probes AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec,
+         UNNEST([{probes}]) AS pbucket
+  FROM (SELECT vec_id, label, embedding, bucket AS qbucket FROM cb)
+), ranked AS (
+  SELECT query_id, qlabel, nlabel, rnk FROM (
+    SELECT p.query_id, p.qlabel, e.label AS nlabel,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+                         ORDER BY {cos} DESC, e.vec_id) AS rnk
+    FROM cb e JOIN probes p
+      ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
+  ) WHERE rnk <= {k}
+), per_q AS (
+  SELECT query_id, qlabel,
+    CAST(COUNT(*) AS BIGINT) AS nbrs,
+    CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS same
+  FROM ranked GROUP BY 1, 2
+)
+SELECT l.label,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(COUNT(p.query_id) AS BIGINT) AS n_with_neighbors,
+  CAST(SUM(CASE WHEN p.query_id IS NOT NULL AND 2 * p.same < p.nbrs
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+  CAST(CASE WHEN SUM(p.nbrs) IS NULL OR SUM(p.nbrs) = 0 THEN NULL
+       ELSE SUM(p.same) * 1000000 // SUM(p.nbrs) END AS BIGINT)
+    AS agreement_x1e6
+FROM embeddings l LEFT JOIN per_q p ON p.query_id = l.vec_id
+GROUP BY 1
+"""
+
+
+@query("knn_label_agreement", oracle=_knn_label_agreement_oracle())
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 label-noise audit at the corpus axis
+    (operators/similarity.py:lsh_label_agreement): every vector's 5
+    nearest LSH-bucket neighbors vote on its label; per label, how many
+    vectors found neighbors, how many are strictly outvoted (suspected
+    mislabels), and the pooled agreement rate. The per-vector
+    complement of embedding_outliers_by_centroid (distance to own
+    centroid misses a point sitting inside ANOTHER cluster; neighbor
+    voting catches exactly that). Candidates come from a bucket-keyed
+    equi SELF-join — every vector is a query, so nothing broadcasts;
+    the seeded hyperplanes make the whole pipeline replayable in SQL
+    (the cosine_topk_lsh idiom) and the hot-bucket cap guards
+    degenerate piles."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_label_agreement(
+        em,
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        k=5,
+        dim=64,
+        n_planes=8,
+        probe_hamming=1,
+    )
+
+
 @query("cosine_topk_lsh", oracle=_lsh_topk_oracle())
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 approximate top-k via random-hyperplane LSH buckets (the scale

@@ -2626,6 +2626,38 @@ def test_substring_dup_removal_first_occurrence_wins(spark):
     assert out[3]["clean_md5"] == hashlib.md5(b"u v").hexdigest()
 
 
+def test_lsh_label_agreement_flags_planted_mislabel(spark):
+    """Two tight clusters with consistent labels, one vector planted in
+    cluster A wearing cluster B's label: the planted vector's neighbors
+    all disagree (suspect), the honest vectors agree with theirs, and
+    the per-label rollup pins exactly one suspect under the wrong
+    label."""
+    from ibis_flink_example_spark.operators.similarity import (
+        lsh_label_agreement,
+    )
+
+    rows = []
+    for i in range(12):  # cluster A along +e1
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0], "a"))
+    for i in range(12):  # cluster B along +e2
+        rows.append((100 + i, [0.0, 0.01 * i, 1.0, 0.0], "b"))
+    rows.append((500, [1.0, 0.05, 0.0, 0.0], "b"))  # planted mislabel in A
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {
+        r["label"]: r
+        for r in lsh_label_agreement(
+            df, id_col="vec_id", vec_col="embedding", label_col="label",
+            k=3, dim=4, n_planes=4, probe_hamming=1,
+        ).collect()
+    }
+    assert out["b"]["n_suspect"] == 1  # exactly the planted vector
+    assert out["a"]["n_suspect"] == 0
+    assert out["a"]["agreement_x1e6"] > 800_000
+    assert out["b"]["n_vectors"] == 13
+
+
 def test_cohen_kappa_hand_computed_cases(spark):
     """Three hand-computed groups: perfect agreement (kappa=1), perfect
     DISagreement (kappa=-1 — the sign-factored division must not
