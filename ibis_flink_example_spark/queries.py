@@ -144,6 +144,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "int8_retrieval_agreement",  # registered late-r12, local greens only
     "dedup_substring_removal",  # registered late-r12, local greens only
     "knn_label_agreement",  # registered late-r12, local greens only
+    "streaming_decontaminate_ingest",  # registered late-r12, local greens only
 )
 
 

@@ -1090,6 +1090,184 @@ def streaming_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
+@query(
+    "streaming_decontaminate_ingest",
+    # Stream-static gram probe is STATELESS (the eval gram set is a
+    # per-batch broadcast build side), so the drained run equals batch
+    # decontamination semantics exactly — no watermark horizon. 13-word
+    # grams; short docs degrade to one whole-text gram; eval docs are
+    # the reference set and do not flow through the ingest output.
+    oracle=r"""
+WITH ev AS (
+  SELECT regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+), evg AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(ws) >= 13
+      THEN list_transform(range(1, len(ws) - 11),
+                          i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM ev
+), tr AS (
+  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch_id,
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws
+  FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 97 = 0
+  )
+), trg AS (
+  SELECT DISTINCT doc_id, UNNEST(CASE WHEN len(ws) >= 13
+      THEN list_transform(range(1, len(ws) - 11),
+                          i -> array_to_string(list_slice(ws, i, i + 12), ' '))
+      ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM tr
+), hits AS (
+  SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (gram)
+)
+SELECT t.doc_id, t.batch_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
+""",
+)
+def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time benchmark decontamination — the streaming arm of
+    decontaminate_ngram (GPT-3-style 13-gram overlap) and the stateless
+    complement of the two stateful ingest queries: every arriving
+    micro-batch (the 4-file mtime-ordered documents replay) probes the
+    STATIC eval gram set and tags contaminated docs before they enter
+    the corpus — where a production pipeline runs this check, since
+    retroactive decontamination means retraining. Stream-static join
+    against the broadcast gram set is stateless (no watermark, no
+    state store), so the drained availableNow run must equal the batch
+    definition EXACTLY, which is what the oracle checks. The replay
+    PLANTS contamination witnesses (every eval doc re-arrives as an
+    ingest doc under an offset id) because the synthetic fixture has no
+    natural 13-gram overlap — without them the row would be trivially
+    all-false. Per-batch cost is batch-gram-count x broadcast probe;
+    the eval gram set is built ONCE (localCheckpoint) and re-probed per
+    batch (at 100 TB the guarded decontaminate_ngram_overlap operator
+    provides the shuffle fallback if an eval set ever outgrows its
+    broadcast budget)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ibis_flink_example_spark.catalog import scratch_dir, table_path
+    from ibis_flink_example_spark.operators.dedup import word_shingles, words
+    from ibis_flink_example_spark.schema import schema as mk_schema
+    from ibis_flink_example_spark.streaming.runtime import run_available_now
+
+    stage = scratch_dir("decontam_replay", sf_dir)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    tbl = pq.read_table(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    # plant CONTAMINATION WITNESSES: every eval doc re-arrives as an
+    # ingest doc under doc_id + 2,000,000 (2e6 % 97 = 54, so planted ids
+    # never land in the eval residue class) — without them the fixture
+    # has zero natural 13-gram overlap and the row would be trivially
+    # all-false (the capped-image-arm evidence lesson, VERDICT r11 #3)
+    is_ev = pc.equal(
+        pc.subtract(
+            tbl.column("doc_id"),
+            pc.multiply(
+                pc.divide(tbl.column("doc_id"), pa.scalar(97, pa.int64())),
+                pa.scalar(97, pa.int64()),
+            ),
+        ),
+        pa.scalar(0, pa.int64()),
+    )
+    planted = tbl.filter(is_ev)
+    planted = planted.set_column(
+        0,
+        "doc_id",
+        pc.add(planted.column("doc_id"), pa.scalar(2_000_000, pa.int64())),
+    )
+    tbl = pa.concat_tables([tbl, planted])
+    arr = pc.cast(
+        pc.bit_wise_and(tbl.column("doc_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    tbl = tbl.append_column("arrival_batch", arr)
+    base = time.time() - 3600
+    for k in range(4):
+        part = tbl.filter(
+            pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32()))
+        )
+        p = os.path.join(stage, f"batch_{k}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base + 2 * k, base + 2 * k))
+
+    sch = mk_schema(
+        {"doc_id": "int64", "text": "string", "arrival_batch": "int32"}
+    )
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    ev_grams = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_shingles(words("text"), 13)).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=True)  # built once, probed per batch
+    )
+    res_t = "decontam_ingest_results"
+    drop_table_and_location(spark, res_t)
+    state = {"last_bid": None}
+
+    def apply(bdf, bid):
+        # re-delivery guard (streaming_upsert_totals idiom)
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
+        ingest = bdf.filter(F.col("doc_id") % 97 != 0)
+        grams = ingest.select(
+            "doc_id",
+            F.explode(word_shingles(words("text"), 13)).alias("gram"),
+        )
+        hits = (
+            grams.join(F.broadcast(ev_grams), "gram")
+            .select("doc_id")
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        res = (
+            ingest.select(
+                "doc_id",
+                (F.col("doc_id") % 4).cast("long").alias("batch_id"),
+            )
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "batch_id",
+                F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+            )
+        )
+        res.write.mode("append").saveAsTable(res_t)
+        state["last_bid"] = bid
+
+    stream = (
+        _docs_stream_session(spark)
+        .readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = foreach_batch(stream, apply, available_now=True)
+    q.awaitTermination()
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    _release_local_checkpoint(ev_grams)
+    if state["last_bid"] is None:
+        return spark.createDataFrame(
+            [], "doc_id long, batch_id long, contaminated boolean"
+        )
+    return spark.table(res_t).select("doc_id", "batch_id", "contaminated")
+
+
 _NEARDUP_INGEST_ORACLE = r"""
 WITH w AS (
   SELECT doc_id, doc_id % 4 AS b,
