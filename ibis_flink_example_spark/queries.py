@@ -145,6 +145,8 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "dedup_substring_removal",  # registered late-r12, local greens only
     "knn_label_agreement",  # registered late-r12, local greens only
     "streaming_decontaminate_ingest",  # registered late-r12, local greens only
+    "pii_incidence_by_source",  # registered late-r12, local greens only
+    "cluster_representative_sampling",  # registered late-r12, local greens only
 )
 
 

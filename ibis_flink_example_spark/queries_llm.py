@@ -2738,6 +2738,86 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_removal(aug, id_col="doc_id", text_col="text", k=10)
 
 
+_PII_PLANT_SQL = (
+    "CASE WHEN doc_id % 23 = 0 THEN ' reach me at user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+    "CASE WHEN doc_id % 29 = 0 THEN ' call +1-555-0199' ELSE '' END || "
+    "CASE WHEN doc_id % 31 = 0 THEN ' from 10.0.0.7' ELSE '' END"
+)
+# Spark spells VARCHAR casts as STRING; everything else is shared text
+_PII_PLANT_SPARK = _PII_PLANT_SQL.replace("AS VARCHAR", "AS STRING")
+
+
+@query(
+    "pii_incidence_by_source",
+    # Patterns are the PII_PATTERNS dialect subset (Java regex == RE2 ==
+    # DuckDB, no lookaround/backrefs); counts via leftmost
+    # non-overlapping matches in both engines. Witnesses are PLANTED
+    # deterministically (the fixture has zero natural PII — the
+    # trivially-green trap) and mirrored verbatim in the oracle.
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id, source, text || {_PII_PLANT_SQL} AS text FROM documents
+), c AS (
+  SELECT source,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+    len(regexp_extract_all(text, '\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}'))
+      AS n_phone,
+    len(regexp_extract_all(text, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS n_ip
+  FROM aug
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_docs_with_pii,
+  CAST(SUM(n_email) AS BIGINT) AS n_email,
+  CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+  CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+       * 1000000 // COUNT(*) AS BIGINT) AS pii_rate_x1e6
+FROM c GROUP BY 1
+""",
+)
+def pii_incidence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 governance rollup: per-source PII incidence — document rate and
+    per-kind match counts for the email/phone/IPv4 patterns
+    (operators/text.py:PII_PATTERNS, the engine-portable regex dialect
+    redact_pii scrubs) — the audit a data-governance review reads
+    BEFORE the redaction pass runs, and the number that decides whether
+    a source needs it at all. Witnesses are planted deterministically
+    (every 23rd/29th/31st doc gains an email/phone/IP suffix; the
+    synthetic corpus has zero natural PII) so the row proves the
+    counters count. Map-only pattern counting fused into the scan; one
+    source-keyed rollup with map-side partials."""
+    from ibis_flink_example_spark.operators.text import PII_PATTERNS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"text || {_PII_PLANT_SPARK}").alias("text"),
+    )
+    counted = docs.select(
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{kind}")
+            for kind, (pat, _) in PII_PATTERNS.items()
+        ],
+    )
+    any_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(any_pii, 1)).cast("long").alias("n_docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_email"),
+        F.sum("n_phone").cast("long").alias("n_phone"),
+        F.sum("n_ipv4").cast("long").alias("n_ip"),
+        F.expr(
+            "CAST(COUNT(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("pii_rate_x1e6"),
+    )
+
+
 @query(
     "domain_mixture_weights",
     # DoReMi/data-mixing shape: per-domain resampling weights to hit a

@@ -482,6 +482,76 @@ FROM r CROSS JOIN t WHERE rn <= {k}
 """
 
 
+def _cluster_rep_sample_oracle(k: int) -> str:
+    from ibis_flink_example_spark.operators.sampling import (
+        PRIORITY_HASH_SCALE,
+        hex_prefix_int_sql,
+    )
+
+    h = hex_prefix_int_sql("__hex")
+    return rf"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), cl AS (
+  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM aug
+  GROUP BY md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
+), b AS (
+  SELECT doc_id, weight,
+         substr(md5(CAST(doc_id AS STRING) || ':cluster'), 1, 12) AS __hex
+  FROM cl
+), p AS (
+  SELECT doc_id, weight,
+    CAST(CAST(weight AS HUGEINT) * {PRIORITY_HASH_SCALE} // ({h} + 1)
+         AS BIGINT) AS priority
+  FROM b
+), r AS (
+  SELECT doc_id, weight, priority,
+         ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+  FROM p QUALIFY rn <= {k + 1}
+), t AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN priority END), 0) AS tau
+  FROM r
+)
+SELECT doc_id, weight, priority,
+       CAST(GREATEST(weight, tau) AS BIGINT) AS est_weight
+FROM r CROSS JOIN t WHERE rn <= {k}
+"""
+
+
+@query("cluster_representative_sampling", oracle=_cluster_rep_sample_oracle(40))
+def cluster_representative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware weighted subsetting — the composition a corpus-audit
+    sample actually needs: exact-dup clusters over the planted-dup
+    corpus collapse to their min-id representative carrying the cluster
+    SIZE as weight, then a Duffield-Lund-Thorup priority sample of 40
+    representatives (operators/sampling.py:priority_sample) draws a
+    one-pass weighted sample whose est_weight column still estimates
+    total corpus mass — duplicates influence the sample through their
+    count exactly once, instead of flooding it (naive uniform sampling
+    over raw docs oversamples every crawler trap). Digest clusters are
+    one narrow shuffle (digests, never text); selection is one
+    TakeOrderedAndProject; tau rides a one-row broadcast."""
+    from ibis_flink_example_spark.operators.dedup import content_digest
+    from ibis_flink_example_spark.queries_llm import _with_planted_dups
+
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
+    clusters = (
+        aug.withColumn("__digest", content_digest("text"))
+        .groupBy("__digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+    return SA.priority_sample(
+        clusters, id_col="doc_id", weight_col="cluster_size", k=40,
+        salt="cluster",
+    )
+
+
 @query("priority_sample_topk", oracle=_priority_sample_oracle(60))
 def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (Duffield–Lund–Thorup) of 60 docs weighted by

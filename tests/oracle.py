@@ -142,6 +142,8 @@ BNLJ_ALLOWED = {
     "retrieval_ndcg_mrr",
     # one-row tau-threshold frame broadcast onto the k-row sample
     "priority_sample_topk",
+    # the same one-row tau broadcast, over dup-cluster representatives
+    "cluster_representative_sampling",
     # one-row (n_nodes, n_wedges, n_triangles) count frames cross-joined
     # to assemble the single summary row
     "triangle_count_copurchase",
