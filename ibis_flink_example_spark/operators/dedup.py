@@ -312,9 +312,9 @@ def md5_minhash_band_rows(
     salt: str = "mh",
 ) -> DataFrame:
     """(id, band_idx, band_key) LSH band rows from an ENGINE-PORTABLE
-    MinHash signature: permutation j hashes each shingle STRING with
-    ``conv(substr(md5(shingle || ':salt:j'), 1, 12), 16, 10)`` (48-bit
-    integer, the hex-prefix idiom any SQL engine reproduces) and the
+    MinHash signature: permutation j reads the 8-hex slice ``j % 4`` of
+    ``md5(shingle || ':salt:' || j DIV 4)`` as a 32-bit integer (the
+    hex-slice idiom any SQL engine reproduces) and the
     signature position is the per-document min; band i's key is the
     ':'-joined ``rows_per_band`` consecutive positions. This is the
     classical k-rehash estimator with k deliberately SMALL (default 16 =
@@ -1016,6 +1016,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def _stride1_gram_anchors(
+    docs: DataFrame, *, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The ExactSubstr trilogy's shared core: (id, pos, __h) — a k-word
+    window anchored at EVERY word position (stride 1), hashed with md5
+    (engine-portable). One word per row; the gram is assembled by a
+    doc-partitioned bounded ROWS window, never by exploding anchor
+    indices against the word array (O(len²) bytes at stride 1).
+    runs/attribution/removal all consume THIS definition — changing the
+    tokenizer, separator, or the trailing-window guard here changes all
+    three together, which is the point (the three tables must agree on
+    what an anchor is or their numbers silently diverge)."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("substring anchors: k must be >= 2")
+    tok = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    return tok.select(
+        id_col,
+        "pos",
+        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
+        F.count("__w").over(frame).alias("__n"),
+    ).filter(F.col("__n") == k)
+
+
 def substring_dup_runs(
     docs: DataFrame,
     *,
@@ -1062,18 +1090,7 @@ def substring_dup_runs(
     """
     from pyspark.sql.window import Window
 
-    if k < 2:
-        raise ValueError("substring_dup_runs: k must be >= 2")
-    tok = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
-    )
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
-    grams = tok.select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
-        F.count("__w").over(frame).alias("__n"),
-    ).filter(F.col("__n") == k)
+    grams = _stride1_gram_anchors(docs, id_col=id_col, text_col=text_col, k=k)
     dup = grams.withColumn(
         "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
     ).filter(F.col("__cnt") >= 2)
@@ -1153,18 +1170,7 @@ def substring_dup_attribution(
     """
     from pyspark.sql.window import Window
 
-    if k < 2:
-        raise ValueError("substring_dup_attribution: k must be >= 2")
-    tok = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
-    )
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
-    grams = tok.select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
-        F.count("__w").over(frame).alias("__n"),
-    ).filter(F.col("__n") == k)
+    grams = _stride1_gram_anchors(docs, id_col=id_col, text_col=text_col, k=k)
     occ = grams.withColumn(
         "__cnt", F.count(F.lit(1)).over(Window.partitionBy("__h"))
     ).filter(F.col("__cnt") >= 2)
@@ -1237,28 +1243,33 @@ def substring_dup_removal(
     """
     from pyspark.sql.window import Window
 
-    if k < 2:
-        raise ValueError("substring_dup_removal: k must be >= 2")
+    # tok is kept locally (the reassembly join reads every token);
+    # the anchor definition itself is the trilogy's shared helper
     tok = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "__w")
     )
-    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
-    grams = tok.select(
-        id_col,
-        "pos",
-        F.md5(F.concat_ws(" ", F.collect_list("__w").over(frame))).alias("__h"),
-        F.count("__w").over(frame).alias("__n"),
-    ).filter(F.col("__n") == k)
+    grams = _stride1_gram_anchors(docs, id_col=id_col, text_col=text_col, k=k)
     byhash = Window.partitionBy("__h")
-    # the packed argmin key needs pos < 2^pos_bits — raise loudly on a
-    # document long enough to wrap instead of silently mis-ranking
+    # the packed argmin key needs pos < 2^pos_bits AND
+    # id < 2^(63-pos_bits) — raise loudly on either (a snowflake-scale
+    # doc id would wrap the int64 product and silently mis-rank which
+    # occurrence is canonical) instead of corrupting the removal
     pos_guard = F.when(
         F.col("pos") >= F.lit(2**pos_bits),
         F.raise_error(
             F.lit(f"substring_dup_removal: pos >= 2^{pos_bits}; raise pos_bits")
         ).cast("long"),
     ).otherwise(F.col("pos"))
-    enc = (F.col(id_col) * F.lit(2**pos_bits) + pos_guard).cast("long")
+    id_guard = F.when(
+        (F.col(id_col) < 0) | (F.col(id_col) >= F.lit(2 ** (63 - pos_bits))),
+        F.raise_error(
+            F.lit(
+                f"substring_dup_removal: {id_col} outside "
+                f"[0, 2^{63 - pos_bits}); lower pos_bits or remap ids"
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col))
+    enc = (id_guard * F.lit(2**pos_bits) + pos_guard).cast("long")
     dup = (
         grams.select(
             id_col,

@@ -689,6 +689,12 @@ def cohen_kappa_by_group(
     where chance agreement is total (pe = 1, all four marginal products
     collapse) reports NULL instead of 0/0.
 
+    NULL votes (abstentions) are EXCLUDED before counting: a row either
+    rater skipped belongs to neither marginal, and counting it in
+    ``n_docs`` while the four agreement cells drop it would silently
+    deflate both po and pe against an inflated n — a plausible-looking
+    but wrong kappa. Only fully-rated rows enter every statistic.
+
     Scale shape: ONE grouped aggregation with map-side partials over the
     scan-stage rater columns; everything after is per-group scalar math.
     Returns (*group_cols, n_docs, n_both_pos, n_both_neg, n_only_a,
@@ -697,6 +703,7 @@ def cohen_kappa_by_group(
     gcols = list(group_cols)
     a = F.col(rater_a_col)
     b = F.col(rater_b_col)
+    df = df.filter(a.isNotNull() & b.isNotNull())
     agg = df.groupBy(*gcols).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count(F.when(a & b, 1)).cast("long").alias("n_both_pos"),

@@ -468,7 +468,15 @@ def sparse_cosine_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # materialize the vocab table ONCE: the cardinality guard's count()
+    # and the weight join below otherwise each re-run the corpus-wide
+    # doc_terms explode + groupBy (the heaviest scan stage, twice per
+    # execution) — the contamination_hits/decontaminate idiom
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .localCheckpoint(eager=True)
+    )
     n_vocab = dfq.count()
     dfq_side = (
         F.broadcast(dfq) if n_vocab <= max_broadcast_vocab_terms else dfq

@@ -3881,6 +3881,9 @@ _PLANT_EDIT_SQL = "concat(substr(text, 1, 100), 'Z', substr(text, 102))"
     "  UNION ALL"
     f"  SELECT doc_id + 10000000, {_PLANT_EDIT_SQL}"
     "  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 200"
+    "  UNION ALL"
+    "  SELECT doc_id + 20000000, text"
+    "  FROM documents WHERE doc_id % 89 = 0"
     "), " + _blockhash_sig_sql("aug") + """
 SELECT a.media_id AS id_a, b.media_id AS id_b,
        CAST(bit_count(xor(a.phash64, b.phash64)) AS BIGINT) AS hamming
@@ -3892,16 +3895,20 @@ def image_phash_capped_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     """Recall witness for the PRODUCTION capped image near-dup arm: the
     fixture corpus has no Hamming <= 7 signature pairs, so the capped
     query's green row is trivially 0-vs-0 — this arm PLANTS
-    deterministic near-duplicates (every 97th document with a one-char
-    mid-payload edit — same length, so block boundaries are unchanged
-    and only the touched block's bit can flip) and runs the IDENTICAL
+    deterministic duplicates of TWO strengths and runs the IDENTICAL
     8x8-bit, Hamming <= 7, max_bucket_size=50_000 configuration over
-    the augmented corpus. The oracle is the pure all-pairs definition
-    over the same augmentation, so the row proves, with NON-ZERO output,
-    that the banded + capped production path recovers every planted
-    pair. Same scale shape as image_phash_neardup_pairs_capped (the
-    augmentation is a second scan-stage branch, union before the
-    signature stage)."""
+    the augmented corpus: (a) every 89th document re-added VERBATIM —
+    Hamming 0 by construction, the witness that survives ANY fixture
+    refresh; (b) every 97th long document with a one-char same-length
+    mid-payload edit — realistically small Hamming on current data but
+    NOT structurally bounded (every blockhash bit compares its block
+    sum against the doc MEAN, which the edit shifts, so marginal bits
+    in untouched blocks can flip too). The oracle is the pure all-pairs
+    definition over the same augmentation, so the row proves, with
+    NON-ZERO output, that the banded + capped production path recovers
+    the planted pairs. Same scale shape as
+    image_phash_neardup_pairs_capped (the augmentation is two more
+    scan-stage branches, union before the signature stage)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(
         (F.col("doc_id") % 97 == 0) & (F.length("text") >= 200)
@@ -3909,7 +3916,10 @@ def image_phash_capped_planted_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
         F.expr(_PLANT_EDIT_SQL).alias("text"),
     )
-    media = docs.unionByName(planted).select(
+    exact_copies = docs.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+    media = docs.unionByName(planted).unionByName(exact_copies).select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )

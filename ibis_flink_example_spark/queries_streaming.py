@@ -1479,8 +1479,8 @@ def _minhash_ingest_oracle() -> str:
     """Arrival-prefix definition of the banded-MinHash ingest: candidates
     are same-(band_idx, band_key) pairs under the prefix order, accepted
     = no candidate verifies at exact 3-gram Jaccard >= 1/2. The md5
-    k-rehash signature (16 hashes, 8 bands x 2 rows, 12-hex prefix
-    integers) is bit-replayed via the shared hex-prefix idiom."""
+    k-rehash signature (16 hashes, 8 bands x 2 rows, 8-hex slice
+    integers — four 32-bit draws per md5) is bit-replayed via the shared hex-prefix idiom."""
     from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
 
     # permutation j = 8-hex slice (j % 4) of md5 group (j DIV 4) — four

@@ -2687,6 +2687,25 @@ def test_cohen_kappa_hand_computed_cases(spark):
     assert out["inverse"]["n_only_a"] == 2 and out["inverse"]["n_only_b"] == 2
 
 
+def test_cohen_kappa_excludes_null_abstentions(spark):
+    """A NULL vote (abstention) must leave EVERY statistic — n_docs
+    included. Counting abstentions in n but not in the cells deflates
+    po and pe against an inflated denominator: [(T,T),(T,T),(NULL,T)]
+    would read kappa=0.4 instead of the correct degenerate NULL over
+    the two rated rows."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        cohen_kappa_by_group,
+    )
+
+    rows = [("g", True, True), ("g", True, True), ("g", None, True)]
+    df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+    (r,) = cohen_kappa_by_group(
+        df, rater_a_col="a", rater_b_col="b", group_cols=("g",)
+    ).collect()
+    assert r["n_docs"] == 2  # the abstention row is out entirely
+    assert r["kappa_x1e6"] is None  # pe = 1 on the rated rows
+
+
 def test_sparse_cosine_pairs_vocab_broadcast_guard(spark):
     """The per-term df table is corpus-vocabulary-sized — at 100 TB an
     unconditional broadcast of it is a driver OOM. Above the measured
