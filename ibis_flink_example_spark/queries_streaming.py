@@ -1157,7 +1157,6 @@ def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     from ibis_flink_example_spark.catalog import scratch_dir, table_path
     from ibis_flink_example_spark.operators.dedup import word_shingles, words
     from ibis_flink_example_spark.schema import schema as mk_schema
-    from ibis_flink_example_spark.streaming.runtime import run_available_now
 
     stage = scratch_dir("decontam_replay", sf_dir)
     for f in os.listdir(stage):
@@ -1480,7 +1479,17 @@ def _minhash_ingest_oracle() -> str:
     are same-(band_idx, band_key) pairs under the prefix order, accepted
     = no candidate verifies at exact 3-gram Jaccard >= 1/2. The md5
     k-rehash signature (16 hashes, 8 bands x 2 rows, 8-hex slice
-    integers — four 32-bit draws per md5) is bit-replayed via the shared hex-prefix idiom."""
+    integers — four 32-bit draws per md5) is bit-replayed via the shared
+    hex-prefix idiom.
+
+    The engine's 50k-row band-bucket cap (drop_hot_keys on the band
+    pool) is deliberately NOT modelled here: the whole band pool holds
+    8 rows per doc, so no single (band_idx, band_key) bucket can reach
+    the cap unless the fixture itself exceeds 6,250 documents —
+    `tests/test_plan_audits.py::test_minhash_ingest_band_cap_headroom`
+    pins that premise at every gate SF and fails loudly on a fixture
+    refresh that invalidates it (ADVICE r12: deterministic caps are
+    either mirrored in the oracle or pinned inert)."""
     from ibis_flink_example_spark.operators.sampling import hex_prefix_int_sql
 
     # permutation j = 8-hex slice (j % 4) of md5 group (j DIV 4) — four
@@ -1551,11 +1560,17 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     surviving candidate pairs verified at exact 3-gram Jaccard >= 1/2 —
     the LSH-candidates-then-exact-verify pipeline, incremental form.
     Per-batch cost is bounded by band-bucket co-occupancy (8 rows per doc
-    in the band join, never per-shingle co-occurrence), the band and
-    shingle states are BUCKETED on their join keys so the state never
-    reshuffles, and all state tables only APPEND. Same replay infra,
-    re-delivery guard and arrival-order assertion as the exact sibling.
-    Returns one row per doc: (doc_id, batch_id, accepted)."""
+    in the band join, never per-shingle co-occurrence); BOTH state
+    tables (band rows — which also carry the per-doc shingle counts the
+    exact verify needs — and shingles) are BUCKETED on their join keys
+    with bucket-aligned appends, each batch's derived frames land
+    DIRECTLY in them (the r12-VERDICT #2 trim: the appends the batch
+    owes anyway replace the former eager localCheckpoints, state unions
+    and the separate doc-sizes table — consumers re-read
+    pre-partitioned, current-batch reads file-stats-prune on the
+    arrival column), and all state tables only APPEND. Same replay
+    infra, re-delivery guard and arrival-order assertion as the exact
+    sibling. Returns one row per doc: (doc_id, batch_id, accepted)."""
     import os
     import time
 
@@ -1569,7 +1584,6 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         table_path,
     )
     from ibis_flink_example_spark.operators.dedup import (
-        _release_local_checkpoint,
         drop_hot_keys,
         md5_minhash_band_rows,
         word_shingles,
@@ -1603,12 +1617,14 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     )
     res_t = "minhash_ingest_results"
     seen_sh_t = "minhash_ingest_seen_sh"
-    seen_sz_t = "minhash_ingest_seen_sizes"
     seen_bd_t = "minhash_ingest_seen_bands"
-    for t in (res_t, seen_sh_t, seen_sz_t, seen_bd_t):
+    for t in (res_t, seen_sh_t, seen_bd_t):
         drop_table_and_location(spark, t)
+    # legacy sizes table from pre-r13 runs of this query (sizes now ride
+    # the band rows via carry_count)
+    drop_table_and_location(spark, "minhash_ingest_seen_sizes")
 
-    state = {"last_bid": None, "last_arr": -1, "has_seen": False}
+    state = {"last_bid": None, "last_arr": -1}
 
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
@@ -1627,39 +1643,60 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             )
         arrival = int(arrs[0])
         sess = bdf.sparkSession
-        # shingle STRINGS (not hashes): the md5 signature and the exact
-        # verify both consume them; one pass, materialized once
-        sh_b = (
-            bdf.select(
-                "doc_id",
-                F.explode(word_shingles(words("text"), 3)).alias("shingle"),
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
+        arr_lit = F.lit(arrival).cast("int")
+        # STATE-TABLE-FIRST batching (r12 VERDICT #2 trim): each derived
+        # frame lands DIRECTLY in the bucketed state table the batch had
+        # to append anyway, then every consumer re-reads it
+        # pre-partitioned — replacing the former two eager
+        # localCheckpoints, three state unions and the separate doc-sizes
+        # table with the two writes alone. Per-doc shingle counts ride
+        # the band rows (carry_count — the #2a fold), so exact-Jaccard
+        # verification reads both sizes off the candidate join. Appends
+        # are REPARTITIONED onto the bucket key first: a bucketed write
+        # otherwise emits tasks x buckets files per batch (measured 2.5x
+        # slower on the append AND on every subsequent state read-back).
+        # `arr` is a plain stats-pruned column (each append's files carry
+        # a constant arr min/max, so current-batch reads skip old files
+        # by footer; a PARTITION column would pay a metastore
+        # registration per batch for the same pruning).
+        # 1) shingle STRINGS (not hashes): the md5 signature and the
+        #    exact verify both consume them; one pass, bucketed on the
+        #    verify join key
+        bdf.select(
+            "doc_id",
+            F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+        ).distinct().withColumn("arr", arr_lit).repartition(
+            8, F.col("shingle")
+        ).write.mode("append").bucketBy(8, "shingle").sortBy(
+            "shingle"
+        ).saveAsTable(seen_sh_t)
+        sh_all = sess.table(seen_sh_t)
+        sh_b = sh_all.filter(F.col("arr") == arrival).select(
+            "doc_id", "shingle"
         )
-        sizes_b = sh_b.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles")
-        )
-        bands_b = md5_minhash_band_rows(
-            sh_b, id_col="doc_id", shingle_col="shingle"
-        ).localCheckpoint(eager=True)
-        probe = bands_b.select(
-            F.col("doc_id").alias("id_n"), "band_idx", "band_key"
-        )
-        pool = bands_b.select(
-            F.col("doc_id").alias("id_o"),
+        # 2) band rows (+ per-doc n_shingles), bucketed on the band key
+        md5_minhash_band_rows(
+            sh_b, id_col="doc_id", shingle_col="shingle", carry_count=True
+        ).withColumn("arr", arr_lit).repartition(
+            8, F.col("band_key")
+        ).write.mode("append").bucketBy(8, "band_key").sortBy(
+            "band_key"
+        ).saveAsTable(seen_bd_t)
+        bd_all = sess.table(seen_bd_t)
+        probe = bd_all.filter(F.col("arr") == arrival).select(
+            F.col("doc_id").alias("id_n"),
+            F.col("n_shingles").alias("ns"),
             "band_idx",
             "band_key",
-            F.lit(arrival).cast("int").alias("arr"),
         )
-        if state["has_seen"]:
-            pool = pool.unionByName(
-                sess.table(seen_bd_t).select(
-                    F.col("doc_id").alias("id_o"), "band_idx", "band_key", "arr"
-                )
-            )
         pool = drop_hot_keys(
-            pool,
+            bd_all.select(
+                F.col("doc_id").alias("id_o"),
+                F.col("n_shingles").alias("no"),
+                "band_idx",
+                "band_key",
+                "arr",
+            ),
             ["band_idx", "band_key"],
             max_rows_per_key=50_000,
             what="minhash band bucket",
@@ -1670,41 +1707,23 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
                 (F.col("arr") < F.lit(arrival))
                 | ((F.col("arr") == F.lit(arrival)) & (F.col("id_o") < F.col("id_n")))
             )
-            .select("id_n", "id_o")
+            .select("id_n", "id_o", "ns", "no")
             .distinct()
         )
-        pool_sh = sh_b
-        pool_sz = sizes_b
-        if state["has_seen"]:
-            pool_sh = pool_sh.unionByName(sess.table(seen_sh_t))
-            pool_sz = pool_sz.unionByName(sess.table(seen_sz_t))
         nn = sh_b.select(F.col("doc_id").alias("id_n"), "shingle").join(
             cand.select("id_n").distinct(), "id_n", "left_semi"
         )
-        oo = pool_sh.select(F.col("doc_id").alias("id_o"), "shingle").join(
+        oo = sh_all.select(F.col("doc_id").alias("id_o"), "shingle").join(
             cand.select("id_o").distinct(), "id_o", "left_semi"
         )
         inter = (
             nn.join(oo, "shingle")
-            .join(cand, ["id_n", "id_o"], "left_semi")
+            .join(cand.select("id_n", "id_o"), ["id_n", "id_o"], "left_semi")
             .groupBy("id_n", "id_o")
             .agg(F.count(F.lit(1)).alias("nc"))
         )
         rejected = (
-            inter.join(
-                sizes_b.select(
-                    F.col("doc_id").alias("id_n"),
-                    F.col("n_shingles").alias("ns"),
-                ),
-                "id_n",
-            )
-            .join(
-                pool_sz.select(
-                    F.col("doc_id").alias("id_o"),
-                    F.col("n_shingles").alias("no"),
-                ),
-                "id_o",
-            )
+            inter.join(cand, ["id_n", "id_o"])
             .filter(F.expr("2 * nc >= 1 * (ns + no - nc)"))
             .select(F.col("id_n").alias("doc_id"))
             .distinct()
@@ -1719,26 +1738,8 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             )
         )
         res.write.mode("append").saveAsTable(res_t)
-        # band state bucketed on the band join key; shingle state bucketed
-        # on the verify join key — the next batch reads both
-        # pre-partitioned, only the (small) batch side exchanges
-        bands_b.select(
-            "doc_id",
-            "band_idx",
-            "band_key",
-            F.lit(arrival).cast("int").alias("arr"),
-        ).write.mode("append").bucketBy(8, "band_key").sortBy(
-            "band_key"
-        ).saveAsTable(seen_bd_t)
-        sh_b.write.mode("append").bucketBy(8, "shingle").sortBy(
-            "shingle"
-        ).saveAsTable(seen_sh_t)
-        sizes_b.write.mode("append").saveAsTable(seen_sz_t)
-        _release_local_checkpoint(sh_b)
-        _release_local_checkpoint(bands_b)
         state["last_bid"] = bid
         state["last_arr"] = arrival
-        state["has_seen"] = True
 
     stream = (
         _docs_stream_session(spark)
