@@ -7,7 +7,7 @@ rows-only by design (NON_SQL_EXPRESSIBLE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
@@ -314,12 +314,17 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank FROM ranked WHERE rank <=
 
 
 def _knn_label_agreement_oracle(
-    n_planes: int = 8, dim: int = 64, k: int = 5
+    n_planes: int = 8, dim: int = 64, k: int = 5, cap: int = 50_000
 ) -> str:
     """Full replay of the LSH-bucketed kNN label-agreement: seeded
     hyperplanes as literals (the cosine_topk_lsh idiom), EVERY vector a
     query with Hamming-1 probes, exact in-bucket cosine top-k, then the
-    per-label noise rollup."""
+    per-label noise rollup. The engine's ``max_bucket_size`` hot-bucket
+    cap (candidate side only — queries are never dropped) is MIRRORED
+    via the windowed occupancy filter in ``cbc`` (ADVICE r12: a fixture
+    that piles >cap vectors into one bucket must diverge in NEITHER or
+    BOTH engines), keeping the repo's deterministic-caps-are-mirrored
+    convention."""
     from ibis_flink_example_spark.operators.similarity import (
         random_hyperplanes,
     )
@@ -358,6 +363,13 @@ WITH c AS (
   FROM embeddings
 ), cb AS (
   SELECT vec_id, label, embedding, {bucket} AS bucket FROM c
+), cbc AS (
+  -- candidate side mirrors the engine's max_bucket_size={cap} hot-bucket
+  -- drop (drop_hot_keys); the query/probe side stays uncapped, as in the
+  -- engine
+  SELECT vec_id, label, embedding, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM cb
+  ) WHERE bn <= {cap}
 ), probes AS (
   SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec,
          UNNEST([{probes}]) AS pbucket
@@ -367,7 +379,7 @@ WITH c AS (
     SELECT p.query_id, p.qlabel, e.label AS nlabel,
       ROW_NUMBER() OVER (PARTITION BY p.query_id
                          ORDER BY {cos} DESC, e.vec_id) AS rnk
-    FROM cb e JOIN probes p
+    FROM cbc e JOIN probes p
       ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
   ) WHERE rnk <= {k}
 ), per_q AS (
@@ -5202,4 +5214,373 @@ def int8_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(q_vec_id) * 1000000 DIV 10 AS BIGINT)").alias(
             "agreement_x1e6"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3: ANN-backed SemDeDup at the LSH layer (r13)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_lsh_cte(
+    n_tables: int = 6,
+    n_planes: int = 6,
+    dim: int = 64,
+    cap: int = 50_000,
+    thr_x1e6: int = 350_000,
+) -> str:
+    """Shared WITH-clause body replaying the multitable hyperplane LSH
+    (operators/similarity.py:lsh_multitable_candidate_pairs /
+    lsh_semantic_pairs) in DuckDB: seeded planes as literals (seed
+    42 + 1000*t per table — the knn_label_agreement idiom, L times),
+    zipped UNNEST for the (table, bucket) fan-out, windowed occupancy
+    filter mirroring the engine's candidate-side max_bucket_size cap,
+    Hamming-1 probes, LEAST/GREATEST pair canonicalization, and the
+    exact cos6 verify on the threshold-sweep float chain. Defines CTEs
+    v, lsh_b, lsh_c, lsh_p, cand, ver. The expensive CTEs are
+    AS MATERIALIZED: DuckDB otherwise re-inlines the whole 36-projection
+    pipeline into every consumer — catastrophic under the recursive
+    connected-components closure, which joins the edge CTE per
+    iteration (measured: the un-materialized semdedup_lsh oracle ran
+    minutes; materialized, seconds)."""
+    from ibis_flink_example_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    def proj(p: list[float]) -> str:
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim}+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    proj_cols = []
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        for i, p in enumerate(planes):
+            proj_cols.append(f"{proj(p)} AS pj_{t}_{i}")
+        bits = " + ".join(
+            f"(CASE WHEN pj_{t}_{i} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        bucket_exprs.append(f"{bits} AS bk{t}")
+    sep = ",\n    "
+    proj_sql = sep.join(proj_cols)
+    bucket_sql = sep.join(bucket_exprs)
+    t_list = ", ".join(str(t) for t in range(n_tables))
+    bk_list = ", ".join(f"bk{t}" for t in range(n_tables))
+    probes = ", ".join(
+        ["bkt"] + [f"xor(bkt, {1 << i})" for i in range(n_planes)]
+    )
+    cos6 = (
+        "CAST(round(list_sum(list_transform(range(1, {d}+1),"
+        " i -> {a}.vec[i] * {b}.vec[i])) / ({a}.nrm * {b}.nrm) * 1000000)"
+        " AS BIGINT)"
+    )
+    ver_cos6 = cos6.format(d=dim, a="a", b="b")
+    return f"""
+v0 AS MATERIALIZED (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
+    {proj_sql}
+  FROM embeddings
+), v AS MATERIALIZED (
+  SELECT vec_id, label, vec, nrm,
+    {bucket_sql}
+  FROM v0
+), lsh_b AS (
+  SELECT vec_id, UNNEST([{t_list}]) AS t, UNNEST([{bk_list}]) AS bkt FROM v
+), lsh_c AS (
+  -- candidate side mirrors the engine's max_bucket_size={cap} cap
+  -- (drop_hot_keys per (table, bucket)); the probe side stays uncapped,
+  -- as in the engine
+  SELECT vec_id, t, bkt FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY t, bkt) AS bn FROM lsh_b
+  ) WHERE bn <= {cap}
+), lsh_p AS (
+  SELECT vec_id AS qid, t, UNNEST([{probes}]) AS pb FROM lsh_b
+), cand AS MATERIALIZED (
+  SELECT DISTINCT LEAST(c.vec_id, p.qid) AS id_a,
+                  GREATEST(c.vec_id, p.qid) AS id_b
+  FROM lsh_c c JOIN lsh_p p
+    ON c.t = p.t AND c.bkt = p.pb AND c.vec_id <> p.qid
+), ver AS MATERIALIZED (
+  SELECT s.id_a, s.id_b
+  FROM cand s JOIN v a ON a.vec_id = s.id_a JOIN v b ON b.vec_id = s.id_b
+  WHERE {ver_cos6} >= {thr_x1e6}
+)"""
+
+
+_SEMDEDUP_COS6_AB = (
+    "CAST(round(list_sum(list_transform(range(1, 64+1),"
+    " i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "semdedup_lsh",
+    # Components via recursive transitive closure over the LSH-verified
+    # pair residue (the semantic_dedup oracle's CC idiom on the new pair
+    # generator).
+    oracle="WITH RECURSIVE "
+    + _semdedup_lsh_cte()
+    + r""", e AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION ALL
+  SELECT id_b, id_a FROM ver
+), reach AS (
+  SELECT src AS id, dst AS r FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS minr FROM reach GROUP BY id
+)
+SELECT em.vec_id, em.label
+FROM embeddings em
+LEFT JOIN comp c ON em.vec_id = c.id
+WHERE c.id IS NULL OR em.vec_id <= c.minr
+""",
+)
+def semdedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 ANN-backed SemDeDup (VERDICT r12 #3c): semantic_dedup's
+    connected-components representative selection composed with
+    lsh_label_agreement's bucket-equi-join candidate machinery,
+    amplified to L=6 hyperplane tables x 6 planes with Hamming-1 probes
+    (operators/similarity.py:semdedup_lsh). Unlike semantic_dedup's
+    same-label blocking (a fixture stand-in for k-means assignment),
+    the LSH tables need no trained blocking column — the 100 TB form.
+    Candidates are verified at exact cos6 >= 350000 before any edge
+    enters the component graph; recall vs the blocked-exact arm is
+    MEASURED by semdedup_lsh_recall, not assumed."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_lsh(
+        em, id_col="vec_id", vec_col="embedding", dim=64
+    ).select("vec_id", "label")
+
+
+@query(
+    "semdedup_lsh_recall",
+    oracle="WITH "
+    + _semdedup_lsh_cte()
+    + f""", truth AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SEMDEDUP_COS6_AB} >= 350000
+), counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth) AS nt,
+    (SELECT COUNT(*) FROM cand) AS ncand,
+    (SELECT COUNT(*) FROM ver) AS nv,
+    (SELECT COUNT(*) FROM ver JOIN truth USING (id_a, id_b)) AS nc
+)
+SELECT CAST(nt AS BIGINT) AS n_truth_pairs,
+  CAST(ncand AS BIGINT) AS n_candidate_pairs,
+  CAST(nv AS BIGINT) AS n_verified_pairs,
+  CAST(nc AS BIGINT) AS n_common_pairs,
+  CASE WHEN nt = 0 THEN NULL
+       ELSE CAST(floor(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+  END AS recall_x1e6
+FROM counts
+""",
+)
+def semdedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 recall witness for semdedup_lsh (the ann_recall_ivf idiom):
+    ground truth = the blocked-exact arm (semantic_dedup's same-label
+    pairs at the same cos6 >= 350000 gate), measured against the LSH
+    arm's candidate and verified pair sets. One row:
+    (n_truth_pairs, n_candidate_pairs, n_verified_pairs, n_common_pairs,
+    recall_x1e6). The candidate stage is computed ONCE (eager
+    localCheckpoint) and shared by the count and the verify; a fixture
+    rotation that empties the truth set reports NULL recall in both
+    engines and trips the witness-premise test
+    (tests/test_llm_operators.py) rather than passing trivially."""
+    em = load_table(spark, sf_dir, "embeddings")
+    cand = S.lsh_multitable_candidate_pairs(
+        em, id_col="vec_id", vec_col="embedding", dim=64
+    ).localCheckpoint(eager=True)
+    ver = S.lsh_semantic_pairs(
+        em, id_col="vec_id", vec_col="embedding", dim=64, candidates=cand
+    )
+    truth = (
+        S.embedding_neardup_pairs(
+            em,
+            id_col="vec_id",
+            vec_col="embedding",
+            block_col="label",
+            threshold=0.3499,
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("__cos6"),
+        )
+        .filter(F.col("__cos6") >= 350_000)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    n_v = ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified_pairs"))
+    n_c = (
+        ver.join(truth, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_pairs"))
+    )
+    out = (
+        n_t.crossJoin(n_cand)
+        .crossJoin(n_v)
+        .crossJoin(n_c)
+        .select(
+            "n_truth_pairs",
+            "n_candidate_pairs",
+            "n_verified_pairs",
+            "n_common_pairs",
+            F.when(F.col("n_truth_pairs") == 0, F.lit(None))
+            .otherwise(
+                F.floor(
+                    F.col("n_common_pairs")
+                    / F.col("n_truth_pairs")
+                    * 1_000_000
+                    + 0.5
+                ).cast("bigint")
+            )
+            .alias("recall_x1e6"),
+        )
+    )
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(out, handles=(cand, truth))
+
+
+# ---------------------------------------------------------------------------
+# X4: URL/domain-layer curation (r13)
+# ---------------------------------------------------------------------------
+
+# The C4/Gopher-style domain blocklist, applied at the host level. The
+# synthetic corpus carries no URL column, so hosts that EXIST at every SF
+# are chosen (every source's hub host is populated by doc_id % 7 < 3).
+_BLOCKED_HOSTS = ("src3.hub.example.com", "src7.hub.example.com")
+_DOMAIN_DOC_CAP = 8
+
+
+@query(
+    "url_domain_curation",
+    oracle=rf"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+    'https://' ||
+    CASE WHEN doc_id % 7 < 3 THEN source || '.hub.example.com'
+         ELSE source || '-' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+    END || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), x AS (
+  SELECT doc_id, n_chars, regexp_extract(url, '^https?://([^/]+)', 1) AS host
+  FROM u
+), r AS (
+  SELECT host, doc_id, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY host ORDER BY n_chars DESC, doc_id
+    ) AS rn
+  FROM x
+)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  (host IN ('src3.hub.example.com', 'src7.hub.example.com')) AS is_blocked,
+  CAST(CASE WHEN host IN ('src3.hub.example.com', 'src7.hub.example.com')
+       THEN 0 ELSE SUM(CASE WHEN rn <= {_DOMAIN_DOC_CAP} THEN 1 ELSE 0 END)
+       END AS BIGINT) AS n_kept,
+  CAST(CASE WHEN host IN ('src3.hub.example.com', 'src7.hub.example.com')
+       THEN COUNT(*)
+       ELSE COUNT(*) - SUM(CASE WHEN rn <= {_DOMAIN_DOC_CAP} THEN 1 ELSE 0 END)
+       END AS BIGINT) AS n_dropped,
+  CAST(CASE WHEN host IN ('src3.hub.example.com', 'src7.hub.example.com')
+       THEN 0 ELSE SUM(CASE WHEN rn <= {_DOMAIN_DOC_CAP} THEN n_chars ELSE 0 END)
+       END AS BIGINT) AS kept_chars
+FROM r GROUP BY host
+""",
+)
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 URL/domain-layer curation (VERDICT r12 #3a — the C4/Gopher
+    pre-filter): host extraction from a URL column (parse_url, a
+    codegen'd JVM expression; the oracle replays it as a regex), a
+    per-domain doc cap (keep the top 8 docs per host by
+    (n_chars DESC, doc_id) — the boilerplate-farm guard), and a domain
+    blocklist applied via a broadcast join against a literal blocklist
+    frame. The fixture has no URL column, so a deterministic URL is
+    SYNTHESIZED in both engines from (source, doc_id) with a skewed host
+    map — every source gets a populated .hub host (doc_id % 7 < 3 — 7 is
+    coprime with the fixture's source = doc_id % 20 assignment, so
+    every source's hub holds ~3/7 of its docs, >cap at every SF and the
+    cap provably binds: the witness premise) and
+    13 long-tail hosts. Output is the per-host audit table:
+    (host, n_docs, is_blocked, n_kept, n_dropped, kept_chars).
+
+    Scale shape: URL synthesis + host extraction fuse into the scan;
+    ONE exchange (the host window), the per-host rollup rides the same
+    partitioning; the blocklist attaches to the ~|hosts| rollup as a
+    2-row broadcast. A mega-host (a billion-doc domain at 100 TB) makes
+    the rank window that host's partition-local sort — the standard
+    two-phase top-k rewrite applies if a single host outgrows a
+    partition, and the cap itself is what bounds what survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 7 < 3,
+            F.concat(F.col("source"), F.lit(".hub.example.com")),
+        ).otherwise(
+            F.concat(
+                F.col("source"),
+                F.lit("-"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example.com"),
+            )
+        ),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    x = docs.select(
+        "doc_id", "n_chars", F.parse_url(url, F.lit("HOST")).alias("host")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    r = x.withColumn("rn", F.row_number().over(w))
+    g = r.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= _DOMAIN_DOC_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("__n_le_cap"),
+        F.sum(
+            F.when(F.col("rn") <= _DOMAIN_DOC_CAP, F.col("n_chars")).otherwise(0)
+        )
+        .cast("long")
+        .alias("__chars_le_cap"),
+    )
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(h,) for h in _BLOCKED_HOSTS], "host string"
+        ).withColumn("__blocked", F.lit(True))
+    )
+    return g.join(bl, "host", "left").select(
+        "host",
+        "n_docs",
+        F.col("__blocked").isNotNull().alias("is_blocked"),
+        F.when(F.col("__blocked").isNotNull(), F.lit(0))
+        .otherwise(F.col("__n_le_cap"))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(F.col("__blocked").isNotNull(), F.col("n_docs"))
+        .otherwise(F.col("n_docs") - F.col("__n_le_cap"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.when(F.col("__blocked").isNotNull(), F.lit(0))
+        .otherwise(F.col("__chars_le_cap"))
+        .cast("long")
+        .alias("kept_chars"),
     )

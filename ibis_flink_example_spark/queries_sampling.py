@@ -621,3 +621,104 @@ def stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_docs * 1000000 DIV SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)"
         ).alias("share_x1e6"),
     )
+
+
+_PACK_CONTEXT = 512
+_PACK_SHARDS = 8
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    LEAST(n_tokens, {_PACK_CONTEXT}) AS tok_c,
+    (n_tokens > {_PACK_CONTEXT}) AS truncated,
+    CASE WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 64 THEN 64
+         WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 128 THEN 128
+         WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 256 THEN 256
+         ELSE {_PACK_CONTEXT} END AS len_bucket,
+    doc_id % {_PACK_SHARDS} AS shard
+  FROM t
+), r AS (
+  SELECT len_bucket, shard, tok_c, truncated,
+    ROW_NUMBER() OVER (
+      PARTITION BY len_bucket, shard ORDER BY tok_c DESC, doc_id
+    ) AS rn
+  FROM d
+)
+SELECT CAST(len_bucket AS INTEGER) AS len_bucket,
+  CAST(shard AS INTEGER) AS shard,
+  CAST((rn - 1) // ({_PACK_CONTEXT} // len_bucket) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok_c) AS BIGINT) AS bin_tokens,
+  CAST(SUM(tok_c) * 1000000 // {_PACK_CONTEXT} AS BIGINT) AS occupancy_x1e6,
+  CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+FROM r
+GROUP BY len_bucket, shard, bin_id
+""",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence BIN packing with per-bin occupancy stats
+    (VERDICT r12 #3b — the last mile between corpus and dataloader).
+    Unlike pack_sequences_2k (concat-then-chop: documents straddle
+    context boundaries), this is the no-straddle discipline real LLM
+    dataloaders use at scale: LENGTH-BUCKETED packing. Token counts are
+    capped at the 512-token context, docs fall into power-of-two length
+    buckets (an exact integer CASE ladder — no float log2, which is not
+    bit-portable across engines), and within each (bucket, shard) docs
+    are placed greedily in DECREASING length order (the deterministic
+    greedy arm of first-fit-decreasing that stays engine-exact: inside
+    a bucket every doc fits the bucket's guaranteed per-bin capacity
+    512 DIV bucket, so the greedy assignment is a pure row_number
+    formula and never needs the sequential bin-remainder recursion that
+    SQL cannot express). Output: one row per bin with doc count, token
+    occupancy (x1e6 of the 512 capacity) and truncation count — the
+    table that tells you how much padding the packing wastes per length
+    class.
+
+    Scale shape: token counting and bucketing fuse into the scan; the
+    ONLY exchange is the (bucket, shard) window hash — sharding by
+    doc_id % 8 mirrors dataloader workers and keeps the window
+    32-way parallel instead of 4 bucket-wide partitions (the 100 TB
+    fix: a mega-bucket never serializes onto one task); the per-bin
+    rollup rides the same partitioning (groupBy keys are a superset of
+    the window keys — zero additional exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = X.token_count_whitespace("text")
+    d = docs.select(
+        "doc_id",
+        F.least(tok, F.lit(_PACK_CONTEXT)).alias("tok_c"),
+        (tok > _PACK_CONTEXT).alias("truncated"),
+    ).withColumn(
+        "len_bucket",
+        F.when(F.col("tok_c") <= 64, 64)
+        .when(F.col("tok_c") <= 128, 128)
+        .when(F.col("tok_c") <= 256, 256)
+        .otherwise(_PACK_CONTEXT)
+        .cast("int"),
+    ).withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("len_bucket", "shard").orderBy(
+        F.col("tok_c").desc(), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bin_id",
+        F.expr(
+            f"CAST((rn - 1) DIV ({_PACK_CONTEXT} DIV len_bucket) AS BIGINT)"
+        ),
+    )
+    return r.groupBy("len_bucket", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok_c").cast("long").alias("bin_tokens"),
+        F.expr(f"CAST(SUM(tok_c) * 1000000 DIV {_PACK_CONTEXT} AS BIGINT)")
+        .alias("occupancy_x1e6"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+    )

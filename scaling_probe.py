@@ -262,6 +262,12 @@ def main() -> int:
         # — and its pair-attribution sibling (capped occurrence self-join)
         "substring_dup_runs",
         "substring_dup_attribution",
+        # r13: the banded-MinHash streaming ingest's per-batch pass vs
+        # 1x/10x accepted state (VERDICT r12 task #4) — fixed batch, the
+        # state-table side scales; the stateless decontaminate ingest's
+        # per-batch probe IS the existing decontaminate_13gram row
+        # (fixed eval grams, scaled probe side)
+        "minhash_ingest_state_probe",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -282,7 +288,8 @@ def main() -> int:
            "epoch_shuffle_plan", "roc_auc", "phash_pair_join",
            "vocab_coverage", "priority_sample", "ks_two_sample",
            "gopher_flags", "sparse_cosine_pairs", "bigram_surprisal",
-           "substring_dup_runs", "substring_dup_attribution"}
+           "substring_dup_runs", "substring_dup_attribution",
+           "minhash_ingest_state_probe"}
     )
     need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
     need_copurchase = "triangle_count" in keep
@@ -370,6 +377,130 @@ def main() -> int:
             if "neardup_state_probe" in keep
             else None
         )
+
+        def _minhash_ingest_state(label):
+            """Bucketed band + shingle state tables in the EXACT r13
+            layout streaming_minhash_neardup_ingest maintains: band rows
+            carry the per-doc shingle counts (carry_count) and both
+            appends are bucket-aligned."""
+            from ibis_flink_example_spark.catalog import drop_table_and_location
+            from ibis_flink_example_spark.operators.dedup import (
+                md5_minhash_band_rows,
+                word_shingles,
+                words,
+            )
+
+            sh_t = f"probe_mhing_sh_{label}"
+            bd_t = f"probe_mhing_bd_{label}"
+            for t in (sh_t, bd_t):
+                drop_table_and_location(spark, t)
+            sh = (
+                spark.read.parquet(docs[label])
+                .select(
+                    "doc_id",
+                    F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+                )
+                .distinct()
+            )
+            sh.repartition(8, F.col("shingle")).write.bucketBy(
+                8, "shingle"
+            ).sortBy("shingle").saveAsTable(sh_t)
+            md5_minhash_band_rows(
+                spark.table(sh_t),
+                id_col="doc_id",
+                shingle_col="shingle",
+                carry_count=True,
+            ).repartition(8, F.col("band_key")).write.bucketBy(
+                8, "band_key"
+            ).sortBy("band_key").saveAsTable(bd_t)
+            return sh_t, bd_t
+
+        minhash_ingest_states = (
+            {lbl: _minhash_ingest_state(lbl) for lbl in ("1x", big)}
+            if "minhash_ingest_state_probe" in keep
+            else None
+        )
+
+        def minhash_ingest_state_at(label):
+            """One micro-batch's candidate+verify pass (the apply-body
+            compute minus the commits — the join physics is what scales
+            with state) against 1x/10x accepted state. The batch is
+            FIXED (~1% of copy 0); copies are shingle-disjoint, so
+            candidate volume stays batch-proportional and the state axis
+            exercises the bucketed band scan + hot-key agg — expected
+            exponent ~0 like the exact sibling."""
+            from ibis_flink_example_spark.operators.dedup import (
+                drop_hot_keys,
+                md5_minhash_band_rows,
+                word_shingles,
+                words,
+            )
+
+            sh_t, bd_t = minhash_ingest_states[label]
+            batch = spark.read.parquet(docs["1x"]).filter(
+                F.col("doc_id") % 97 == 0
+            )
+            sh_b = (
+                batch.select(
+                    "doc_id",
+                    F.explode(word_shingles(words("text"), 3)).alias("shingle"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            bands_b = md5_minhash_band_rows(
+                sh_b, id_col="doc_id", shingle_col="shingle", carry_count=True
+            ).localCheckpoint(eager=True)
+
+            def run():
+                probe = bands_b.select(
+                    F.col("doc_id").alias("id_n"),
+                    F.col("n_shingles").alias("ns"),
+                    "band_idx",
+                    "band_key",
+                )
+                pool = drop_hot_keys(
+                    spark.table(bd_t).select(
+                        F.col("doc_id").alias("id_o"),
+                        F.col("n_shingles").alias("no"),
+                        "band_idx",
+                        "band_key",
+                    ),
+                    ["band_idx", "band_key"],
+                    max_rows_per_key=50_000,
+                    what="probe band bucket",
+                )
+                cand = (
+                    probe.join(pool, ["band_idx", "band_key"])
+                    .filter(F.col("id_o") != F.col("id_n"))
+                    .select("id_n", "id_o", "ns", "no")
+                    .distinct()
+                )
+                nn = sh_b.select(
+                    F.col("doc_id").alias("id_n"), "shingle"
+                ).join(cand.select("id_n").distinct(), "id_n", "left_semi")
+                oo = spark.table(sh_t).select(
+                    F.col("doc_id").alias("id_o"), "shingle"
+                ).join(cand.select("id_o").distinct(), "id_o", "left_semi")
+                inter = (
+                    nn.join(oo, "shingle")
+                    .join(
+                        cand.select("id_n", "id_o"),
+                        ["id_n", "id_o"],
+                        "left_semi",
+                    )
+                    .groupBy("id_n", "id_o")
+                    .agg(F.count(F.lit(1)).alias("nc"))
+                )
+                return (
+                    inter.join(cand, ["id_n", "id_o"])
+                    .filter(F.expr("2 * nc >= 1 * (ns + no - nc)"))
+                    .select("id_n")
+                    .distinct()
+                    .count()
+                )
+
+            return run
 
         def neardup_state_at(label):
             from ibis_flink_example_spark.operators.dedup import (
@@ -648,6 +779,7 @@ def main() -> int:
             "bigram_surprisal": bigram_surprisal_at,
             "substring_dup_runs": substring_runs_at,
             "substring_dup_attribution": substring_attr_at,
+            "minhash_ingest_state_probe": minhash_ingest_state_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

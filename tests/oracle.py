@@ -128,6 +128,9 @@ BNLJ_ALLOWED = {
     # one-row (exact, est, tot_a, tot_b) scalar frames cross-joined to
     # assemble each estimate-vs-bound row
     "cms_join_size_estimate",
+    # one-row (truth, candidate, verified, common) scalar frames
+    # cross-joined to assemble the recall row
+    "semdedup_lsh_recall",
     # one-row query-vector broadcast in the dense leg (the cosine_topk
     # shape, fused downstream with the BM25 leg)
     "rrf_hybrid_retrieval",

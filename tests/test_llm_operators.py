@@ -2834,3 +2834,97 @@ def test_poisson_bootstrap_properties(spark):
         poisson_bootstrap_mean_ci(
             df, id_col="id", value_col="v", n_replicates=4, trim=2
         )
+
+
+def test_semdedup_lsh_recall_witness_premise(spark, sf_dir):
+    """The recall row must be non-trivially green at gate SFs (the
+    capped-image lesson, institutionalized): a fixture rotation that
+    empties the blocked-exact truth set — or an LSH parameter change
+    that finds none of it — must fail HERE, not pass as a vacuous row."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    r = QUERIES["semdedup_lsh_recall"](spark, sf_dir).collect()[0]
+    assert r["n_truth_pairs"] > 0, "truth set empty — witness premise broken"
+    assert r["n_common_pairs"] > 0, "LSH found NO truth pair — vacuous recall"
+    assert r["n_verified_pairs"] >= r["n_common_pairs"]
+    assert r["n_candidate_pairs"] >= r["n_verified_pairs"]
+    # L=6 x p=6 with Hamming-1 probes measured 0.92 at sf0.01; anything
+    # under 1/2 means the amplification regressed, not fixture noise
+    assert r["recall_x1e6"] >= 500_000, r["recall_x1e6"]
+
+
+def test_semdedup_lsh_dedups_and_keeps_min_id(spark, sf_dir):
+    """Survivors are a strict subset with min-id representatives: every
+    verified pair must have lost at least its non-representative end."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    em = load_table(spark, sf_dir, "embeddings")
+    n_all = em.count()
+    surv = QUERIES["semdedup_lsh"](spark, sf_dir)
+    n_surv = surv.count()
+    assert 0 < n_surv < n_all
+    pairs = S.lsh_semantic_pairs(
+        em, id_col="vec_id", vec_col="embedding", dim=64
+    )
+    surv_ids = {r.vec_id for r in surv.collect()}
+    for p in pairs.collect():
+        assert not (p.id_a in surv_ids and p.id_b in surv_ids), (
+            "both ends of a verified near-dup pair survived"
+        )
+
+
+def test_url_domain_curation_witness_premise(spark, sf_dir):
+    """The per-domain cap and the blocklist must both BIND at gate SFs:
+    every .hub host exceeds the cap (n_dropped > 0) and both blocklist
+    hosts exist with all their docs dropped."""
+    from ibis_flink_example_spark.queries import QUERIES
+    from ibis_flink_example_spark.queries_llm import _BLOCKED_HOSTS
+
+    rows = QUERIES["url_domain_curation"](spark, sf_dir).collect()
+    hubs = [r for r in rows if ".hub." in r["host"]]
+    assert len(hubs) == 20  # one per source
+    assert all(r["n_dropped"] > 0 for r in hubs), "cap never binds"
+    blocked = {r["host"]: r for r in rows if r["is_blocked"]}
+    assert set(blocked) == set(_BLOCKED_HOSTS)
+    for r in blocked.values():
+        assert r["n_kept"] == 0 and r["n_dropped"] == r["n_docs"] > 0
+
+
+def test_sequence_packing_bins_invariants(spark, sf_dir):
+    """Packing invariants the oracle hash alone doesn't spell out: no bin
+    exceeds its bucket capacity or the 512-token budget; every doc is
+    packed exactly once; full bins of a (bucket, shard) precede the one
+    ragged tail bin (decreasing-order greedy)."""
+    from ibis_flink_example_spark.catalog import load_table as lt
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["sequence_packing_bins"](spark, sf_dir).collect()
+    n_docs_fixture = lt(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_fixture
+    from collections import defaultdict
+
+    per_group = defaultdict(list)
+    for r in rows:
+        cap_docs = 512 // r["len_bucket"]
+        assert r["n_docs"] <= cap_docs
+        assert r["bin_tokens"] <= 512
+        assert r["occupancy_x1e6"] == r["bin_tokens"] * 1_000_000 // 512
+        per_group[(r["len_bucket"], r["shard"])].append(r)
+    for (_, _), bins in per_group.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        cap_docs = 512 // bins[0]["len_bucket"]
+        for b in bins[:-1]:
+            assert b["n_docs"] == cap_docs, "non-tail bin not full"
+
+
+def test_dedup_substring_removal_witness_premise(spark, sf_dir):
+    """VERDICT r12 #7/#5: the removal arm must KEEP REMOVING — if a
+    fixture rotation drops the planted duplicated spans, the row would
+    go trivially empty and the driver hash would still pass. Pin >0
+    actual removals (docs whose kept token count shrank) at gate SFs."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_substring_removal"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    removed = [r for r in rows if r["n_removed"] > 0]
+    assert removed, "no doc lost any token — duplicated-span witness gone"

@@ -1041,3 +1041,97 @@ def test_shard_manifest_is_one_window_plus_colocated_rollup(spark, sf_dir):
     assert exchange_count(df) == 1
     (cols,) = scan_columns(df)
     assert set(cols) == {"doc_id", "text", "n_chars"}
+
+
+def test_minhash_ingest_band_cap_headroom():
+    """streaming_minhash_neardup_ingest caps band buckets at 50k rows but
+    its arrival-prefix oracle deliberately does not model the cap
+    (ADVICE r12): the premise is that the WHOLE band pool (8 rows/doc)
+    stays under the cap at every verification SF, so no single bucket
+    can ever reach it even fully degenerate. Pin that premise — a
+    fixture refresh that grows documents to 6,250+ rows must fail HERE,
+    not as a silent engine/oracle divergence. (sf0.1 is already at
+    5,000 docs = 40k band rows, so no slack factor is applied.)"""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cap = 50_000
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        n_docs = pq.read_metadata(p).num_rows
+        assert 8 * n_docs < cap, (
+            f"{sf}: band pool {8 * n_docs} rows can now fill a single "
+            "band bucket past the 50k cap — mirror the cap in "
+            "_minhash_ingest_oracle before the fixtures grow further"
+        )
+        checked += 1
+    assert checked >= 2
+
+
+def test_minhash_ingest_state_tables_bucketed_and_folded(spark, sf_dir):
+    """streaming_minhash_neardup_ingest's state tables must BOTH be
+    bucketed on their join keys, with bucket-ALIGNED appends (one file
+    per bucket per batch — a misaligned bucketed write emits
+    tasks x buckets files and was measured 2.5x slower to append and to
+    re-read), and the per-doc shingle counts must ride the band rows
+    (VERDICT r12 #2a: the separate, unbucketed sizes table is gone)."""
+    import glob
+    import os
+
+    QUERIES["streaming_minhash_neardup_ingest"](spark, sf_dir).collect()
+    expect = {
+        "minhash_ingest_seen_sh": "shingle",
+        "minhash_ingest_seen_bands": "band_key",
+    }
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for table, key in expect.items():
+        rows = {
+            r.col_name: str(r.data_type)
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert key in rows.get("Bucket Columns", ""), (table, rows.get("Bucket Columns"))
+        n_files = len(glob.glob(os.path.join(warehouse, table, "*.parquet")))
+        assert n_files <= 4 * 8, (table, n_files)  # 4 batches x 8 buckets
+    band_cols = {f.name for f in spark.table("minhash_ingest_seen_bands").schema}
+    assert "n_shingles" in band_cols
+    assert not spark.catalog.tableExists("minhash_ingest_seen_sizes")
+
+
+def test_url_domain_curation_single_exchange_broadcast_blocklist(spark, sf_dir):
+    """URL synthesis + host extraction fuse into the scan; ONE exchange
+    (the host window — the rollup rides it); the blocklist attaches as a
+    broadcast; only the three input columns are read."""
+    df = QUERIES["url_domain_curation"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert ops["SortMergeJoin"] + ops["ShuffledHashJoin"] == 0
+    assert broadcast_join_count(df) >= 1
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "n_chars", "source"}
+
+
+def test_sequence_packing_bins_single_exchange_no_join(spark, sf_dir):
+    """Packing shuffles ONCE on (bucket, shard); the per-bin rollup rides
+    the window partitioning (its keys are a superset); no joins."""
+    df = QUERIES["sequence_packing_bins"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_semdedup_lsh_no_cartesian_equi_candidates(spark, sf_dir):
+    """The LSH candidate stage must stay a (table, bucket) equi-join at
+    every stage — an accidental all-pairs product here is the classic
+    100 TB killer; the verify joins are id-keyed hash joins."""
+    for name in ("semdedup_lsh", "semdedup_lsh_recall"):
+        df = QUERIES[name](spark, sf_dir)
+        ops = plan_ops(df)
+        assert ops["CartesianProduct"] == 0, name
