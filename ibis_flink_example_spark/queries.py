@@ -54,78 +54,82 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-12 rotation (VERDICT r11 top-next #2 — exactly full at
-# 2 + 26 + 4 + 18 = 50): sentinels, then EVERY entry of r11's
-# _NEXT_ROUND_FIRST_ROWS queue (zorder_bucket_stats, whose latest green
-# row was r6, plus the 25 late-r11 registrations that had zero external
-# rows — all judge-checked locally in r11), then first-rows for the FOUR
-# new r12 registrations (the >0-pairs capped-image recall witness —
-# VERDICT #4; substring-run attribution, the contamination leaderboard
-# and the MinHash-backed streaming ingest — VERDICT #7), then the 18
-# highest-value rows of the ~45-query r7-era cohort (every streaming_*
-# member — the most regression-prone machinery — plus the heavy
-# LLM/multimodal/SCD arms). The r7-era remainder (27 rows: the simpler
-# relational/analytic re-verifies) queues for r13; every one of those
-# still carries an r7 green row and is re-checked by the local sf0.01
-# gate on every CI run.
+# Round-13 rotation (VERDICT r12 top-next #1 — exactly full at
+# 2 + 7 + 4 + 3 + 27 + 1 + 6 = 50): sentinels; then EVERY entry of r12's
+# _NEXT_ROUND_FIRST_ROWS queue (the 7 late-r12 registrations with zero
+# external rows — all judge-verified exact in r12); then first-rows for
+# the FOUR new r13 registrations (ANN-backed SemDeDup + its recall
+# witness — VERDICT #3c; URL/domain curation — #3a; sequence bin
+# packing — #3b); then the 3 rows-only queries whose last external row
+# is r5/r6 (bpe x2, streaming anomaly — the longest-stale rows in the
+# registry); then the ENTIRE 27-row r7-era remainder r12 queued for
+# this round; then streaming_minhash_neardup_ingest, RE-SEATED because
+# this round re-engineered its state handling (state-table-first,
+# folded sizes — an r12 green row does not cover the new code); then 6
+# regression-prone members of the r8-era cohort (its streaming arms +
+# the heavy graph/ANN/UDTF machinery). The r8-era remainder (41 rows,
+# all relational/analytic greens re-checked by the local sf0.01 gate on
+# every CI run) queues for r14.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: the r11 deferral queue, seated in full (VERDICT #2)
-    "zorder_bucket_stats",
-    "shard_file_manifest",
-    "mixture_reweight_iterative",
-    "gopher_quality_flags",
-    "retrieval_ndcg_mrr",
-    "priority_sample_topk",
-    "vocab_coverage_curve",
-    "triangle_count_copurchase",
-    "ks_value_by_bucket",
-    "hard_negative_mining",
-    "streaming_ks_drift",
-    "dup_inflation_by_source",
-    "cross_source_dup_overlap",
-    "bloom_semijoin_fpr",
-    "stratified_kfold_plan",
-    "semantic_dup_threshold_sweep",
-    "embedding_outliers_by_centroid",
-    "chi2_terms_by_lang",
-    "conformal_score_threshold",
-    "sparse_cosine_neardup_pairs",
-    "doc_bigram_surprisal",
-    "pmi_top_collocations",
-    "unicode_script_profile",
-    "audio_frame_plan",
-    "matryoshka_truncation_recall",
-    "poisson_bootstrap_mean_ci",
-    # first-rows: new this round (r12)
-    "image_phash_capped_planted_pairs",
-    "dedup_substring_attribution",
-    "contamination_leaderboard",
+    # first-rows: the r12 deferral queue, seated in full (VERDICT #1)
+    "rater_agreement_kappa",
+    "int8_retrieval_agreement",
+    "dedup_substring_removal",
+    "knn_label_agreement",
+    "streaming_decontaminate_ingest",
+    "pii_incidence_by_source",
+    "cluster_representative_sampling",
+    # first-rows: new this round (r13)
+    "semdedup_lsh",
+    "semdedup_lsh_recall",
+    "url_domain_curation",
+    "sequence_packing_bins",
+    # longest-stale rows-only checks (last external row r5/r6)
+    "bpe_learn_merges",
+    "bpe_token_counts",
+    "streaming_anomaly_zscore",
+    # r7-era re-verification, part 2 of 2 (most recent green row = r7)
+    "attribution_time_decay",
+    "bfs_reach_from_nation0",
+    "bucketed_order_sizes",
+    "chisq_event_dow",
+    "cms_term_counts",
+    "cusum_revenue_shift",
+    "domain_mixture_weights",
+    "dpp_partitioned_orders",
+    "event_pattern_match",
+    "file_compaction_plan",
+    "hll_daily_users_merge",
+    "hll_intersection_users",
+    "k_anonymity_audit",
+    "key_skew_profile",
+    "lateral_top_customers",
+    "quantile_normalize_value",
+    "recursive_customer_hierarchy",
+    "referential_integrity_audit",
+    "rollup_reuse_hierarchy",
+    "scd2_customer_priority",
+    "seasonal_decompose_revenue",
+    "stats_mad_value",
+    "stats_winsorized_value",
+    "token_budget_selection",
+    "vocab_growth_prefix",
+    "weighted_median_price",
+    "xml_roundtrip",
+    # re-seated: state handling re-engineered this round (r13)
     "streaming_minhash_neardup_ingest",
-    # r7-era re-verification, part 1 of 2 (most recent green row = r7):
-    # all streaming arms + the heavy LLM/multimodal/warehouse machinery
-    "streaming_cms_user_counts",
-    "streaming_dedup_events",
-    "streaming_over_range_sum",
-    "streaming_python_datasource_payments",
-    "streaming_sessionize",
-    "streaming_static_anti_join",
-    "streaming_stream_left_join",
-    "streaming_tumble_1m",
-    "streaming_upsert_totals",
-    "ann_recall_ivf",
-    "minhash_vs_exact_pairs",
-    "dedup_chunk_exact",
-    "dedup_keep_best",
-    "multimodal_features",
-    "embedding_norms_arrow",
-    "python_datasource_payments",
-    "scd2_point_in_time",
-    "schema_evolution_read",
-    # positions 51+: the r7-era remainder (queued for r13), then the
-    # r8-r11 greens and the rest of the registry in registration order.
+    # r8-era re-verification, part 1: the regression-prone arms
+    "streaming_chained_windows",
+    "streaming_over_range_sum_join",
+    "streaming_stream_join",
+    "pagerank_part_supplier",
+    "cosine_topk_ivf",
+    "udtf_props_kv",
+    # positions 51+: the r8-era remainder (queued for r14), then the
+    # r9-r12 greens and the rest of the registry in registration order.
 )
 
 
@@ -134,20 +138,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it. The early-r12 registrations all fit the window;
-# the two late-r12 registrations below arrived after it was full. The
-# r13 rotation seats these two first, then the 27-row r7-era remainder
-# named above (those have green rows, so they do not belong in this
-# first-row queue).
-_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
-    "rater_agreement_kappa",  # registered late-r12, local greens only
-    "int8_retrieval_agreement",  # registered late-r12, local greens only
-    "dedup_substring_removal",  # registered late-r12, local greens only
-    "knn_label_agreement",  # registered late-r12, local greens only
-    "streaming_decontaminate_ingest",  # registered late-r12, local greens only
-    "pii_incidence_by_source",  # registered late-r12, local greens only
-    "cluster_representative_sampling",  # registered late-r12, local greens only
-)
+# rotation empties it. EMPTY this round: all four r13 registrations fit
+# the window (seated above), so nothing is deferred.
+_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = ()
 
 
 def _apply_driver_priority() -> None:
