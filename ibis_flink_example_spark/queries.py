@@ -138,9 +138,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it. EMPTY this round: all four r13 registrations fit
-# the window (seated above), so nothing is deferred.
-_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = ()
+# rotation empties it. The four early-r13 registrations fit the window
+# (seated above); the two below were registered after it was full.
+_NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
+    "mixture_waterfill_allocation",  # registered late-r13, local greens only
+    "prefix_cache_sharing",  # registered late-r13, local greens only
+)
 
 
 def _apply_driver_priority() -> None:

@@ -5584,3 +5584,65 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "prefix_cache_sharing",
+    # Shared-prefix groups over the planted-duplicate corpus (every doc
+    # with doc_id % 50 == 0 re-added under +1e6 — the _with_planted_dups
+    # premise, mirrored here): identical first-32-token prefixes are
+    # exact string groups, so the whole readout is SQL-computable.
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+), p AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(
+      regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'), 1, 32), ' ')) AS prefix_md5,
+    LEAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')), 32) AS prefix_tokens
+  FROM aug
+)
+SELECT prefix_md5,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MIN(prefix_tokens) AS BIGINT) AS prefix_tokens,
+  CAST((COUNT(*) - 1) * MIN(prefix_tokens) AS BIGINT) AS saved_tokens
+FROM p GROUP BY prefix_md5 HAVING COUNT(*) >= 2
+""",
+)
+def prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side prefix KV-cache sharing plan: documents whose first
+    32 tokens are IDENTICAL can reuse one prefix cache entry at
+    inference, so the per-group saving is (n_docs - 1) x prefix_tokens —
+    the table a batch-inference scheduler reads to co-locate requests.
+    Groups are exact-string (md5 of the joined 32-token prefix, the
+    dedup_exact digest idiom); the synthetic corpus has no natural
+    shared prefixes, so the shared _with_planted_dups corpus supplies
+    the witnesses (every 50th doc duplicated verbatim — identical
+    prefix guaranteed), and any NATURAL collision the fixture ever
+    grows is reported identically by both engines.
+
+    Scale shape: prefix slice + digest fuse into the scan (only the
+    32-token prefix is ever materialized, not the document); ONE
+    exchange on the digest; output is bounded by the number of shared
+    groups. The HAVING >= 2 cut keeps the result the sharing plan, not
+    a per-doc listing."""
+    aug = _with_planted_dups(load_table(spark, sf_dir, "documents"))
+    ws = D.words("text")
+    p = aug.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(ws, 1, 32), " ")).alias("prefix_md5"),
+        F.least(F.size(ws), F.lit(32)).cast("long").alias("prefix_tokens"),
+    )
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("prefix_tokens").cast("long").alias("prefix_tokens"),
+            (
+                (F.count(F.lit(1)) - 1) * F.min("prefix_tokens")
+            ).cast("long").alias("saved_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -722,3 +722,151 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_truncated"),
     )
+
+
+@query(
+    "mixture_waterfill_allocation",
+    # Exact integer water-filling: capped set determined by the
+    # cross-multiplied inequality on the (cap/w)-sorted prefix sums —
+    # never a float tau — so both engines pick the identical set.
+    oracle=r"""
+WITH s AS (
+  SELECT source,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS a,
+    CAST(GREATEST(1, SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+), med AS (
+  SELECT a AS med_a FROM (
+    SELECT a, ROW_NUMBER() OVER (ORDER BY a, source) AS arn, COUNT(*) OVER () AS n FROM s
+  ) WHERE arn = (n + 1) // 2
+), c AS (
+  SELECT source, a, w, LEAST(a, (SELECT med_a FROM med)) AS cap FROM s
+), o AS (
+  SELECT source, a, w, cap,
+    ROW_NUMBER() OVER (ORDER BY cap * 1000000 // w, source) AS rn,
+    SUM(cap) OVER (ORDER BY cap * 1000000 // w, source ROWS UNBOUNDED PRECEDING) AS c_incl,
+    SUM(w) OVER (ORDER BY cap * 1000000 // w, source ROWS UNBOUNDED PRECEDING) AS w_incl,
+    CAST(SUM(cap) OVER () * 9 // 10 AS BIGINT) AS b,
+    CAST(SUM(w) OVER () AS BIGINT) AS sw
+  FROM c
+), o2 AS (
+  SELECT *, sw - w_incl AS w_rest,
+    (cap * (sw - w_incl) <= w * (b - c_incl)) AS cond
+  FROM o
+), o3 AS (
+  SELECT *, COALESCE(MAX(CASE WHEN cond THEN rn END) OVER (), 0) AS k FROM o2
+), o4 AS (
+  SELECT *,
+    COALESCE(MAX(CASE WHEN rn = k THEN b - c_incl END) OVER (), MAX(b) OVER ()) AS num,
+    COALESCE(MAX(CASE WHEN rn = k THEN w_rest END) OVER (), MAX(sw) OVER ()) AS den
+  FROM o3
+)
+SELECT source,
+  a AS available_tokens,
+  w AS weight,
+  cap AS cap_tokens,
+  (rn <= k) AS is_capped,
+  CAST(CASE WHEN rn <= k THEN cap ELSE w * num // den END AS BIGINT) AS allocated_tokens,
+  CAST(CASE WHEN rn <= k THEN 1000000
+       ELSE (w * num // den) * 1000000 // cap END AS BIGINT) AS fill_x1e6
+FROM o4
+""",
+)
+def mixture_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation by EXACT integer water-filling —
+    the feasibility planner between domain_mixture_weights (what mixture
+    do we WANT) and the sampling rules (how do we draw it): given
+    per-source available tokens, quality-derived weights (docs with
+    n_chars > 300, floored at 1 so a zero-quality source still
+    terminates), a per-source repetition cap (min(available, median
+    available) — the anti-domination rule, scale-free across fixtures)
+    and a global budget of 90% of total cap, allocate
+    min(cap_i, w_i * tau) with sum = budget. The threshold tau is never
+    materialized as a float: sources sort by cap*1e6 DIV w, the capped
+    set is the maximal prefix satisfying the CROSS-MULTIPLIED inequality
+    cap_k * W_rest <= w_k * (B - C_incl) over prefix sums (pure int64
+    compares, identical in both engines; budget < total cap guarantees
+    the uncapped remainder is non-empty, so the divisor never hits
+    zero), and uncapped sources get w_i * num DIV den. Output one row
+    per source with the allocation and fill fraction.
+
+    Scale shape: ONE exchange (the per-source rollup); everything after
+    runs as windows over the |sources|-row frame — domain-sized
+    (single-partition by design, like the seasonal/daily frames; a
+    million-domain corpus would partition the sort by a domain shard and
+    merge, but the frame is never data-sized). At real corpus sizes the
+    int64 cross-products need the same 1e6-unit downscaling the fixed-
+    point idioms use fleet-wide (tokens ~1e13 x weights would overflow
+    raw)."""
+    from ibis_flink_example_spark.operators.text import token_count_whitespace
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count_whitespace("text")).cast("long").alias("a"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).cast("long"),
+        ).alias("w"),
+    )
+    m = s.select(
+        "*",
+        F.expr("ROW_NUMBER() OVER (ORDER BY a, source)").alias("arn"),
+        F.expr("COUNT(*) OVER ()").alias("n"),
+    )
+    c = m.select(
+        "*",
+        F.expr("MAX(CASE WHEN arn = (n + 1) DIV 2 THEN a END) OVER ()").alias(
+            "med_a"
+        ),
+    ).select("source", "a", "w", F.least("a", "med_a").alias("cap"))
+    o = c.select(
+        "*",
+        F.expr("ROW_NUMBER() OVER (ORDER BY cap * 1000000 DIV w, source)").alias("rn"),
+        F.expr(
+            "SUM(cap) OVER (ORDER BY cap * 1000000 DIV w, source"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("c_incl"),
+        F.expr(
+            "SUM(w) OVER (ORDER BY cap * 1000000 DIV w, source"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("w_incl"),
+        F.expr("CAST(SUM(cap) OVER () * 9 DIV 10 AS BIGINT)").alias("b"),
+        F.expr("CAST(SUM(w) OVER () AS BIGINT)").alias("sw"),
+    )
+    o2 = o.select(
+        "*",
+        (F.col("sw") - F.col("w_incl")).alias("w_rest"),
+        (
+            F.col("cap") * (F.col("sw") - F.col("w_incl"))
+            <= F.col("w") * (F.col("b") - F.col("c_incl"))
+        ).alias("cond"),
+    )
+    o3 = o2.select(
+        "*",
+        F.expr("COALESCE(MAX(CASE WHEN cond THEN rn END) OVER (), 0)").alias("k"),
+    )
+    o4 = o3.select(
+        "*",
+        F.expr(
+            "COALESCE(MAX(CASE WHEN rn = k THEN b - c_incl END) OVER (),"
+            " MAX(b) OVER ())"
+        ).alias("num"),
+        F.expr(
+            "COALESCE(MAX(CASE WHEN rn = k THEN w_rest END) OVER (),"
+            " MAX(sw) OVER ())"
+        ).alias("den"),
+    )
+    return o4.select(
+        "source",
+        F.col("a").alias("available_tokens"),
+        F.col("w").alias("weight"),
+        F.col("cap").alias("cap_tokens"),
+        (F.col("rn") <= F.col("k")).alias("is_capped"),
+        F.expr(
+            "CAST(CASE WHEN rn <= k THEN cap ELSE w * num DIV den END AS BIGINT)"
+        ).alias("allocated_tokens"),
+        F.expr(
+            "CAST(CASE WHEN rn <= k THEN 1000000"
+            " ELSE (w * num DIV den) * 1000000 DIV cap END AS BIGINT)"
+        ).alias("fill_x1e6"),
+    )

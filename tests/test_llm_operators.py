@@ -2928,3 +2928,48 @@ def test_dedup_substring_removal_witness_premise(spark, sf_dir):
     assert len(rows) > 0
     removed = [r for r in rows if r["n_removed"] > 0]
     assert removed, "no doc lost any token — duplicated-span witness gone"
+
+
+def test_mixture_waterfill_witness_and_invariants(spark, sf_dir):
+    """Both allocation classes must exist at gate SFs (capped AND
+    water-filled — a parameterization where one class is empty verifies
+    nothing), the budget must bind from above, and every allocation must
+    respect its cap."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["mixture_waterfill_allocation"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    capped = [r for r in rows if r["is_capped"]]
+    uncapped = [r for r in rows if not r["is_capped"]]
+    assert capped and uncapped, "one allocation class empty — witness broken"
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    budget = total_cap * 9 // 10
+    alloc = sum(r["allocated_tokens"] for r in rows)
+    assert alloc <= budget
+    # floor slack only: the water level fills to within one weight-unit
+    # per uncapped source
+    assert budget - alloc <= len(uncapped) * 1
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["cap_tokens"]
+        if r["is_capped"]:
+            assert r["allocated_tokens"] == r["cap_tokens"]
+            assert r["fill_x1e6"] == 1_000_000
+
+
+def test_prefix_cache_sharing_witness_premise(spark, sf_dir):
+    """Every planted duplicate pair must surface as a shared-prefix
+    group: the fixture has no guaranteed natural prefix collisions, so
+    the planted corpus is what keeps this row non-trivial."""
+    from ibis_flink_example_spark.catalog import load_table as lt
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["prefix_cache_sharing"](spark, sf_dir).collect()
+    assert rows
+    n_planted = lt(spark, sf_dir, "documents").filter("doc_id % 50 = 0").count()
+    assert n_planted > 0
+    # planted ids pair with their originals, so total group membership
+    # must cover at least 2 x planted docs
+    assert sum(r["n_docs"] for r in rows) >= 2 * n_planted
+    for r in rows:
+        assert r["saved_tokens"] == (r["n_docs"] - 1) * r["prefix_tokens"]
+        assert 0 < r["prefix_tokens"] <= 32

@@ -1135,3 +1135,30 @@ def test_semdedup_lsh_no_cartesian_equi_candidates(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         ops = plan_ops(df)
         assert ops["CartesianProduct"] == 0, name
+
+
+def test_waterfill_single_rollup_exchange(spark, sf_dir):
+    """The only data-sized stage is the per-source rollup; everything
+    downstream is windows over the |sources|-row frame. One exchange for
+    the rollup plus the domain-frame single-partition exchanges — and
+    never a join."""
+    df = QUERIES["mixture_waterfill_allocation"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"source", "text", "n_chars"}
+
+
+def test_prefix_cache_sharing_one_digest_exchange(spark, sf_dir):
+    """Prefix slice + md5 fuse into the scan; one digest-keyed exchange;
+    no joins (the planted union is a scan-union, not a join)."""
+    df = QUERIES["prefix_cache_sharing"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
