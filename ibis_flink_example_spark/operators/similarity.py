@@ -1048,31 +1048,44 @@ def lsh_multitable_candidate_pairs(
     (id_a < id_b) candidate pairs, deduped ACROSS tables (the OR).
     """
     from ibis_flink_example_spark.catalog import fan_out
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
     from ibis_flink_example_spark.operators.dedup import drop_hot_keys
 
     tables = [
         random_hyperplanes(dim, n_planes, seed + 1000 * t)
         for t in range(n_tables)
     ]
-    base = fan_out(df.select(id_col, vec_col), min_partitions=8).select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).cast("int").alias("t"),
-                        hyperplane_signature(F.col(vec_col), planes).alias(
-                            "b"
-                        ),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("__tb"),
-    ).select(
-        F.col(id_col),
-        F.col("__tb.t").alias("__t"),
-        F.col("__tb.b").alias("__b"),
+    # base is consumed three ways (candidate side, probe side, and
+    # drop_hot_keys' occupancy count), so the corpus scan and the
+    # L x p signature projections materialize ONCE (the
+    # lsh_label_agreement idiom, ADVICE r12); release rides the
+    # returned plan per the checkpoints.py contract.
+    base = (
+        fan_out(df.select(id_col, vec_col), min_partitions=8)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("int").alias("t"),
+                            hyperplane_signature(
+                                F.col(vec_col), planes
+                            ).alias("b"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("__tb"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__tb.t").alias("__t"),
+            F.col("__tb.b").alias("__b"),
+        )
+        .localCheckpoint(eager=True)
     )
     c = drop_hot_keys(
         base,
@@ -1093,7 +1106,7 @@ def lsh_multitable_candidate_pairs(
             )
         ).alias("__b"),
     )
-    return (
+    out = (
         c.join(probe, ["__t", "__b"])
         .filter(F.col("__cid") != F.col("__qid"))
         .select(
@@ -1102,6 +1115,7 @@ def lsh_multitable_candidate_pairs(
         )
         .distinct()
     )
+    return attach_eager_checkpoints(out, handles=(base,))
 
 
 def lsh_semantic_pairs(

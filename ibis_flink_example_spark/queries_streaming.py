@@ -1710,11 +1710,13 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             .select("id_n", "id_o", "ns", "no")
             .distinct()
         )
+        # left_semi dedups its build side by construction — no distinct
+        # needed on the id projections (two aggregations saved per batch)
         nn = sh_b.select(F.col("doc_id").alias("id_n"), "shingle").join(
-            cand.select("id_n").distinct(), "id_n", "left_semi"
+            cand.select("id_n"), "id_n", "left_semi"
         )
         oo = sh_all.select(F.col("doc_id").alias("id_o"), "shingle").join(
-            cand.select("id_o").distinct(), "id_o", "left_semi"
+            cand.select("id_o"), "id_o", "left_semi"
         )
         inter = (
             nn.join(oo, "shingle")
