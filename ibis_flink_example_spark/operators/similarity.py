@@ -1046,6 +1046,15 @@ def lsh_multitable_candidate_pairs(
     buckets, and the single equi-join on (table, bucket) shuffles once
     on the composite key — never an all-pairs product. Output: distinct
     (id_a < id_b) candidate pairs, deduped ACROSS tables (the OR).
+
+    Scale dial: candidate volume at a FIXED (n_tables, n_planes) is
+    Θ(n² · (1+p)/2^p) for weakly-structured corpora — the defaults are a
+    recall-oriented small-corpus setting. At corpus scale, raise
+    ``n_planes`` ~ log2(n) to hold expected bucket occupancy (and thus
+    candidates per vector) constant, raising ``n_tables`` alongside to
+    hold recall — the constant-occupancy regime SCALING.md measures at
+    exponent 0.448 — or swap the block generator for ``ivf_assign``
+    clusters.
     """
     from ibis_flink_example_spark.catalog import fan_out
     from ibis_flink_example_spark.operators.checkpoints import (

@@ -268,6 +268,11 @@ def main() -> int:
         # per-batch probe IS the existing decontaminate_13gram row
         # (fixed eval grams, scaled probe side)
         "minhash_ingest_state_probe",
+        # r13: the ANN-SemDeDup pair stage at CONSTANT bucket occupancy
+        # (planes scale with log n — the 100 TB dial; fixed planes would
+        # measure the intended quadratic of a recall-oriented config,
+        # not the operator)
+        "semdedup_lsh_pairs",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -291,6 +296,7 @@ def main() -> int:
            "substring_dup_runs", "substring_dup_attribution",
            "minhash_ingest_state_probe"}
     )
+    need_semdedup = "semdedup_lsh_pairs" in keep
     need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
     need_copurchase = "triangle_count" in keep
 
@@ -420,6 +426,59 @@ def main() -> int:
             if "minhash_ingest_state_probe" in keep
             else None
         )
+
+        def _semdedup_frames(label):
+            """Embedding replicas for the SemDeDup pair-stage probe:
+            copy k applies a deterministic Rademacher sign pattern per
+            dimension ((dim*7 + k*31) % 2) — cosines WITHIN a copy are
+            exactly preserved (the pair structure replicates), cross-copy
+            cosines concentrate near 0 +- 1/sqrt(64). The fixture's 0.35
+            working threshold sits in that tail, so some genuine
+            cross-copy near-dups appear — they are real pairs of the
+            replica corpus and verify-stage work is pair-proportional
+            either way."""
+            k = 1 if label == "1x" else args.copies
+            em = spark.read.parquet(
+                os.path.join(args.sf, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            copy_idx = spark.range(k).select(F.col("id").alias("k"))
+            d = em.crossJoin(copy_idx).select(
+                (F.col("vec_id") + F.col("k") * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    * F.when((i * 7 + F.col("k") * 31) % 2 == 1, -1.0).otherwise(1.0),
+                ).alias("embedding"),
+            )
+            path = os.path.join(work, f"semdedup_emb_{label}")
+            d.write.mode("overwrite").parquet(path)
+            return path
+
+        semdedup_frames = (
+            {lbl: _semdedup_frames(lbl) for lbl in ("1x", big)}
+            if need_semdedup
+            else None
+        )
+
+        def semdedup_lsh_pairs_at(label):
+            """lsh_semantic_pairs at CONSTANT expected bucket occupancy:
+            the 10x run raises planes 6 -> 10 so the per-pair collision
+            probability of the Hamming-1 probe (~6(1+p)/2^p at the
+            uniform angle) scales as 1/n — the dial a 100 TB deployment
+            turns (with L raised alongside to hold recall; recall is the
+            registered semdedup_lsh_recall query's metric, cost is this
+            probe's). Fixed planes would measure the deliberate
+            quadratic of the small-corpus recall-oriented config, not
+            the operator's scaling."""
+            p_planes = 6 if label == "1x" else 10
+            em = spark.read.parquet(semdedup_frames[label])
+            return lambda: SIM.lsh_semantic_pairs(
+                em,
+                id_col="vec_id",
+                vec_col="embedding",
+                dim=64,
+                n_planes=p_planes,
+            ).count()
 
         def minhash_ingest_state_at(label):
             """One micro-batch's candidate+verify pass (the apply-body
@@ -780,6 +839,7 @@ def main() -> int:
             "substring_dup_runs": substring_runs_at,
             "substring_dup_attribution": substring_attr_at,
             "minhash_ingest_state_probe": minhash_ingest_state_at,
+            "semdedup_lsh_pairs": semdedup_lsh_pairs_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
