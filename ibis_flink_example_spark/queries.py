@@ -139,10 +139,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
 # rotation empties it. The four early-r13 registrations fit the window
-# (seated above); the two below were registered after it was full.
+# (seated above); the three below were registered after it was full.
 _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "mixture_waterfill_allocation",  # registered late-r13, local greens only
     "prefix_cache_sharing",  # registered late-r13, local greens only
+    "dpo_pair_assembly",  # registered late-r13, local greens only
 )
 
 

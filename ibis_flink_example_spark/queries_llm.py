@@ -5646,3 +5646,94 @@ def prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "dpo_pair_assembly",
+    # Reuses _lang_scored_sql so the pairing score is THE one lexical
+    # score definition the calibration/ROC families already share.
+    oracle="WITH "
+    + _lang_scored_sql("doc_id, ")
+    + r""", t AS (
+  SELECT s.doc_id, s.score, d.lang,
+    CAST(floor(log2(len(regexp_split_to_array(trim(d.text), '[ \t\n\x0B\f\r]+')) + 1)) AS INTEGER) AS len_bucket
+  FROM s JOIN documents d ON d.doc_id = s.doc_id
+), r AS (
+  SELECT lang, len_bucket, doc_id, score,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang, len_bucket ORDER BY score DESC, doc_id
+    ) AS rnk
+  FROM t
+), p AS (
+  SELECT lang, len_bucket, CAST((rnk - 1) // 2 AS BIGINT) AS pair_id,
+    MAX(CASE WHEN rnk % 2 = 1 THEN doc_id END) AS chosen_id,
+    MAX(CASE WHEN rnk % 2 = 0 THEN doc_id END) AS rejected_id,
+    MAX(CASE WHEN rnk % 2 = 1 THEN score END) AS c_score,
+    MAX(CASE WHEN rnk % 2 = 0 THEN score END) AS r_score,
+    COUNT(*) AS n
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT lang, len_bucket, pair_id,
+  CAST(chosen_id AS BIGINT) AS chosen_id,
+  CAST(rejected_id AS BIGINT) AS rejected_id,
+  CAST(c_score - r_score AS BIGINT) AS margin_x1e6
+FROM p WHERE n = 2
+""",
+)
+def dpo_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (the DPO/RLHF dataset-construction step):
+    within each (lang, log2-length-bucket) comparability group, docs are
+    ranked by the fleet's shared lexical quality score and adjacent
+    ranks pair off — rank 2k-1 becomes the CHOSEN response, rank 2k the
+    REJECTED one, so every pair is quality-ordered by construction and
+    the reported margin (score difference, x1e6) is the pair's training
+    signal strength; a margin-0 pair is a tie the consumer may drop.
+    Grouping by language and length bucket is the standard
+    comparability control (pairing a long en doc against a short zh doc
+    teaches length/language, not quality). Odd leftovers per group are
+    excluded (n = 2 filter) identically in both engines.
+
+    Scale shape: score + bucket are scan-stage column math; ONE exchange
+    (the (lang, len_bucket) rank window) and the pair rollup rides the
+    same partitioning (its keys are a superset). Ties break on doc_id,
+    so the pairing is deterministic under any partitioning."""
+    from ibis_flink_example_spark.operators.evaluation import (
+        stopword_lang_score_x1e6,
+    )
+    from ibis_flink_example_spark.operators.text import (
+        LANG_MARKERS,
+        token_count_whitespace,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        stopword_lang_score_x1e6("text", LANG_MARKERS["en"]).alias("score"),
+        F.floor(F.log2(token_count_whitespace("text") + 1))
+        .cast("int")
+        .alias("len_bucket"),
+    )
+    w = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    r = base.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "pair_id", F.expr("CAST((rnk - 1) DIV 2 AS BIGINT)")
+    )
+    p = r.groupBy("lang", "len_bucket", "pair_id").agg(
+        F.max(F.when(F.col("rnk") % 2 == 1, F.col("doc_id"))).alias("chosen_id"),
+        F.max(F.when(F.col("rnk") % 2 == 0, F.col("doc_id"))).alias(
+            "rejected_id"
+        ),
+        F.max(F.when(F.col("rnk") % 2 == 1, F.col("score"))).alias("__c"),
+        F.max(F.when(F.col("rnk") % 2 == 0, F.col("score"))).alias("__r"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return p.filter(F.col("__n") == 2).select(
+        "lang",
+        "len_bucket",
+        "pair_id",
+        F.col("chosen_id").cast("long").alias("chosen_id"),
+        F.col("rejected_id").cast("long").alias("rejected_id"),
+        (F.col("__c") - F.col("__r")).cast("long").alias("margin_x1e6"),
+    )

@@ -2973,3 +2973,25 @@ def test_prefix_cache_sharing_witness_premise(spark, sf_dir):
     for r in rows:
         assert r["saved_tokens"] == (r["n_docs"] - 1) * r["prefix_tokens"]
         assert 0 < r["prefix_tokens"] <= 32
+
+
+def test_dpo_pair_assembly_invariants(spark, sf_dir):
+    """Chosen must never score below rejected (margin >= 0 by the
+    adjacent-rank construction), pairs are disjoint doc sets, and the
+    row must be non-trivial: a healthy share of pairs carries a strictly
+    positive margin (all-tie pairing would train nothing)."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["dpo_pair_assembly"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    pos = 0
+    for r in rows:
+        assert r["margin_x1e6"] >= 0
+        assert r["chosen_id"] != r["rejected_id"]
+        for d in (r["chosen_id"], r["rejected_id"]):
+            assert d not in seen, "doc appears in two pairs"
+            seen.add(d)
+        if r["margin_x1e6"] > 0:
+            pos += 1
+    assert pos >= len(rows) // 2, (pos, len(rows))

@@ -1162,3 +1162,16 @@ def test_prefix_cache_sharing_one_digest_exchange(spark, sf_dir):
     )
     for cols in scan_columns(df):
         assert set(cols) <= {"doc_id", "text"}
+
+
+def test_dpo_pair_assembly_single_exchange(spark, sf_dir):
+    """Score + bucket fuse into the scan; one (lang, len_bucket) window
+    exchange; the pair rollup rides the same partitioning; no joins."""
+    df = QUERIES["dpo_pair_assembly"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "lang", "text"}
