@@ -144,6 +144,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "mixture_waterfill_allocation",  # registered late-r13, local greens only
     "prefix_cache_sharing",  # registered late-r13, local greens only
     "dpo_pair_assembly",  # registered late-r13, local greens only
+    "embedding_coverage_audit",  # registered late-r13, local greens only
 )
 
 

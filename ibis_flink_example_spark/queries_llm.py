@@ -5737,3 +5737,54 @@ def dpo_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rejected_id").cast("long").alias("rejected_id"),
         (F.col("__c") - F.col("__r")).cast("long").alias("margin_x1e6"),
     )
+
+
+@query(
+    "embedding_coverage_audit",
+    # vec_id % 37 == 0 simulates a failed backfill shard (mirrored
+    # exactly), so n_missing is non-trivially > 0 at every SF even when
+    # the fixture's natural doc<->vec coverage is complete; sf0.1's
+    # natural 2000-of-5000 partial coverage rides on top.
+    oracle=r"""
+WITH e AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 37 <> 0
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(e.vec_id) AS BIGINT) AS n_embedded,
+  CAST(COUNT(*) - COUNT(e.vec_id) AS BIGINT) AS n_missing,
+  CAST(COUNT(e.vec_id) * 1000000 // COUNT(*) AS BIGINT) AS coverage_x1e6
+FROM documents d LEFT JOIN e ON d.doc_id = e.vec_id
+GROUP BY d.source
+""",
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-backfill coverage monitor: per source, how many docs
+    have a vector in the embeddings table — the audit that catches a
+    partially-failed embedding job BEFORE a similarity/dedup stage
+    silently runs on 40% of the corpus (exactly the sf0.1 fixture's
+    natural state: 2000 vectors over 5000 docs). A deterministic failed
+    shard is PLANTED (vec_id % 37 == 0 excluded, mirrored in the
+    oracle) so the n_missing readout is non-trivially positive at every
+    SF — the witness-premise policy.
+
+    Scale shape: one doc->vec equi LEFT join on the id (the vec-id
+    projection is a slim 8-byte column; broadcastable while the vector
+    table's ID SET fits the budget, shuffle otherwise — Catalyst/AQE
+    picks) followed by the per-source rollup. The docs scan reads only
+    (doc_id, source)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % 37 != 0)
+    )
+    j = docs.join(e, docs.doc_id == e.vec_id, "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("vec_id").cast("long").alias("n_embedded"),
+        (F.count(F.lit(1)) - F.count("vec_id")).cast("long").alias("n_missing"),
+        F.expr(
+            "CAST(COUNT(vec_id) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("coverage_x1e6"),
+    )

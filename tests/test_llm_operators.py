@@ -2995,3 +2995,17 @@ def test_dpo_pair_assembly_invariants(spark, sf_dir):
         if r["margin_x1e6"] > 0:
             pos += 1
     assert pos >= len(rows) // 2, (pos, len(rows))
+
+
+def test_embedding_coverage_audit_witness_premise(spark, sf_dir):
+    """The planted failed shard (vec_id % 37 == 0) must keep n_missing
+    non-trivially positive at every gate SF, and the arithmetic must
+    reconcile per row."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_coverage_audit"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert sum(r["n_missing"] for r in rows) > 0, "planted shard gone"
+    for r in rows:
+        assert r["n_docs"] == r["n_embedded"] + r["n_missing"]
+        assert r["coverage_x1e6"] == r["n_embedded"] * 1_000_000 // r["n_docs"]
