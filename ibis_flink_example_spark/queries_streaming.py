@@ -1452,10 +1452,22 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exchanges — the state never reshuffles, which is the difference
         # between per-batch cost O(batch + co-occurrence) and O(corpus)
         # at 100 TB. (Appends to a bucketed table keep the spec.)
-        sh_b.write.mode("append").bucketBy(8, "shingle").sortBy(
-            "shingle"
-        ).saveAsTable(seen_sh_t)
-        sizes_b.write.mode("append").saveAsTable(seen_sz_t)
+        # appends REPARTITION onto the bucket key first (r13, from the
+        # minhash sibling's rewrite): a misaligned bucketed write emits
+        # tasks x buckets files per batch — measured 2.5x slower to
+        # append AND to re-read on later batches; sizes are bucketed on
+        # their doc-id join key too (the r12 #2a lesson applied here).
+        # The eager sh_b checkpoint itself STAYS: an A/B of the
+        # state-table-first rewrite (as shipped for the minhash sibling)
+        # read ~20% SLOWER for this query — without a folded table or
+        # union to eliminate, re-reading the batch from parquet three
+        # times loses to the in-memory checkpoint.
+        sh_b.repartition(8, F.col("shingle")).write.mode("append").bucketBy(
+            8, "shingle"
+        ).sortBy("shingle").saveAsTable(seen_sh_t)
+        sizes_b.repartition(8, F.col("doc_id")).write.mode("append").bucketBy(
+            8, "doc_id"
+        ).saveAsTable(seen_sz_t)
         _release_local_checkpoint(sh_b)
         state["last_bid"] = bid
         state["last_arr"] = arrival
