@@ -363,14 +363,23 @@ def md5_minhash_band_rows(
         for j in range(num_hashes)
     ]
     if carry_count:
-        # ``carry_count=True`` folds the per-doc input row count into the
-        # SAME groupBy that computes the signature (an extra count per
-        # group, no extra pass/shuffle) and stamps it on every band row —
-        # so a banded-state consumer that needs |shingles(doc)| for exact
+        # ``carry_count=True`` folds |shingles(doc)| into the SAME
+        # groupBy that computes the signature and stamps it on every band
+        # row — so a banded-state consumer that needs it for exact
         # Jaccard verification can read it off the band join instead of
         # maintaining a separate doc-keyed sizes table (the r12 VERDICT
-        # #2a fold).
-        aggs.append(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+        # #2a fold). Counted as COUNT(DISTINCT __x0) — __x0 is already
+        # projected and md5-injective over shingles for any realistic
+        # per-doc count — so the carried value matches the documented
+        # |shingles(doc)| even if a caller skips the pre-.distinct()
+        # (a plain count(*) silently inflated under duplicate input
+        # while leaving the min-based signature unchanged — ADVICE r13).
+        # Cost: Spark plans the mixed distinct/min aggregate as a
+        # (id, __x0) partial then an id-keyed final — one extra doc-level
+        # exchange on a path whose cost is the shingle-level shuffle.
+        aggs.append(
+            F.countDistinct(F.col("__x0")).cast("long").alias("n_shingles")
+        )
     sigs = hexed.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // rows_per_band
     entries = F.array(

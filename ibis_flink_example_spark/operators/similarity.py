@@ -25,6 +25,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ibis_flink_example_spark.operators.checkpoints import (
+    attach_eager_checkpoints,
+)
+
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ in double, summed left-to-right (deterministic order).
@@ -1134,7 +1138,7 @@ def lsh_semantic_pairs(
     vec_col: str,
     dim: int,
     threshold_x1e6: int = 350_000,
-    prefilter: float = 0.3499,
+    prefilter: float | None = None,
     n_tables: int = 6,
     n_planes: int = 6,
     seed: int = 42,
@@ -1157,7 +1161,19 @@ def lsh_semantic_pairs(
     The pair-time dot/norm use the FOLD form deliberately (``dot``'s
     documented trade, measured here: the unrolled verify costs ~9 s of
     driver planning per invocation vs ~1.6 s fold runtime even at 1M
-    candidate pairs — and the two are bit-identical)."""
+    candidate pairs — and the two are bit-identical).
+
+    ``prefilter`` defaults to ``(threshold_x1e6 - 100) / 1e6`` so the
+    float pre-filter tracks the gate when callers override
+    ``threshold_x1e6`` (a fixed 0.3499 under a 300_000 gate would
+    silently drop pairs with cosine in [0.30, 0.3499)); an explicit
+    value must still sit strictly below the gate — asserted."""
+    if prefilter is None:
+        prefilter = (threshold_x1e6 - 100) / 1_000_000
+    assert prefilter * 1_000_000 < threshold_x1e6 - 0.5, (
+        "prefilter must sit strictly below the cos6 gate: "
+        f"{prefilter} vs {threshold_x1e6}"
+    )
     cand = candidates
     if cand is None:
         cand = lsh_multitable_candidate_pairs(
@@ -1185,7 +1201,7 @@ def lsh_semantic_pairs(
         F.col("__vec").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
@@ -1200,6 +1216,10 @@ def lsh_semantic_pairs(
         .filter(F.col("__cos6") >= F.lit(threshold_x1e6).cast("long"))
         .select("id_a", "id_b")
     )
+    # Propagate the candidate stage's eager-checkpoint release handle
+    # onto the returned plan (checkpoints.py combinator rule) — dropping
+    # it here made release_eager_checkpoints a no-op for loop callers.
+    return attach_eager_checkpoints(out, cand)
 
 
 def semdedup_lsh(
@@ -1237,8 +1257,11 @@ def semdedup_lsh(
         max_bucket_size=max_bucket_size,
     )
     comp = connected_components(pairs, df.select(id_col), id_col=id_col)
-    return (
+    out = (
         df.join(comp, on=id_col)
         .filter(F.col(id_col) == F.col("component"))
         .drop("component")
     )
+    # Survivors inherit the pairs frame's (and transitively the LSH
+    # candidate stage's) eager-checkpoint handles — checkpoints.py rule.
+    return attach_eager_checkpoints(out, pairs, comp)

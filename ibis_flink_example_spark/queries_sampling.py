@@ -669,8 +669,11 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     context boundaries), this is the no-straddle discipline real LLM
     dataloaders use at scale: LENGTH-BUCKETED packing. Token counts are
     capped at the 512-token context, docs fall into power-of-two length
-    buckets (an exact integer CASE ladder — no float log2, which is not
-    bit-portable across engines), and within each (bucket, shard) docs
+    buckets (an exact integer CASE ladder; ``floor(log2(int))`` would
+    also be engine-exact by the whole-bit gap argument of
+    operators/retrieval.py — the ladder is simply the cheaper form for
+    4 fixed buckets, not a portability necessity), and within each
+    (bucket, shard) docs
     are placed greedily in DECREASING length order (the deterministic
     greedy arm of first-fit-decreasing that stays engine-exact: inside
     a bucket every doc fits the bucket's guaranteed per-bin capacity
