@@ -1,0 +1,159 @@
+"""Fixed-point Lloyd k-means over embedding columns.
+
+The trained-blocking arm SemDeDup actually uses (Abbas et al. 2023 cluster
+with k-means, then form pairs only within a cluster): the LSH-banded arm
+(``similarity.lsh_semantic_pairs``) bounds the pair space with random
+hyperplanes and needs no training pass; this module supplies the trained
+alternative so ``semdedup_kmeans`` can block on real centroids. Reference
+parity: the reference engine has no iterative clustering at all — this
+extends its dedup surface the way ``operators/graph.py`` (PageRank) and
+``operators/bpe.py`` extend its aggregation surface, and it reuses their
+iterative discipline wholesale. Relation to
+``similarity.kmeans_centroids``: that one trains float centroids in numpy
+on a bounded seeded SAMPLE (index build for IVF — assignment stays
+distributed); this one runs the full corpus through every Lloyd iteration
+in integer arithmetic so a DuckDB oracle can replay it bit-for-bit.
+
+Exactness contract (the PageRank/BPE playbook):
+- Embedding components are quantized ONCE to integer micro-units with the
+  engine-stable ``floor(x * 1e6 + 0.5)`` idiom (``embedding_centroid_by_
+  label`` proved it); every subsequent op — squared L2 distances, argmin,
+  centroid sums — is pure BIGINT arithmetic, bit-identical at any
+  partition order.
+- The per-vector argmin is ENCODED: ``enc = dist * k + cid`` minimized as
+  one BIGINT (k tiny, dist bounded by dim * (2 * 1e6)^2 << 2^63 / k), so
+  equal-distance ties deterministically break toward the smaller cluster
+  id in both engines with a plain MIN.
+- Centroid update divides the exact per-dimension BIGINT sum by the
+  cluster size with TRUNCATION toward zero — Spark ``DIV``, DuckDB ``//``
+  and this module's ``_trunc_div`` (Python ``//`` floors, so the helper
+  re-derives truncation) all agree on negative sums.
+- Empty clusters keep their previous centroid (COALESCE in the oracle,
+  dict-carryover here).
+
+Scale posture (100 TB): classic broadcast-Lloyd. Centroids are a k x dim
+integer matrix held on the driver (k*dim*8 bytes — kilobytes) and baked
+into the assignment expression as LITERALS, so each iteration is ONE scan
+of the quantized, eagerly-checkpointed base frame (map-only assignment,
+whole-stage codegen, no join) plus ONE k-row aggregation whose map-side
+partials reduce every partition to k x (dim+1) longs before the exchange.
+The two driver collects per iteration (k centroid rows; the initial k
+seed vectors) are bounded by k, never by the corpus — the documented
+bounded-collect pattern (see ``dedup.connected_components``' driver arm).
+Iteration count is a fixed small constant: total cost O(iters x scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — matches Spark ``DIV`` and
+    DuckDB ``//`` on negative operands where Python ``//`` floors."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def quantize_micro(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __mv) with ``__mv`` the embedding quantized to an array of
+    BIGINT micro-units via ``floor(CAST(x AS DOUBLE) * 1e6 + 0.5)`` —
+    the one float op in the k-means pipeline, engine-exact because both
+    engines evaluate the identical two-op double expression."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("__mv"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Lloyd k-means, ``iters`` assignment passes with ``iters - 1``
+    centroid updates in between; returns one row per input row:
+    ``(id_col, cluster_id BIGINT, dist_micro2 BIGINT)`` — the assignment
+    under the FINAL centroids and its squared L2 distance in micro^2
+    units. Seeding is deterministic: initial centroids are the vectors of
+    the ``k`` smallest ids (no RNG — the driver contract bans
+    ``Math.random``-style seeds and the oracle must replay the exact
+    start state).
+
+    The DuckDB oracle unrolls the same recurrence CTE-per-iteration
+    (``kmeans_oracle`` in queries_llm.py) — a hash match proves
+    iteration-for-iteration equality, the PageRank discipline.
+    """
+    from ibis_flink_example_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
+    base = quantize_micro(df, id_col=id_col, vec_col=vec_col)
+    # Scanned once per iteration (+ the seed collect): materialize once,
+    # cut lineage; released before returning — the final plan re-derives
+    # the quantization from the source scan so the returned frame carries
+    # no checkpoint dependency (callers can re-plan it freely).
+    base_cp = base.localCheckpoint(eager=True)
+
+    seed_rows = base_cp.orderBy(F.col(id_col)).limit(k).collect()
+    cents: list[list[int]] = [list(r["__mv"]) for r in seed_rows]
+    if len(cents) < k:
+        raise ValueError(f"kmeans_assign: need >= {k} rows, got {len(cents)}")
+
+    def enc_expr(centroids: list[list[int]]):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("__mv"),
+                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        return F.least(*[d * k + F.lit(i).cast("long") for i, d in enumerate(dists)])
+
+    # iters - 1 update rounds; the iters-th (final) assignment is the
+    # returned expression below.
+    for _ in range(iters - 1):
+        assigned = base_cp.select(
+            (enc_expr(cents) % k).alias("__cid"), "__mv"
+        )
+        sums = assigned.groupBy("__cid").agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.sum(F.element_at("__mv", d + 1)).alias(f"__s{d}")
+                for d in range(dim)
+            ],
+        ).collect()  # bounded: k rows x (dim+1) longs
+        new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        for r in sums:
+            cid = int(r["__cid"])
+            n = int(r["__n"])
+            new_cents[cid] = [
+                _trunc_div(int(r[f"__s{d}"]), n) for d in range(dim)
+            ]
+        cents = new_cents
+
+    _release_local_checkpoint(base_cp)
+    # Final assignment re-derives from the source plan (not the released
+    # checkpoint) so the returned DataFrame is self-contained.
+    return base.withColumn("__enc", enc_expr(cents)).select(
+        F.col(id_col),
+        (F.col("__enc") % k).cast("long").alias("cluster_id"),
+        F.expr(f"__enc DIV {k}").cast("long").alias("dist_micro2"),
+    )

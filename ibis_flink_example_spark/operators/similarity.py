@@ -1238,7 +1238,9 @@ def semdedup_lsh(
     representative selection over ``lsh_semantic_pairs`` — the 100 TB
     form where the pair space is bounded by LSH banding instead of a
     blocking column (SemDeDup's k-means assignment stand-ins both; the
-    LSH tables need no trained centroids). Keeps the min-id
+    LSH tables need no trained centroids — the TRAINED arm is
+    ``operators/clustering.kmeans_assign`` + the ``semdedup_kmeans``
+    query). Keeps the min-id
     representative per similarity component; returns the surviving rows
     of ``df`` (all original columns). Recall vs the blocked-exact arm is
     measured by the companion ``semdedup_lsh_recall`` query, not assumed.

@@ -5788,3 +5788,176 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COUNT(vec_id) * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("coverage_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 extension (r14): fixed-point Lloyd k-means + trained-blocking SemDeDup
+# ---------------------------------------------------------------------------
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+
+
+def _kmeans_ctes(k: int, iters: int, *, recursive: bool = False) -> str:
+    """Unrolled Lloyd k-means CTE chain (PageRank discipline: one CTE
+    block per iteration of the EXACT integer recurrence the Spark loop in
+    operators/clustering.py runs, so a hash match proves
+    iteration-for-iteration equality). Quantize -> seed centroids from
+    the k smallest vec_ids -> per iteration: encoded-argmin assignment
+    (MIN(dist * k + cid): deterministic tie-break toward the smaller
+    cluster id) and truncating-division centroid update with
+    empty-cluster carryover; the final iteration assigns only. ``//`` is
+    truncation toward zero in DuckDB, matching Spark ``DIV`` and the
+    operator's ``_trunc_div`` on the (negative-capable) component sums."""
+    head = f"""
+WITH {"RECURSIVE " if recursive else ""}ex AS (
+  SELECT vec_id,
+    CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS m
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, d, m
+  FROM ex
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    assign = """, d{i} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM((e.m - c.m) * (e.m - c.m)) AS BIGINT) AS dist
+  FROM ex e JOIN c{p} c ON c.d = e.d
+  GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, MIN(dist * {k} + cid) AS enc FROM d{i} GROUP BY 1
+)"""
+    update = """, s{i} AS (
+  SELECT a.enc % {k} AS cid, e.d, CAST(SUM(e.m) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex e JOIN a{i} a USING (vec_id) GROUP BY 1, 2
+), c{i} AS (
+  SELECT c.cid, c.d, CAST(COALESCE(s.sm // s.n, c.m) AS BIGINT) AS m
+  FROM c{p} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.d = c.d
+)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += assign.format(i=i, p=i - 1, k=k)
+        if i < iters:
+            body += update.format(i=i, p=i - 1, k=k)
+    return head + body
+
+
+def _kmeans_assign_oracle(k: int, iters: int) -> str:
+    return (
+        _kmeans_ctes(k, iters)
+        + f"""
+SELECT a.vec_id, CAST(a.enc % {k} AS BIGINT) AS cluster_id,
+       CAST(a.enc // {k} AS BIGINT) AS dist_micro2
+FROM a{iters} a
+"""
+    )
+
+
+@query(
+    "kmeans_assign_embeddings",
+    oracle=_kmeans_assign_oracle(_KMEANS_K, _KMEANS_ITERS),
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 iterative clustering: fixed-point Lloyd k-means over the
+    embeddings table (k=8, 4 assignment passes) — the trained cluster
+    assignment SemDeDup/IVF block on at scale (the LSH arm's documented
+    stand-in replacement, operators/similarity.py). One row per vector:
+    final cluster id + squared L2 distance in micro^2 units, all-BIGINT.
+
+    Scale shape (operators/clustering.py): centroids live on the driver
+    as a k x dim integer literal matrix, so each iteration is one
+    map-only codegen scan of the checkpointed quantized base (no join)
+    plus one k-row aggregation with map-side partials; collects are
+    bounded by k. Oracle: CTE-per-iteration unroll of the identical
+    integer recurrence."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return C.kmeans_assign(
+        em,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    )
+
+
+@query(
+    "semdedup_kmeans",
+    # The k-means chain above, then semantic_dedup's pair/CC oracle with
+    # the learned cluster id as the blocking column (the trained
+    # SemDeDup form) instead of the fixture label.
+    oracle=_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, recursive=True)
+    + f""", asn AS (
+  SELECT vec_id, CAST(enc % {_KMEANS_K} AS BIGINT) AS cluster_id
+  FROM a{_KMEANS_ITERS}
+), n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_sum(list_transform(embedding,
+        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+    ) AS nvec
+  FROM embeddings
+), p AS (
+  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM asn sa
+  JOIN asn sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+  JOIN n na ON na.vec_id = sa.vec_id
+  JOIN n nb ON nb.vec_id = sb.vec_id
+  WHERE list_sum(list_transform(range(1, len(na.nvec) + 1),
+                 i -> na.nvec[i] * nb.nvec[i])) >= 0.35
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT src AS id, dst AS r FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS minr FROM reach GROUP BY id
+)
+SELECT a.vec_id, a.cluster_id
+FROM asn a
+LEFT JOIN comp c ON a.vec_id = c.id
+WHERE c.id IS NULL OR a.vec_id <= c.minr
+""",
+)
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 trained-blocking SemDeDup: k-means cluster assignment as the
+    blocking column for embedding-cosine near-dup removal — the actual
+    SemDeDup recipe (cluster with k-means, form pairs only within a
+    cluster, keep the min-id representative per similarity component).
+    Completes the family bracket: `semantic_dedup` blocks on the fixture
+    label (given blocking), `semdedup_lsh` on random hyperplanes
+    (training-free), this on LEARNED centroids (trained blocking).
+
+    Scale shape: the pair space is |cluster|^2-bounded per cluster (k is
+    the dial: k ~ n / target_cluster_size keeps it linear), pairs form
+    via one (cluster_id) equi self-join — no CartesianProduct — and the
+    component step reuses dedup.connected_components' bounded/distributed
+    hybrid. Returns surviving (vec_id, cluster_id)."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    em = load_table(spark, sf_dir, "embeddings")
+    asn = C.kmeans_assign(
+        em,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    ).select("vec_id", "cluster_id")
+    blocked = em.join(asn, "vec_id")
+    out = S.semantic_dedup(
+        blocked,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cluster_id",
+        threshold=0.35,
+    )
+    return out.select("vec_id", "cluster_id")

@@ -273,6 +273,8 @@ def main() -> int:
         # measure the intended quadratic of a recall-oriented config,
         # not the operator)
         "semdedup_lsh_pairs",
+        # r14: distributed fixed-point Lloyd (broadcast-literal centroids)
+        "kmeans_lloyd",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -297,7 +299,9 @@ def main() -> int:
            "minhash_ingest_state_probe"}
     )
     need_semdedup = "semdedup_lsh_pairs" in keep
-    need_embs = bool(keep & {"top_pc_gram", "hard_negative_mining"})
+    need_embs = bool(
+        keep & {"top_pc_gram", "hard_negative_mining", "kmeans_lloyd"}
+    )
     need_copurchase = "triangle_count" in keep
 
     from ibis_flink_example_spark.session import get_spark
@@ -813,6 +817,21 @@ def main() -> int:
                 max_occurrences_per_gram=50,
             ).count()
 
+        def kmeans_at(label):
+            """Fixed-point Lloyd k-means (operators/clustering.py): per
+            iteration one map-only literal-centroid assignment scan plus
+            one k-row aggregation — cost is O(iters * n * k * dim) with
+            no pair stage, so the expected exponent is ~1.0 minus fixed
+            per-iteration job overhead. Identical replicated values keep
+            the cluster geometry of the 10x corpus equal to 1x; the work
+            axis is pure row count."""
+            from ibis_flink_example_spark.operators import clustering as C
+
+            em = spark.read.parquet(embs[label])
+            return lambda: C.kmeans_assign(
+                em, id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=4
+            ).count()
+
         ops = {
             "pagerank_5iter": pagerank_at,
             "bfs_4hop": bfs_at,
@@ -840,6 +859,7 @@ def main() -> int:
             "substring_dup_attribution": substring_attr_at,
             "minhash_ingest_state_probe": minhash_ingest_state_at,
             "semdedup_lsh_pairs": semdedup_lsh_pairs_at,
+            "kmeans_lloyd": kmeans_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

@@ -3009,3 +3009,101 @@ def test_embedding_coverage_audit_witness_premise(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] == r["n_embedded"] + r["n_missing"]
         assert r["coverage_x1e6"] == r["n_embedded"] * 1_000_000 // r["n_docs"]
+
+
+def test_trunc_div_matches_engine_semantics():
+    """_trunc_div must truncate toward zero — Spark DIV and DuckDB //
+    semantics — where Python // floors; the centroid recurrence diverges
+    from the oracle on any negative component sum otherwise."""
+    import duckdb
+
+    from ibis_flink_example_spark.operators.clustering import _trunc_div
+
+    cases = [(-7, 2), (7, 2), (-7, 3), (7, 3), (-1, 2), (1, 2), (0, 5),
+             (-1234567, 17), (1234567, 17)]
+    for a, b in cases:
+        (want,) = duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()
+        assert _trunc_div(a, b) == want, (a, b)
+
+
+def test_kmeans_assign_separates_obvious_clusters(spark):
+    """Two well-separated blobs must land in two clusters with the seeds'
+    ids, deterministically across invocations, with zero distance for the
+    seed vectors themselves on the first iteration's centroids only if
+    they survive — here the blobs are tight so final centroids stay in
+    their blob and every vector's assignment follows its blob."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    rows = [
+        (0, [0.0, 0.0, 0.01]),
+        (1, [1.0, 1.0, 0.99]),
+        (2, [0.01, -0.01, 0.0]),
+        (3, [0.99, 1.01, 1.0]),
+        (4, [0.0, 0.02, -0.01]),
+        (5, [1.02, 0.98, 1.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = C.kmeans_assign(
+        df, id_col="vec_id", vec_col="embedding", dim=3, k=2, iters=3
+    )
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+    again = {
+        r["vec_id"]: r["cluster_id"]
+        for r in C.kmeans_assign(
+            df, id_col="vec_id", vec_col="embedding", dim=3, k=2, iters=3
+        ).collect()
+    }
+    assert got == again
+
+
+def test_kmeans_assign_distances_are_exact_micro2(spark):
+    """dist_micro2 must equal the integer squared L2 distance between the
+    quantized vector and its (quantized, truncation-divided) final
+    centroid — recomputed here in pure Python from the same recurrence."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    rows = [(i, [float(i) / 7.0, float((i * 3) % 5) / 5.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k, iters, dim = 3, 3, 2
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["dist_micro2"])
+        for r in C.kmeans_assign(
+            df, id_col="vec_id", vec_col="embedding", dim=dim, k=k, iters=iters
+        ).collect()
+    }
+    import math
+
+    mv = {i: [math.floor(v * 1_000_000 + 0.5) for v in vec] for i, vec in rows}
+    cents = [list(mv[i]) for i in range(k)]
+    assign = {}
+    for it in range(iters):
+        assign = {
+            i: min(
+                range(k),
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(mv[i], cents[c])),
+                    c,
+                ),
+            )
+            for i in mv
+        }
+        if it == iters - 1:
+            break
+        new = [list(c) for c in cents]
+        for c in range(k):
+            members = [i for i, a in assign.items() if a == c]
+            if members:
+                new[c] = [
+                    C._trunc_div(sum(mv[i][d] for i in members), len(members))
+                    for d in range(dim)
+                ]
+        cents = new
+    for i in mv:
+        want_c = assign[i]
+        want_d = sum((a - b) ** 2 for a, b in zip(mv[i], cents[want_c]))
+        assert out[i] == (want_c, want_d), i

@@ -1187,3 +1187,33 @@ def test_dpo_pair_assembly_single_exchange(spark, sf_dir):
     )
     for cols in scan_columns(df):
         assert set(cols) <= {"doc_id", "lang", "text"}
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """Broadcast-Lloyd contract: the RETURNED assignment plan is one
+    map-only codegen scan — centroids are baked in as literals, so no
+    join, no exchange, and the scan reads only (vec_id, embedding). The
+    per-iteration update aggregations execute during construction and
+    are each one k-row agg; the final frame must not re-plan them."""
+    df = QUERIES["kmeans_assign_embeddings"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"]
+        + ops["BroadcastHashJoin"]
+        + ops["ShuffledHashJoin"]
+        + ops["CartesianProduct"]
+        + ops["BroadcastNestedLoopJoin"]
+        == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"vec_id", "embedding"}
+
+
+def test_semdedup_kmeans_no_cartesian(spark, sf_dir):
+    """The trained-blocking SemDeDup arm: within-cluster pairs must form
+    via the (cluster_id) equi self-join — an all-pairs product here is
+    the 100 TB killer the blocking exists to prevent."""
+    df = QUERIES["semdedup_kmeans"](spark, sf_dir)
+    ops = plan_ops(df)
+    assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
