@@ -873,3 +873,238 @@ def mixture_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (w * num DIV den) * 1000000 DIV cap END AS BIGINT)"
         ).alias("fill_x1e6"),
     )
+
+
+@query(
+    "mixture_epoch_budget",
+    # The waterfill chain of mixture_waterfill_allocation with the
+    # data-constrained constants: per-source cap = 6 epochs of its
+    # unique tokens, global budget = 4x total unique tokens (so the
+    # uncapped remainder is provably non-empty and mean epochs = 4).
+    oracle=r"""
+WITH s AS (
+  SELECT source,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS a,
+    CAST(GREATEST(1, SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+), c AS (
+  SELECT source, a, w, a * 6 AS cap FROM s
+), o AS (
+  SELECT source, a, w, cap,
+    ROW_NUMBER() OVER (ORDER BY cap * 1000000 // w, source) AS rn,
+    SUM(cap) OVER (ORDER BY cap * 1000000 // w, source ROWS UNBOUNDED PRECEDING) AS c_incl,
+    SUM(w) OVER (ORDER BY cap * 1000000 // w, source ROWS UNBOUNDED PRECEDING) AS w_incl,
+    CAST(SUM(a) OVER () * 4 AS BIGINT) AS b,
+    CAST(SUM(w) OVER () AS BIGINT) AS sw
+  FROM c
+), o2 AS (
+  SELECT *, sw - w_incl AS w_rest,
+    (cap * (sw - w_incl) <= w * (b - c_incl)) AS cond
+  FROM o
+), o3 AS (
+  SELECT *, COALESCE(MAX(CASE WHEN cond THEN rn END) OVER (), 0) AS k FROM o2
+), o4 AS (
+  SELECT *,
+    COALESCE(MAX(CASE WHEN rn = k THEN b - c_incl END) OVER (), MAX(b) OVER ()) AS num,
+    COALESCE(MAX(CASE WHEN rn = k THEN w_rest END) OVER (), MAX(sw) OVER ()) AS den
+  FROM o3
+), alloc AS (
+  SELECT source, a, w,
+    CAST(CASE WHEN rn <= k THEN cap ELSE w * num // den END AS BIGINT) AS allocated
+  FROM o4
+)
+SELECT source,
+  a AS available_tokens,
+  w AS weight,
+  allocated AS allocated_tokens,
+  CAST(allocated * 1000000 // a AS BIGINT) AS epochs_x1e6,
+  (allocated * 1000000 // a > 4000000) AS over_4_epochs
+FROM alloc
+""",
+)
+def mixture_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-budget readout for DATA-CONSTRAINED mixtures (VERDICT
+    r13 #6, the Muennighoff et al. data-constrained-scaling rule of
+    thumb): when the training budget EXCEEDS the unique-token supply,
+    how many epochs does each source repeat, and which sources cross
+    the ~4-epoch line past which repeated tokens stop paying? Same
+    exact integer water-filling machinery as
+    mixture_waterfill_allocation (cross-multiplied prefix-sum capped
+    set, never a float tau) with the data-constrained constants:
+    per-source cap = 6 epochs of its unique tokens, global budget = 4x
+    total unique tokens — so mean epochs is 4 by construction and the
+    spread of quality weights pushes high-weight-per-token sources
+    provably over the 4-epoch flag at every SF (the witness-premise
+    policy; the companion test pins that both flag values occur).
+    Output one row per source: allocation, epochs (x1e6) and the
+    over-4-epochs flag.
+
+    Scale shape: identical to the sibling — ONE exchange (per-source
+    rollup), then windows over the |sources|-row domain frame."""
+    from ibis_flink_example_spark.operators.text import token_count_whitespace
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count_whitespace("text")).cast("long").alias("a"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).cast("long"),
+        ).alias("w"),
+    )
+    c = s.select("source", "a", "w", (F.col("a") * 6).alias("cap"))
+    o = c.select(
+        "*",
+        F.expr("ROW_NUMBER() OVER (ORDER BY cap * 1000000 DIV w, source)").alias("rn"),
+        F.expr(
+            "SUM(cap) OVER (ORDER BY cap * 1000000 DIV w, source"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("c_incl"),
+        F.expr(
+            "SUM(w) OVER (ORDER BY cap * 1000000 DIV w, source"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("w_incl"),
+        F.expr("CAST(SUM(a) OVER () * 4 AS BIGINT)").alias("b"),
+        F.expr("CAST(SUM(w) OVER () AS BIGINT)").alias("sw"),
+    )
+    o2 = o.select(
+        "*",
+        (F.col("sw") - F.col("w_incl")).alias("w_rest"),
+        (
+            F.col("cap") * (F.col("sw") - F.col("w_incl"))
+            <= F.col("w") * (F.col("b") - F.col("c_incl"))
+        ).alias("cond"),
+    )
+    o3 = o2.select(
+        "*",
+        F.expr("COALESCE(MAX(CASE WHEN cond THEN rn END) OVER (), 0)").alias("k"),
+    )
+    o4 = o3.select(
+        "*",
+        F.expr(
+            "COALESCE(MAX(CASE WHEN rn = k THEN b - c_incl END) OVER (),"
+            " MAX(b) OVER ())"
+        ).alias("num"),
+        F.expr(
+            "COALESCE(MAX(CASE WHEN rn = k THEN w_rest END) OVER (),"
+            " MAX(sw) OVER ())"
+        ).alias("den"),
+    )
+    alloc = o4.select(
+        "source",
+        "a",
+        "w",
+        F.expr(
+            "CAST(CASE WHEN rn <= k THEN cap ELSE w * num DIV den END AS BIGINT)"
+        ).alias("allocated"),
+    )
+    return alloc.select(
+        "source",
+        F.col("a").alias("available_tokens"),
+        F.col("w").alias("weight"),
+        F.col("allocated").alias("allocated_tokens"),
+        F.expr("CAST(allocated * 1000000 DIV a AS BIGINT)").alias("epochs_x1e6"),
+        F.expr("allocated * 1000000 DIV a > 4000000").alias("over_4_epochs"),
+    )
+
+
+from ibis_flink_example_spark.operators.bpe import (  # noqa: E402
+    fixed_merge_token_count_sql as _bpe_count_sql,
+)
+
+_BPE_COUNT_SQL = _bpe_count_sql("text")
+
+
+@query(
+    "sequence_packing_bpe",
+    # Same packing recurrence as sequence_packing_bins with the
+    # TOKENIZER-TRUE length: the pinned fixed-merge BPE count
+    # (operators/bpe.py fixed_merge_token_count / _sql — the
+    # seeded-literal idiom, so the oracle replays the exact replace
+    # chain instead of going rows-only like the learned-merge arm).
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+    {_BPE_COUNT_SQL} AS n_tokens
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    LEAST(n_tokens, {_PACK_CONTEXT}) AS tok_c,
+    (n_tokens > {_PACK_CONTEXT}) AS truncated,
+    CASE WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 64 THEN 64
+         WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 128 THEN 128
+         WHEN LEAST(n_tokens, {_PACK_CONTEXT}) <= 256 THEN 256
+         ELSE {_PACK_CONTEXT} END AS len_bucket,
+    doc_id % {_PACK_SHARDS} AS shard
+  FROM t
+), r AS (
+  SELECT len_bucket, shard, tok_c, truncated,
+    ROW_NUMBER() OVER (
+      PARTITION BY len_bucket, shard ORDER BY tok_c DESC, doc_id
+    ) AS rn
+  FROM d
+)
+SELECT CAST(len_bucket AS INTEGER) AS len_bucket,
+  CAST(shard AS INTEGER) AS shard,
+  CAST((rn - 1) // ({_PACK_CONTEXT} // len_bucket) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok_c) AS BIGINT) AS bin_tokens,
+  CAST(SUM(tok_c) * 1000000 // {_PACK_CONTEXT} AS BIGINT) AS occupancy_x1e6,
+  CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+FROM r
+GROUP BY len_bucket, shard, bin_id
+""",
+)
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-TRUE sequence bin packing (VERDICT r13 #4):
+    sequence_packing_bins packs on whitespace token counts, but the bin
+    occupancy a real dataloader sees is measured in TOKENIZER tokens —
+    this variant feeds the same no-straddle length-bucketed packing the
+    fixed-merge BPE count (operators/bpe.py: the rank-ordered replace
+    chain proven equivalent to the symbol-rewriting encoder, with the
+    merge table pinned as literals so the DuckDB oracle replays it
+    bit-for-bit — the learned-merge arm bpe_token_counts stays rows-only
+    by design; any pinned merge table IS a valid tokenizer, which is
+    what makes the full oracle reachable here). At the fixture corpus
+    the BPE counts run 35-412 against the 512 context, so all four
+    length buckets populate and occupancy is non-trivial at every SF.
+
+    Scale shape: identical to the sibling — the replace-chain token
+    count fuses into the scan (pure JVM string ops), ONE exchange (the
+    (bucket, shard) window), per-bin rollup rides the window
+    partitioning."""
+    from ibis_flink_example_spark.operators.bpe import fixed_merge_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fixed_merge_token_count("text")
+    d = docs.select(
+        "doc_id",
+        F.least(tok, F.lit(_PACK_CONTEXT)).alias("tok_c"),
+        (tok > _PACK_CONTEXT).alias("truncated"),
+    ).withColumn(
+        "len_bucket",
+        F.when(F.col("tok_c") <= 64, 64)
+        .when(F.col("tok_c") <= 128, 128)
+        .when(F.col("tok_c") <= 256, 256)
+        .otherwise(_PACK_CONTEXT)
+        .cast("int"),
+    ).withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("len_bucket", "shard").orderBy(
+        F.col("tok_c").desc(), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bin_id",
+        F.expr(
+            f"CAST((rn - 1) DIV ({_PACK_CONTEXT} DIV len_bucket) AS BIGINT)"
+        ),
+    )
+    return r.groupBy("len_bucket", "shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok_c").cast("long").alias("bin_tokens"),
+        F.expr(f"CAST(SUM(tok_c) * 1000000 DIV {_PACK_CONTEXT} AS BIGINT)")
+        .alias("occupancy_x1e6"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+    )

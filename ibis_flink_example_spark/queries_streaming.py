@@ -1982,3 +1982,265 @@ def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value_cents",
         count_col="n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN-SemDeDup ingest (r14): embedding batches vs persistent
+# multitable-LSH bucket state
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_ingest_oracle() -> str:
+    """Arrival-prefix oracle for streaming_semdedup_ingest. The engine
+    probes each arriving batch's (1 + p Hamming-1) bucket probes against
+    the append-only bucket state (which at probe time holds every
+    arrival <= this batch) and exact-cos6-verifies candidates only. The
+    candidate relation is SYMMETRIC (bucket_o matches a probe of n iff
+    Hamming(b_o, b_n) <= 1 for some table iff bucket_n matches a probe
+    of o), so the union over batches of incremental candidates equals
+    the BATCH candidate set of queries_llm._semdedup_lsh_cte — which
+    this oracle reuses verbatim — and a vector is rejected iff some
+    verified pair partner precedes it in (arrival_batch, vec_id) order.
+    The state-side 50k bucket cap never binds at fixture scale
+    (test_semdedup_ingest_bucket_cap_headroom pins the premise, the
+    minhash-ingest idiom)."""
+    from ibis_flink_example_spark.queries_llm import _semdedup_lsh_cte
+
+    return (
+        "WITH "
+        + _semdedup_lsh_cte()
+        + """, arr AS (
+  SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS batch_id FROM embeddings
+), rejected AS (
+  -- id_a < id_b, so id_a is the later arrival ONLY when its batch tag
+  -- is strictly larger; same-batch pairs reject the larger id = id_b
+  SELECT DISTINCT CASE WHEN aa.batch_id > ab.batch_id THEN p.id_a
+                       ELSE p.id_b END AS vec_id
+  FROM ver p
+  JOIN arr aa ON aa.vec_id = p.id_a
+  JOIN arr ab ON ab.vec_id = p.id_b
+)
+SELECT a.vec_id, a.batch_id, (r.vec_id IS NULL) AS accepted
+FROM arr a LEFT JOIN rejected r ON r.vec_id = a.vec_id
+"""
+    )
+
+
+@query("streaming_semdedup_ingest", oracle=_semdedup_ingest_oracle())
+def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-backed SemDeDup (VERDICT r13 #3): the streaming
+    arm of semdedup_lsh, built on the bucketed append-only state shape
+    of streaming_minhash_neardup_ingest. Embedding batches arrive (4
+    deterministic arrival batches, vec_id % 4, mtime-ordered file
+    replay); per batch the L=6-table x 6-plane hyperplane signatures
+    (driver-side literal planes — no training pass) land DIRECTLY in a
+    bucket state table BUCKETED on the bucket key, the raw vectors (cast
+    double + precomputed norm) in a vec state table bucketed on vec_id,
+    and the batch's 1 + 6 Hamming-1 probes equi-join the hot-key-capped
+    bucket state (arr < batch, or same batch with smaller id); ONLY the
+    surviving candidate pairs are verified at exact cos6 >= 350000
+    against the vec state. State only APPENDs; appends are
+    bucket-ALIGNED (repartition on the bucket key first); per-batch
+    re-delivery and arrival-order guards as the minhash sibling.
+    Returns one row per vector: (vec_id, batch_id, accepted)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ibis_flink_example_spark.catalog import (
+        drop_table_and_location,
+        scratch_dir,
+        table_path,
+    )
+    from ibis_flink_example_spark.operators.dedup import drop_hot_keys
+    from ibis_flink_example_spark.operators.similarity import (
+        dot,
+        hyperplane_signature,
+        l2_norm,
+        random_hyperplanes,
+    )
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    n_tables, n_planes, dim, thr = 6, 6, 64, 350_000
+    tables = [
+        random_hyperplanes(dim, n_planes, 42 + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+    stage = scratch_dir("semdedup_ingest_replay", sf_dir)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    tbl = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    arr_col = pc.cast(
+        pc.bit_wise_and(tbl.column("vec_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    tbl = tbl.append_column("arrival_batch", arr_col)
+    base_ts = time.time() - 3600
+    for k in range(4):
+        part = tbl.filter(
+            pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32()))
+        )
+        p = os.path.join(stage, f"batch_{k}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base_ts + 2 * k, base_ts + 2 * k))
+
+    res_t = "semdedup_ingest_results"
+    bkt_t = "semdedup_ingest_buckets"
+    vec_t = "semdedup_ingest_vecs"
+    for t in (res_t, bkt_t, vec_t):
+        drop_table_and_location(spark, t)
+
+    state = {"last_bid": None, "last_arr": -1}
+
+    def apply(bdf, bid):
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
+        arrs = sorted(
+            r["arrival_batch"]
+            for r in bdf.select("arrival_batch").distinct().collect()
+        )
+        if not arrs:
+            state["last_bid"] = bid
+            return
+        if len(arrs) != 1 or arrs[0] <= state["last_arr"]:
+            raise RuntimeError(
+                f"semdedup ingest: replay disorder — arrival tags {arrs} "
+                f"after {state['last_arr']}; refusing to mis-order the prefix"
+            )
+        arrival = int(arrs[0])
+        sess = bdf.sparkSession
+        arr_lit = F.lit(arrival).cast("int")
+        # 1) bucket state: L (t, b) signature rows per vector, bucketed
+        #    and bucket-ALIGNED on b (the state-table-first batching of
+        #    the minhash sibling: the append the batch owes anyway IS the
+        #    materialization every consumer re-reads pre-partitioned)
+        bdf.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("int").alias("t"),
+                            hyperplane_signature(
+                                F.col("embedding"), planes
+                            ).alias("b"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("__tb"),
+        ).select(
+            "vec_id",
+            F.col("__tb.t").alias("t"),
+            F.col("__tb.b").alias("b"),
+        ).withColumn("arr", arr_lit).repartition(8, F.col("b")).write.mode(
+            "append"
+        ).bucketBy(8, "b").sortBy("b").saveAsTable(bkt_t)
+        # 2) vec state: cast-double vector + norm, bucketed on vec_id
+        #    (the exact-verify join key)
+        bdf.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        ).withColumn("arr", arr_lit).repartition(
+            8, F.col("vec_id")
+        ).write.mode("append").bucketBy(8, "vec_id").sortBy(
+            "vec_id"
+        ).saveAsTable(vec_t)
+        bk_all = sess.table(bkt_t)
+        probe = (
+            bk_all.filter(F.col("arr") == arrival)
+            .select(
+                F.col("vec_id").alias("id_n"),
+                "t",
+                F.explode(
+                    F.array(
+                        F.col("b"),
+                        *[
+                            F.col("b").bitwiseXOR(F.lit(1 << i).cast("long"))
+                            for i in range(n_planes)
+                        ],
+                    )
+                ).alias("b"),
+            )
+        )
+        pool = drop_hot_keys(
+            bk_all.select(
+                F.col("vec_id").alias("id_o"), "t", "b", "arr"
+            ),
+            ["t", "b"],
+            max_rows_per_key=50_000,
+            what="semdedup ingest bucket",
+        )
+        cand = (
+            probe.join(pool, ["t", "b"])
+            .filter(
+                (F.col("arr") < F.lit(arrival))
+                | (
+                    (F.col("arr") == F.lit(arrival))
+                    & (F.col("id_o") < F.col("id_n"))
+                )
+            )
+            .select("id_n", "id_o")
+            .distinct()
+        )
+        vs = sess.table(vec_t)
+        va = vs.select(
+            F.col("vec_id").alias("id_n"),
+            F.col("vec").alias("__vn"),
+            F.col("nrm").alias("__nn"),
+        )
+        vb = vs.select(
+            F.col("vec_id").alias("id_o"),
+            F.col("vec").alias("__vo"),
+            F.col("nrm").alias("__no"),
+        )
+        rejected = (
+            cand.join(va, "id_n")
+            .join(vb, "id_o")
+            .withColumn(
+                "__cos6",
+                F.round(
+                    dot(F.col("__vn"), F.col("__vo"))
+                    / (F.col("__nn") * F.col("__no"))
+                    * 1_000_000,
+                    0,
+                ).cast("long"),
+            )
+            .filter(F.col("__cos6") >= F.lit(thr).cast("long"))
+            .select(F.col("id_n").alias("vec_id"))
+            .distinct()
+        )
+        res = (
+            bdf.select("vec_id")
+            .join(rejected.withColumn("__rej", F.lit(True)), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.lit(arrival).cast("long").alias("batch_id"),
+                F.col("__rej").isNull().alias("accepted"),
+            )
+        )
+        res.write.mode("append").saveAsTable(res_t)
+        state["last_bid"] = bid
+        state["last_arr"] = arrival
+
+    sch = spark.read.parquet(stage).schema
+    stream = (
+        _docs_stream_session(spark)
+        .readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = foreach_batch(stream, apply, available_now=True)
+    q.awaitTermination()
+    if state["last_bid"] is None:
+        return spark.createDataFrame(
+            [], "vec_id long, batch_id long, accepted boolean"
+        )
+    return spark.table(res_t).select("vec_id", "batch_id", "accepted")

@@ -275,6 +275,8 @@ def main() -> int:
         "semdedup_lsh_pairs",
         # r14: distributed fixed-point Lloyd (broadcast-literal centroids)
         "kmeans_lloyd",
+        # r14: streaming ANN-SemDeDup per-batch state probe
+        "semdedup_ingest_state_probe",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -298,7 +300,7 @@ def main() -> int:
            "substring_dup_runs", "substring_dup_attribution",
            "minhash_ingest_state_probe"}
     )
-    need_semdedup = "semdedup_lsh_pairs" in keep
+    need_semdedup = bool(keep & {"semdedup_lsh_pairs", "semdedup_ingest_state_probe"})
     need_embs = bool(
         keep & {"top_pc_gram", "hard_negative_mining", "kmeans_lloyd"}
     )
@@ -817,6 +819,145 @@ def main() -> int:
                 max_occurrences_per_gram=50,
             ).count()
 
+        def _semdedup_ingest_state(label):
+            """Bucketed LSH-bucket + vec state tables in the EXACT r14
+            layout streaming_semdedup_ingest maintains, over the
+            Rademacher-replica embeddings (cosine structure replicates
+            per copy)."""
+            from ibis_flink_example_spark.catalog import (
+                drop_table_and_location,
+            )
+
+            bkt_t = f"probe_sdi_bkt_{label}"
+            vec_t = f"probe_sdi_vec_{label}"
+            for t in (bkt_t, vec_t):
+                drop_table_and_location(spark, t)
+            em = spark.read.parquet(semdedup_frames[label])
+            planes_by_t = [
+                SIM.random_hyperplanes(64, 6, 42 + 1000 * t) for t in range(6)
+            ]
+            em.select(
+                "vec_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).cast("int").alias("t"),
+                                SIM.hyperplane_signature(
+                                    F.col("embedding"), planes
+                                ).alias("b"),
+                            )
+                            for t, planes in enumerate(planes_by_t)
+                        ]
+                    )
+                ).alias("__tb"),
+            ).select(
+                "vec_id",
+                F.col("__tb.t").alias("t"),
+                F.col("__tb.b").alias("b"),
+            ).repartition(8, F.col("b")).write.bucketBy(8, "b").sortBy(
+                "b"
+            ).saveAsTable(bkt_t)
+            em.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("vec"),
+                SIM.l2_norm(F.col("embedding")).alias("nrm"),
+            ).repartition(8, F.col("vec_id")).write.bucketBy(
+                8, "vec_id"
+            ).sortBy("vec_id").saveAsTable(vec_t)
+            return bkt_t, vec_t
+
+        semdedup_ingest_states = (
+            {lbl: _semdedup_ingest_state(lbl) for lbl in ("1x", big)}
+            if "semdedup_ingest_state_probe" in keep
+            else None
+        )
+
+        def semdedup_ingest_state_at(label):
+            """One micro-batch's probe+verify pass (the apply-body compute
+            minus the commits) against 1x/10x accepted LSH state: the
+            per-batch cost axis of streaming_semdedup_ingest. The batch
+            is FIXED (~1% of copy 0); bucket occupancy grows with state,
+            so candidates grow ~linearly with state under fixed planes —
+            the bucketed pre-partitioned state read keeps the exponent
+            well under 1 (the minhash-sibling shape)."""
+            from ibis_flink_example_spark.operators.dedup import drop_hot_keys
+
+            bkt_t, vec_t = semdedup_ingest_states[label]
+            batch_ids = (
+                spark.read.parquet(semdedup_frames["1x"])
+                .filter(F.col("vec_id") % 97 == 0)
+                .select("vec_id")
+            )
+            probe_src = (
+                spark.table(semdedup_ingest_states["1x"][0])
+                .join(batch_ids, "vec_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+
+            def run():
+                probe = probe_src.select(
+                    F.col("vec_id").alias("id_n"),
+                    "t",
+                    F.explode(
+                        F.array(
+                            F.col("b"),
+                            *[
+                                F.col("b").bitwiseXOR(
+                                    F.lit(1 << i).cast("long")
+                                )
+                                for i in range(6)
+                            ],
+                        )
+                    ).alias("b"),
+                )
+                pool = drop_hot_keys(
+                    spark.table(bkt_t).select(
+                        F.col("vec_id").alias("id_o"), "t", "b"
+                    ),
+                    ["t", "b"],
+                    max_rows_per_key=50_000,
+                    what="probe sdi bucket",
+                )
+                cand = (
+                    probe.join(pool, ["t", "b"])
+                    .filter(F.col("id_o") != F.col("id_n"))
+                    .select("id_n", "id_o")
+                    .distinct()
+                )
+                vs = spark.table(vec_t)
+                va = spark.table(semdedup_ingest_states["1x"][1]).select(
+                    F.col("vec_id").alias("id_n"),
+                    F.col("vec").alias("__vn"),
+                    F.col("nrm").alias("__nn"),
+                )
+                vb = vs.select(
+                    F.col("vec_id").alias("id_o"),
+                    F.col("vec").alias("__vo"),
+                    F.col("nrm").alias("__no"),
+                )
+                return (
+                    cand.join(va, "id_n")
+                    .join(vb, "id_o")
+                    .withColumn(
+                        "__cos6",
+                        F.round(
+                            SIM.dot(F.col("__vn"), F.col("__vo"))
+                            / (F.col("__nn") * F.col("__no"))
+                            * 1_000_000,
+                            0,
+                        ).cast("long"),
+                    )
+                    .filter(F.col("__cos6") >= 350_000)
+                    .select("id_n")
+                    .distinct()
+                    .count()
+                )
+
+            return run
+
         def kmeans_at(label):
             """Fixed-point Lloyd k-means (operators/clustering.py): per
             iteration one map-only literal-centroid assignment scan plus
@@ -860,6 +1001,7 @@ def main() -> int:
             "minhash_ingest_state_probe": minhash_ingest_state_at,
             "semdedup_lsh_pairs": semdedup_lsh_pairs_at,
             "kmeans_lloyd": kmeans_at,
+            "semdedup_ingest_state_probe": semdedup_ingest_state_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}

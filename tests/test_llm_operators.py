@@ -3107,3 +3107,18 @@ def test_kmeans_assign_distances_are_exact_micro2(spark):
         want_c = assign[i]
         want_d = sum((a - b) ** 2 for a, b in zip(mv[i], cents[want_c]))
         assert out[i] == (want_c, want_d), i
+
+
+def test_mixture_epoch_budget_witness_premise(spark, sf_dir):
+    """The data-constrained epoch readout must flag SOME sources over 4
+    epochs and leave SOME under at the fixture (mean is 4 by
+    construction; the weight spread provides the variance) — an all-one-
+    value flag column would make the query a dead witness."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["mixture_epoch_budget"](spark, sf_dir).collect()
+    flags = {r["over_4_epochs"] for r in rows}
+    assert flags == {True, False}, flags
+    for r in rows:
+        # allocation never exceeds the 6-epoch repetition ceiling
+        assert r["allocated_tokens"] <= 6 * r["available_tokens"], r

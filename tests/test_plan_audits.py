@@ -1217,3 +1217,76 @@ def test_semdedup_kmeans_no_cartesian(spark, sf_dir):
     df = QUERIES["semdedup_kmeans"](spark, sf_dir)
     ops = plan_ops(df)
     assert ops["CartesianProduct"] + ops["BroadcastNestedLoopJoin"] == 0
+
+
+def test_sequence_packing_bpe_single_exchange_no_join(spark, sf_dir):
+    """The tokenizer-true packing variant keeps the sibling's shape: the
+    fixed-merge replace chain fuses into the scan, ONE exchange (the
+    (bucket, shard) window; rollup rides it), no joins."""
+    df = QUERIES["sequence_packing_bpe"](spark, sf_dir)
+    assert exchange_count(df) == 1
+    ops = plan_ops(df)
+    assert (
+        ops["SortMergeJoin"] + ops["BroadcastHashJoin"] + ops["ShuffledHashJoin"] == 0
+    )
+    for cols in scan_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_semdedup_ingest_bucket_cap_headroom():
+    """streaming_semdedup_ingest caps state LSH buckets at 50k rows but
+    its arrival-prefix oracle (queries_llm._semdedup_lsh_cte's full-
+    corpus occupancy filter) only models the cap against the WHOLE
+    corpus: the premise making both no-ops is that one table's entire
+    row set (1 row per vector per table) stays under the cap at every
+    verification SF — pin it so a fixture refresh to 50k+ vectors fails
+    HERE, not as a silent divergence."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cap = 50_000
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(p):
+            continue
+        n_vecs = pq.read_metadata(p).num_rows
+        assert n_vecs < cap, (
+            f"{sf}: {n_vecs} vectors can now fill a single LSH bucket "
+            "past the 50k cap — model the per-probe-time cap in "
+            "_semdedup_ingest_oracle before the fixtures grow further"
+        )
+        checked += 1
+    assert checked >= 2
+
+
+def test_semdedup_ingest_state_tables_bucketed_and_aligned(spark, sf_dir):
+    """streaming_semdedup_ingest's two state tables must be bucketed on
+    their join keys (b for the probe equi-join, vec_id for the exact-cos
+    verify) with bucket-ALIGNED appends — one file per bucket per batch,
+    the minhash-sibling discipline."""
+    import glob
+    import os
+
+    QUERIES["streaming_semdedup_ingest"](spark, sf_dir).collect()
+    expect = {
+        "semdedup_ingest_buckets": "b",
+        "semdedup_ingest_vecs": "vec_id",
+    }
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    n_batches = (
+        spark.table("semdedup_ingest_results")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches >= 1
+    for table, key in expect.items():
+        rows = {
+            r.col_name: str(r.data_type)
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert key in rows.get("Bucket Columns", ""), (table, rows.get("Bucket Columns"))
+        n_files = len(glob.glob(os.path.join(warehouse, table, "*.parquet")))
+        assert n_files <= n_batches * 8, (table, n_files, n_batches)
