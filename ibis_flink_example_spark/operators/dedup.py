@@ -167,6 +167,11 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+# See shingle_hash_rows: memoized higher-order Column trees keyed by
+# (text_col, n, hash_col).
+_SHINGLE_COLS: dict[tuple, tuple] = {}
+
+
 def shingle_hash_rows(
     df: DataFrame, *, id_col: str, text_col: str, n: int, hash_col: str = "__h"
 ) -> DataFrame:
@@ -183,20 +188,40 @@ def shingle_hash_rows(
     Degenerate short docs (<n words) hash the whole word-hash array."""
     from ibis_flink_example_spark.catalog import fan_out
 
-    wh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.transform(words(text_col), lambda w: F.xxhash64(w)).alias("__wh"),
-    )
-    shingles = F.when(
-        F.size(F.col("__wh")) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__wh")) - n),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("__wh"), i + F.lit(k + 1)) for k in range(n)]
+    # The two higher-order columns are MEMOIZED per (text_col, n,
+    # hash_col): every fresh construction mints new lambda-variable ids,
+    # which defeats the plan/codegen caches and costs ~1 s of driver
+    # recompilation per call — painful for per-micro-batch callers
+    # (streaming_neardup_ingest builds this once per batch). Column
+    # objects are immutable unbound expression trees, safe to reuse
+    # across DataFrames and sessions (the r14 hoist, measured on the
+    # semdedup ingest sibling).
+    key = (text_col, n, hash_col) if isinstance(text_col, str) else None
+    cached = _SHINGLE_COLS.get(key) if key is not None else None
+    if cached is None:
+        wh_col = F.transform(words(text_col), lambda w: F.xxhash64(w)).alias(
+            "__wh"
+        )
+        shingles = F.when(
+            F.size(F.col("__wh")) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("__wh")) - n),
+                lambda i: F.xxhash64(
+                    *[
+                        F.element_at(F.col("__wh"), i + F.lit(k + 1))
+                        for k in range(n)
+                    ]
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.col("__wh"))))
-    return wh.select(F.col(id_col), F.explode(shingles).alias(hash_col))
+        ).otherwise(F.array(F.xxhash64(F.col("__wh"))))
+        cached = (wh_col, F.explode(shingles).alias(hash_col))
+        if key is not None:
+            _SHINGLE_COLS[key] = cached
+    wh_col, explode_col = cached
+    wh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), wh_col
+    )
+    return wh.select(F.col(id_col), explode_col)
 
 
 def signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:

@@ -1636,6 +1636,13 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     # the band rows via carry_count)
     drop_table_and_location(spark, "minhash_ingest_seen_sizes")
 
+    # Built ONCE, reused by every micro-batch: word_shingles carries a
+    # higher-order transform lambda, and a per-batch reconstruction mints
+    # fresh lambda-variable ids that defeat the plan/codegen caches
+    # (~1 s of driver recompilation per batch — the r14 hoist, measured
+    # on the semdedup sibling).
+    sh_expr = F.explode(word_shingles(words("text"), 3)).alias("shingle")
+
     state = {"last_bid": None, "last_arr": -1}
 
     def apply(bdf, bid):
@@ -1674,11 +1681,17 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         # 1) shingle STRINGS (not hashes): the md5 signature and the
         #    exact verify both consume them; one pass, bucketed on the
         #    verify join key
-        bdf.select(
-            "doc_id",
-            F.explode(word_shingles(words("text"), 3)).alias("shingle"),
-        ).distinct().withColumn("arr", arr_lit).repartition(
-            8, F.col("shingle")
+        # ONE shuffle serves both the per-batch (doc_id, shingle) dedup
+        # and the bucket alignment: hashpartitioning(shingle, 8)
+        # satisfies the distinct's ClusteredDistribution (its expression
+        # set is a subset of the grouping keys), so dropDuplicates AFTER
+        # the repartition runs in-partition instead of adding its own
+        # exchange (the r14 fusion; .distinct() then .repartition() paid
+        # two shuffles per batch for the same result).
+        bdf.select("doc_id", sh_expr).withColumn(
+            "arr", arr_lit
+        ).repartition(8, F.col("shingle")).dropDuplicates(
+            ["doc_id", "shingle"]
         ).write.mode("append").bucketBy(8, "shingle").sortBy(
             "shingle"
         ).saveAsTable(seen_sh_t)
@@ -2096,6 +2109,41 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in (res_t, bkt_t, vec_t):
         drop_table_and_location(spark, t)
 
+    # Lambda-bearing expressions (higher-order zip_with/aggregate folds
+    # inside hyperplane_signature / l2_norm / dot and the transform cast)
+    # are built ONCE and reused by every micro-batch: each construction
+    # mints fresh lambda-variable ids, so a rebuilt-per-batch expression
+    # defeats both Catalyst's plan cache and Janino's codegen cache and
+    # costs ~1.2 s of driver recompilation per batch (measured; reusing
+    # the identical Column object runs the same stage in ~0.6 s).
+    sig_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("int").alias("t"),
+                    hyperplane_signature(F.col("embedding"), planes).alias(
+                        "b"
+                    ),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+    ).alias("__tb")
+    vec_expr = F.transform("embedding", lambda x: x.cast("double")).alias(
+        "vec"
+    )
+    nrm_expr = l2_norm(F.col("embedding")).alias("nrm")
+    cos6_expr = (
+        F.round(
+            dot(F.col("__vn"), F.col("__vo"))
+            / (F.col("__nn") * F.col("__no"))
+            * 1_000_000,
+            0,
+        )
+        .cast("long")
+        .alias("__cos6")
+    )
+
     state = {"last_bid": None, "last_arr": -1}
 
     def apply(bdf, bid):
@@ -2120,22 +2168,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         #    and bucket-ALIGNED on b (the state-table-first batching of
         #    the minhash sibling: the append the batch owes anyway IS the
         #    materialization every consumer re-reads pre-partitioned)
-        bdf.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).cast("int").alias("t"),
-                            hyperplane_signature(
-                                F.col("embedding"), planes
-                            ).alias("b"),
-                        )
-                        for t, planes in enumerate(tables)
-                    ]
-                )
-            ).alias("__tb"),
-        ).select(
+        bdf.select("vec_id", sig_expr).select(
             "vec_id",
             F.col("__tb.t").alias("t"),
             F.col("__tb.b").alias("b"),
@@ -2144,15 +2177,11 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bucketBy(8, "b").sortBy("b").saveAsTable(bkt_t)
         # 2) vec state: cast-double vector + norm, bucketed on vec_id
         #    (the exact-verify join key)
-        bdf.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
-            l2_norm(F.col("embedding")).alias("nrm"),
-        ).withColumn("arr", arr_lit).repartition(
-            8, F.col("vec_id")
-        ).write.mode("append").bucketBy(8, "vec_id").sortBy(
-            "vec_id"
-        ).saveAsTable(vec_t)
+        bdf.select("vec_id", vec_expr, nrm_expr).withColumn(
+            "arr", arr_lit
+        ).repartition(8, F.col("vec_id")).write.mode("append").bucketBy(
+            8, "vec_id"
+        ).sortBy("vec_id").saveAsTable(vec_t)
         bk_all = sess.table(bkt_t)
         probe = (
             bk_all.filter(F.col("arr") == arrival)
@@ -2204,15 +2233,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rejected = (
             cand.join(va, "id_n")
             .join(vb, "id_o")
-            .withColumn(
-                "__cos6",
-                F.round(
-                    dot(F.col("__vn"), F.col("__vo"))
-                    / (F.col("__nn") * F.col("__no"))
-                    * 1_000_000,
-                    0,
-                ).cast("long"),
-            )
+            .withColumn("__cos6", cos6_expr)
             .filter(F.col("__cos6") >= F.lit(thr).cast("long"))
             .select(F.col("id_n").alias("vec_id"))
             .distinct()
