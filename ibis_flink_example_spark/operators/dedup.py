@@ -336,6 +336,7 @@ def md5_minhash_band_rows(
     rows_per_band: int = 2,
     salt: str = "mh",
     carry_count: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_key) LSH band rows from an ENGINE-PORTABLE
     MinHash signature: permutation j reads the 8-hex slice ``j % 4`` of
@@ -399,12 +400,19 @@ def md5_minhash_band_rows(
         # |shingles(doc)| even if a caller skips the pre-.distinct()
         # (a plain count(*) silently inflated under duplicate input
         # while leaving the min-based signature unchanged — ADVICE r13).
-        # Cost: Spark plans the mixed distinct/min aggregate as a
-        # (id, __x0) partial then an id-keyed final — one extra doc-level
-        # exchange on a path whose cost is the shingle-level shuffle.
-        aggs.append(
-            F.countDistinct(F.col("__x0")).cast("long").alias("n_shingles")
-        )
+        # Cost: the mixed distinct/min aggregate plans an extra
+        # aggregation level (~0.3 s per sf0.1 pass, measured) — callers
+        # that STRUCTURALLY guarantee distinct (id, shingle) input (e.g.
+        # the minhash ingest, whose sh frame is read back from the state
+        # table its own dropDuplicates just wrote) may pass
+        # ``assume_distinct=True`` to use the plain count, where the two
+        # are provably equal.
+        if assume_distinct:
+            aggs.append(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+        else:
+            aggs.append(
+                F.countDistinct(F.col("__x0")).cast("long").alias("n_shingles")
+            )
     sigs = hexed.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // rows_per_band
     entries = F.array(

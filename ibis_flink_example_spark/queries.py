@@ -137,6 +137,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "semdedup_kmeans",  # registered r14; kmeans leg externally covered via
     # kmeans_assign_embeddings this round, composition row still owed
+    "semdedup_kmeans_recall",  # registered late-r14, local greens only
 )
 
 

@@ -5961,3 +5961,130 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
     )
     return out.select("vec_id", "cluster_id")
+
+
+@query(
+    "semdedup_kmeans_recall",
+    # The kmeans chain + blocked/truth pair counts: trained-blocking
+    # recall against the same label-truth arm semdedup_lsh_recall uses,
+    # so the two blocking strategies are measured on one yardstick.
+    oracle=_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)
+    + f""", v AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+    sqrt(list_sum(list_transform(embedding,
+      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+  FROM embeddings
+), asn AS (
+  SELECT vec_id, CAST(enc % {_KMEANS_K} AS BIGINT) AS cid
+  FROM a{_KMEANS_ITERS}
+), blocked AS (
+  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM asn sa
+  JOIN asn sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
+  JOIN v a ON a.vec_id = sa.vec_id
+  JOIN v b ON b.vec_id = sb.vec_id
+  WHERE {_SEMDEDUP_COS6_AB} >= 350000
+), truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_SEMDEDUP_COS6_AB} >= 350000
+), counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth) AS nt,
+    (SELECT COUNT(*) FROM blocked) AS nb,
+    (SELECT COUNT(*) FROM blocked JOIN truth USING (id_a, id_b)) AS nc
+)
+SELECT CAST(nt AS BIGINT) AS n_truth_pairs,
+  CAST(nb AS BIGINT) AS n_blocked_pairs,
+  CAST(nc AS BIGINT) AS n_common_pairs,
+  CASE WHEN nt = 0 THEN NULL
+       ELSE CAST(floor(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+  END AS recall_x1e6
+FROM counts
+""",
+)
+def semdedup_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 recall witness for the TRAINED SemDeDup arm (the
+    semdedup_lsh_recall idiom on the other blocking strategy): ground
+    truth = the label-blocked exact pairs at cos6 >= 350000, measured
+    against the pairs reachable within learned k-means clusters — so
+    the random-hyperplane and learned-centroid blockings are compared
+    on one yardstick. One row: (n_truth_pairs, n_blocked_pairs,
+    n_common_pairs, recall_x1e6); NULL recall on an empty truth set
+    trips the witness-premise test rather than passing trivially."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    em = load_table(spark, sf_dir, "embeddings")
+    asn = C.kmeans_assign(
+        em,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+    ).select("vec_id", "cluster_id")
+    blocked_src = em.join(asn, "vec_id")
+    blocked = (
+        S.embedding_neardup_pairs(
+            blocked_src,
+            id_col="vec_id",
+            vec_col="embedding",
+            block_col="cluster_id",
+            threshold=0.3499,
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("__cos6"),
+        )
+        .filter(F.col("__cos6") >= 350_000)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        S.embedding_neardup_pairs(
+            em,
+            id_col="vec_id",
+            vec_col="embedding",
+            block_col="label",
+            threshold=0.3499,
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cosine") * 1_000_000, 0).cast("long").alias("__cos6"),
+        )
+        .filter(F.col("__cos6") >= 350_000)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    n_b = blocked.agg(F.count(F.lit(1)).cast("long").alias("n_blocked_pairs"))
+    n_c = blocked.join(truth, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_pairs")
+    )
+    out = (
+        n_t.crossJoin(n_b)
+        .crossJoin(n_c)
+        .select(
+            "n_truth_pairs",
+            "n_blocked_pairs",
+            "n_common_pairs",
+            F.when(F.col("n_truth_pairs") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.col("n_common_pairs").cast("double")
+                    / F.col("n_truth_pairs").cast("double")
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("recall_x1e6"),
+        )
+    )
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(out, handles=(blocked, truth))

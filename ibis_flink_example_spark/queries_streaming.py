@@ -1701,7 +1701,14 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         )
         # 2) band rows (+ per-doc n_shingles), bucketed on the band key
         md5_minhash_band_rows(
-            sh_b, id_col="doc_id", shingle_col="shingle", carry_count=True
+            sh_b,
+            id_col="doc_id",
+            shingle_col="shingle",
+            carry_count=True,
+            # sh_b is read back from the state table this batch's
+            # dropDuplicates just wrote: distinct by construction, so
+            # the plain count is provably |shingles(doc)|
+            assume_distinct=True,
         ).withColumn("arr", arr_lit).repartition(
             8, F.col("band_key")
         ).write.mode("append").bucketBy(8, "band_key").sortBy(
@@ -2220,7 +2227,10 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         vs = sess.table(vec_t)
-        va = vs.select(
+        # id_n is always a CURRENT-batch vector: the arr filter lets the
+        # read skip every older state file by footer stats, while the
+        # vec_id bucketing still aligns the join.
+        va = vs.filter(F.col("arr") == arrival).select(
             F.col("vec_id").alias("id_n"),
             F.col("vec").alias("__vn"),
             F.col("nrm").alias("__nn"),

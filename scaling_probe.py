@@ -422,6 +422,7 @@ def main() -> int:
                 id_col="doc_id",
                 shingle_col="shingle",
                 carry_count=True,
+                assume_distinct=True,
             ).repartition(8, F.col("band_key")).write.bucketBy(
                 8, "band_key"
             ).sortBy("band_key").saveAsTable(bd_t)
@@ -514,7 +515,8 @@ def main() -> int:
                 .localCheckpoint(eager=True)
             )
             bands_b = md5_minhash_band_rows(
-                sh_b, id_col="doc_id", shingle_col="shingle", carry_count=True
+                sh_b, id_col="doc_id", shingle_col="shingle",
+                carry_count=True, assume_distinct=True
             ).localCheckpoint(eager=True)
 
             def run():

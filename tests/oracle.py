@@ -131,6 +131,7 @@ BNLJ_ALLOWED = {
     # one-row (truth, candidate, verified, common) scalar frames
     # cross-joined to assemble the recall row
     "semdedup_lsh_recall",
+    "semdedup_kmeans_recall",
     # one-row query-vector broadcast in the dense leg (the cosine_topk
     # shape, fused downstream with the BM25 leg)
     "rrf_hybrid_retrieval",

@@ -3122,3 +3122,18 @@ def test_mixture_epoch_budget_witness_premise(spark, sf_dir):
     for r in rows:
         # allocation never exceeds the 6-epoch repetition ceiling
         assert r["allocated_tokens"] <= 6 * r["available_tokens"], r
+
+
+def test_semdedup_kmeans_recall_witness_premise(spark, sf_dir):
+    """The trained-blocking recall row must be non-trivially green: the
+    label-truth set is non-empty and the learned clusters recover a
+    non-zero share of it (k-means on the label-structured fixture should
+    co-cluster most same-label near-dups; under 1/4 means the clustering
+    or the blocking join regressed, not fixture noise)."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    r = QUERIES["semdedup_kmeans_recall"](spark, sf_dir).collect()[0]
+    assert r["n_truth_pairs"] > 0, "truth set empty — witness premise broken"
+    assert r["n_common_pairs"] > 0, "k-means blocking found NO truth pair"
+    assert r["n_blocked_pairs"] >= r["n_common_pairs"]
+    assert r["recall_x1e6"] >= 250_000, r["recall_x1e6"]
