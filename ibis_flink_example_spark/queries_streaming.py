@@ -2010,6 +2010,42 @@ def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stage_embedding_arrivals(sf_dir: str, name: str) -> str:
+    """Stage the embeddings table as 4 mtime-ordered arrival files
+    (vec_id % 4, the fixed deterministic batching every embedding-ingest
+    oracle mirrors); returns the staging directory for a
+    maxFilesPerTrigger=1 file-stream replay."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ibis_flink_example_spark.catalog import scratch_dir, table_path
+
+    stage = scratch_dir(name, sf_dir)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    tbl = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    arr_col = pc.cast(
+        pc.bit_wise_and(tbl.column("vec_id"), pa.scalar(3, pa.int64())),
+        pa.int32(),
+    )
+    tbl = tbl.append_column("arrival_batch", arr_col)
+    base_ts = time.time() - 3600
+    for k in range(4):
+        part = tbl.filter(
+            pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32()))
+        )
+        p = os.path.join(stage, f"batch_{k}.parquet")
+        pq.write_table(part, p)
+        os.utime(p, (base_ts + 2 * k, base_ts + 2 * k))
+    return stage
+
+
 def _semdedup_ingest_oracle() -> str:
     """Arrival-prefix oracle for streaming_semdedup_ingest. The engine
     probes each arriving batch's (1 + p Hamming-1) bucket probes against
@@ -2063,18 +2099,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-ALIGNED (repartition on the bucket key first); per-batch
     re-delivery and arrival-order guards as the minhash sibling.
     Returns one row per vector: (vec_id, batch_id, accepted)."""
-    import os
-    import time
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from ibis_flink_example_spark.catalog import (
-        drop_table_and_location,
-        scratch_dir,
-        table_path,
-    )
+    from ibis_flink_example_spark.catalog import drop_table_and_location
     from ibis_flink_example_spark.operators.dedup import drop_hot_keys
     from ibis_flink_example_spark.operators.similarity import (
         dot,
@@ -2090,25 +2115,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in range(n_tables)
     ]
 
-    stage = scratch_dir("semdedup_ingest_replay", sf_dir)
-    for f in os.listdir(stage):
-        os.remove(os.path.join(stage, f))
-    tbl = pq.read_table(
-        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-    )
-    arr_col = pc.cast(
-        pc.bit_wise_and(tbl.column("vec_id"), pa.scalar(3, pa.int64())),
-        pa.int32(),
-    )
-    tbl = tbl.append_column("arrival_batch", arr_col)
-    base_ts = time.time() - 3600
-    for k in range(4):
-        part = tbl.filter(
-            pc.equal(tbl.column("arrival_batch"), pa.scalar(k, pa.int32()))
-        )
-        p = os.path.join(stage, f"batch_{k}.parquet")
-        pq.write_table(part, p)
-        os.utime(p, (base_ts + 2 * k, base_ts + 2 * k))
+    stage = _stage_embedding_arrivals(sf_dir, "semdedup_ingest_replay")
 
     res_t = "semdedup_ingest_results"
     bkt_t = "semdedup_ingest_buckets"
@@ -2275,3 +2282,217 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, batch_id long, accepted boolean"
         )
     return spark.table(res_t).select("vec_id", "batch_id", "accepted")
+
+
+# ---------------------------------------------------------------------------
+# Streaming mini-batch k-means ingest (r14): the clustering family's
+# incremental arm
+# ---------------------------------------------------------------------------
+
+
+_MBK_K = 8
+
+
+def _minibatch_kmeans_oracle(k: int = _MBK_K) -> str:
+    """Arrival-prefix oracle for streaming_kmeans_ingest: one CTE block
+    per arrival batch replaying the EXACT integer mini-batch recurrence
+    the engine's driver-held state runs (Sculley-style mini-batch
+    k-means in the repo's fixed-point discipline) — seeds are the k
+    smallest vec_ids of batch 0 with weight 0, each batch assigns its
+    vectors against the CURRENT centroids (encoded MIN(dist*k+cid)
+    argmin), and the update folds the batch's per-cluster sums into the
+    running weighted mean with truncating division:
+    m' = (m*n + sum) // (n + cnt), n' = n + cnt; clusters a batch never
+    touches carry over unchanged. Assignments are AT ARRIVAL (the
+    streaming answer), so the result unions the per-batch assignment
+    CTEs."""
+    head = f"""
+WITH ex AS (
+  SELECT vec_id,
+    CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS m
+  FROM embeddings
+), arr AS (
+  SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS b FROM embeddings
+), c0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         d, m, CAST(0 AS BIGINT) AS n
+  FROM ex
+  WHERE vec_id IN (
+    SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+    ORDER BY vec_id LIMIT {k}
+  )
+)"""
+    block = """, d{b} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM((e.m - c.m) * (e.m - c.m)) AS BIGINT) AS dist
+  FROM ex e
+  JOIN arr t ON t.vec_id = e.vec_id AND t.b = {b}
+  JOIN c{b} c ON c.d = e.d
+  GROUP BY 1, 2
+), a{b} AS (
+  SELECT vec_id, MIN(dist * {k} + cid) AS enc FROM d{b} GROUP BY 1
+), s{b} AS (
+  SELECT a.enc % {k} AS cid, e.d, CAST(SUM(e.m) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ex e JOIN a{b} a USING (vec_id) GROUP BY 1, 2
+), c{b1} AS (
+  SELECT c.cid, c.d,
+    CAST(COALESCE((c.m * c.n + s.sm) // (c.n + s.cnt), c.m) AS BIGINT) AS m,
+    CAST(c.n + COALESCE(s.cnt, 0) AS BIGINT) AS n
+  FROM c{b} c LEFT JOIN s{b} s ON s.cid = c.cid AND s.d = c.d
+)"""
+    body = "".join(block.format(b=b, b1=b + 1, k=k) for b in range(4))
+    tail = f"""
+SELECT a.vec_id, t.b AS batch_id,
+  CAST(a.enc % {k} AS BIGINT) AS cluster_id,
+  CAST(a.enc // {k} AS BIGINT) AS dist_micro2
+FROM (
+  SELECT * FROM a0 UNION ALL SELECT * FROM a1
+  UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+) a JOIN arr t USING (vec_id)
+"""
+    return head + body + tail
+
+
+@query("streaming_kmeans_ingest", oracle=_minibatch_kmeans_oracle())
+def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MINI-BATCH k-means (the clustering family's streaming
+    arm, completing the r14 tier the way streaming_semdedup_ingest
+    completes the semantic-dedup family): embedding batches arrive on
+    the shared vec_id % 4 replay; batch 0's k smallest vec_ids seed the
+    centroids at weight 0; each batch assigns its vectors against the
+    CURRENT driver-held integer centroids (the broadcast-Lloyd
+    assignment expression of operators/clustering.py — map-only, no
+    join) and folds its per-cluster sums into the running weighted mean
+    with truncating division (m' = (m*n + sum) DIV (n + cnt)) — exact
+    integer mini-batch k-means, bit-replayed by the CTE-per-batch
+    oracle. Assignments are AT ARRIVAL: the answer a streaming
+    deployment actually emits (early vectors cluster against younger
+    centroids — the deliberate semantic difference from the batch
+    kmeans_assign_embeddings fixpoint).
+
+    Scale shape: per batch ONE map-only assignment scan + ONE k-row
+    aggregation + a k x (dim+1) driver collect (bounded by k, the
+    documented bounded-collect pattern) + one results append — no state
+    table beyond results, no join, no pair stage; per-batch cost is
+    O(batch x k x dim), independent of everything already ingested.
+    Weighted-mean overflow posture: m*n stays under 2^63 to n ~ 1e12
+    vectors per cluster; past that, rescale n (decayed counts — the
+    standard mini-batch forgetting dial) before the fold."""
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.operators.clustering import (
+        _trunc_div,
+        quantize_micro,
+    )
+    from ibis_flink_example_spark.streaming.runtime import foreach_batch
+
+    k = _MBK_K
+    dim = 64
+    stage = _stage_embedding_arrivals(sf_dir, "kmeans_ingest_replay")
+    res_t = "kmeans_ingest_results"
+    drop_table_and_location(spark, res_t)
+
+    state = {"last_bid": None, "last_arr": -1, "cents": None, "counts": None}
+
+    def apply(bdf, bid):
+        if state["last_bid"] is not None and bid <= state["last_bid"]:
+            return
+        arrs = sorted(
+            r["arrival_batch"]
+            for r in bdf.select("arrival_batch").distinct().collect()
+        )
+        if not arrs:
+            state["last_bid"] = bid
+            return
+        if len(arrs) != 1 or arrs[0] <= state["last_arr"]:
+            raise RuntimeError(
+                f"kmeans ingest: replay disorder — arrival tags {arrs} "
+                f"after {state['last_arr']}; refusing to mis-order the prefix"
+            )
+        arrival = int(arrs[0])
+        base = quantize_micro(bdf, id_col="vec_id", vec_col="embedding")
+        if state["cents"] is None:
+            seed_rows = base.orderBy(F.col("vec_id")).limit(k).collect()
+            if len(seed_rows) < k:
+                raise RuntimeError("kmeans ingest: batch 0 smaller than k")
+            state["cents"] = [list(r["__mv"]) for r in seed_rows]
+            state["counts"] = [0] * k
+        cents = state["cents"]
+        # Array-literal centroids (see clustering.enc_expr): the constant
+        # rides codegen's references array, so the compiled class is
+        # reused across batches even as the centroid values evolve.
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("__mv"),
+                    F.lit([int(v) for v in c]).cast("array<bigint>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+        enc = F.least(
+            *[d * k + F.lit(i).cast("long") for i, d in enumerate(dists)]
+        )
+        # No checkpoint: the two consumers below re-plan the same scan,
+        # but they share the ONE `enc` Column object, so analysis and
+        # codegen cache-hit — cheaper than materializing a batch-sized
+        # frame just to read it twice.
+        assigned = base.withColumn("__enc", enc)
+        assigned.select(
+            "vec_id",
+            F.lit(arrival).cast("long").alias("batch_id"),
+            (F.col("__enc") % k).cast("long").alias("cluster_id"),
+            F.expr(f"__enc DIV {k}").cast("long").alias("dist_micro2"),
+        ).write.mode("append").saveAsTable(res_t)
+        sums = (
+            assigned.select((F.col("__enc") % k).alias("__cid"), "__mv")
+            .groupBy("__cid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                *[
+                    F.sum(F.element_at("__mv", d + 1)).alias(f"__s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()  # bounded: k rows x (dim+1) longs
+        )
+        new_cents = [list(c) for c in cents]
+        new_counts = list(state["counts"])
+        for r in sums:
+            cid = int(r["__cid"])
+            cnt = int(r["__n"])
+            n_old = new_counts[cid]
+            new_cents[cid] = [
+                _trunc_div(
+                    int(cents[cid][d]) * n_old + int(r[f"__s{d}"]),
+                    n_old + cnt,
+                )
+                for d in range(dim)
+            ]
+            new_counts[cid] = n_old + cnt
+        state["cents"] = new_cents
+        state["counts"] = new_counts
+        state["last_bid"] = bid
+        state["last_arr"] = arrival
+
+    sch = spark.read.parquet(stage).schema
+    stream = (
+        _docs_stream_session(spark)
+        .readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = foreach_batch(stream, apply, available_now=True)
+    q.awaitTermination()
+    if state["last_bid"] is None:
+        return spark.createDataFrame(
+            [], "vec_id long, batch_id long, cluster_id long, dist_micro2 long"
+        )
+    return spark.table(res_t).select(
+        "vec_id", "batch_id", "cluster_id", "dist_micro2"
+    )
