@@ -82,6 +82,7 @@ def kmeans_assign(
     dim: int,
     k: int = 8,
     iters: int = 4,
+    with_prev: bool = False,
 ) -> DataFrame:
     """Lloyd k-means, ``iters`` assignment passes with ``iters - 1``
     centroid updates in between; returns one row per input row:
@@ -91,6 +92,12 @@ def kmeans_assign(
     the ``k`` smallest ids (no RNG — the driver contract bans
     ``Math.random``-style seeds and the oracle must replay the exact
     start state).
+
+    ``with_prev=True`` adds ``prev_cluster_id`` — the assignment the
+    PENULTIMATE pass made (centroids after ``iters - 2`` updates),
+    computed in the SAME scan as the final one (both encoded argmins are
+    plain column expressions) — the input the convergence-churn monitor
+    needs without a second k-means run.
 
     The DuckDB oracle unrolls the same recurrence CTE-per-iteration
     (``kmeans_oracle`` in queries_llm.py) — a hash match proves
@@ -135,7 +142,9 @@ def kmeans_assign(
 
     # iters - 1 update rounds; the iters-th (final) assignment is the
     # returned expression below.
+    cents_prev: list[list[int]] = [list(c) for c in cents]
     for _ in range(iters - 1):
+        cents_prev = [list(c) for c in cents]
         assigned = base_cp.select(
             (enc_expr(cents) % k).alias("__cid"), "__mv"
         )
@@ -158,8 +167,13 @@ def kmeans_assign(
     _release_local_checkpoint(base_cp)
     # Final assignment re-derives from the source plan (not the released
     # checkpoint) so the returned DataFrame is self-contained.
-    return base.withColumn("__enc", enc_expr(cents)).select(
+    cols = [
         F.col(id_col),
         (F.col("__enc") % k).cast("long").alias("cluster_id"),
         F.expr(f"__enc DIV {k}").cast("long").alias("dist_micro2"),
-    )
+    ]
+    if with_prev:
+        cols.append(
+            (enc_expr(cents_prev) % k).cast("long").alias("prev_cluster_id")
+        )
+    return base.withColumn("__enc", enc_expr(cents)).select(*cols)

@@ -139,6 +139,8 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     # kmeans_assign_embeddings this round, composition row still owed
     "semdedup_kmeans_recall",  # registered late-r14, local greens only
     "streaming_kmeans_ingest",  # registered late-r14, local greens only
+    "kmeans_convergence_churn",  # registered late-r14, local greens only
+    "bitext_margin_mining",  # registered late-r14, local greens only
 )
 
 

@@ -5222,100 +5222,9 @@ def int8_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_lsh_cte(
-    n_tables: int = 6,
-    n_planes: int = 6,
-    dim: int = 64,
-    cap: int = 50_000,
-    thr_x1e6: int = 350_000,
-) -> str:
-    """Shared WITH-clause body replaying the multitable hyperplane LSH
-    (operators/similarity.py:lsh_multitable_candidate_pairs /
-    lsh_semantic_pairs) in DuckDB: seeded planes as literals (seed
-    42 + 1000*t per table — the knn_label_agreement idiom, L times),
-    zipped UNNEST for the (table, bucket) fan-out, windowed occupancy
-    filter mirroring the engine's candidate-side max_bucket_size cap,
-    Hamming-1 probes, LEAST/GREATEST pair canonicalization, and the
-    exact cos6 verify on the threshold-sweep float chain. Defines CTEs
-    v, lsh_b, lsh_c, lsh_p, cand, ver. The expensive CTEs are
-    AS MATERIALIZED: DuckDB otherwise re-inlines the whole 36-projection
-    pipeline into every consumer — catastrophic under the recursive
-    connected-components closure, which joins the edge CTE per
-    iteration (measured: the un-materialized semdedup_lsh oracle ran
-    minutes; materialized, seconds)."""
-    from ibis_flink_example_spark.operators.similarity import (
-        random_hyperplanes,
-    )
-
-    def proj(p: list[float]) -> str:
-        lit = "[" + ",".join(repr(x) for x in p) + "]"
-        return (
-            f"list_sum(list_transform(range(1, {dim}+1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
-        )
-
-    proj_cols = []
-    bucket_exprs = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        for i, p in enumerate(planes):
-            proj_cols.append(f"{proj(p)} AS pj_{t}_{i}")
-        bits = " + ".join(
-            f"(CASE WHEN pj_{t}_{i} >= 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(n_planes)
-        )
-        bucket_exprs.append(f"{bits} AS bk{t}")
-    sep = ",\n    "
-    proj_sql = sep.join(proj_cols)
-    bucket_sql = sep.join(bucket_exprs)
-    t_list = ", ".join(str(t) for t in range(n_tables))
-    bk_list = ", ".join(f"bk{t}" for t in range(n_tables))
-    probes = ", ".join(
-        ["bkt"] + [f"xor(bkt, {1 << i})" for i in range(n_planes)]
-    )
-    cos6 = (
-        "CAST(round(list_sum(list_transform(range(1, {d}+1),"
-        " i -> {a}.vec[i] * {b}.vec[i])) / ({a}.nrm * {b}.nrm) * 1000000)"
-        " AS BIGINT)"
-    )
-    ver_cos6 = cos6.format(d=dim, a="a", b="b")
-    return f"""
-v0 AS MATERIALIZED (
-  SELECT vec_id, label,
-    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
-    sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm,
-    {proj_sql}
-  FROM embeddings
-), v AS MATERIALIZED (
-  SELECT vec_id, label, vec, nrm,
-    {bucket_sql}
-  FROM v0
-), lsh_b AS (
-  SELECT vec_id, UNNEST([{t_list}]) AS t, UNNEST([{bk_list}]) AS bkt FROM v
-), lsh_c AS (
-  -- candidate side mirrors the engine's max_bucket_size={cap} cap
-  -- (drop_hot_keys per (table, bucket)); the probe side stays uncapped,
-  -- as in the engine
-  SELECT vec_id, t, bkt FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY t, bkt) AS bn FROM lsh_b
-  ) WHERE bn <= {cap}
-), lsh_p AS (
-  SELECT vec_id AS qid, t, UNNEST([{probes}]) AS pb FROM lsh_b
-), cand AS MATERIALIZED (
-  SELECT DISTINCT LEAST(c.vec_id, p.qid) AS id_a,
-                  GREATEST(c.vec_id, p.qid) AS id_b
-  FROM lsh_c c JOIN lsh_p p
-    ON c.t = p.t AND c.bkt = p.pb AND c.vec_id <> p.qid
-), ver AS MATERIALIZED (
-  SELECT s.id_a, s.id_b
-  FROM cand s JOIN v a ON a.vec_id = s.id_a JOIN v b ON b.vec_id = s.id_b
-  WHERE {ver_cos6} >= {thr_x1e6}
-)"""
-
-
-_SEMDEDUP_COS6_AB = (
-    "CAST(round(list_sum(list_transform(range(1, 64+1),"
-    " i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) AS BIGINT)"
+from ibis_flink_example_spark.oracle_fragments import (  # noqa: E402
+    _SEMDEDUP_COS6_AB,
+    _semdedup_lsh_cte,
 )
 
 
@@ -6088,3 +5997,234 @@ def semdedup_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return attach_eager_checkpoints(out, handles=(blocked, truth))
+
+
+@query(
+    "kmeans_convergence_churn",
+    # Churn between the penultimate (a3, centroids c2) and final (a4,
+    # centroids c3) assignment passes of the same unrolled chain.
+    oracle=_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS)
+    + f"""
+SELECT CAST(f.enc % {_KMEANS_K} AS BIGINT) AS cluster_id,
+  CAST(COUNT(*) AS BIGINT) AS n_final,
+  CAST(SUM(CASE WHEN p.enc % {_KMEANS_K} <> f.enc % {_KMEANS_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+  CAST(SUM(CASE WHEN p.enc % {_KMEANS_K} <> f.enc % {_KMEANS_K}
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+    AS churn_x1e6
+FROM a{_KMEANS_ITERS} f
+JOIN a{_KMEANS_ITERS - 1} p USING (vec_id)
+GROUP BY 1
+""",
+)
+def kmeans_convergence_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence monitor for the iterative clustering tier: per final
+    cluster, how many members switched clusters between the penultimate
+    and final Lloyd passes — the readout that tells you whether
+    ``iters`` was enough (churn near zero = the fixpoint has settled;
+    persistent churn = budget more passes or re-seed). Both assignments
+    come from ONE scan (kmeans_assign(with_prev=True): the penultimate
+    encoded argmin is just a second column expression over the same
+    quantized frame), so the monitor costs one extra projection plus the
+    per-cluster rollup — never a second k-means run.
+
+    Scale shape: the rollup is the only exchange past the k-means loop
+    itself; output is k rows."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    em = load_table(spark, sf_dir, "embeddings")
+    asn = C.kmeans_assign(
+        em,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        with_prev=True,
+    )
+    moved = F.when(
+        F.col("prev_cluster_id") != F.col("cluster_id"), 1
+    ).otherwise(0)
+    return asn.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.expr(
+            "CAST(SUM(CASE WHEN prev_cluster_id <> cluster_id THEN 1 ELSE 0 "
+            "END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("churn_x1e6"),
+    )
+
+
+@query(
+    "bitext_margin_mining",
+    # LSH candidate CTEs (oracle_fragments) + cross-group orientation +
+    # margin scoring; k=4 candidate-neighborhood averages, margins in
+    # integer x1e6 with truncating division both sides.
+    oracle="WITH "
+    + _semdedup_lsh_cte()
+    + """, grp AS (
+  SELECT vec_id, (label < 5) AS is_a FROM embeddings
+), cross_c AS (
+  SELECT CASE WHEN ga.is_a THEN c.id_a ELSE c.id_b END AS x,
+         CASE WHEN ga.is_a THEN c.id_b ELSE c.id_a END AS y
+  FROM cand c
+  JOIN grp ga ON ga.vec_id = c.id_a
+  JOIN grp gb ON gb.vec_id = c.id_b
+  WHERE ga.is_a <> gb.is_a
+), scored AS MATERIALIZED (
+  SELECT s.x, s.y,
+    CAST(round(list_sum(list_transform(range(1, 64+1),
+      i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+      AS cos6
+  FROM cross_c s JOIN v a ON a.vec_id = s.x JOIN v b ON b.vec_id = s.y
+), rx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cos6 DESC, y) AS rnx
+  FROM scored
+), axw AS (
+  SELECT *, CAST(SUM(CASE WHEN rnx <= 4 THEN cos6 ELSE 0 END)
+         OVER (PARTITION BY x)
+       // SUM(CASE WHEN rnx <= 4 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY x) AS BIGINT) AS avgx
+  FROM rx
+), ryw AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY y ORDER BY cos6 DESC, x) AS rny
+  FROM axw
+), ayw AS (
+  SELECT *, CAST(SUM(CASE WHEN rny <= 4 THEN cos6 ELSE 0 END)
+         OVER (PARTITION BY y)
+       // SUM(CASE WHEN rny <= 4 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY y) AS BIGINT) AS avgy
+  FROM ryw
+), m AS (
+  SELECT x, y, cos6,
+    CAST(cos6 * 2000000 // (avgx + avgy) AS BIGINT) AS margin_x1e6
+  FROM ayw
+  WHERE avgx + avgy > 0
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY margin_x1e6 DESC, y)
+    AS rb
+  FROM m
+)
+SELECT x AS vec_id_a, y AS vec_id_b, cos6, margin_x1e6
+FROM best WHERE rb = 1 AND margin_x1e6 >= 1200000
+""",
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 cross-corpus alignment mining (the Artetxe-Schwenk margin
+    criterion parallel-corpus miners use, on the repo's ANN candidate
+    machinery): treat label < 5 vs label >= 5 as the two corpora (the
+    deterministic two-language stand-in), generate CROSS-GROUP candidate
+    pairs from the L=6-table Hamming-1 LSH (never an all-pairs product),
+    score candidates at exact cos6, and rate each pair by the MARGIN
+    against both endpoints' candidate neighborhoods:
+    margin = 2e6 * cos(x,y) DIV (avg4(x) + avg4(y)) — absolute cosine
+    alone over-accepts hub vectors whose neighborhoods are uniformly
+    close; the ratio-to-neighborhood form is what makes mined pairs
+    precision-viable. Emits each A-side vector's best-margin match above
+    1.2 (44-57 winners and ~200-950 rejections at the gate SFs — both
+    sides of the threshold are exercised). All margin math is integer
+    with truncating division, mirrored verbatim by the oracle.
+
+    Scale shape: the pair space is LSH-bounded (the semdedup_lsh dial:
+    planes ~ log2(n) holds bucket occupancy constant); the avg-4
+    neighborhoods are computed over the CANDIDATE frame (two windows +
+    two rollups on it), which is the approximation real miners make at
+    corpus scale — exact kNN margins would need the brute-force pass the
+    candidates exist to avoid. The scored frame is checkpointed once and
+    consumed by both window passes and the margin join."""
+    cand = S.lsh_multitable_candidate_pairs(
+        em := load_table(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=64,
+    )
+    grp = em.select("vec_id", (F.col("label") < 5).alias("is_a"))
+    ga = grp.select(F.col("vec_id").alias("id_a"), F.col("is_a").alias("__ga"))
+    gb = grp.select(F.col("vec_id").alias("id_b"), F.col("is_a").alias("__gb"))
+    cross = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(F.col("__ga") != F.col("__gb"))
+        .select(
+            F.when(F.col("__ga"), F.col("id_a")).otherwise(F.col("id_b")).alias("x"),
+            F.when(F.col("__ga"), F.col("id_b")).otherwise(F.col("id_a")).alias("y"),
+        )
+    )
+    v = em.select(
+        "vec_id",
+        F.col("embedding").alias("__vec"),
+        S.l2_norm(F.col("embedding")).alias("__n"),
+    )
+    va = v.select(
+        F.col("vec_id").alias("x"),
+        F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("y"),
+        F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    scored = (
+        cross.join(va, "x")
+        .join(vb, "y")
+        .select(
+            "x",
+            "y",
+            F.round(
+                S.dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("cos6"),
+        )
+    )
+    # LINEAR chain — each stage consumed exactly once, so no checkpoint:
+    # the x-keyed avg rides the x-ranking window's exchange, the y-keyed
+    # avg the y-ranking's, and the best-match window re-uses the x key:
+    # 3 exchanges of the candidate frame total (the groupBy+join form
+    # cost ~6 and two joins; measured ~3.5x slower at sf0.1).
+    wx = Window.partitionBy("x").orderBy(F.col("cos6").desc(), F.col("y"))
+    wy = Window.partitionBy("y").orderBy(F.col("cos6").desc(), F.col("x"))
+    axw = scored.withColumn("rnx", F.row_number().over(wx)).withColumn(
+        "avgx",
+        F.expr(
+            "CAST(SUM(CASE WHEN rnx <= 4 THEN cos6 ELSE 0 END)"
+            " OVER (PARTITION BY x)"
+            " DIV SUM(CASE WHEN rnx <= 4 THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY x) AS BIGINT)"
+        ),
+    )
+    ayw = axw.withColumn("rny", F.row_number().over(wy)).withColumn(
+        "avgy",
+        F.expr(
+            "CAST(SUM(CASE WHEN rny <= 4 THEN cos6 ELSE 0 END)"
+            " OVER (PARTITION BY y)"
+            " DIV SUM(CASE WHEN rny <= 4 THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY y) AS BIGINT)"
+        ),
+    )
+    m = ayw.filter(F.col("avgx") + F.col("avgy") > 0).withColumn(
+        "margin_x1e6",
+        F.expr("CAST(cos6 * 2000000 DIV (avgx + avgy) AS BIGINT)"),
+    )
+    wb = Window.partitionBy("x").orderBy(
+        F.col("margin_x1e6").desc(), F.col("y")
+    )
+    out = (
+        m.withColumn("rb", F.row_number().over(wb))
+        .filter((F.col("rb") == 1) & (F.col("margin_x1e6") >= 1_200_000))
+        .select(
+            F.col("x").alias("vec_id_a"),
+            F.col("y").alias("vec_id_b"),
+            "cos6",
+            "margin_x1e6",
+        )
+    )
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(out, cand)

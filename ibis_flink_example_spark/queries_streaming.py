@@ -2054,13 +2054,13 @@ def _semdedup_ingest_oracle() -> str:
     candidate relation is SYMMETRIC (bucket_o matches a probe of n iff
     Hamming(b_o, b_n) <= 1 for some table iff bucket_n matches a probe
     of o), so the union over batches of incremental candidates equals
-    the BATCH candidate set of queries_llm._semdedup_lsh_cte — which
+    the BATCH candidate set of oracle_fragments._semdedup_lsh_cte — which
     this oracle reuses verbatim — and a vector is rejected iff some
     verified pair partner precedes it in (arrival_batch, vec_id) order.
     The state-side 50k bucket cap never binds at fixture scale
     (test_semdedup_ingest_bucket_cap_headroom pins the premise, the
     minhash-ingest idiom)."""
-    from ibis_flink_example_spark.queries_llm import _semdedup_lsh_cte
+    from ibis_flink_example_spark.oracle_fragments import _semdedup_lsh_cte
 
     return (
         "WITH "

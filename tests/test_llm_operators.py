@@ -3137,3 +3137,51 @@ def test_semdedup_kmeans_recall_witness_premise(spark, sf_dir):
     assert r["n_common_pairs"] > 0, "k-means blocking found NO truth pair"
     assert r["n_blocked_pairs"] >= r["n_common_pairs"]
     assert r["recall_x1e6"] >= 250_000, r["recall_x1e6"]
+
+
+def test_kmeans_with_prev_matches_shorter_run(spark, sf_dir):
+    """with_prev's penultimate assignment must equal the FINAL assignment
+    of a separate (iters - 1)-pass run — the two paths share every
+    update, so divergence means the loop's centroid bookkeeping broke."""
+    from ibis_flink_example_spark.operators import clustering as C
+
+    em = load_table(spark, sf_dir, "embeddings")
+    both = C.kmeans_assign(
+        em, id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=4,
+        with_prev=True,
+    )
+    short = C.kmeans_assign(
+        em, id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=3
+    )
+    got = {r["vec_id"]: r["prev_cluster_id"] for r in both.collect()}
+    want = {r["vec_id"]: r["cluster_id"] for r in short.collect()}
+    assert got == want
+
+
+def test_kmeans_convergence_churn_witness(spark, sf_dir):
+    """The churn monitor must report non-trivial movement at the fixture
+    (some vectors switch on the last pass, most do not) — an all-zero or
+    all-moved readout would be a dead witness."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    rows = QUERIES["kmeans_convergence_churn"](spark, sf_dir).collect()
+    moved = sum(r["n_moved"] for r in rows)
+    total = sum(r["n_final"] for r in rows)
+    assert 0 < moved < total
+
+
+def test_bitext_margin_mining_witness_premise(spark, sf_dir):
+    """Mined pairs must be non-trivially selective: some A-side vectors
+    win a above-threshold margin match, MOST do not (absolute-cosine
+    hubs rejected by the neighborhood ratio) — an empty or everything-
+    passes result is a dead witness."""
+    from ibis_flink_example_spark.queries import QUERIES
+
+    em = load_table(spark, sf_dir, "embeddings")
+    n_a = em.filter(F.col("label") < 5).count()
+    rows = QUERIES["bitext_margin_mining"](spark, sf_dir).collect()
+    assert 0 < len(rows) < n_a // 2, (len(rows), n_a)
+    for r in rows:
+        assert r["margin_x1e6"] >= 1_200_000
+    # best-match: one row per A-side vector at most
+    assert len({r["vec_id_a"] for r in rows}) == len(rows)
