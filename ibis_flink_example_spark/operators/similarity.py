@@ -1267,3 +1267,137 @@ def semdedup_lsh(
     # Survivors inherit the pairs frame's (and transitively the LSH
     # candidate stage's) eager-checkpoint handles — checkpoints.py rule.
     return attach_eager_checkpoints(out, pairs, comp)
+
+
+def margin_mined_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    is_a_col: str,
+    n_tables: int = 6,
+    n_planes: int = 6,
+    topk: int = 4,
+    margin_threshold_x1e6: int = 1_200_000,
+    seed: int = 42,
+    max_bucket_size: int | None = 50_000,
+) -> DataFrame:
+    """Margin-criterion cross-corpus pair mining (Artetxe-Schwenk): the
+    multitable-LSH candidates restricted to CROSS-group pairs
+    (``is_a_col`` boolean splits the corpus), scored at exact cos6 and
+    rated by the margin against both endpoints' top-``topk`` candidate
+    neighborhoods — margin = 2e6 * cos(x,y) DIV (avgk(x) + avgk(y)),
+    all-integer with truncating division. Emits each A-side vector's
+    best-margin match at or above the threshold:
+    ``(vec_id_a, vec_id_b, cos6, margin_x1e6)``.
+
+    Plan shape: after the LSH candidate equi-joins, ONE linear window
+    chain — x-rank + x-avg ride one exchange, y-rank + y-avg a second,
+    the best-match window re-uses the x key for a third; no join after
+    scoring and no checkpoint (every stage is consumed once). The
+    neighborhood averages are over the CANDIDATE frame — the
+    approximation real miners make at corpus scale, where exact kNN
+    margins would need the brute-force pass the candidates exist to
+    avoid; ``n_planes ~ log2(n)`` is the same constant-occupancy dial
+    as ``lsh_semantic_pairs`` (SCALING.md measures this stage)."""
+    from pyspark.sql import Window
+
+    cand = lsh_multitable_candidate_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    grp = df.select(F.col(id_col), F.col(is_a_col).alias("__isa"))
+    ga = grp.select(F.col(id_col).alias("id_a"), F.col("__isa").alias("__ga"))
+    gb = grp.select(F.col(id_col).alias("id_b"), F.col("__isa").alias("__gb"))
+    cross = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(F.col("__ga") != F.col("__gb"))
+        .select(
+            F.when(F.col("__ga"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("x"),
+            F.when(F.col("__ga"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("y"),
+        )
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    va = v.select(
+        F.col(id_col).alias("x"),
+        F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("y"),
+        F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    scored = (
+        cross.join(va, "x")
+        .join(vb, "y")
+        .select(
+            "x",
+            "y",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("cos6"),
+        )
+    )
+    wx = Window.partitionBy("x").orderBy(F.col("cos6").desc(), F.col("y"))
+    wy = Window.partitionBy("y").orderBy(F.col("cos6").desc(), F.col("x"))
+    axw = scored.withColumn("rnx", F.row_number().over(wx)).withColumn(
+        "avgx",
+        F.expr(
+            f"CAST(SUM(CASE WHEN rnx <= {topk} THEN cos6 ELSE 0 END)"
+            " OVER (PARTITION BY x)"
+            f" DIV SUM(CASE WHEN rnx <= {topk} THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY x) AS BIGINT)"
+        ),
+    )
+    ayw = axw.withColumn("rny", F.row_number().over(wy)).withColumn(
+        "avgy",
+        F.expr(
+            f"CAST(SUM(CASE WHEN rny <= {topk} THEN cos6 ELSE 0 END)"
+            " OVER (PARTITION BY y)"
+            f" DIV SUM(CASE WHEN rny <= {topk} THEN 1 ELSE 0 END)"
+            " OVER (PARTITION BY y) AS BIGINT)"
+        ),
+    )
+    m = ayw.filter(F.col("avgx") + F.col("avgy") > 0).withColumn(
+        "margin_x1e6",
+        F.expr("CAST(cos6 * 2000000 DIV (avgx + avgy) AS BIGINT)"),
+    )
+    wb = Window.partitionBy("x").orderBy(
+        F.col("margin_x1e6").desc(), F.col("y")
+    )
+    out = (
+        m.withColumn("rb", F.row_number().over(wb))
+        .filter(
+            (F.col("rb") == 1)
+            & (F.col("margin_x1e6") >= F.lit(margin_threshold_x1e6))
+        )
+        .select(
+            F.col("x").alias("vec_id_a"),
+            F.col("y").alias("vec_id_b"),
+            "cos6",
+            "margin_x1e6",
+        )
+    )
+    return attach_eager_checkpoints(out, cand)

@@ -6132,99 +6132,11 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale — exact kNN margins would need the brute-force pass the
     candidates exist to avoid. The scored frame is checkpointed once and
     consumed by both window passes and the margin join."""
-    cand = S.lsh_multitable_candidate_pairs(
-        em := load_table(spark, sf_dir, "embeddings"),
+    em = load_table(spark, sf_dir, "embeddings")
+    return S.margin_mined_pairs(
+        em.withColumn("__isa", F.col("label") < 5),
         id_col="vec_id",
         vec_col="embedding",
         dim=64,
+        is_a_col="__isa",
     )
-    grp = em.select("vec_id", (F.col("label") < 5).alias("is_a"))
-    ga = grp.select(F.col("vec_id").alias("id_a"), F.col("is_a").alias("__ga"))
-    gb = grp.select(F.col("vec_id").alias("id_b"), F.col("is_a").alias("__gb"))
-    cross = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(F.col("__ga") != F.col("__gb"))
-        .select(
-            F.when(F.col("__ga"), F.col("id_a")).otherwise(F.col("id_b")).alias("x"),
-            F.when(F.col("__ga"), F.col("id_b")).otherwise(F.col("id_a")).alias("y"),
-        )
-    )
-    v = em.select(
-        "vec_id",
-        F.col("embedding").alias("__vec"),
-        S.l2_norm(F.col("embedding")).alias("__n"),
-    )
-    va = v.select(
-        F.col("vec_id").alias("x"),
-        F.col("__vec").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    vb = v.select(
-        F.col("vec_id").alias("y"),
-        F.col("__vec").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    scored = (
-        cross.join(va, "x")
-        .join(vb, "y")
-        .select(
-            "x",
-            "y",
-            F.round(
-                S.dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb"))
-                * 1_000_000,
-                0,
-            )
-            .cast("long")
-            .alias("cos6"),
-        )
-    )
-    # LINEAR chain — each stage consumed exactly once, so no checkpoint:
-    # the x-keyed avg rides the x-ranking window's exchange, the y-keyed
-    # avg the y-ranking's, and the best-match window re-uses the x key:
-    # 3 exchanges of the candidate frame total (the groupBy+join form
-    # cost ~6 and two joins; measured ~3.5x slower at sf0.1).
-    wx = Window.partitionBy("x").orderBy(F.col("cos6").desc(), F.col("y"))
-    wy = Window.partitionBy("y").orderBy(F.col("cos6").desc(), F.col("x"))
-    axw = scored.withColumn("rnx", F.row_number().over(wx)).withColumn(
-        "avgx",
-        F.expr(
-            "CAST(SUM(CASE WHEN rnx <= 4 THEN cos6 ELSE 0 END)"
-            " OVER (PARTITION BY x)"
-            " DIV SUM(CASE WHEN rnx <= 4 THEN 1 ELSE 0 END)"
-            " OVER (PARTITION BY x) AS BIGINT)"
-        ),
-    )
-    ayw = axw.withColumn("rny", F.row_number().over(wy)).withColumn(
-        "avgy",
-        F.expr(
-            "CAST(SUM(CASE WHEN rny <= 4 THEN cos6 ELSE 0 END)"
-            " OVER (PARTITION BY y)"
-            " DIV SUM(CASE WHEN rny <= 4 THEN 1 ELSE 0 END)"
-            " OVER (PARTITION BY y) AS BIGINT)"
-        ),
-    )
-    m = ayw.filter(F.col("avgx") + F.col("avgy") > 0).withColumn(
-        "margin_x1e6",
-        F.expr("CAST(cos6 * 2000000 DIV (avgx + avgy) AS BIGINT)"),
-    )
-    wb = Window.partitionBy("x").orderBy(
-        F.col("margin_x1e6").desc(), F.col("y")
-    )
-    out = (
-        m.withColumn("rb", F.row_number().over(wb))
-        .filter((F.col("rb") == 1) & (F.col("margin_x1e6") >= 1_200_000))
-        .select(
-            F.col("x").alias("vec_id_a"),
-            F.col("y").alias("vec_id_b"),
-            "cos6",
-            "margin_x1e6",
-        )
-    )
-    from ibis_flink_example_spark.operators.checkpoints import (
-        attach_eager_checkpoints,
-    )
-
-    return attach_eager_checkpoints(out, cand)

@@ -277,6 +277,8 @@ def main() -> int:
         "kmeans_lloyd",
         # r14: streaming ANN-SemDeDup per-batch state probe
         "semdedup_ingest_state_probe",
+        # r14: margin-criterion bitext mining (constant-occupancy dial)
+        "bitext_margin_mining",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -300,7 +302,7 @@ def main() -> int:
            "substring_dup_runs", "substring_dup_attribution",
            "minhash_ingest_state_probe"}
     )
-    need_semdedup = bool(keep & {"semdedup_lsh_pairs", "semdedup_ingest_state_probe"})
+    need_semdedup = bool(keep & {"semdedup_lsh_pairs", "semdedup_ingest_state_probe", "bitext_margin_mining"})
     need_embs = bool(
         keep & {"top_pc_gram", "hard_negative_mining", "kmeans_lloyd"}
     )
@@ -484,6 +486,28 @@ def main() -> int:
                 id_col="vec_id",
                 vec_col="embedding",
                 dim=64,
+                n_planes=p_planes,
+            ).count()
+
+        def bitext_margin_at(label):
+            """margin_mined_pairs at CONSTANT expected bucket occupancy
+            (the semdedup pair-stage dial: 10x raises planes 6 -> 10 so
+            Hamming-1 collision probability scales ~1/n). The margin
+            stage past the candidates is one linear 3-exchange window
+            chain over the candidate frame — candidate-proportional by
+            construction; this measures the whole mine end-to-end. The
+            Rademacher replicas have no label column, so the A/B split
+            is vec_id parity — group sizes replicate with the corpus."""
+            p_planes = 6 if label == "1x" else 10
+            em = spark.read.parquet(semdedup_frames[label]).withColumn(
+                "__isa", (F.col("vec_id") % 2) == 0
+            )
+            return lambda: SIM.margin_mined_pairs(
+                em,
+                id_col="vec_id",
+                vec_col="embedding",
+                dim=64,
+                is_a_col="__isa",
                 n_planes=p_planes,
             ).count()
 
@@ -1004,6 +1028,7 @@ def main() -> int:
             "semdedup_lsh_pairs": semdedup_lsh_pairs_at,
             "kmeans_lloyd": kmeans_at,
             "semdedup_ingest_state_probe": semdedup_ingest_state_at,
+            "bitext_margin_mining": bitext_margin_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
