@@ -1282,6 +1282,7 @@ def margin_mined_pairs(
     margin_threshold_x1e6: int = 1_200_000,
     seed: int = 42,
     max_bucket_size: int | None = 50_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-criterion cross-corpus pair mining (Artetxe-Schwenk): the
     multitable-LSH candidates restricted to CROSS-group pairs
@@ -1300,19 +1301,26 @@ def margin_mined_pairs(
     approximation real miners make at corpus scale, where exact kNN
     margins would need the brute-force pass the candidates exist to
     avoid; ``n_planes ~ log2(n)`` is the same constant-occupancy dial
-    as ``lsh_semantic_pairs`` (SCALING.md measures this stage)."""
+    as ``lsh_semantic_pairs`` (SCALING.md measures this stage).
+
+    ``candidates``: pass a precomputed canonical (id_a < id_b) pair
+    frame to skip the LSH stage — the ``lsh_semantic_pairs`` idiom;
+    used by the deterministic margin-semantics tests and by callers
+    that already hold a candidate set."""
     from pyspark.sql import Window
 
-    cand = lsh_multitable_candidate_pairs(
-        df,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        n_tables=n_tables,
-        n_planes=n_planes,
-        seed=seed,
-        max_bucket_size=max_bucket_size,
-    )
+    cand = candidates
+    if cand is None:
+        cand = lsh_multitable_candidate_pairs(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
     grp = df.select(F.col(id_col), F.col(is_a_col).alias("__isa"))
     ga = grp.select(F.col(id_col).alias("id_a"), F.col("__isa").alias("__ga"))
     gb = grp.select(F.col(id_col).alias("id_b"), F.col("__isa").alias("__gb"))

@@ -3185,3 +3185,57 @@ def test_bitext_margin_mining_witness_premise(spark, sf_dir):
         assert r["margin_x1e6"] >= 1_200_000
     # best-match: one row per A-side vector at most
     assert len({r["vec_id_a"] for r in rows}) == len(rows)
+
+
+def test_margin_criterion_rejects_hubs_accepts_contrast(spark):
+    """The margin semantics the docstring claims, on a deterministic
+    candidate set (no LSH involved): a hub A-vector whose candidate
+    neighborhood is uniformly close scores margin ~1.0 and is REJECTED,
+    while a pair whose cosine stands out against both endpoints'
+    neighborhoods clears the 1.2 gate — absolute cosine alone would have
+    accepted the hub (its best cosine is the HIGHER of the two)."""
+    from ibis_flink_example_spark.operators import similarity as S
+
+    rows = [
+        # A side (ids < 100): x0 = hub, x1 = contrastive, x2 = the weak
+        # alternative in y110's neighborhood (pulls y110's avg down so
+        # the (x1, y110) margin clears the gate from BOTH sides)
+        (0, [1.0, 0.0, 0.0, 0.0], True),
+        (1, [0.0, 1.0, 0.0, 0.0], True),
+        (2, [0.3, 0.3, 0.9, 0.0], True),
+        # B side: y100..y103 all ~parallel to x0 (the hub neighborhood)
+        (100, [0.99, 0.05, 0.0, 0.0], False),
+        (101, [0.99, 0.0, 0.05, 0.0], False),
+        (102, [0.99, 0.0, 0.0, 0.05], False),
+        (103, [0.99, 0.03, 0.03, 0.0], False),
+        # y110: x1's strong match; y111: x1's weak alternative
+        (110, [0.05, 0.99, 0.0, 0.0], False),
+        (111, [0.0, 0.40, 0.92, 0.0], False),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, is_a boolean"
+    )
+    cand = spark.createDataFrame(
+        [(0, 100), (0, 101), (0, 102), (0, 103), (1, 110), (1, 111),
+         (2, 110)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["vec_id_a"]: r
+        for r in S.margin_mined_pairs(
+            df,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=4,
+            is_a_col="is_a",
+            candidates=cand,
+        ).collect()
+    }
+    # hub: all four candidates at cos ~0.99 -> margin ~1.0 < 1.2
+    assert 0 not in out, out.get(0)
+    # contrastive: cos(x1,y110) ~0.99 vs neighborhood avg pulled down by
+    # the 0.4 alternative -> margin > 1.2
+    assert 1 in out and out[1]["vec_id_b"] == 110
+    assert out[1]["margin_x1e6"] >= 1_200_000
+    # the weak alternative itself scores margin << 1 and is rejected
+    assert 2 not in out, out.get(2)
