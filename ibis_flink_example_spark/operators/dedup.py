@@ -40,6 +40,7 @@ def drop_hot_keys(
     max_rows_per_key: int | None,
     what: str = "bucket",
     log_dropped: bool = False,
+    lazy: bool = False,
 ) -> DataFrame:
     """Drop all rows whose join-key group exceeds ``max_rows_per_key`` —
     the skew guard every bucketed pair-generation self-join needs at scale.
@@ -60,7 +61,10 @@ def drop_hot_keys(
     anti-join instead of an unbounded broadcast (at ~10^12 banded rows a
     degenerate corpus could exceed the cap on millions of keys at once).
     ``None`` disables the cap. ``log_dropped=True`` logs how many keys
-    were dropped.
+    were dropped. ``lazy=True`` returns a pure plan (no driver actions:
+    AQE provides the guarded broadcast at runtime) — the form for
+    per-micro-batch loop callers, where the eager arm's two actions per
+    call are measurable overhead.
 
     Checkpoint lifetime (caller-release contract, same as chunking/text):
     when the hot set is non-empty its eager ``localCheckpoint`` blocks are
@@ -72,6 +76,20 @@ def drop_hot_keys(
     if max_rows_per_key is None:
         return df
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__kn"))
+    if lazy:
+        # Zero-action form for per-micro-batch callers (r15 ingest-cost
+        # trim): no eager checkpoint, no driver-side hot-set count — the
+        # hot set stays a lazy agg subtree and AQE supplies the same
+        # guarded-broadcast semantics at runtime (broadcast only when
+        # the materialized build side is small, shuffle anti-join
+        # otherwise). The eager arm below pays two driver actions per
+        # call for an empty-set fast path and explicit logging — right
+        # for one-shot pair generators, pure overhead when a streaming
+        # loop calls this every batch.
+        hot_lazy = counts.filter(F.col("__kn") > max_rows_per_key).select(
+            *key_cols
+        )
+        return df.join(hot_lazy, key_cols, "left_anti")
     hot = (
         counts.filter(F.col("__kn") > max_rows_per_key)
         .select(*key_cols)
@@ -88,9 +106,19 @@ def drop_hot_keys(
             what,
             max_rows_per_key,
         )
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    handle = hot
     if n_hot <= _MAX_BROADCAST_HOT_KEYS:
         hot = F.broadcast(hot)
-    return df.join(hot, key_cols, "left_anti")
+    # The hot-set checkpoint handle rides the returned plan so loop
+    # callers can release_eager_checkpoints() per iteration instead of
+    # leaving the blocks to GC-driven cleanup (ADVICE r14).
+    return attach_eager_checkpoints(
+        df.join(hot, key_cols, "left_anti"), df, handles=(handle,)
+    )
 
 
 def perm_hash(h: Column, j: int) -> Column:
@@ -168,8 +196,21 @@ def shingle_hashes(shingles: Column) -> Column:
 
 
 # See shingle_hash_rows: memoized higher-order Column trees keyed by
-# (text_col, n, hash_col).
+# (gateway id, text_col, n, hash_col). The gateway id component makes
+# entries from a torn-down JVM unreachable (py4j-backed Column trees go
+# stale across a SparkContext restart within one Python process), and
+# the cache is bounded so distinct key tuples cannot grow it forever.
 _SHINGLE_COLS: dict[tuple, tuple] = {}
+_SHINGLE_COLS_MAX = 32
+
+
+def _gateway_id() -> int:
+    """Identity of the live py4j gateway (0 when no JVM is up yet).
+    Column trees minted under one gateway are invalid under another."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else 0
 
 
 def shingle_hash_rows(
@@ -196,7 +237,11 @@ def shingle_hash_rows(
     # objects are immutable unbound expression trees, safe to reuse
     # across DataFrames and sessions (the r14 hoist, measured on the
     # semdedup ingest sibling).
-    key = (text_col, n, hash_col) if isinstance(text_col, str) else None
+    key = (
+        (_gateway_id(), text_col, n, hash_col)
+        if isinstance(text_col, str)
+        else None
+    )
     cached = _SHINGLE_COLS.get(key) if key is not None else None
     if cached is None:
         wh_col = F.transform(words(text_col), lambda w: F.xxhash64(w)).alias(
@@ -216,6 +261,15 @@ def shingle_hash_rows(
         ).otherwise(F.array(F.xxhash64(F.col("__wh"))))
         cached = (wh_col, F.explode(shingles).alias(hash_col))
         if key is not None:
+            if len(_SHINGLE_COLS) >= _SHINGLE_COLS_MAX:
+                # Evict stale-gateway entries first; fall back to a full
+                # clear (a cold rebuild costs ~1 s, unbounded growth is
+                # worse).
+                live = key[0]
+                for k in [k for k in _SHINGLE_COLS if k[0] != live]:
+                    del _SHINGLE_COLS[k]
+                if len(_SHINGLE_COLS) >= _SHINGLE_COLS_MAX:
+                    _SHINGLE_COLS.clear()
             _SHINGLE_COLS[key] = cached
     wh_col, explode_col = cached
     wh = fan_out(df.select(F.col(id_col), F.col(text_col))).select(

@@ -252,6 +252,7 @@ def embedding_neardup_pairs(
     block_col: str | None = None,
     threshold: float = 0.95,
     dim: int | None = None,
+    max_rows_per_block: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
@@ -259,6 +260,17 @@ def embedding_neardup_pairs(
     at scale substitute the LSH bucket as the block. Join is equi on the
     block key with the id inequality as residual — a hash join, not a
     cartesian product.
+
+    ``max_rows_per_block`` is the population cap every LSH band bucket
+    already gets (``dedup.drop_hot_keys``): a block whose population
+    exceeds it contributes NO pairs — without it, one degenerate block
+    (a k-means cluster that swallowed the boilerplate mode of the
+    corpus, a label shared by half the rows) is O(|block|^2) pairs and
+    the 100x scale-up dies in that one key (VERDICT r14 #2). Capped
+    rows simply survive dedup — the standard LSH-cap semantics (an
+    over-populated block carries no discriminative signal). The
+    returned frame carries the cap's checkpoint handle
+    (``checkpoints.release_eager_checkpoints`` after consumption).
 
     The per-row L2 norm travels through the join as a scalar column
     (8 bytes/row) computed once before the join; pair-time cosine is then a
@@ -275,6 +287,15 @@ def embedding_neardup_pairs(
     base = fan_out(df.select(id_col, vec_col, *([block_col] if block_col else []))).select(
         *cols
     )
+    if block_col and max_rows_per_block is not None:
+        from ibis_flink_example_spark.operators.dedup import drop_hot_keys
+
+        base = drop_hot_keys(
+            base,
+            [block_col],
+            max_rows_per_key=max_rows_per_block,
+            what="embedding pair block",
+        )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -471,6 +492,7 @@ def semantic_dedup(
     block_col: str,
     threshold: float = 0.95,
     dim: int | None = None,
+    max_rows_per_block: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop documents whose
     EMBEDDINGS are near-duplicates, keeping one representative (min id) per
@@ -489,6 +511,10 @@ def semantic_dedup(
     """
     from ibis_flink_example_spark.operators.dedup import connected_components
 
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
     pairs = embedding_neardup_pairs(
         df,
         id_col=id_col,
@@ -496,13 +522,17 @@ def semantic_dedup(
         block_col=block_col,
         threshold=threshold,
         dim=dim,
-    ).select("id_a", "id_b")
-    comp = connected_components(pairs, df.select(id_col), id_col=id_col)
-    return (
+        max_rows_per_block=max_rows_per_block,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), df.select(id_col), id_col=id_col
+    )
+    out = (
         df.join(comp, on=id_col)
         .filter(F.col(id_col) == F.col("component"))
         .drop("component")
     )
+    return attach_eager_checkpoints(out, pairs)
 
 
 def arrow_quantized_norms(em, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -1170,10 +1200,13 @@ def lsh_semantic_pairs(
     value must still sit strictly below the gate — asserted."""
     if prefilter is None:
         prefilter = (threshold_x1e6 - 100) / 1_000_000
-    assert prefilter * 1_000_000 < threshold_x1e6 - 0.5, (
-        "prefilter must sit strictly below the cos6 gate: "
-        f"{prefilter} vs {threshold_x1e6}"
-    )
+    if not prefilter * 1_000_000 < threshold_x1e6 - 0.5:
+        # A real raise, not an assert: the guard must survive `python -O`
+        # (an over-gate prefilter silently drops qualifying pairs).
+        raise ValueError(
+            "prefilter must sit strictly below the cos6 gate: "
+            f"{prefilter} vs {threshold_x1e6}"
+        )
     cand = candidates
     if cand is None:
         cand = lsh_multitable_candidate_pairs(

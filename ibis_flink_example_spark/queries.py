@@ -54,93 +54,93 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-14 rotation (VERDICT r13 top-next #1 — exactly full at
-# 2 + 4 + 4 + 40 = 50): sentinels; then EVERY entry of r13's
-# _NEXT_ROUND_FIRST_ROWS queue (the 4 late-r13 registrations with zero
-# external rows across all rounds — judge-verified exact in the r13
-# full sim); then first-rows for FOUR of the five new r14 registrations
-# (fixed-point Lloyd k-means — VERDICT #2; streaming ANN-SemDeDup
-# ingest — #3; tokenizer-true packing — #4; the data-constrained epoch
-# readout — #6); then 40 of the 41-row r8-era remainder (the whole
-# cohort whose most recent external row is r8 — r12/r13 queued it for
-# this round). semdedup_kmeans (its novel k-means leg is covered by
-# kmeans_assign_embeddings's row this round, its pair/CC leg by prior
-# semantic_dedup rows) and cms_join_size_estimate (the CMS family got a
-# fresh r13 row via cms_term_counts) are the two deliberate deferrals;
-# semdedup_kmeans is queued below.
+# Round-15 rotation (VERDICT r14 top-next #1 — exactly full at
+# 2 + 5 + 2 + 1 + 40 = 50): sentinels; then EVERY entry of r14's
+# _NEXT_ROUND_FIRST_ROWS queue (the 5 late-r14 registrations with zero
+# external rows across all rounds — judge-verified exact in the r14
+# full sim); then first-rows for BOTH new r15 registrations (the
+# executed state-table compaction arm — VERDICT #5 — and the
+# BPE-token-basis epoch budget — VERDICT #6); then the r8-era
+# cms_join_size_estimate (the single oldest external row in the fleet,
+# deferred from r14); then 40 of the 44-query r9-era cohort (the
+# stalest remaining external rows). The four r9 deferrals —
+# slide_5m_1m, session_30m, streaming_static_join, warehouse_roundtrip,
+# each among the most test-covered of the cohort locally
+# (tests/test_streaming.py pins the first three's window/join
+# semantics, test_sources_api the warehouse roundtrip) — are queued
+# below so the r16 rotation seats them first. dedup_minhash is the one
+# rows-only entry in the window (hash-unmirrorable by design).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: the r13 deferral queue, seated in full (VERDICT #1)
-    "mixture_waterfill_allocation",
-    "prefix_cache_sharing",
-    "dpo_pair_assembly",
-    "embedding_coverage_audit",
-    # first-rows: new this round (r14)
-    "kmeans_assign_embeddings",
-    "streaming_semdedup_ingest",
-    "sequence_packing_bpe",
-    "mixture_epoch_budget",
-    # r8-era re-verification (most recent green row = r8), 40 of 41
-    "agg_stats_by_nation",
-    "approx_distinct_users",
-    "array_agg_priorities",
-    "array_funcs",
-    "bool_bit_aggs",
-    "count_distinct_status",
-    "cube_platform_province",
-    "date_funcs",
-    "filter_shipped",
-    "groupby_pricing_summary",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_cross",
-    "join_customer_orders",
-    "join_left_outer",
-    "join_salted_skew",
-    "join_semi",
-    "kll_daily_value_quantiles",
-    "map_funcs",
-    "math_funcs",
-    "nested_struct_json",
-    "ordered_limit",
-    "percentile_disc_by_flag",
-    "pivot_status_by_priority",
-    "project_rename",
-    "quantiles_by_flag",
-    "rollup_nation_region",
-    "scalar_case_expr",
-    "scalar_subquery_busy_customers",
-    "set_except",
-    "set_intersect",
-    "set_ops_multiset",
-    "set_union_all",
-    "string_distance_parts",
-    "string_funcs",
-    "topk_orders",
-    "tpch_q5_local_supplier_volume",
-    "unpivot_lineitem_measures",
-    "window_ranking",
-    "window_rows_moving_avg",
-    # positions 51+: the two deliberate deferrals, then the r9-r13
-    # greens and the rest of the registry in registration order.
+    # first-rows: the r14 deferral queue, seated in full (VERDICT #1)
+    "semdedup_kmeans",
+    "semdedup_kmeans_recall",
+    "streaming_kmeans_ingest",
+    "kmeans_convergence_churn",
+    "bitext_margin_mining",
+    "state_table_compaction",
+    "mixture_epoch_budget_bpe",
+    "cms_join_size_estimate",
+    "approx_quantiles_value",
+    "try_functions",
+    "variant_props",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_global_sales_opportunity",
+    "dedup_minhash",
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "curation_pipeline",
+    "bm25_topk_docs",
+    "feature_hash_buckets",
+    "dsir_target_weights",
+    "embedding_top_pc",
+    "lang_score_calibration",
+    "calibration_by_source",
+    "posting_lists_top_terms",
+    "split_train_val_test",
+    "sample_stratified_cap",
+    "connected_components_distributed",
+    "twap_user_value",
+    "rendezvous_shard_plan",
+    # positions 51+: the four r9 deferrals (queued below), then the
+    # r9-r14 greens and the rest of the registry in registration order.
 )
 
 
-# Queries with NO external driver row yet that did not fit this round's
-# 50-slot window: the NEXT rotation must seat these FIRST (ahead of any
+# Queries whose external-row seating did NOT fit this round's 50-slot
+# window: the NEXT rotation must seat these FIRST (ahead of any
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it.
+# rotation empties it. (Unlike prior rounds these four DO have old r9
+# external rows — the queue here pins the staleness repayment order,
+# not a zero-evidence debt.)
 _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
-    "semdedup_kmeans",  # registered r14; kmeans leg externally covered via
-    # kmeans_assign_embeddings this round, composition row still owed
-    "semdedup_kmeans_recall",  # registered late-r14, local greens only
-    "streaming_kmeans_ingest",  # registered late-r14, local greens only
-    "kmeans_convergence_churn",  # registered late-r14, local greens only
-    "bitext_margin_mining",  # registered late-r14, local greens only
+    "slide_5m_1m",  # r9 cohort, deferred from the r15 window
+    "session_30m",  # r9 cohort, deferred from the r15 window
+    "streaming_static_join",  # r9 cohort, deferred from the r15 window
+    "warehouse_roundtrip",  # r9 cohort, deferred from the r15 window
 )
 
 

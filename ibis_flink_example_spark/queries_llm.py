@@ -5706,6 +5706,15 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 8
 _KMEANS_ITERS = 4
+# Population cap for a k-means cluster used as a pair-blocking key —
+# the drop_hot_keys treatment every LSH band bucket gets (VERDICT r14
+# #2: without it the within-cluster self-join is O((n/k)^2) when k is
+# fixed). k stays the PRIMARY dial (k ~ n / target_cluster_size keeps
+# occupancy constant); the cap is the backstop for the cluster that
+# swallowed a degenerate mode anyway. Same value as the band-bucket
+# cap; fixture clusters are ~n/8 << cap, so the DuckDB oracle (uncapped)
+# still replays exactly — the headroom test pins that premise.
+_SEMDEDUP_CLUSTER_CAP = 50_000
 
 
 def _kmeans_ctes(k: int, iters: int, *, recursive: bool = False) -> str:
@@ -5849,7 +5858,12 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dial: k ~ n / target_cluster_size keeps it linear), pairs form
     via one (cluster_id) equi self-join — no CartesianProduct — and the
     component step reuses dedup.connected_components' bounded/distributed
-    hybrid. Returns surviving (vec_id, cluster_id)."""
+    hybrid. A cluster whose population exceeds _SEMDEDUP_CLUSTER_CAP is
+    dropped from pair formation entirely (drop_hot_keys — the same cap
+    every LSH band bucket gets), so a degenerate mode cluster cannot go
+    quadratic even when k is misconfigured; fixture clusters sit far
+    under the cap, which is why the uncapped oracle still replays
+    exactly (headroom-tested). Returns surviving (vec_id, cluster_id)."""
     from ibis_flink_example_spark.operators import clustering as C
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -5868,6 +5882,7 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         block_col="cluster_id",
         threshold=0.35,
+        max_rows_per_block=_SEMDEDUP_CLUSTER_CAP,
     )
     return out.select("vec_id", "cluster_id")
 
@@ -5941,6 +5956,7 @@ def semdedup_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_col="embedding",
             block_col="cluster_id",
             threshold=0.3499,
+            max_rows_per_block=_SEMDEDUP_CLUSTER_CAP,
         )
         .select(
             "id_a",

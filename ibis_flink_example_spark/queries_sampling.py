@@ -875,19 +875,11 @@ def mixture_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mixture_epoch_budget",
-    # The waterfill chain of mixture_waterfill_allocation with the
-    # data-constrained constants: per-source cap = 6 epochs of its
-    # unique tokens, global budget = 4x total unique tokens (so the
-    # uncapped remainder is provably non-empty and mean epochs = 4).
-    oracle=r"""
-WITH s AS (
-  SELECT source,
-    CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS a,
-    CAST(GREATEST(1, SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)) AS BIGINT) AS w
-  FROM documents GROUP BY 1
-), c AS (
+# Waterfill tail shared by the two epoch-budget arms (whitespace-token
+# and BPE-token bases): everything downstream of the per-source
+# (source, a, w) rollup is identical integer machinery, so the SQL
+# mirror is one string with the ``s`` CTE swapped per arm.
+_EPOCH_BUDGET_TAIL_SQL = r""", c AS (
   SELECT source, a, w, a * 6 AS cap FROM s
 ), o AS (
   SELECT source, a, w, cap,
@@ -917,10 +909,26 @@ SELECT source,
   a AS available_tokens,
   w AS weight,
   allocated AS allocated_tokens,
-  CAST(allocated * 1000000 // a AS BIGINT) AS epochs_x1e6,
-  (allocated * 1000000 // a > 4000000) AS over_4_epochs
+  CAST(CASE WHEN a = 0 THEN NULL ELSE allocated * 1000000 // a END AS BIGINT) AS epochs_x1e6,
+  (CASE WHEN a = 0 THEN NULL ELSE allocated * 1000000 // a > 4000000 END) AS over_4_epochs
 FROM alloc
-""",
+"""
+
+
+@query(
+    "mixture_epoch_budget",
+    # The waterfill chain of mixture_waterfill_allocation with the
+    # data-constrained constants: per-source cap = 6 epochs of its
+    # unique tokens, global budget = 4x total unique tokens (so the
+    # uncapped remainder is provably non-empty and mean epochs = 4).
+    oracle=r"""
+WITH s AS (
+  SELECT source,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS a,
+    CAST(GREATEST(1, SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+)"""
+    + _EPOCH_BUDGET_TAIL_SQL,
 )
 def mixture_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-budget readout for DATA-CONSTRAINED mixtures (VERDICT
@@ -951,6 +959,17 @@ def mixture_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).cast("long"),
         ).alias("w"),
     )
+    return _epoch_budget_readout(s)
+
+
+def _epoch_budget_readout(s: DataFrame) -> DataFrame:
+    """Engine half of _EPOCH_BUDGET_TAIL_SQL: the data-constrained
+    waterfill readout over a per-source ``(source, a, w)`` frame —
+    cap = 6 epochs of ``a``, budget = 4x total ``a``, exact integer
+    window machinery; a = 0 (a source whose every text is empty) must
+    read NULL in BOTH engines — Spark's DIV returns NULL but DuckDB's
+    ``//`` raises, so the guard is spelled out on each side (ADVICE
+    r14). Shared by the whitespace-token and BPE-token arms."""
     c = s.select("source", "a", "w", (F.col("a") * 6).alias("cap"))
     o = c.select(
         "*",
@@ -1002,8 +1021,14 @@ def mixture_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("available_tokens"),
         F.col("w").alias("weight"),
         F.col("allocated").alias("allocated_tokens"),
-        F.expr("CAST(allocated * 1000000 DIV a AS BIGINT)").alias("epochs_x1e6"),
-        F.expr("allocated * 1000000 DIV a > 4000000").alias("over_4_epochs"),
+        F.expr(
+            "CAST(CASE WHEN a = 0 THEN NULL"
+            " ELSE allocated * 1000000 DIV a END AS BIGINT)"
+        ).alias("epochs_x1e6"),
+        F.expr(
+            "CASE WHEN a = 0 THEN NULL"
+            " ELSE allocated * 1000000 DIV a > 4000000 END"
+        ).alias("over_4_epochs"),
     )
 
 
@@ -1108,3 +1133,47 @@ def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_truncated"),
     )
+
+
+@query(
+    "mixture_epoch_budget_bpe",
+    # mixture_epoch_budget with the TOKENIZER-TRUE supply basis (VERDICT
+    # r14 #6): per-source available tokens are the pinned fixed-merge
+    # BPE counts sequence_packing_bpe packs with, not whitespace words —
+    # so the epoch/budget readout is measured in the same tokens the
+    # dataloader consumes. Same shared waterfill tail; only the s CTE
+    # changes.
+    oracle=rf"""
+WITH s AS (
+  SELECT source,
+    CAST(SUM({_BPE_COUNT_SQL}) AS BIGINT) AS a,
+    CAST(GREATEST(1, SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+)"""
+    + _EPOCH_BUDGET_TAIL_SQL,
+)
+def mixture_epoch_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-constrained epoch readout in TOKENIZER tokens (VERDICT
+    r14 top-next #6): mixture_epoch_budget computes supply `a` from
+    whitespace word counts, but the budget a training run actually
+    spends is measured in the tokens the dataloader packs —
+    sequence_packing_bpe's pinned fixed-merge BPE count
+    (operators/bpe.py). Tokenizer fertility (tokens per word) varies by
+    source/language, so the two bases provably diverge per source at
+    every SF (companion witness test) and sources shift between
+    over-4-epochs categories depending on the basis. One changed input
+    column; the waterfill machinery, its scale shape (ONE per-source
+    exchange + |sources|-row window frame) and the shared SQL tail are
+    identical to the whitespace arm. The replace-chain token count
+    fuses into the scan exactly as in sequence_packing_bpe."""
+    from ibis_flink_example_spark.operators.bpe import fixed_merge_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(fixed_merge_token_count("text")).cast("long").alias("a"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).cast("long"),
+        ).alias("w"),
+    )
+    return _epoch_budget_readout(s)

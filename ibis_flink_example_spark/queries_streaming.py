@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table, table_path
 from ibis_flink_example_spark.functions.exact import dec_sum
+from ibis_flink_example_spark.operators.checkpoints import (
+    release_eager_checkpoints,
+)
 from ibis_flink_example_spark.operators.time_windows import session, slide, tumble
 from ibis_flink_example_spark.queries import query
 from ibis_flink_example_spark.schema import EVENTS_SCHEMA
@@ -139,6 +142,21 @@ def session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (thousands of keys here -> 8), NOT inherited from the relational shuffle
 # setting. On a real cluster size this to executors x cores and state volume.
 _STATE_PARTS = 4
+
+
+def _arrival_tags(bdf: DataFrame, col: str = "arrival_batch") -> list[int]:
+    """Distinct arrival tags of a micro-batch, as [tag] when exactly one
+    (the normal case) else [lo, hi]. The replay-disorder guards only need
+    "exactly one tag" plus its value, which min == max proves — so this
+    is ONE partial-aggregated no-exchange job instead of the former
+    distinct + shuffle + collect (measured ~0.6 s/batch of pure probe
+    cost at sf0.1 across the ingest arms, r15)."""
+    r = bdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if r["lo"] is None:
+        return []
+    lo, hi = int(r["lo"]), int(r["hi"])
+    return [lo] if lo == hi else [lo, hi]
+
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -1386,9 +1404,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keyed on batch_id to make every append idempotent.
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
-        arrs = sorted(
-            r["arrival_batch"] for r in bdf.select("arrival_batch").distinct().collect()
-        )
+        arrs = _arrival_tags(bdf)
         if not arrs:
             state["last_bid"] = bid
             return
@@ -1648,10 +1664,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
-        arrs = sorted(
-            r["arrival_batch"]
-            for r in bdf.select("arrival_batch").distinct().collect()
-        )
+        arrs = _arrival_tags(bdf)
         if not arrs:
             state["last_bid"] = bid
             return
@@ -1732,6 +1745,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             ["band_idx", "band_key"],
             max_rows_per_key=50_000,
             what="minhash band bucket",
+            lazy=True,  # per-batch caller: zero driver actions (r15)
         )
         cand = (
             probe.join(pool, ["band_idx", "band_key"])
@@ -1772,6 +1786,9 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             )
         )
         res.write.mode("append").saveAsTable(res_t)
+        # Loop-caller release contract: drop the hot-set checkpoint
+        # blocks drop_hot_keys pinned for this batch (ADVICE r14).
+        release_eager_checkpoints(pool)
         state["last_bid"] = bid
         state["last_arr"] = arrival
 
@@ -1881,7 +1898,7 @@ def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <= 4 distinct values) — but NO monotonic-bid guard: idempotence
         # must come from the overwrite alone, because the in-memory guard
         # is precisely what the restart that causes re-delivery loses.
-        tags = [r["arrival"] for r in bdf.select("arrival").distinct().collect()]
+        tags = _arrival_tags(bdf, "arrival")
         if not tags:
             return
         if len(tags) != 1:
@@ -2163,10 +2180,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
-        arrs = sorted(
-            r["arrival_batch"]
-            for r in bdf.select("arrival_batch").distinct().collect()
-        )
+        arrs = _arrival_tags(bdf)
         if not arrs:
             state["last_bid"] = bid
             return
@@ -2220,6 +2234,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["t", "b"],
             max_rows_per_key=50_000,
             what="semdedup ingest bucket",
+            lazy=True,  # per-batch caller: zero driver actions (r15)
         )
         cand = (
             probe.join(pool, ["t", "b"])
@@ -2265,6 +2280,9 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         res.write.mode("append").saveAsTable(res_t)
+        # Loop-caller release contract: drop the hot-set checkpoint
+        # blocks drop_hot_keys pinned for this batch (ADVICE r14).
+        release_eager_checkpoints(pool)
         state["last_bid"] = bid
         state["last_arr"] = arrival
 
@@ -2399,10 +2417,7 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
-        arrs = sorted(
-            r["arrival_batch"]
-            for r in bdf.select("arrival_batch").distinct().collect()
-        )
+        arrs = _arrival_tags(bdf)
         if not arrs:
             state["last_bid"] = bid
             return

@@ -279,6 +279,11 @@ def main() -> int:
         "semdedup_ingest_state_probe",
         # r14: margin-criterion bitext mining (constant-occupancy dial)
         "bitext_margin_mining",
+        # r15: the TRAINED-blocking SemDeDup pair stage at constant
+        # cluster occupancy (k scales with the corpus — the documented
+        # dial — with the production population cap as backstop;
+        # VERDICT r14 #2's missing SCALING row)
+        "semdedup_kmeans_pairs",
     )
     keep = (
         {x.strip() for x in args.ops.split(",") if x.strip()}
@@ -302,7 +307,15 @@ def main() -> int:
            "substring_dup_runs", "substring_dup_attribution",
            "minhash_ingest_state_probe"}
     )
-    need_semdedup = bool(keep & {"semdedup_lsh_pairs", "semdedup_ingest_state_probe", "bitext_margin_mining"})
+    need_semdedup = bool(
+        keep
+        & {
+            "semdedup_lsh_pairs",
+            "semdedup_ingest_state_probe",
+            "bitext_margin_mining",
+            "semdedup_kmeans_pairs",
+        }
+    )
     need_embs = bool(
         keep & {"top_pc_gram", "hard_negative_mining", "kmeans_lloyd"}
     )
@@ -468,6 +481,79 @@ def main() -> int:
             if need_semdedup
             else None
         )
+
+        def _semdedup_kmeans_frames(label):
+            """(vec_id, embedding, cluster_id) replicas at CONSTANT
+            cluster occupancy for the trained-blocking pair probe: the
+            cluster ids come from ONE k=8 Lloyd run on the base fixture,
+            offset per Rademacher copy (cluster_id = copy * 8 + base).
+            Each copy's sign pattern is a per-dimension isometry, so a
+            per-copy k=8 Lloyd run would recover exactly the base
+            partition (distances are sign-invariant) — this IS the
+            k = 8 -> 8*copies clustering of the replica corpus, the
+            documented dial (k ~ n / target_cluster_size), without
+            paying a k=80 literal-centroid expression at build time.
+            Materialized OUTSIDE the clock: the probe measures the pair
+            stage VERDICT r14 #2 flagged, not the (separately measured,
+            kmeans_lloyd) training scan."""
+            from ibis_flink_example_spark.operators import clustering as C
+
+            em = spark.read.parquet(
+                os.path.join(args.sf, "embeddings.parquet")
+            ).select("vec_id", "embedding")
+            asn = C.kmeans_assign(
+                em, id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=4
+            ).select(F.col("vec_id").alias("__base"), "cluster_id")
+            rep = spark.read.parquet(semdedup_frames[label]).select(
+                "vec_id",
+                "embedding",
+                (F.col("vec_id") % 10_000_000).alias("__base"),
+            )
+            d = rep.join(asn, "__base").select(
+                "vec_id",
+                "embedding",
+                (
+                    (F.col("vec_id") / 10_000_000).cast("long") * 8
+                    + F.col("cluster_id")
+                ).alias("cluster_id"),
+            )
+            path = os.path.join(work, f"semdedup_kmeans_{label}")
+            d.write.mode("overwrite").parquet(path)
+            return path
+
+        semdedup_kmeans_frames = (
+            {lbl: _semdedup_kmeans_frames(lbl) for lbl in ("1x", big)}
+            if "semdedup_kmeans_pairs" in keep
+            else None
+        )
+
+        def semdedup_kmeans_pairs_at(label):
+            """The capped within-cluster pair join of semdedup_kmeans
+            (embedding_neardup_pairs, block_col=cluster_id, cos >= 0.35,
+            max_rows_per_block=50k) over pre-materialized constant-
+            occupancy cluster assignments — expected ~linear: cluster
+            count scales with the corpus, population per cluster does
+            not, and the cap backstops any degenerate block."""
+            from ibis_flink_example_spark.operators.checkpoints import (
+                release_eager_checkpoints,
+            )
+
+            em = spark.read.parquet(semdedup_kmeans_frames[label])
+
+            def run():
+                out = SIM.embedding_neardup_pairs(
+                    em,
+                    id_col="vec_id",
+                    vec_col="embedding",
+                    block_col="cluster_id",
+                    threshold=0.35,
+                    max_rows_per_block=50_000,
+                )
+                n = out.count()
+                release_eager_checkpoints(out)
+                return n
+
+            return run
 
         def semdedup_lsh_pairs_at(label):
             """lsh_semantic_pairs at CONSTANT expected bucket occupancy:
@@ -1029,6 +1115,7 @@ def main() -> int:
             "kmeans_lloyd": kmeans_at,
             "semdedup_ingest_state_probe": semdedup_ingest_state_at,
             "bitext_margin_mining": bitext_margin_at,
+            "semdedup_kmeans_pairs": semdedup_kmeans_pairs_at,
         }
         ops = {k: v for k, v in ops.items() if k in keep}
         results = {}
