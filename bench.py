@@ -65,32 +65,34 @@ def main() -> None:
     # comparable. Re-time pinned sentinel queries and report the ratio
     # against their IDLE-machine reference, measured the same way.
     #
-    # Round-7 method (v3), after measuring why earlier factors swung 25%+
-    # between identical runs:
-    # - Sub-second sentinels are dominated by JVM JIT-tier drift, not
-    #   machine load (over_range_sum kept speeding up 0.53s -> 0.37s over
-    #   six warm runs). The basis therefore includes two HEAVIER stable
-    #   queries; the stable decontaminate_ngram (~1% run-to-run drift)
-    #   carries most of the weight.
-    # - The published factor uses ONLY the post-loop pass: after 182
-    #   queries the JVM is fully warm, which is the one reproducible
-    #   machine state. The pre-loop pass still runs and ships in
-    #   sentinel_passes so load DRIFT during the ~4-minute loop is
-    #   visible, it just doesn't feed the factor.
-    # - Refs are the MEDIAN fully-warm post-loop values across several
-    #   round-7 runs on this machine at light load. Single-run extremes
-    #   are NOT a valid basis: one fully-idle run measured sentinels 25%
-    #   faster (JIT-lucky state) and re-basing to it made the next run's
-    #   factor 1.57 — sub-3s sentinels fluctuate run-to-run far more than
-    #   the 190-query total they normalize. Treat load_factor as a load
-    #   DIAGNOSTIC; round-over-round comparisons should lean on raw-total
-    #   medians across >= 2 runs, with the normalized value as a
-    #   cross-check that big raw swings are load, not regressions.
+    # Round-15 method (v4), after the r14 finding (VERDICT #3) that the
+    # v3 four-sentinel basis read load_factor 1.03/0.80/0.73 on THREE
+    # same-code idle runs while the fleet raw moved <3% — ±30% swings in
+    # the published normalized total on identical code:
+    # - The basis is HEAVIER (~11 s/pass vs ~5 s): three multi-second
+    #   batch queries with distinct shapes (n-gram probe, window/SCD
+    #   chain, iterative k-means scans) carry ~90% of the weight, so
+    #   single-query JIT luck moves the factor by a few percent, not
+    #   tens. The two sub-second r7 sentinels stay for round-over-round
+    #   continuity but weigh little.
+    # - MEDIAN-of-3 per sentinel, not min-of-3: min selects exactly the
+    #   JIT-lucky extreme the r14 drift came from; the median of three
+    #   warm runs is stable against one lucky and one stalled run.
+    # - As before, ONLY the post-loop (fully-warm) pass feeds the
+    #   factor; the pre-loop pass is a single untimed-quality rep kept
+    #   for load-drift visibility.
+    # - Refs are median-of-3 fully-warm values measured on this machine
+    #   (r15, idle at measurement; see REF_BASIS). Treat load_factor as
+    #   a load DIAGNOSTIC; round-over-round comparisons should lean on
+    #   raw-total medians across >= 2 runs, with the normalized value as
+    #   a cross-check that big raw swings are load, not regressions.
     SENTINEL_REF_SEC = {
         "over_range_sum_10s": 0.37,
         "dedup_exact": 0.52,
         "tpch_q9_product_profit": 0.93,
         "decontaminate_ngram": 3.33,
+        "scd2_point_in_time": 2.03,
+        "kmeans_assign_embeddings": 4.36,
     }
     # hardware the SENTINEL_REF_SEC numbers were measured on — normalized
     # values computed on any other machine silently compare
@@ -106,12 +108,14 @@ def main() -> None:
     sentinel_passes: list[dict[str, float]] = []
     sentinel_errors: dict[str, str] = {}
 
-    def calibration_pass() -> None:
+    def calibration_pass(reps: int) -> None:
+        from statistics import median
+
         idx = len(sentinel_passes) + 1
         sec: dict[str, float] = {}
         for name in SENTINEL_REF_SEC:
             try:
-                sec[name] = min(run_once(name) for _ in range(3))
+                sec[name] = median(run_once(name) for _ in range(reps))
             except Exception as exc:
                 # keyed per pass: a pass-2 failure must not erase pass-1's
                 sentinel_errors[f"{name}_pass{idx}"] = (
@@ -120,7 +124,9 @@ def main() -> None:
                 print(f"sentinel {name} pass {idx} failed: {exc}", file=sys.stderr)
         sentinel_passes.append(sec)
 
-    calibration_pass()  # pass 1: before the query loop
+    # pass 1: before the query loop — single rep, drift visibility only
+    # (never feeds the factor, so it doesn't pay the median-of-3 cost)
+    calibration_pass(reps=1)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -154,7 +160,7 @@ def main() -> None:
         retried[name] = [first, retry]
         timings[name] = min(first, retry)
 
-    calibration_pass()  # pass 2: after the query loop
+    calibration_pass(reps=3)  # pass 2 (median-of-3): feeds the factor
 
     # The factor comes from the POST-LOOP pass only (fully-warm JVM — the
     # reproducible state the refs were measured in); the pre-loop pass is
