@@ -82,6 +82,7 @@ def compact_bucketed_state_table(
     sort_col: str | None = None,
     target_bytes: int = 128 * 1024 * 1024,
     min_files_per_bucket: int = 2,
+    keep: str | None = None,
 ) -> dict:
     """Compact an append-only bucketed table's small files in place.
 
@@ -101,6 +102,17 @@ def compact_bucketed_state_table(
     Skips (returns ``compacted=False``) when no bucket holds
     ``min_files_per_bucket`` or more files — an already-compact table is
     not rewritten, which is what makes a maintenance-loop call cheap.
+    (The skip is file-count-based, so a ``keep`` expiry against an
+    already-compact table also skips; run expiry before the table is
+    compact, or lower ``min_files_per_bucket`` to force the rewrite.)
+
+    ``keep`` (optional SQL predicate string) is the RETENTION arm: the
+    rewrite keeps only matching rows, folding state expiry into the same
+    single pass — the policy-dependent complement a months-old
+    append-only dedup state needs (expired arrivals stop being dedup
+    candidates; whether that is correct is the caller's retention
+    policy, not this operator's concern). Without it the rewrite is
+    content-identical by construction.
 
     Returns a stats dict: files/bytes before and after, the planned max
     bins per bucket, and whether a rewrite ran.
@@ -151,6 +163,8 @@ def compact_bucketed_state_table(
     # buckets). A raw scan carries no distribution claim, so the aligned
     # exchange below survives planning.
     df = spark.read.parquet(table_location(spark, table))
+    if keep is not None:
+        df = df.filter(keep)
     sort = sort_col or bucket_col
     # Aligned multi-file-per-bucket write WITHOUT a helper column:
     # partition = pmod(murmur3(bucket_col), n_buckets * m) and

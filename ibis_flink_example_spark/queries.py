@@ -141,6 +141,9 @@ _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
     "session_30m",  # r9 cohort, deferred from the r15 window
     "streaming_static_join",  # r9 cohort, deferred from the r15 window
     "warehouse_roundtrip",  # r9 cohort, deferred from the r15 window
+    "state_table_retention",  # registered LATE r15 (after the rotation
+    # was seated); the compaction sibling has its r15 row, the retention
+    # arm's first external row is owed next round
 )
 
 

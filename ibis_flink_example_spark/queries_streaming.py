@@ -2148,8 +2148,12 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidate pairs are verified at exact cos6 >= 350000
     against the vec state. State only APPENDs; appends are
     bucket-ALIGNED (repartition on the bucket key first); per-batch
-    re-delivery and arrival-order guards as the minhash sibling.
-    Returns one row per vector: (vec_id, batch_id, accepted)."""
+    re-delivery and arrival-order guards as the minhash sibling. Since
+    r15 the accepted flag RIDES the vec-state rows (verify runs before
+    the vec append, current-batch vectors served by a map-only
+    recompute), so a batch owes TWO commits, not three, and the result
+    relation is a projection of the vec state. Returns one row per
+    vector: (vec_id, batch_id, accepted)."""
     from ibis_flink_example_spark.catalog import drop_table_and_location
     from ibis_flink_example_spark.operators.dedup import drop_hot_keys
     from ibis_flink_example_spark.operators.similarity import (
@@ -2168,10 +2172,11 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _stage_embedding_arrivals(sf_dir, "semdedup_ingest_replay")
 
-    res_t = "semdedup_ingest_results"
     bkt_t = "semdedup_ingest_buckets"
     vec_t = "semdedup_ingest_vecs"
-    for t in (res_t, bkt_t, vec_t):
+    # semdedup_ingest_results is the pre-r15 layout (accepted flags now
+    # ride the vec state rows); dropped so a stale copy never shadows
+    for t in ("semdedup_ingest_results", bkt_t, vec_t):
         drop_table_and_location(spark, t)
 
     # Lambda-bearing expressions (higher-order zip_with/aggregate folds
@@ -2251,13 +2256,6 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         arrival = int(og["lo"])
         arr_lit = F.lit(arrival).cast("int")
-        # 2) vec state: cast-double vector + norm, bucketed on vec_id
-        #    (the exact-verify join key)
-        bdf.select("vec_id", vec_expr, nrm_expr).withColumn(
-            "arr", arr_lit
-        ).repartition(8, F.col("vec_id")).write.mode("append").bucketBy(
-            8, "vec_id"
-        ).sortBy("vec_id").saveAsTable(vec_t)
         bk_all = sess.table(bkt_t)
         probe = (
             bk_all.filter(F.col("arr") == arrival)
@@ -2296,20 +2294,35 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_n", "id_o")
             .distinct()
         )
-        vs = sess.table(vec_t)
-        # id_n is always a CURRENT-batch vector: the arr filter lets the
-        # read skip every older state file by footer stats, while the
-        # vec_id bucketing still aligns the join.
-        va = vs.filter(F.col("arr") == arrival).select(
+        # 2) exact cos6 verify, then ONE vec-state append that carries
+        #    the accepted flag (r15 fold: the former separate results
+        #    table cost a third per-batch commit for rows keyed
+        #    identically to the vec state — results now RIDE the vec
+        #    rows, 3 commits/batch -> 2). The current batch's vectors
+        #    are a map-only recompute from bdf (cheaper than a
+        #    materialize-then-read-back just to serve this one join);
+        #    the OLD side still reads the bucketed state pre-partitioned.
+        va = bdf.select(
             F.col("vec_id").alias("id_n"),
-            F.col("vec").alias("__vn"),
-            F.col("nrm").alias("__nn"),
+            vec_expr,
+            nrm_expr,
+        ).select(
+            "id_n", F.col("vec").alias("__vn"), F.col("nrm").alias("__nn")
         )
-        vb = vs.select(
-            F.col("vec_id").alias("id_o"),
-            F.col("vec").alias("__vo"),
-            F.col("nrm").alias("__no"),
+        vb = bdf.select(
+            F.col("vec_id").alias("id_o"), vec_expr, nrm_expr
+        ).select(
+            "id_o", F.col("vec").alias("__vo"), F.col("nrm").alias("__no")
         )
+        if sess.catalog.tableExists(vec_t):
+            # prior batches' vectors come pre-bucketed from the state
+            # table; the first processed batch has no table yet (its
+            # first append is the flag-carrying one below)
+            vb = sess.table(vec_t).select(
+                F.col("vec_id").alias("id_o"),
+                F.col("vec").alias("__vo"),
+                F.col("nrm").alias("__no"),
+            ).unionByName(vb)
         rejected = (
             cand.join(va, "id_n")
             .join(vb, "id_o")
@@ -2318,16 +2331,16 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id_n").alias("vec_id"))
             .distinct()
         )
-        res = (
+        acc = (
             bdf.select("vec_id")
             .join(rejected.withColumn("__rej", F.lit(True)), "vec_id", "left")
-            .select(
-                "vec_id",
-                F.lit(arrival).cast("long").alias("batch_id"),
-                F.col("__rej").isNull().alias("accepted"),
-            )
+            .select("vec_id", F.col("__rej").isNull().alias("accepted"))
         )
-        res.write.mode("append").saveAsTable(res_t)
+        bdf.select("vec_id", vec_expr, nrm_expr).join(acc, "vec_id").withColumn(
+            "arr", arr_lit
+        ).repartition(8, F.col("vec_id")).write.mode("append").bucketBy(
+            8, "vec_id"
+        ).sortBy("vec_id").saveAsTable(vec_t)
         # Loop-caller release contract: drop the hot-set checkpoint
         # blocks drop_hot_keys pinned for this batch (ADVICE r14).
         release_eager_checkpoints(pool)
@@ -2348,7 +2361,11 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, batch_id long, accepted boolean"
         )
-    return spark.table(res_t).select("vec_id", "batch_id", "accepted")
+    # Results ride the vec state (r15 fold): one row per vector with its
+    # arrival and accepted flag IS the result relation.
+    return spark.table(vec_t).select(
+        "vec_id", F.col("arr").cast("long").alias("batch_id"), "accepted"
+    )
 
 
 # ---------------------------------------------------------------------------

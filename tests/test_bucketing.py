@@ -240,3 +240,56 @@ def test_compaction_bucket_occupancy_premise():
         assert n >= 256, f"{sf}: {n} docs — (bucket, batch) occupancy at risk"
         checked += 1
     assert checked >= 2
+
+
+def test_compaction_keep_predicate_expires_rows(spark, sf_dir):
+    """The retention arm of compact_bucketed_state_table: keep='arr >= 2'
+    rewrites the table to exactly the surviving horizon (same rows as a
+    filter of the pre-rewrite content), stays bucket-aligned, and a
+    keep-nothing predicate leaves a valid empty table rather than
+    failing — the honest degenerate case of an expired-out state."""
+    from ibis_flink_example_spark.catalog import drop_table_and_location
+    from ibis_flink_example_spark.operators.maintenance import (
+        bucket_file_manifest,
+        compact_bucketed_state_table,
+    )
+
+    t = "t_retention_keep"
+    drop_table_and_location(spark, t)
+    drop_table_and_location(spark, t + "__compact_stage")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.col("doc_id").bitwiseAND(F.lit(3)).alias("arr")
+    )
+    for k in range(4):
+        docs.filter(F.col("arr") == k).repartition(
+            8, F.col("doc_id")
+        ).write.mode("append").bucketBy(8, "doc_id").sortBy(
+            "doc_id"
+        ).saveAsTable(t)
+    want = sorted(
+        (r["doc_id"], r["n_chars"], r["arr"])
+        for r in spark.table(t).filter("arr >= 2").collect()
+    )
+    stats = compact_bucketed_state_table(
+        spark, t, bucket_col="doc_id", n_buckets=8, keep="arr >= 2"
+    )
+    assert stats["compacted"] and stats["files_after"] == 8
+    got = sorted(
+        (r["doc_id"], r["n_chars"], r["arr"]) for r in spark.table(t).collect()
+    )
+    assert got == want
+    per_bucket = {}
+    for bkt, _, _ in bucket_file_manifest(spark, t):
+        per_bucket[bkt] = per_bucket.get(bkt, 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+
+    # expired-out degenerate: a keep-nothing rewrite leaves a readable
+    # empty table (min_files_per_bucket=1 forces the rewrite on the
+    # already-compact layout)
+    stats2 = compact_bucketed_state_table(
+        spark, t, bucket_col="doc_id", n_buckets=8, keep="n_chars < 0",
+        min_files_per_bucket=1,
+    )
+    assert stats2["compacted"] and stats2["files_after"] == 0
+    assert spark.table(t).count() == 0
+    drop_table_and_location(spark, t)

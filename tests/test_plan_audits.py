@@ -1309,11 +1309,10 @@ def test_semdedup_ingest_state_tables_bucketed_and_aligned(spark, sf_dir):
         "semdedup_ingest_vecs": "vec_id",
     }
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # accepted flags ride the vec state since r15 — the arrival column
+    # there is the batch census (the separate results table is gone)
     n_batches = (
-        spark.table("semdedup_ingest_results")
-        .select("batch_id")
-        .distinct()
-        .count()
+        spark.table("semdedup_ingest_vecs").select("arr").distinct().count()
     )
     assert n_batches >= 1
     for table, key in expect.items():
