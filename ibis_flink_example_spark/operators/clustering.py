@@ -58,13 +58,23 @@ def _trunc_div(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
-def quantize_micro(df: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
+def quantize_micro(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, __mv) with ``__mv`` the embedding quantized to an array of
     BIGINT micro-units via ``floor(CAST(x AS DOUBLE) * 1e6 + 0.5)`` —
     the one float op in the k-means pipeline, engine-exact because both
-    engines evaluate the identical two-op double expression."""
+    engines evaluate the identical two-op double expression.
+    ``carry_cols`` project extra columns through unchanged (streaming
+    callers carry the arrival tag as DATA instead of re-stamping a
+    per-batch literal that would defeat the codegen cache)."""
     return df.select(
         F.col(id_col),
+        *[F.col(x) for x in carry_cols],
         F.transform(
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast(

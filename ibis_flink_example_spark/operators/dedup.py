@@ -41,6 +41,7 @@ def drop_hot_keys(
     what: str = "bucket",
     log_dropped: bool = False,
     lazy: bool = False,
+    lazy_broadcast_hint: bool = False,
 ) -> DataFrame:
     """Drop all rows whose join-key group exceeds ``max_rows_per_key`` —
     the skew guard every bucketed pair-generation self-join needs at scale.
@@ -89,6 +90,18 @@ def drop_hot_keys(
         hot_lazy = counts.filter(F.col("__kn") > max_rows_per_key).select(
             *key_cols
         )
+        if lazy_broadcast_hint:
+            # For callers that run with AQE disabled (the micro-batch
+            # ingests, see queries_streaming._ingest_conf): static
+            # planning estimates the hot set from its corpus-sized child
+            # and would pick a shuffle anti-join that re-exchanges the
+            # probe side every batch. The hint pins the broadcast the
+            # eager arm / AQE would have chosen. Valid while the hot-key
+            # CARDINALITY stays broadcastable — it is bounded by
+            # n_rows / max_rows_per_key keys (e.g. ~1e9 banded rows at a
+            # 50k cap -> <= 2e4 keys); deployments beyond ~1e8 expected
+            # hot keys should re-enable AQE instead of hinting.
+            hot_lazy = F.broadcast(hot_lazy)
         return df.join(hot_lazy, key_cols, "left_anti")
     hot = (
         counts.filter(F.col("__kn") > max_rows_per_key)
@@ -391,6 +404,7 @@ def md5_minhash_band_rows(
     salt: str = "mh",
     carry_count: bool = False,
     assume_distinct: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band_idx, band_key) LSH band rows from an ENGINE-PORTABLE
     MinHash signature: permutation j reads the 8-hex slice ``j % 4`` of
@@ -426,6 +440,7 @@ def md5_minhash_band_rows(
     c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     hexed = sh_rows.select(
         F.col(id_col),
+        *[F.col(x) for x in carry_cols],
         *[
             F.md5(F.concat(c, F.lit(f":{salt}:{g}")).cast("binary")).alias(
                 f"__x{g}"
@@ -467,6 +482,15 @@ def md5_minhash_band_rows(
             aggs.append(
                 F.countDistinct(F.col("__x0")).cast("long").alias("n_shingles")
             )
+    # ``carry_cols``: columns constant within each id group (e.g. a
+    # micro-batch arrival tag) ride the SAME aggregation via min() and are
+    # projected through to every band row. The streaming ingests use this
+    # instead of stamping a per-batch ``F.lit(arrival)`` column — a literal
+    # that changes every micro-batch makes the generated stage code differ
+    # per batch and defeats the codegen cache (measured ~0.5-1 s of
+    # recompilation per batch on the md5/min-agg tree, r15).
+    for x in carry_cols:
+        aggs.append(F.min(F.col(x)).alias(x))
     sigs = hexed.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // rows_per_band
     entries = F.array(
@@ -484,7 +508,7 @@ def md5_minhash_band_rows(
             for i in range(n_bands)
         ]
     )
-    extra = ["n_shingles"] if carry_count else []
+    extra = (["n_shingles"] if carry_count else []) + list(carry_cols)
     return sigs.select(
         F.col(id_col), *extra, F.explode(entries).alias("__e")
     ).select(

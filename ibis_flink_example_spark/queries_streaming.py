@@ -144,21 +144,42 @@ def session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_PARTS = 4
 
 
-def _fast_commit(sess) -> None:
-    """Direct task-commit (FileOutputCommitter algorithm 2) for a
-    conf-isolated ingest session: per-batch state appends then skip the
-    job-commit rename pass — measured worth ~1 s over a 4-batch replay
-    at sf0.1 against the v1 (two-rename) default. Session-scoped via
-    ``spark.hadoop.*`` (picked up by ``sessionState.newHadoopConf``), so
-    no other query's sink semantics change. Safe here: local-FS renames
-    are atomic, the scratch state tables are dropped and rebuilt per
-    run, and a mid-run failure aborts the whole query — the v1
-    "job-commit is atomic" property buys nothing for this shape. An
-    object-store deployment would use the store's native committer
-    instead (task-commit-direct there too)."""
+def _ingest_conf(sess) -> None:
+    """Per-batch job tuning for a conf-isolated ingest session (the
+    ``state_scoped_session`` clone a foreachBatch arm runs its batch
+    jobs on — no other query's conf changes).
+
+    1. Direct task-commit (FileOutputCommitter algorithm 2): per-batch
+       state appends skip the job-commit rename pass — measured worth
+       ~1 s over a 4-batch replay at sf0.1 against the v1 (two-rename)
+       default. Safe here: local-FS renames are atomic, the scratch
+       state tables are dropped and rebuilt per run, and a mid-run
+       failure aborts the whole query — the v1 "job-commit is atomic"
+       property buys nothing for this shape. An object-store deployment
+       would use the store's native committer instead.
+    2. AQE OFF for the batch jobs (r15, guide §1.2/§2.4 measured): AQE
+       materializes EVERY Exchange of a per-batch plan as its own
+       driver-synchronous job round (plus a replan+recompile per round),
+       which on a micro-batch-sized DAG of ~10 exchanges is pure fixed
+       latency — measured 34.0 s -> 15.3 s on the 4-batch semdedup
+       replay at sf0.1, with identical results. This mirrors Spark's own
+       choice of disabling AQE inside streaming plans for latency. The
+       per-batch work here is bounded by batch size + capped bucket
+       co-occupancy BY DESIGN (never corpus-sized), so static planning
+       is the right default at any corpus scale; the one plan decision
+       that wanted AQE — the hot-key cap's guarded broadcast anti-join —
+       is handled explicitly (``drop_hot_keys(lazy_broadcast_hint=...)``).
+       Set SPARK_GRAFT_INGEST_AQE=1 to re-enable for deployments whose
+       per-batch volumes are large enough for runtime re-planning to pay
+       its latency back.
+    """
+    import os
+
     sess.conf.set(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
     )
+    if os.environ.get("SPARK_GRAFT_INGEST_AQE", "0") != "1":
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
 
 
 def _arrival_tags(bdf: DataFrame, col: str = "arrival_batch") -> list[int]:
@@ -1282,8 +1303,10 @@ def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         res.write.mode("append").saveAsTable(res_t)
         state["last_bid"] = bid
 
+    sess_stream = _docs_stream_session(spark)
+    _ingest_conf(sess_stream)
     stream = (
-        _docs_stream_session(spark)
+        sess_stream
         .readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
@@ -1468,11 +1491,18 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).distinct()
         res = (
-            bdf.select("doc_id")
+            # batch_id comes off the data (the disorder guard proved the
+            # batch single-tagged) so the stage's generated code is
+            # byte-identical across batches — a per-batch literal here
+            # forced a recompile of the result join every batch (r15).
+            bdf.select(
+                "doc_id",
+                F.col("arrival_batch").cast("long").alias("batch_id"),
+            )
             .join(rejected.withColumn("__rej", F.lit(True)), "doc_id", "left")
             .select(
                 "doc_id",
-                F.lit(arrival).cast("long").alias("batch_id"),
+                "batch_id",
                 F.col("__rej").isNull().alias("accepted"),
             )
         )
@@ -1506,8 +1536,10 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["last_arr"] = arrival
         state["has_seen"] = True
 
+    sess_stream = _docs_stream_session(spark)
+    _ingest_conf(sess_stream)
     stream = (
-        _docs_stream_session(spark)
+        sess_stream
         .readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
@@ -1740,12 +1772,20 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
                 "refusing to mis-order the prefix"
             )
         arrival = int(og["lo"])
-        arr_lit = F.lit(arrival).cast("int")
         sh_all = sess.table(seen_sh_t)
+        # Per-batch literals are confined to SCAN-level filters (where
+        # they drive parquet footer/stats pruning); everywhere else the
+        # arrival tag travels as a DATA column (`arr` carried through the
+        # band aggregation, `__arr_n` on the probe side, `arrival_batch`
+        # off bdf) so every post-scan stage's generated code is
+        # byte-identical across batches and the codegen cache serves
+        # batches 1..n (a changing literal recompiled the md5/min-agg and
+        # verify trees every batch — measured ~1.5 s/batch, r15).
         sh_b = sh_all.filter(F.col("arr") == arrival).select(
-            "doc_id", "shingle"
+            "doc_id", "shingle", "arr"
         )
-        # 2) band rows (+ per-doc n_shingles), bucketed on the band key
+        # 2) band rows (+ per-doc n_shingles + the carried arrival tag),
+        #    bucketed on the band key
         md5_minhash_band_rows(
             sh_b,
             id_col="doc_id",
@@ -1755,7 +1795,8 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             # dropDuplicates just wrote: distinct by construction, so
             # the plain count is provably |shingles(doc)|
             assume_distinct=True,
-        ).withColumn("arr", arr_lit).repartition(
+            carry_cols=("arr",),
+        ).repartition(
             8, F.col("band_key")
         ).write.mode("append").bucketBy(8, "band_key").sortBy(
             "band_key"
@@ -1766,6 +1807,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("n_shingles").alias("ns"),
             "band_idx",
             "band_key",
+            F.col("arr").alias("__arr_n"),
         )
         pool = drop_hot_keys(
             bd_all.select(
@@ -1779,42 +1821,59 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             max_rows_per_key=50_000,
             what="minhash band bucket",
             lazy=True,  # per-batch caller: zero driver actions (r15)
+            lazy_broadcast_hint=True,  # AQE is off in the batch jobs
         )
         cand = (
             probe.join(pool, ["band_idx", "band_key"])
             .filter(
-                (F.col("arr") < F.lit(arrival))
-                | ((F.col("arr") == F.lit(arrival)) & (F.col("id_o") < F.col("id_n")))
+                (F.col("arr") < F.col("__arr_n"))
+                | ((F.col("arr") == F.col("__arr_n")) & (F.col("id_o") < F.col("id_n")))
             )
             .select("id_n", "id_o", "ns", "no")
             .distinct()
         )
         # left_semi dedups its build side by construction — no distinct
         # needed on the id projections (two aggregations saved per batch)
+        # Candidate-derived frames carry explicit BROADCAST hints: the
+        # batch jobs run with AQE off (_ingest_conf), where the static
+        # planner estimates these from their corpus-sized ancestors and
+        # would pick sort-merge semi-joins that re-exchange the bucketed
+        # shingle state by doc id every batch. The hints pin the plan AQE
+        # chose at runtime anyway (candidates are verify-stage-bounded by
+        # the band-bucket cap — the guide §3.2 broadcast-semi-join form),
+        # and the shingle state keeps its bucket partitioning so the
+        # nn ⋈ oo intersection join needs no exchange on the state side.
         nn = sh_b.select(F.col("doc_id").alias("id_n"), "shingle").join(
-            cand.select("id_n"), "id_n", "left_semi"
+            F.broadcast(cand.select("id_n")), "id_n", "left_semi"
         )
         oo = sh_all.select(F.col("doc_id").alias("id_o"), "shingle").join(
-            cand.select("id_o"), "id_o", "left_semi"
+            F.broadcast(cand.select("id_o")), "id_o", "left_semi"
         )
         inter = (
             nn.join(oo, "shingle")
-            .join(cand.select("id_n", "id_o"), ["id_n", "id_o"], "left_semi")
+            .join(
+                F.broadcast(cand.select("id_n", "id_o")),
+                ["id_n", "id_o"],
+                "left_semi",
+            )
             .groupBy("id_n", "id_o")
             .agg(F.count(F.lit(1)).alias("nc"))
         )
         rejected = (
-            inter.join(cand, ["id_n", "id_o"])
+            inter.join(F.broadcast(cand), ["id_n", "id_o"])
             .filter(F.expr("2 * nc >= 1 * (ns + no - nc)"))
             .select(F.col("id_n").alias("doc_id"))
             .distinct()
         )
         res = (
-            bdf.select("doc_id")
-            .join(rejected.withColumn("__rej", F.lit(True)), "doc_id", "left")
+            bdf.select(
+                "doc_id",
+                F.col("arrival_batch").cast("long").alias("batch_id"),
+            )
+            .join(F.broadcast(rejected.withColumn("__rej", F.lit(True))), "doc_id", "left")
             .select(
                 "doc_id",
-                F.lit(arrival).cast("long").alias("batch_id"),
+                "batch_id",
                 F.col("__rej").isNull().alias("accepted"),
             )
         )
@@ -1826,7 +1885,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         state["last_arr"] = arrival
 
     sess_stream = _docs_stream_session(spark)
-    _fast_commit(sess_stream)
+    _ingest_conf(sess_stream)
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
@@ -2255,8 +2314,13 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refusing to mis-order the prefix"
             )
         arrival = int(og["lo"])
-        arr_lit = F.lit(arrival).cast("int")
         bk_all = sess.table(bkt_t)
+        # The per-batch literal is confined to the SCAN filter (where it
+        # drives file-stats pruning); downstream the arrival tag travels
+        # as the carried `__arr_n` DATA column so the probe/candidate
+        # stages' generated code is byte-identical across batches and the
+        # codegen cache serves batches 1..n (a changing literal
+        # recompiled them every batch — r15, see the minhash sibling).
         probe = (
             bk_all.filter(F.col("arr") == arrival)
             .select(
@@ -2271,6 +2335,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ],
                     )
                 ).alias("b"),
+                F.col("arr").alias("__arr_n"),
             )
         )
         pool = drop_hot_keys(
@@ -2281,13 +2346,14 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_rows_per_key=50_000,
             what="semdedup ingest bucket",
             lazy=True,  # per-batch caller: zero driver actions (r15)
+            lazy_broadcast_hint=True,  # AQE is off in the batch jobs
         )
         cand = (
             probe.join(pool, ["t", "b"])
             .filter(
-                (F.col("arr") < F.lit(arrival))
+                (F.col("arr") < F.col("__arr_n"))
                 | (
-                    (F.col("arr") == F.lit(arrival))
+                    (F.col("arr") == F.col("__arr_n"))
                     & (F.col("id_o") < F.col("id_n"))
                 )
             )
@@ -2323,21 +2389,42 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec").alias("__vo"),
                 F.col("nrm").alias("__no"),
             ).unionByName(vb)
+        # Candidate side BROADCAST-hinted into the corpus-sized vec state
+        # (AQE off in the batch jobs — _ingest_conf): the candidates and
+        # the batch's own vectors are verify-stage-bounded, so hinting
+        # them keeps the state side map-only (scanned pre-bucketed, never
+        # exchanged per batch) — the direction that survives corpus
+        # growth, and the plan AQE picked at runtime anyway.
         rejected = (
-            cand.join(va, "id_n")
+            F.broadcast(cand.join(F.broadcast(va), "id_n"))
             .join(vb, "id_o")
             .withColumn("__cos6", cos6_expr)
             .filter(F.col("__cos6") >= F.lit(thr).cast("long"))
             .select(F.col("id_n").alias("vec_id"))
             .distinct()
         )
-        acc = (
-            bdf.select("vec_id")
-            .join(rejected.withColumn("__rej", F.lit(True)), "vec_id", "left")
-            .select("vec_id", F.col("__rej").isNull().alias("accepted"))
-        )
-        bdf.select("vec_id", vec_expr, nrm_expr).join(acc, "vec_id").withColumn(
-            "arr", arr_lit
+        # accepted rides ONE left join straight into the vec append (the
+        # former two-step — build an `acc` frame off bdf, then inner-join
+        # it back onto a second bdf projection — recomputed the batch
+        # scan and paid one extra join per batch for the same rows); the
+        # arrival tag comes off the data, not a per-batch literal.
+        bdf.select(
+            "vec_id",
+            vec_expr,
+            nrm_expr,
+            F.col("arrival_batch").cast("int").alias("arr"),
+        ).join(
+            # rejected is batch-bounded (ids of the current batch only);
+            # broadcast-hinted because the batch jobs run with AQE off
+            F.broadcast(rejected.withColumn("__rej", F.lit(True))),
+            "vec_id",
+            "left",
+        ).select(
+            "vec_id",
+            "vec",
+            "nrm",
+            F.col("__rej").isNull().alias("accepted"),
+            "arr",
         ).repartition(8, F.col("vec_id")).write.mode("append").bucketBy(
             8, "vec_id"
         ).sortBy("vec_id").saveAsTable(vec_t)
@@ -2349,7 +2436,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sch = spark.read.parquet(stage).schema
     sess_stream = _docs_stream_session(spark)
-    _fast_commit(sess_stream)
+    _ingest_conf(sess_stream)
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
@@ -2493,7 +2580,12 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"after {state['last_arr']}; refusing to mis-order the prefix"
             )
         arrival = int(arrs[0])
-        base = quantize_micro(bdf, id_col="vec_id", vec_col="embedding")
+        base = quantize_micro(
+            bdf,
+            id_col="vec_id",
+            vec_col="embedding",
+            carry_cols=("arrival_batch",),
+        )
         if state["cents"] is None:
             seed_rows = base.orderBy(F.col("vec_id")).limit(k).collect()
             if len(seed_rows) < k:
@@ -2526,7 +2618,11 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = base.withColumn("__enc", enc)
         assigned.select(
             "vec_id",
-            F.lit(arrival).cast("long").alias("batch_id"),
+            # off the data, not a per-batch literal: the centroid array
+            # literals already ride codegen's references array, so with
+            # batch_id carried as a column this whole stage's generated
+            # code is byte-identical across batches (one compile total)
+            F.col("arrival_batch").cast("long").alias("batch_id"),
             (F.col("__enc") % k).cast("long").alias("cluster_id"),
             F.expr(f"__enc DIV {k}").cast("long").alias("dist_micro2"),
         ).write.mode("append").saveAsTable(res_t)
@@ -2563,7 +2659,7 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sch = spark.read.parquet(stage).schema
     sess_stream = _docs_stream_session(spark)
-    _fast_commit(sess_stream)
+    _ingest_conf(sess_stream)
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)

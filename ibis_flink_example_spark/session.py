@@ -25,6 +25,16 @@ from pyspark.sql import SparkSession
 REFERENCE_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
 
 DEFAULT_CONF = {
+    # Driver heap for LOCAL-mode sessions (r15, guide §5): unset, Spark
+    # defaults to 1g — a local[32] run then executes 32 concurrent tasks,
+    # every shuffle/broadcast/codegen cache, AND the scheduler inside ONE
+    # 1 GiB JVM. Measured on the bench host (128 GiB RAM): constant GC
+    # pressure, 2-10x run-to-run timing swings, and spurious "Not enough
+    # memory to build and broadcast" failures. Static conf — applies when
+    # this builder launches the JVM (bench.py, tests, examples); a
+    # cluster deployment sizes driver/executor memory in spark-submit and
+    # this value is ignored there. Overridable via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -2533,6 +2533,63 @@ def test_md5_minhash_band_rows_properties(spark):
     assert by_doc[1][0] == f"{m0}:{m1}"
 
 
+def test_md5_minhash_band_rows_carry_cols(spark):
+    """``carry_cols`` projects a per-id-constant column through to every
+    band row UNCHANGED and leaves the band keys identical to the
+    carry-free call — the r15 ingest contract (the arrival tag rides the
+    aggregation as data instead of a per-batch literal, so the generated
+    stage code is batch-invariant)."""
+    from ibis_flink_example_spark.operators.dedup import (
+        md5_minhash_band_rows,
+    )
+
+    a = [f"tok{i} tok{i+1} tok{i+2}" for i in range(10)]
+    rows = [(1, s, 7) for s in a] + [(2, s, 9) for s in a]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string, arr int")
+    out = md5_minhash_band_rows(
+        sh, id_col="doc_id", carry_cols=("arr",)
+    ).collect()
+    assert all(
+        r["arr"] == (7 if r["doc_id"] == 1 else 9) for r in out
+    ), "carried column must survive per band row"
+    base = md5_minhash_band_rows(
+        sh.select("doc_id", "shingle"), id_col="doc_id"
+    ).collect()
+    key = lambda rs: sorted((r["doc_id"], r["band_idx"], r["band_key"]) for r in rs)  # noqa: E731
+    assert key(out) == key(base), "carry must not perturb band keys"
+
+
+def test_drop_hot_keys_lazy_broadcast_hint(spark):
+    """The hinted lazy arm returns the same survivors as the eager arm
+    and plans the anti-join as a BROADCAST hash join even with AQE off
+    (the micro-batch ingest configuration, r15)."""
+    from ibis_flink_example_spark.operators.dedup import drop_hot_keys
+
+    rows = [(k, i) for k in ("hot",) for i in range(20)] + [
+        ("cold", 0),
+        ("cool", 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = drop_hot_keys(
+            df,
+            ["k"],
+            max_rows_per_key=5,
+            lazy=True,
+            lazy_broadcast_hint=True,
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        got = sorted((r["k"], r["v"]) for r in out.collect())
+        assert got == [("cold", 0), ("cool", 1)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_substring_dup_attribution_hot_gram_cap(spark):
     """A gram above ``max_occurrences_per_gram`` contributes NO pairs;
     the docs it would have paired still pair through their rarer shared
