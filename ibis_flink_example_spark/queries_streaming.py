@@ -1692,14 +1692,15 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     sch = mk_schema(
         {"doc_id": "int64", "text": "string", "arrival_batch": "int32"}
     )
-    res_t = "minhash_ingest_results"
     seen_sh_t = "minhash_ingest_seen_sh"
     seen_bd_t = "minhash_ingest_seen_bands"
-    for t in (res_t, seen_sh_t, seen_bd_t):
+    for t in (seen_sh_t, seen_bd_t):
         drop_table_and_location(spark, t)
-    # legacy sizes table from pre-r13 runs of this query (sizes now ride
-    # the band rows via carry_count)
+    # legacy tables from older layouts of this query: sizes ride the band
+    # rows via carry_count (r13), accepted flags ride the band rows too
+    # (r15) — dropped so a stale copy never shadows
     drop_table_and_location(spark, "minhash_ingest_seen_sizes")
+    drop_table_and_location(spark, "minhash_ingest_results")
 
     # Built ONCE, reused by every micro-batch: word_shingles carries a
     # higher-order transform lambda, and a per-batch reconstruction mints
@@ -1785,8 +1786,18 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             "doc_id", "shingle", "arr"
         )
         # 2) band rows (+ per-doc n_shingles + the carried arrival tag),
-        #    bucketed on the band key
-        md5_minhash_band_rows(
+        #    derived INLINE and appended only after the verify below, so
+        #    the accepted flag RIDES the band rows (r15 fold, mirroring
+        #    the semdedup sibling's vec-state fold: the former separate
+        #    results table cost a third per-batch commit for per-doc
+        #    rows; every doc owns exactly 8 band rows — word_shingles
+        #    degenerates to the whole text below 3 words, so no doc is
+        #    band-less — and the result relation is a distinct
+        #    projection of the band state). The probe side comes from
+        #    this frame directly (no table read-back needed), and the
+        #    candidate pool is prior state UNION the inline batch rows —
+        #    the same rows the former append-then-rescan produced.
+        bd_new = md5_minhash_band_rows(
             sh_b,
             id_col="doc_id",
             shingle_col="shingle",
@@ -1796,27 +1807,31 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             # the plain count is provably |shingles(doc)|
             assume_distinct=True,
             carry_cols=("arr",),
-        ).repartition(
-            8, F.col("band_key")
-        ).write.mode("append").bucketBy(8, "band_key").sortBy(
-            "band_key"
-        ).saveAsTable(seen_bd_t)
-        bd_all = sess.table(seen_bd_t)
-        probe = bd_all.filter(F.col("arr") == arrival).select(
+        )
+        probe = bd_new.select(
             F.col("doc_id").alias("id_n"),
             F.col("n_shingles").alias("ns"),
             "band_idx",
             "band_key",
             F.col("arr").alias("__arr_n"),
         )
-        pool = drop_hot_keys(
-            bd_all.select(
+        pool_src = bd_new.select(
+            F.col("doc_id").alias("id_o"),
+            F.col("n_shingles").alias("no"),
+            "band_idx",
+            "band_key",
+            "arr",
+        )
+        if sess.catalog.tableExists(seen_bd_t):
+            pool_src = sess.table(seen_bd_t).select(
                 F.col("doc_id").alias("id_o"),
                 F.col("n_shingles").alias("no"),
                 "band_idx",
                 "band_key",
                 "arr",
-            ),
+            ).unionByName(pool_src)
+        pool = drop_hot_keys(
+            pool_src,
             ["band_idx", "band_key"],
             max_rows_per_key=50_000,
             what="minhash band bucket",
@@ -1824,7 +1839,11 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             lazy_broadcast_hint=True,  # AQE is off in the batch jobs
         )
         cand = (
-            probe.join(pool, ["band_idx", "band_key"])
+            # probe is batch-bounded (8 band rows per arriving doc) —
+            # broadcast it into the corpus-sized pool so the state side
+            # never re-exchanges per batch (AQE off in the batch jobs)
+            F.broadcast(probe)
+            .join(pool, ["band_idx", "band_key"])
             .filter(
                 (F.col("arr") < F.col("__arr_n"))
                 | ((F.col("arr") == F.col("__arr_n")) & (F.col("id_o") < F.col("id_n")))
@@ -1865,19 +1884,25 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             .select(F.col("id_n").alias("doc_id"))
             .distinct()
         )
-        res = (
-            bdf.select(
-                "doc_id",
-                F.col("arrival_batch").cast("long").alias("batch_id"),
-            )
-            .join(F.broadcast(rejected.withColumn("__rej", F.lit(True))), "doc_id", "left")
-            .select(
-                "doc_id",
-                "batch_id",
-                F.col("__rej").isNull().alias("accepted"),
-            )
-        )
-        res.write.mode("append").saveAsTable(res_t)
+        # accepted rides ONE left join straight into the band append
+        # (rejected is batch-bounded — ids of the current batch only —
+        # so the broadcast hint is the plan AQE would pick at runtime)
+        bd_new.join(
+            F.broadcast(rejected.withColumn("__rej", F.lit(True))),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "n_shingles",
+            "arr",
+            "band_idx",
+            "band_key",
+            F.col("__rej").isNull().alias("accepted"),
+        ).repartition(
+            8, F.col("band_key")
+        ).write.mode("append").bucketBy(8, "band_key").sortBy(
+            "band_key"
+        ).saveAsTable(seen_bd_t)
         # Loop-caller release contract: drop the hot-set checkpoint
         # blocks drop_hot_keys pinned for this batch (ADVICE r14).
         release_eager_checkpoints(pool)
@@ -1897,7 +1922,18 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         return spark.createDataFrame(
             [], "doc_id long, batch_id long, accepted boolean"
         )
-    return spark.table(res_t).select("doc_id", "batch_id", "accepted")
+    # Results ride the band state (r15 fold): every doc owns exactly 8
+    # band rows stamped with the same (arr, accepted), so the distinct
+    # projection IS the one-row-per-doc result relation.
+    return (
+        spark.table(seen_bd_t)
+        .select(
+            "doc_id",
+            F.col("arr").cast("long").alias("batch_id"),
+            "accepted",
+        )
+        .distinct()
+    )
 
 
 def _docs_stream_session(spark: SparkSession):

@@ -1088,14 +1088,15 @@ def test_minhash_ingest_state_tables_bucketed_and_folded(spark, sf_dir):
         "minhash_ingest_seen_bands": "band_key",
     }
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    # Derive the arrival-batch count from the results table instead of
-    # hardcoding 4: a fixture change that alters the mtime-ordered
-    # batching must not fail this test for a non-alignment reason, and a
-    # misaligned write at fewer batches must not hide under a fixed
-    # ceiling (ADVICE r13).
+    # Derive the arrival-batch count from the band state's arrival tags
+    # instead of hardcoding 4: a fixture change that alters the
+    # mtime-ordered batching must not fail this test for a non-alignment
+    # reason, and a misaligned write at fewer batches must not hide under
+    # a fixed ceiling (ADVICE r13). (The former separate results table is
+    # gone — accepted flags ride the band rows since r15.)
     n_batches = (
-        spark.table("minhash_ingest_results")
-        .select("batch_id")
+        spark.table("minhash_ingest_seen_bands")
+        .select("arr")
         .distinct()
         .count()
     )
@@ -1110,7 +1111,9 @@ def test_minhash_ingest_state_tables_bucketed_and_folded(spark, sf_dir):
         assert n_files <= n_batches * 8, (table, n_files, n_batches)
     band_cols = {f.name for f in spark.table("minhash_ingest_seen_bands").schema}
     assert "n_shingles" in band_cols
+    assert "accepted" in band_cols  # r15 fold: results ride the band rows
     assert not spark.catalog.tableExists("minhash_ingest_seen_sizes")
+    assert not spark.catalog.tableExists("minhash_ingest_results")
 
 
 def test_minhash_ingest_state_compaction_roundtrip(spark, sf_dir):
