@@ -188,14 +188,27 @@ def words(col: Column | str) -> Column:
 
 def word_shingles(words_col: Column, n: int) -> Column:
     """Overlapping word n-grams as strings; degenerates to the whole text
-    for docs shorter than n words. Pure JVM expressions (transform/slice)."""
-    return F.when(
-        F.size(words_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(words_col, i + F.lit(1), n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words_col)))
+    for docs shorter than n words. Pure JVM expressions (transform/slice).
+
+    ``words_col`` is BOUND TO A LAMBDA VARIABLE via a length-1 array
+    transform before anything references it: higher-order functions are
+    interpreted (no whole-stage codegen), and an interpreted lambda body
+    re-evaluates every non-lambda-var subtree PER ELEMENT — with the
+    usual ``words(text)`` argument inlined, the regexp split re-ran once
+    per shingle instead of once per row (measured 5x on the shingle
+    scan, r15). A lambda-var reference is a constant-time lookup, so the
+    split now runs exactly once per row regardless of caller shape."""
+
+    def body(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+    return F.element_at(F.transform(F.array(words_col), body), 1)
 
 
 def shingle_hashes(shingles: Column) -> Column:
