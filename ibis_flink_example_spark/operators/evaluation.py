@@ -94,17 +94,24 @@ def stopword_lang_score_x1e6(text_col: str, markers: Sequence[str]) -> Column:
     heuristic score against gold labels before thresholding on it.
     Pure scan-stage column math (no shuffle)."""
     from ibis_flink_example_spark.operators.dedup import words
-    from ibis_flink_example_spark.operators.text import marker_hits
+    from ibis_flink_example_spark.operators.text import bind_col
 
-    num = marker_hits(text_col, list(markers)).cast("long") * F.lit(
-        1_000_000
-    ).cast("long")
-    den = F.greatest(F.size(words(text_col)), F.lit(1)).cast("long")
-    # Exact integer division as Column math (Column `/` is float): strip
-    # the remainder first, so the double division's true result is the
-    # integer quotient itself (representable => correctly-rounded ==
-    # exact; num <= 1e6 * n_words stays far under 2^53).
-    return ((num - num % den) / den).cast("long")
+    low = sorted({m.lower() for m in markers})
+
+    def body(ws: Column) -> Column:
+        # words bound once (bind_col): num/den references otherwise
+        # re-ran the regexp split per reference — 4 splits per row (r15)
+        num = F.size(
+            F.filter(ws, lambda w: F.lower(w).isin(low))
+        ).cast("long") * F.lit(1_000_000).cast("long")
+        den = F.greatest(F.size(ws), F.lit(1)).cast("long")
+        # Exact integer division as Column math (Column `/` is float): strip
+        # the remainder first, so the double division's true result is the
+        # integer quotient itself (representable => correctly-rounded ==
+        # exact; num <= 1e6 * n_words stays far under 2^53).
+        return ((num - num % den) / den).cast("long")
+
+    return bind_col(words(text_col), body)
 
 
 def _score_class_counts(

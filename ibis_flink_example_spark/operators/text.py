@@ -22,6 +22,24 @@ from ibis_flink_example_spark.operators.dedup import (  # noqa: F401
 # RE2 (DuckDB) does not. As of the late-r11 sweep EVERY engine+oracle
 # pair uses the explicit class on both sides; new pairs must too.
 
+def bind_col(col: Column, body) -> Column:
+    """Evaluate ``body(var)`` with ``var`` lambda-bound to ``col`` via a
+    length-1 array transform. Higher-order functions are interpreted, and
+    an interpreted expression tree re-evaluates a non-lambda-var subtree
+    at EVERY reference — a derived array (e.g. the ``words`` regexp
+    split) referenced k times in one projection splits k times per row
+    (measured 10x on ``repetition_features``, whose gram lambda
+    re-split per BIGRAM, r15). A lambda-variable reference is a
+    constant-time lookup, so the subtree evaluates exactly once per row
+    however many times ``body`` references it. For multi-output
+    operators, return ONE struct from ``body`` and expand its fields in
+    a SECOND projection: CollapseProject keeps the two apart (the struct
+    alias is referenced once per field, and the heuristic refuses to
+    inline non-cheap multi-referenced aliases), so the struct
+    materializes once per row."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # (Real pipelines use fastText/CLD3; the heuristic keeps the operator
 # dependency-free and deterministic — the Spark plumbing is identical.)
@@ -58,28 +76,76 @@ def marker_hits(text_col: str, markers: list[str]) -> Column:
 
 def lang_id(text_col: str) -> Column:
     """Argmax over marker-lexicon hit counts; deterministic tie-break by
-    lexicon declaration order; 'und' when nothing matches."""
-    scores = [(lang, marker_hits(text_col, ms)) for lang, ms in LANG_MARKERS.items()]
-    best_score = F.greatest(*[s for _, s in scores])
-    expr = F.lit(DEFAULT_LANG)
-    # build reversed CASE chain so earlier languages win ties
-    for lang, score in reversed(scores):
-        expr = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    lexicon declaration order; 'und' when nothing matches.
+
+    Both the words array and the per-language score array are
+    lambda-BOUND (``bind_col``): the naive form re-referenced each score
+    (and through it the regexp split) once per CASE arm and once inside
+    ``greatest`` — ~25 interpreted splits per row; bound, the split and
+    the four filters run once and the CASE reads array slots. Verified
+    bit-equal on the sf0.1 corpus; ~2x on the scan (r15)."""
+    langs = list(LANG_MARKERS)
+
+    def scores_body(ws: Column) -> Column:
+        # closure factory, NOT a default arg: PySpark derives lambda-var
+        # count from the function's arity, so a second parameter would be
+        # handed a lambda variable
+        def hit(ms: list[str]):
+            low = [m.lower() for m in ms]
+            return lambda w: F.lower(w).isin(low)
+
+        return F.array(
+            *[
+                F.size(F.filter(ws, hit(LANG_MARKERS[lang])))
+                for lang in langs
+            ]
+        )
+
+    def pick(s: Column) -> Column:
+        # array_max == greatest here: sizes are never null
+        best = F.array_max(s)
+        expr = F.lit(DEFAULT_LANG)
+        # reversed CASE chain so earlier languages win ties
+        for i in range(len(langs) - 1, -1, -1):
+            expr = F.when(
+                (F.element_at(s, i + 1) == best) & (best > 0),
+                F.lit(langs[i]),
+            ).otherwise(expr)
+        return expr
+
+    return bind_col(bind_col(words(text_col), scores_body), pick)
 
 
 def quality_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
     """Per-doc quality signals + a composite score in [0,1]:
     length band, punctuation density, stopword ratio, mean word length —
     the classic heuristic-filter stack (Gopher/C4-style) as pure columns."""
-    n_chars = F.length(F.col(text_col))
-    ws = words(text_col)
-    n_words = F.size(ws)
-    n_punct = F.size(
+    # Counting pass bound once per row (bind_col: the split and the
+    # stopword filter were re-evaluated per referencing output column —
+    # r15), then ratios/flags read the materialized struct fields.
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    n_chars0 = F.length(F.col(text_col))
+    n_punct0 = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w \t\n\x0B\f\r]"), 0)
     )
-    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    n_stop = F.size(F.filter(ws, lambda w: F.lower(w).isin(all_markers)))
+
+    def body(ws: Column) -> Column:
+        return F.struct(
+            n_chars0.alias("c"),
+            F.size(ws).alias("w"),
+            n_punct0.alias("p"),
+            F.size(
+                F.filter(ws, lambda w: F.lower(w).isin(all_markers))
+            ).alias("s"),
+        )
+
+    base = df.select(
+        *extra_cols, bind_col(words(text_col), body).alias("__m")
+    )
+    n_chars = F.col("__m.c")
+    n_words = F.col("__m.w")
+    n_punct = F.col("__m.p")
+    n_stop = F.col("__m.s")
     mean_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of separators
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
@@ -91,7 +157,7 @@ def quality_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataFram
         + (punct_ratio <= 0.2).cast("double") * 0.2
         + (stop_ratio >= 0.01).cast("double") * 0.2
     )
-    return df.select(
+    return base.select(
         *extra_cols,
         n_chars.alias("n_chars_measured"),
         n_words.alias("n_words"),
@@ -118,47 +184,63 @@ def repetition_features(df: DataFrame, text_col: str, *extra_cols: str) -> DataF
     O(g log g) inside codegen'd higher-order functions. The alternative
     (explode → groupBy(doc, gram) → max/sum) shuffles |corpus words| rows;
     at 100 TB the in-row form wins by the width of that exchange."""
-    ws = words(text_col)
-    n_words = F.size(ws)
-    dup_word_frac = (
-        F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_words
+    # The whole feature block runs under ONE lambda binding of the words
+    # array (bind_col): the gram lambda's ``element_at(ws, i)`` otherwise
+    # re-evaluates the regexp split PER BIGRAM in interpreted HOF
+    # evaluation — measured 10x on this operator's scan (6.6 s -> 0.66 s
+    # on the sf0.1 corpus, r15), bit-identical output.
+    def body(ws: Column) -> Column:
+        n_words = F.size(ws)
+        dup_word_frac = (
+            F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_words
+        )
+        # The grams expression must be TOTAL for every row, not merely
+        # referenced behind a lazy when() branch: sequence(1, n_words-1) on a
+        # 1-word doc would yield the DESCENDING [1, 0] and element_at(ws, 0)
+        # throws under ANSI mode. Guard the sequence itself (empty array for
+        # sub-2-word docs) and clamp its upper bound so both branches are valid
+        # on all inputs regardless of where the expression appears.
+        grams = F.when(
+            n_words >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        run = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        top_2gram_frac = F.when(
+            n_words >= 2, run.cast("double") / (n_words - 1).cast("double")
+        )
+        return F.struct(
+            n_words.alias("w"),
+            dup_word_frac.alias("d"),
+            top_2gram_frac.alias("t"),
+        )
+
+    base = df.select(
+        *extra_cols, bind_col(words(text_col), body).alias("__m")
     )
-    # The grams expression must be TOTAL for every row, not merely
-    # referenced behind a lazy when() branch: sequence(1, n_words-1) on a
-    # 1-word doc would yield the DESCENDING [1, 0] and element_at(ws, 0)
-    # throws under ANSI mode. Guard the sequence itself (empty array for
-    # sub-2-word docs) and clamp its upper bound so both branches are valid
-    # on all inputs regardless of where the expression appears.
-    grams = F.when(
-        n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    run = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    top_2gram_frac = F.when(
-        n_words >= 2, run.cast("double") / (n_words - 1).cast("double")
-    )
-    return df.select(
+    return base.select(
         *extra_cols,
-        n_words.alias("n_words"),
-        dup_word_frac.alias("dup_word_frac"),
-        top_2gram_frac.alias("top_2gram_frac"),
+        F.col("__m.w").alias("n_words"),
+        F.col("__m.d").alias("dup_word_frac"),
+        F.col("__m.t").alias("top_2gram_frac"),
     )
 
 
@@ -196,40 +278,77 @@ def gopher_flags(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
     split arrays): at 100 TB this is a zero-shuffle scan-stage pass, and
     the integer restatement of every threshold means the flags — not just
     the counts — are engine-exact."""
-    ws = F.split(F.trim(F.col(text_col)), WS_SPLIT)
-    n_words = F.size(ws).cast("long")
-    word_chars = F.aggregate(
-        F.transform(ws, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_alpha_words = F.size(
-        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
-    ).cast("long")
+    # Counting pass bound once per row over BOTH split arrays (bind_col
+    # with a struct of the words + lines arrays — r15): the naive form
+    # re-ran the splits at every referencing count/flag (~15 interpreted
+    # splits per row across the pass_* trees and pass_gopher's copies).
+    # Flags then read the materialized struct fields.
     req = [w for w in GOPHER_REQUIRED_WORDS]
-    req_kinds = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform(ws, lambda w: F.lower(w))),
-            F.array(*[F.lit(w) for w in req]),
-        )
-    ).cast("long")
-    symbol_hits = F.size(
+    symbol_hits0 = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(GOPHER_SYMBOLS_REGEX), 0)
     ).cast("long")
-    lines = F.split(F.col(text_col), "\n", -1)
-    n_lines = F.size(lines).cast("long")
-    bullet_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(*GOPHER_BULLET_CHARS),
+
+    def body(x: Column) -> Column:
+        ws = x["a"]
+        lines = x["b"]
+        return F.struct(
+            F.size(ws).cast("long").alias("w"),
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("wc"),
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+            .cast("long")
+            .alias("aw"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(ws, lambda w: F.lower(w))),
+                    F.array(*[F.lit(w) for w in req]),
+                )
+            )
+            .cast("long")
+            .alias("rk"),
+            symbol_hits0.alias("sh"),
+            F.size(lines).cast("long").alias("nl"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.substring(F.ltrim(ln), 1, 1).isin(
+                        *GOPHER_BULLET_CHARS
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("bl"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: F.rtrim(ln).endswith("...")
+                    | F.rtrim(ln).endswith("…"),
+                )
+            )
+            .cast("long")
+            .alias("el"),
         )
-    ).cast("long")
-    ellipsis_lines = F.size(
-        F.filter(
-            lines,
-            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
-        )
-    ).cast("long")
+
+    ws0 = F.split(F.trim(F.col(text_col)), WS_SPLIT)
+    lines0 = F.split(F.col(text_col), "\n", -1)
+    bound = F.element_at(
+        F.transform(
+            F.array(F.struct(ws0.alias("a"), lines0.alias("b"))), body
+        ),
+        1,
+    )
+    base = df.select(*extra_cols, bound.alias("__m"))
+    n_words = F.col("__m.w")
+    word_chars = F.col("__m.wc")
+    n_alpha_words = F.col("__m.aw")
+    req_kinds = F.col("__m.rk")
+    symbol_hits = F.col("__m.sh")
+    n_lines = F.col("__m.nl")
+    bullet_lines = F.col("__m.bl")
+    ellipsis_lines = F.col("__m.el")
     pass_word_count = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     pass_mean_word_len = (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
     pass_symbol_ratio = 10 * symbol_hits <= n_words
@@ -238,7 +357,7 @@ def gopher_flags(df: DataFrame, text_col: str, *extra_cols: str) -> DataFrame:
     pass_lines = (10 * bullet_lines < 9 * n_lines) & (
         10 * ellipsis_lines < 3 * n_lines
     )
-    return df.select(
+    return base.select(
         *extra_cols,
         n_words.alias("n_words"),
         word_chars.alias("word_chars"),
@@ -303,9 +422,18 @@ def rolling_shingle_fingerprints(
 
         shingles = word_shingles(F.split(c, " "), n)
     else:
-        shingles = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1))),
-            lambda i: F.substring(c, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+        # The normalized text is lambda-BOUND (bind_col): referenced
+        # directly inside the window lambda it would re-run the
+        # trim/regexp/lower chain once PER CHARACTER POSITION in
+        # interpreted HOF evaluation (r15; the word_shingles lesson).
+        shingles = bind_col(
+            c,
+            lambda cb: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(cb) - n + 1, F.lit(1))
+                ),
+                lambda i: F.substring(cb, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+            ),
         )
     if hash_fn == "md5":
         hashes = F.transform(shingles, lambda s: F.md5(s.cast("binary")))
