@@ -33,10 +33,11 @@ Exactness contract (the PageRank/BPE playbook):
 
 Scale posture (100 TB): classic broadcast-Lloyd. Centroids are a k x dim
 integer matrix held on the driver (k*dim*8 bytes — kilobytes) and baked
-into the assignment expression as LITERALS, so each iteration is ONE scan
-of the quantized, eagerly-checkpointed base frame (map-only assignment,
-whole-stage codegen, no join) plus ONE k-row aggregation whose map-side
-partials reduce every partition to k x (dim+1) longs before the exchange.
+into the assignment expression as ONE matrix LITERAL, so each iteration is
+ONE scan of the quantized, eagerly-checkpointed base frame (map-only
+assignment, whole-stage codegen, no join) plus ONE aggregation whose
+map-side partials reduce every partition to k x dim (cid, dim) rows
+before the exchange.
 The two driver collects per iteration (k centroid rows; the initial k
 seed vectors) are bounded by k, never by the corpus — the documented
 bounded-collect pattern (see ``dedup.connected_components``' driver arm).
@@ -45,7 +46,7 @@ Iteration count is a fixed small constant: total cost O(iters x scan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 QUANT = 1_000_000
@@ -81,6 +82,40 @@ def quantize_micro(
                 "long"
             ),
         ).alias("__mv"),
+    )
+
+
+def encoded_argmin(mv: Column, centroids: list[list[int]], k: int) -> Column:
+    """The broadcast-Lloyd encoded argmin ``min(dist * k + cid)`` over a
+    quantized BIGINT vector column: ONE k x dim matrix literal + a nested
+    fold over a sequence(0, k-1) index, not k unrolled per-centroid fold
+    trees. Constant folding collapses the parsed array(array(...)) into a
+    single Literal in codegen's references array (compiled class reused
+    across iterations/batches even as centroid values change — the r13
+    array-literal lesson), and Catalyst analyzes ONE tree per build
+    instead of k. array_min over (dist * k + cid) == least of the same k
+    values, bit-identical (verified exceptAll both ways at sf0.1, r15);
+    this + the exploded centroid agg took kmeans_assign's 4-iteration
+    driver chain from ~5.4 s to ~1.5 s warm."""
+    inner = ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
+    )
+    mat = F.expr(f"array({inner})")
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.aggregate(
+                F.zip_with(
+                    mv,
+                    F.element_at(mat, i + 1),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            * k
+            + i.cast("long"),
+        )
     )
 
 
@@ -130,25 +165,9 @@ def kmeans_assign(
         raise ValueError(f"kmeans_assign: need >= {k} rows, got {len(cents)}")
 
     def enc_expr(centroids: list[list[int]]):
-        # ONE array literal per centroid (F.lit(list)), not dim element
-        # literals: the non-primitive constant lands in codegen's
-        # references array instead of the generated source, so the
-        # compiled class is REUSED across iterations even though the
-        # centroid values change — measured 2x faster per iteration than
-        # the 512-element-literal form, bit-identical results.
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("__mv"),
-                    F.lit([int(v) for v in c]).cast("array<bigint>"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-        return F.least(*[d * k + F.lit(i).cast("long") for i, d in enumerate(dists)])
+        # see encoded_argmin: one matrix literal + one analyzed tree per
+        # iteration, bit-identical to the unrolled least() form
+        return encoded_argmin(F.col("__mv"), centroids, k)
 
     # iters - 1 update rounds; the iters-th (final) assignment is the
     # returned expression below.
@@ -158,19 +177,32 @@ def kmeans_assign(
         assigned = base_cp.select(
             (enc_expr(cents) % k).alias("__cid"), "__mv"
         )
-        sums = assigned.groupBy("__cid").agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            *[
-                F.sum(F.element_at("__mv", d + 1)).alias(f"__s{d}")
-                for d in range(dim)
-            ],
-        ).collect()  # bounded: k rows x (dim+1) longs
+        # Element-wise centroid sums via posexplode + ONE analyzed agg
+        # expression, not dim separate sum columns (dim+1 agg exprs cost
+        # ~0.5 s of Catalyst analysis PER ITERATION at dim=64). Same
+        # exactness (BIGINT sums) and the same map-side partial
+        # aggregation: each partition reduces to k x dim (cid, d) rows
+        # before the exchange; the collect stays bounded at k x dim rows.
+        sums = (
+            assigned.select(
+                "__cid", F.posexplode("__mv").alias("__d", "__v")
+            )
+            .groupBy("__cid", "__d")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum("__v").alias("__s"),
+            )
+            .collect()
+        )
         new_cents = [list(c) for c in cents]  # empty cluster keeps old
+        counts: dict[int, int] = {}
+        acc: dict[tuple[int, int], int] = {}
         for r in sums:
-            cid = int(r["__cid"])
-            n = int(r["__n"])
+            counts[int(r["__cid"])] = int(r["__n"])
+            acc[(int(r["__cid"]), int(r["__d"]))] = int(r["__s"])
+        for cid, n in counts.items():
             new_cents[cid] = [
-                _trunc_div(int(r[f"__s{d}"]), n) for d in range(dim)
+                _trunc_div(acc[(cid, d)], n) for d in range(dim)
             ]
         cents = new_cents
 

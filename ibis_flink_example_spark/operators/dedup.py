@@ -613,6 +613,11 @@ def minhash_lsh_candidates(
         max_rows_per_key=max_bucket_size,
         what="LSH band bucket",
         log_dropped=log_dropped,
+        # lazy: batch sessions run AQE, which supplies the same guarded
+        # broadcast anti-join at runtime — zero driver actions instead of
+        # the eager arm's checkpoint + count per call (r15, guide §1.3;
+        # interleaved A/B across the dhk-using batch queries: ~0.5 s/query)
+        lazy=True,
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1070,6 +1075,7 @@ def hamming_band_pairs(
         max_rows_per_key=max_bucket_size,
         what=what,
         log_dropped=log_dropped,
+        lazy=True,  # AQE-guarded anti-join; zero driver actions (r15)
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
@@ -1133,6 +1139,7 @@ def ngram_jaccard_pairs(
         max_rows_per_key=max_doc_freq,
         what="shingle (document frequency)",
         log_dropped=log_dropped,
+        lazy=True,  # AQE-guarded anti-join; zero driver actions (r15)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

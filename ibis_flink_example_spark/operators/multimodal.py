@@ -286,10 +286,14 @@ def payload_pixel_codes(payload_col: Column | str) -> Column:
         if isinstance(payload_col, str)
         else payload_col.cast("string")
     )
-    return F.transform(
-        F.filter(F.split(s, ""), lambda c: c != F.lit("")),
-        lambda c: F.ascii(c),
-    )
+    # split('', '') is the ONLY input that yields an empty-string element
+    # (Java String.split with a zero-width pattern never emits empties on
+    # non-empty input), so the empty-payload case is handled by one
+    # scalar length guard instead of an interpreted per-element filter
+    # pass over every character (r15; one fewer HOF pass per row).
+    return F.when(
+        F.length(s) == 0, F.array().cast("array<int>")
+    ).otherwise(F.transform(F.split(s, ""), lambda c: F.ascii(c)))
 
 
 def blockhash_signatures(
@@ -319,8 +323,9 @@ def blockhash_signatures(
     the scan. Block b's positions are the closed-form ceil slice
     ``[ceil(b*n/64), ceil((b+1)*n/64) - 1]`` (the exact inverse image of
     ``pos*64 DIV n == b``), so block sums are 64 ``aggregate(slice(...))``
-    higher-order passes — each pixel is added exactly twice (its block +
-    the grand total), ~2n JVM adds per doc. This measured 6x faster at
+    higher-order passes — each pixel is added exactly once (the grand
+    total is the 64-element sum of block sums, not a second n-length
+    pass), ~n JVM adds per doc. This measured 6x faster at
     sf0.1 than the simhash-style posexplode + 130-conditional-sum
     scan-path formulation (whose per-pixel cost is 64 ``when`` probes, not
     1 add) — the opposite trade from simhash, where per-WORD rows are few
@@ -353,16 +358,10 @@ def blockhash_signatures(
         F.col(id_col),
         F.col(pixels_col).alias("__px"),
         n_guard.alias("__n"),
-        F.aggregate(
-            F.col(pixels_col),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("__total"),
     )
     staged = base.select(
         id_col,
         "__n",
-        "__total",
         F.expr(
             f"transform(sequence(0, {bits - 1}), b -> "
             f"aggregate(slice(__px, CAST((b * __n + 63) DIV {bits} + 1 AS INT), "
@@ -373,6 +372,18 @@ def blockhash_signatures(
             f"transform(sequence(0, {bits - 1}), b -> "
             f"((b + 1) * __n + 63) DIV {bits} - (b * __n + 63) DIV {bits})"
         ).alias("__lens"),
+    ).select(
+        id_col,
+        "__n",
+        "__sums",
+        "__lens",
+        # The ceil slices partition the pixel array exactly (each block's
+        # range is the inverse image of pos*bits DIV n == b), so the grand
+        # total is the 64-element sum of block sums — identical BIGINT
+        # value, one fewer n-length interpreted pass per row (r15).
+        F.aggregate(
+            F.col("__sums"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("__total"),
     )
     sig = F.lit(0).cast("long")
     # BIGINT cross-multiplies — exact under the n <= 2M guard above
@@ -414,10 +425,19 @@ def phash_neardup_pairs(
     signature table is materialized (localCheckpoint) because the bucket
     self-join consumes it twice; 8 bytes per image regardless of payload
     size. Returns (id_a, id_b, hamming), id_a < id_b."""
+    from ibis_flink_example_spark.catalog import fan_out
     from ibis_flink_example_spark.operators.dedup import hamming_band_pairs
 
+    # fan_out BEFORE the pixel-code projection: the signature scan is
+    # CPU-bound interpreted-HOF work (per-char codes + 64 slice
+    # aggregates) and a single-row-group fixture file otherwise runs it
+    # all on ONE core; widening first shuffles the raw payload bytes, so
+    # the per-char work lands post-exchange on every core (no-op at
+    # scale — r15).
     sigd = blockhash_signatures(
-        media.select(id_col, payload_pixel_codes(payload_col).alias("__px")),
+        fan_out(media.select(id_col, payload_col)).select(
+            F.col(id_col), payload_pixel_codes(payload_col).alias("__px")
+        ),
         id_col=id_col,
         pixels_col="__px",
         sig_col="__ph",

@@ -350,6 +350,7 @@ def embedding_neardup_pairs(
             [block_col],
             max_rows_per_key=max_rows_per_block,
             what="embedding pair block",
+            lazy=True,  # AQE-guarded anti-join; zero driver actions (r15)
         )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -1049,6 +1050,7 @@ def lsh_label_agreement(
         ["__bucket"],
         max_rows_per_key=max_bucket_size,
         what="hyperplane bucket",
+        lazy=True,  # AQE-guarded anti-join; zero driver actions (r15)
     )
     if probe_hamming == 1:
         probe = F.explode(
@@ -1183,6 +1185,7 @@ def lsh_multitable_candidate_pairs(
         ["__t", "__b"],
         max_rows_per_key=max_bucket_size,
         what="LSH table bucket",
+        lazy=True,  # AQE-guarded anti-join; zero driver actions (r15)
     ).select(F.col(id_col).alias("__cid"), "__t", "__b")
     probe = base.select(
         F.col(id_col).alias("__qid"),

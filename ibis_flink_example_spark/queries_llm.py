@@ -5867,14 +5867,24 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_flink_example_spark.operators import clustering as C
 
     em = load_table(spark, sf_dir, "embeddings")
-    asn = C.kmeans_assign(
-        em,
-        id_col="vec_id",
-        vec_col="embedding",
-        dim=64,
-        k=_KMEANS_K,
-        iters=_KMEANS_ITERS,
-    ).select("vec_id", "cluster_id")
+    # The assignment is materialized (localCheckpoint): semantic_dedup's
+    # internal actions (hot-block count, CC edge materialization) and the
+    # final join otherwise each re-plan AND re-execute the full
+    # quantize+argmin lineage per action (guide §1.3; measured ~2 s at
+    # sf0.1, r15). 16 bytes/row, executor-local blocks — the
+    # minhash-signature checkpoint pattern.
+    asn = (
+        C.kmeans_assign(
+            em,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,
+            k=_KMEANS_K,
+            iters=_KMEANS_ITERS,
+        )
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
     blocked = em.join(asn, "vec_id")
     out = S.semantic_dedup(
         blocked,
@@ -5884,7 +5894,13 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
         max_rows_per_block=_SEMDEDUP_CLUSTER_CAP,
     )
-    return out.select("vec_id", "cluster_id")
+    from ibis_flink_example_spark.operators.checkpoints import (
+        attach_eager_checkpoints,
+    )
+
+    return attach_eager_checkpoints(
+        out.select("vec_id", "cluster_id"), out, handles=(asn,)
+    )
 
 
 @query(
@@ -5940,14 +5956,21 @@ def semdedup_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_flink_example_spark.operators import clustering as C
 
     em = load_table(spark, sf_dir, "embeddings")
-    asn = C.kmeans_assign(
-        em,
-        id_col="vec_id",
-        vec_col="embedding",
-        dim=64,
-        k=_KMEANS_K,
-        iters=_KMEANS_ITERS,
-    ).select("vec_id", "cluster_id")
+    # Materialized for the same reason as semdedup_kmeans's assignment:
+    # the blocked-pair stage's internal actions re-plan/re-execute the
+    # quantize+argmin lineage per action otherwise (r15).
+    asn = (
+        C.kmeans_assign(
+            em,
+            id_col="vec_id",
+            vec_col="embedding",
+            dim=64,
+            k=_KMEANS_K,
+            iters=_KMEANS_ITERS,
+        )
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
     blocked_src = em.join(asn, "vec_id")
     blocked = (
         S.embedding_neardup_pairs(
@@ -6012,7 +6035,7 @@ def semdedup_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_eager_checkpoints,
     )
 
-    return attach_eager_checkpoints(out, handles=(blocked, truth))
+    return attach_eager_checkpoints(out, handles=(blocked, truth, asn))
 
 
 @query(

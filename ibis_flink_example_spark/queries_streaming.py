@@ -2612,6 +2612,7 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ibis_flink_example_spark.catalog import drop_table_and_location
     from ibis_flink_example_spark.operators.clustering import (
         _trunc_div,
+        encoded_argmin,
         quantize_micro,
     )
     from ibis_flink_example_spark.streaming.runtime import foreach_batch
@@ -2650,24 +2651,12 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             state["cents"] = [list(r["__mv"]) for r in seed_rows]
             state["counts"] = [0] * k
         cents = state["cents"]
-        # Array-literal centroids (see clustering.enc_expr): the constant
-        # rides codegen's references array, so the compiled class is
-        # reused across batches even as the centroid values evolve.
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("__mv"),
-                    F.lit([int(v) for v in c]).cast("array<bigint>"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in cents
-        ]
-        enc = F.least(
-            *[d * k + F.lit(i).cast("long") for i, d in enumerate(dists)]
-        )
+        # Matrix-literal centroids (clustering.encoded_argmin): the one
+        # folded constant rides codegen's references array, so the
+        # compiled class is reused across batches even as the centroid
+        # values evolve, and Catalyst analyzes ONE tree per batch
+        # instead of k unrolled fold trees (r15).
+        enc = encoded_argmin(F.col("__mv"), cents, k)
         # No checkpoint: the two consumers below re-plan the same scan,
         # but they share the ONE `enc` Column object, so analysis and
         # codegen cache-hit — cheaper than materializing a batch-sized
@@ -2683,27 +2672,33 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__enc") % k).cast("long").alias("cluster_id"),
             F.expr(f"__enc DIV {k}").cast("long").alias("dist_micro2"),
         ).write.mode("append").saveAsTable(res_t)
+        # Element-wise centroid sums via posexplode + ONE analyzed agg
+        # expression per batch, not dim+1 separate agg columns (~0.5 s of
+        # Catalyst analysis per batch at dim=64 — r15, the kmeans_assign
+        # treatment). Map-side partials still reduce each partition to
+        # k x dim rows; the collect stays bounded at k x dim rows.
         sums = (
             assigned.select((F.col("__enc") % k).alias("__cid"), "__mv")
-            .groupBy("__cid")
+            .select("__cid", F.posexplode("__mv").alias("__d", "__v"))
+            .groupBy("__cid", "__d")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("__n"),
-                *[
-                    F.sum(F.element_at("__mv", d + 1)).alias(f"__s{d}")
-                    for d in range(dim)
-                ],
+                F.sum("__v").alias("__s"),
             )
-            .collect()  # bounded: k rows x (dim+1) longs
+            .collect()
         )
         new_cents = [list(c) for c in cents]
         new_counts = list(state["counts"])
+        b_counts: dict[int, int] = {}
+        b_acc: dict[tuple[int, int], int] = {}
         for r in sums:
-            cid = int(r["__cid"])
-            cnt = int(r["__n"])
+            b_counts[int(r["__cid"])] = int(r["__n"])
+            b_acc[(int(r["__cid"]), int(r["__d"]))] = int(r["__s"])
+        for cid, cnt in b_counts.items():
             n_old = new_counts[cid]
             new_cents[cid] = [
                 _trunc_div(
-                    int(cents[cid][d]) * n_old + int(r[f"__s{d}"]),
+                    int(cents[cid][d]) * n_old + b_acc[(cid, d)],
                     n_old + cnt,
                 )
                 for d in range(dim)
