@@ -86,13 +86,21 @@ def main() -> None:
     #   a load DIAGNOSTIC; round-over-round comparisons should lean on
     #   raw-total medians across >= 2 runs, with the normalized value as
     #   a cross-check that big raw swings are load, not regressions.
+    # Re-based at END of r15 from the post-optimization idle run's
+    # post-loop medians (the provisional mid-r15 values predated the
+    # decontaminate/kmeans optimizations, which by themselves dragged
+    # load_factor to 0.58 on an idle machine). Refs must be re-based
+    # whenever a sentinel query itself is optimized.
+    # (per-sentinel median over THREE consecutive end-of-r15 idle runs —
+    # a single run's post-loop pass proved 10-20% JIT/page-cache
+    # sensitive per sentinel)
     SENTINEL_REF_SEC = {
-        "over_range_sum_10s": 0.37,
-        "dedup_exact": 0.52,
-        "tpch_q9_product_profit": 0.93,
-        "decontaminate_ngram": 3.33,
-        "scd2_point_in_time": 2.03,
-        "kmeans_assign_embeddings": 4.36,
+        "over_range_sum_10s": 0.42,
+        "dedup_exact": 0.49,
+        "tpch_q9_product_profit": 0.83,
+        "decontaminate_ngram": 0.91,
+        "scd2_point_in_time": 1.57,
+        "kmeans_assign_embeddings": 1.44,
     }
     # hardware the SENTINEL_REF_SEC numbers were measured on — normalized
     # values computed on any other machine silently compare
