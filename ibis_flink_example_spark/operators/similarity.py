@@ -97,13 +97,17 @@ def normalize(a: Column) -> Column:
 
     NOT used on the pairwise hot paths: an unrolled variant that embeds the
     norm subtree in each of ``dim`` array slots explodes the expression tree
-    ~dim× (codegen OOM at dim=64 in practice), and the lambda form
-    re-evaluates the captured norm per ELEMENT. The join operators below
+    ~dim× (codegen OOM at dim=64 in practice). The join operators below
     instead carry the norm as a SCALAR column (``l2_norm(vec, dim)`` — one
     flat tree, one value per row) and divide at pair time:
-    cosine = dot(a,b)/(n_a·n_b)."""
-    n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    cosine = dot(a,b)/(n_a·n_b). The captured norm is lambda-BOUND
+    (bind_col, r15) so interpreted HOF evaluation computes it once per
+    row, not once per element."""
+    from ibis_flink_example_spark.operators.text import bind_col
+
+    return bind_col(
+        l2_norm(a), lambda n: F.transform(a, lambda x: x.cast("double") / n)
+    )
 
 
 def cosine_topk(

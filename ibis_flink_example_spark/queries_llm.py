@@ -7,7 +7,7 @@ rows-only by design (NON_SQL_EXPRESSIBLE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ibis_flink_example_spark.catalog import load_table
@@ -141,20 +141,44 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_join (the external compare is scalar-typed); dequantization is
     q * scale."""
     from ibis_flink_example_spark.operators.similarity import l2_norm
+    from ibis_flink_example_spark.operators.text import bind_col
 
     em = load_table(spark, sf_dir, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    max_abs = F.array_max(F.transform(xd, F.abs))
-    scale = max_abs / F.lit(127.0)
-    q = F.when(
-        max_abs == 0, F.transform(xd, lambda v: F.lit(0))
-    ).otherwise(F.transform(xd, lambda v: F.floor(v / scale + F.lit(0.5)).cast("int")))
+    # xd and max_abs are lambda-BOUND (bind_col): referenced directly
+    # inside the quantize lambda, the interpreted HOF re-evaluated
+    # scale — and through it the array_max pass — once PER ELEMENT
+    # (O(dim^2) per row; r15, the repetition_features lesson). Two
+    # outputs -> one struct, expanded in a second projection.
+    xd0 = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+
+    def body(xdb: Column) -> Column:
+        def inner(mab: Column) -> Column:
+            scale = mab / F.lit(127.0)
+            q = F.when(
+                mab == 0, F.transform(xdb, lambda v: F.lit(0))
+            ).otherwise(
+                F.transform(
+                    xdb,
+                    lambda v: F.floor(v / scale + F.lit(0.5)).cast("int"),
+                )
+            )
+            return F.struct(
+                scale.alias("s"), F.array_join(q, ",").alias("qc")
+            )
+
+        return bind_col(F.array_max(F.transform(xdb, F.abs)), inner)
+
     return em.select(
         "vec_id",
         "label",
         l2_norm(F.col("embedding")).alias("l2_norm"),
-        scale.alias("scale"),
-        F.array_join(q, ",").alias("q_csv"),
+        bind_col(xd0, body).alias("__m"),
+    ).select(
+        "vec_id",
+        "label",
+        "l2_norm",
+        F.col("__m.s").alias("scale"),
+        F.col("__m.qc").alias("q_csv"),
     )
 
 
@@ -5184,15 +5208,27 @@ def int8_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer count per anchor. At 100 TB the same query prices an int8
     HNSW/IVF index against the float baseline."""
     em = load_table(spark, sf_dir, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    max_abs = F.array_max(F.transform(xd, F.abs))
-    scale = max_abs / F.lit(127.0)
-    deq = F.when(
-        max_abs == 0, F.transform(xd, lambda v: F.lit(0.0))
-    ).otherwise(
-        F.transform(xd, lambda v: F.floor(v / scale + F.lit(0.5)) * scale)
-    )
-    emq = em.select("vec_id", deq.alias("embedding"))
+    # xd and max_abs lambda-BOUND (bind_col, r15): the dequantize lambda
+    # otherwise re-evaluated scale — and through it the array_max pass —
+    # once per element (O(dim^2) per row, the embedding_quantize twin).
+    from ibis_flink_example_spark.operators.text import bind_col
+
+    xd0 = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+
+    def deq_body(xdb: Column) -> Column:
+        def inner(mab: Column) -> Column:
+            scale = mab / F.lit(127.0)
+            return F.when(
+                mab == 0, F.transform(xdb, lambda v: F.lit(0.0))
+            ).otherwise(
+                F.transform(
+                    xdb, lambda v: F.floor(v / scale + F.lit(0.5)) * scale
+                )
+            )
+
+        return bind_col(F.array_max(F.transform(xdb, F.abs)), inner)
+
+    emq = em.select("vec_id", bind_col(xd0, deq_body).alias("embedding"))
     anchors = em.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     anchorsq = emq.filter(F.col("vec_id").isin(_QUERY_VEC_IDS))
     full = S.cosine_topk(
