@@ -145,7 +145,28 @@ def session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_PARTS = 4
 
 
-def _ingest_conf(sess) -> None:
+# Per-batch input size above which AQE stays ON for ingest batch jobs
+# (r16, VERDICT r15 #5): AQE's per-exchange replan latency (~0.2-0.3 s a
+# round) amortizes once a micro-batch carries enough data for runtime
+# coalescing/skew-splitting to matter; 256 MB ≈ one advisory shuffle
+# partition per exchange — below that a static plan cannot mis-size badly.
+_INGEST_AQE_MIN_BATCH_BYTES = 256 * 1024 * 1024
+
+
+def _max_file_bytes(stage_dir: str) -> int:
+    """Largest file in a staged replay dir = per-batch input bound under
+    maxFilesPerTrigger=1 (driver-side os.stat metadata only)."""
+    import os
+
+    sizes = [
+        os.path.getsize(os.path.join(stage_dir, f))
+        for f in os.listdir(stage_dir)
+        if os.path.isfile(os.path.join(stage_dir, f))
+    ]
+    return max(sizes, default=0)
+
+
+def _ingest_conf(sess, *, approx_batch_bytes: int | None = None) -> None:
     """Per-batch job tuning for a conf-isolated ingest session (the
     ``state_scoped_session`` clone a foreachBatch arm runs its batch
     jobs on — no other query's conf changes).
@@ -158,29 +179,35 @@ def _ingest_conf(sess) -> None:
        failure aborts the whole query — the v1 "job-commit is atomic"
        property buys nothing for this shape. An object-store deployment
        would use the store's native committer instead.
-    2. AQE OFF for the batch jobs (r15, guide §1.2/§2.4 measured): AQE
-       materializes EVERY Exchange of a per-batch plan as its own
-       driver-synchronous job round (plus a replan+recompile per round),
-       which on a micro-batch-sized DAG of ~10 exchanges is pure fixed
-       latency — measured 34.0 s -> 15.3 s on the 4-batch semdedup
-       replay at sf0.1, with identical results. This mirrors Spark's own
-       choice of disabling AQE inside streaming plans for latency. The
-       per-batch work here is bounded by batch size + capped bucket
-       co-occupancy BY DESIGN (never corpus-sized), so static planning
-       is the right default at any corpus scale; the one plan decision
-       that wanted AQE — the hot-key cap's guarded broadcast anti-join —
-       is handled explicitly (``drop_hot_keys(lazy_broadcast_hint=...)``).
-       Set SPARK_GRAFT_INGEST_AQE=1 to re-enable for deployments whose
-       per-batch volumes are large enough for runtime re-planning to pay
-       its latency back.
+    2. AQE sized to the MICRO-BATCH, not the session (r15 measured, r16
+       size-aware per VERDICT r15 #5): AQE materializes EVERY Exchange
+       of a per-batch plan as its own driver-synchronous job round (plus
+       a replan+recompile per round), which on a micro-batch-sized DAG
+       of ~10 exchanges is pure fixed latency — measured 34.0 s -> 15.3 s
+       on the 4-batch semdedup replay at sf0.1, with identical results.
+       This mirrors Spark's own choice of disabling AQE inside streaming
+       plans for latency. But at 100 TB a single micro-batch can be
+       cluster-sized, where losing AQE's coalescing and skew-split is
+       the wrong trade — so the dial is SIZE-AWARE: callers pass their
+       per-batch input bound (``approx_batch_bytes``, e.g.
+       ``_max_file_bytes(stage)`` under maxFilesPerTrigger=1) and AQE
+       stays ON when it crosses ``_INGEST_AQE_MIN_BATCH_BYTES``. The one
+       plan decision small batches wanted from AQE — the hot-key cap's
+       guarded broadcast anti-join — is handled explicitly
+       (``drop_hot_keys(lazy_broadcast_hint=...)``).
+       SPARK_GRAFT_INGEST_AQE=1/0 still force-overrides both regimes.
     """
     import os
 
     sess.conf.set(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
     )
-    if os.environ.get("SPARK_GRAFT_INGEST_AQE", "0") != "1":
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
+    env = os.environ.get("SPARK_GRAFT_INGEST_AQE")
+    if env is not None and env in ("0", "1"):
+        enable = env == "1"
+    else:
+        enable = (approx_batch_bytes or 0) >= _INGEST_AQE_MIN_BATCH_BYTES
+    sess.conf.set("spark.sql.adaptive.enabled", "true" if enable else "false")
 
 
 def _arrival_tags(bdf: DataFrame, col: str = "arrival_batch") -> list[int]:
@@ -1305,7 +1332,7 @@ def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFram
         state["last_bid"] = bid
 
     sess_stream = _docs_stream_session(spark)
-    _ingest_conf(sess_stream)
+    _ingest_conf(sess_stream, approx_batch_bytes=_max_file_bytes(stage))
     stream = (
         sess_stream
         .readStream.schema(sch)
@@ -1540,7 +1567,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["has_seen"] = True
 
     sess_stream = _docs_stream_session(spark)
-    _ingest_conf(sess_stream)
+    _ingest_conf(sess_stream, approx_batch_bytes=_max_file_bytes(stage))
     stream = (
         sess_stream
         .readStream.schema(sch)
@@ -1712,7 +1739,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     # on the semdedup sibling).
     sh_expr = F.explode(word_shingles(words("text"), 3)).alias("shingle")
 
-    state = {"last_bid": None, "last_arr": -1, "bd_seen": False}
+    state = {"last_bid": None, "last_arr": -1, "bd_seen": False, "rows": 0}
 
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
@@ -1842,6 +1869,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
                 "band_key",
                 "arr",
             ).unionByName(pool_src)
+        state["rows"] += int(og["n"])
         pool = drop_hot_keys(
             pool_src,
             ["band_idx", "band_key"],
@@ -1849,6 +1877,10 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             what="minhash band bucket",
             lazy=True,  # per-batch caller: zero driver actions (r15)
             lazy_broadcast_hint=True,  # AQE is off in the batch jobs
+            # cumulative corpus bound from the arrival Observations (no
+            # extra action): caps the hinted hot-set cardinality (r16);
+            # 8 band rows per doc
+            expected_rows=state["rows"] * 8,
         )
         cand = (
             # probe is batch-bounded (8 band rows per arriving doc) —
@@ -1932,7 +1964,7 @@ def streaming_minhash_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
         state["last_arr"] = arrival
 
     sess_stream = _docs_stream_session(spark)
-    _ingest_conf(sess_stream)
+    _ingest_conf(sess_stream, approx_batch_bytes=_max_file_bytes(stage))
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
@@ -2325,38 +2357,52 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__cos6")
     )
 
-    state = {"last_bid": None, "last_arr": -1, "vec_seen": False}
+    state = {"last_bid": None, "last_arr": -1, "vec_seen": False, "rows": 0}
 
     def apply(bdf, bid):
         if state["last_bid"] is not None and bid <= state["last_bid"]:
             return
         sess = bdf.sparkSession
-        # 1) bucket state: L (t, b) signature rows per vector, bucketed
-        #    and bucket-ALIGNED on b (the state-table-first batching of
-        #    the minhash sibling: the append the batch owes anyway IS the
-        #    materialization every consumer re-reads pre-partitioned).
-        #    The arrival probe is FOLDED into this append (r15 trim, see
-        #    the minhash sibling): arr comes from the data, the
-        #    Observation rides the same write job, and the disorder
-        #    guard fires right after it.
+        # Signature rows derived INLINE and persisted (r16, the minhash
+        # sibling's bd_new idiom brought over): ONE hyperplane-signature
+        # pass feeds the bucket append, the probe AND the candidate
+        # pool's inline side — the pre-r16 shape computed the signatures
+        # once but then re-READ the just-written state table for both
+        # probe and pool, serializing the whole verify behind the bucket
+        # append's commit + re-scan. Batch-bounded (L rows per arriving
+        # vector), explicitly unpersisted below.
         obs = Observation()
-        bdf.observe(
-            obs,
-            F.min("arrival_batch").alias("lo"),
-            F.max("arrival_batch").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).select(
-            "vec_id", sig_expr, F.col("arrival_batch").cast("int").alias("arr")
-        ).select(
-            "vec_id",
-            F.col("__tb.t").alias("t"),
-            F.col("__tb.b").alias("b"),
-            "arr",
-        ).repartition(_STATE_PARTS, F.col("b")).write.mode(
+        sg_new = (
+            bdf.observe(
+                obs,
+                F.min("arrival_batch").alias("lo"),
+                F.max("arrival_batch").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "vec_id",
+                sig_expr,
+                F.col("arrival_batch").cast("int").alias("arr"),
+            )
+            .select(
+                "vec_id",
+                F.col("__tb.t").alias("t"),
+                F.col("__tb.b").alias("b"),
+                "arr",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # 1) bucket state: L (t, b) signature rows per vector, bucketed
+        #    and bucket-ALIGNED on b. The arrival probe is FOLDED into
+        #    this append (r15 trim): arr comes from the data, the
+        #    Observation rides the same write job (which also populates
+        #    the sg_new cache), and the disorder guard fires right after.
+        sg_new.repartition(_STATE_PARTS, F.col("b")).write.mode(
             "append"
         ).bucketBy(_STATE_PARTS, "b").sortBy("b").saveAsTable(bkt_t)
         og = obs.get
         if og["n"] == 0:
+            sg_new.unpersist()
             state["last_bid"] = bid
             return
         if og["lo"] != og["hi"] or int(og["lo"]) <= state["last_arr"]:
@@ -2366,39 +2412,64 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "refusing to mis-order the prefix"
             )
         arrival = int(og["lo"])
-        bk_all = sess.table(bkt_t)
-        # The per-batch literal is confined to the SCAN filter (where it
-        # drives file-stats pruning); downstream the arrival tag travels
-        # as the carried `__arr_n` DATA column so the probe/candidate
-        # stages' generated code is byte-identical across batches and the
-        # codegen cache serves batches 1..n (a changing literal
-        # recompiled them every batch — r15, see the minhash sibling).
-        probe = (
-            bk_all.filter(F.col("arr") == arrival)
-            .select(
-                F.col("vec_id").alias("id_n"),
-                "t",
-                F.explode(
-                    F.array(
-                        F.col("b"),
-                        *[
-                            F.col("b").bitwiseXOR(F.lit(1 << i).cast("long"))
-                            for i in range(n_planes)
-                        ],
-                    )
-                ).alias("b"),
-                F.col("arr").alias("__arr_n"),
+        # Batch-bounded vector frame, persisted (r16): vec + norm are
+        # recomputed from the batch file ONCE and serve the verify's new
+        # side (va), the first-batch old side (vb) and the flag-carrying
+        # vec append — the pre-r16 shape re-derived them per consumer.
+        vec_new = (
+            bdf.select(
+                "vec_id",
+                vec_expr,
+                nrm_expr,
+                F.col("arrival_batch").cast("int").alias("arr"),
             )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # Probe comes from the inline signature frame (r16 — the minhash
+        # idiom): no state read-back, no per-batch scan filter; the
+        # arrival tag travels as the carried `__arr_n` DATA column so the
+        # probe/candidate stages' generated code is byte-identical across
+        # batches and the codegen cache serves batches 1..n.
+        probe = sg_new.select(
+            F.col("vec_id").alias("id_n"),
+            "t",
+            F.explode(
+                F.array(
+                    F.col("b"),
+                    *[
+                        F.col("b").bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("b"),
+            F.col("arr").alias("__arr_n"),
+        )
+        # Candidate pool = prior state UNION the inline batch rows — the
+        # same relation the former post-append table scan produced (this
+        # batch's own append carries arr == arrival; the scan filter
+        # excludes exactly those rows, the cached inline side re-adds
+        # them without re-reading the files it just wrote).
+        pool_src = sg_new.select(
+            F.col("vec_id").alias("id_o"), "t", "b", "arr"
+        )
+        if state["vec_seen"]:
+            pool_src = (
+                sess.table(bkt_t)
+                .filter(F.col("arr") < arrival)
+                .select(F.col("vec_id").alias("id_o"), "t", "b", "arr")
+                .unionByName(pool_src)
+            )
+        state["rows"] += int(og["n"])
         pool = drop_hot_keys(
-            bk_all.select(
-                F.col("vec_id").alias("id_o"), "t", "b", "arr"
-            ),
+            pool_src,
             ["t", "b"],
             max_rows_per_key=50_000,
             what="semdedup ingest bucket",
             lazy=True,  # per-batch caller: zero driver actions (r15)
             lazy_broadcast_hint=True,  # AQE is off in the batch jobs
+            # cumulative corpus bound from the arrival Observations (no
+            # extra action): caps the hinted hot-set cardinality (r16)
+            expected_rows=state["rows"] * n_tables,
         )
         cand = (
             probe.join(pool, ["t", "b"])
@@ -2413,24 +2484,18 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         # 2) exact cos6 verify, then ONE vec-state append that carries
-        #    the accepted flag (r15 fold: the former separate results
-        #    table cost a third per-batch commit for rows keyed
-        #    identically to the vec state — results now RIDE the vec
-        #    rows, 3 commits/batch -> 2). The current batch's vectors
-        #    are a map-only recompute from bdf (cheaper than a
-        #    materialize-then-read-back just to serve this one join);
+        #    the accepted flag (r15 fold: 3 commits/batch -> 2). The
+        #    current batch's vectors come from the cached vec_new frame;
         #    the OLD side still reads the bucketed state pre-partitioned.
-        va = bdf.select(
+        va = vec_new.select(
             F.col("vec_id").alias("id_n"),
-            vec_expr,
-            nrm_expr,
-        ).select(
-            "id_n", F.col("vec").alias("__vn"), F.col("nrm").alias("__nn")
+            F.col("vec").alias("__vn"),
+            F.col("nrm").alias("__nn"),
         )
-        vb = bdf.select(
-            F.col("vec_id").alias("id_o"), vec_expr, nrm_expr
-        ).select(
-            "id_o", F.col("vec").alias("__vo"), F.col("nrm").alias("__no")
+        vb = vec_new.select(
+            F.col("vec_id").alias("id_o"),
+            F.col("vec").alias("__vo"),
+            F.col("nrm").alias("__no"),
         )
         if state["vec_seen"]:
             # prior batches' vectors come pre-bucketed from the state
@@ -2448,26 +2513,24 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the batch's own vectors are verify-stage-bounded, so hinting
         # them keeps the state side map-only (scanned pre-bucketed, never
         # exchanged per batch) — the direction that survives corpus
-        # growth, and the plan AQE picked at runtime anyway.
+        # growth, and the plan AQE picked at runtime anyway. The join is
+        # FLAT (r16): cand broadcasts into the state-sized vb, then the
+        # bounded result picks up the new side from broadcast va — the
+        # former nested form broadcast (cand JOIN broadcast va) as one
+        # build, which serialized two broadcast builds; va's build is now
+        # independent of cand's and overlaps it.
         rejected = (
-            F.broadcast(cand.join(F.broadcast(va), "id_n"))
+            F.broadcast(cand)
             .join(vb, "id_o")
+            .join(F.broadcast(va), "id_n")
             .withColumn("__cos6", cos6_expr)
             .filter(F.col("__cos6") >= F.lit(thr).cast("long"))
             .select(F.col("id_n").alias("vec_id"))
             .distinct()
         )
-        # accepted rides ONE left join straight into the vec append (the
-        # former two-step — build an `acc` frame off bdf, then inner-join
-        # it back onto a second bdf projection — recomputed the batch
-        # scan and paid one extra join per batch for the same rows); the
-        # arrival tag comes off the data, not a per-batch literal.
-        bdf.select(
-            "vec_id",
-            vec_expr,
-            nrm_expr,
-            F.col("arrival_batch").cast("int").alias("arr"),
-        ).join(
+        # accepted rides ONE left join straight into the vec append; the
+        # arrival tag comes off the cached data, not a per-batch literal.
+        vec_new.join(
             # rejected is batch-bounded (ids of the current batch only);
             # broadcast-hinted because the batch jobs run with AQE off
             F.broadcast(rejected.withColumn("__rej", F.lit(True))),
@@ -2485,15 +2548,18 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_t
         )
         # Loop-caller release contract: drop the hot-set checkpoint
-        # blocks drop_hot_keys pinned for this batch (ADVICE r14).
+        # blocks drop_hot_keys pinned for this batch (ADVICE r14), and
+        # the batch-scoped persists with them.
         release_eager_checkpoints(pool)
+        sg_new.unpersist()
+        vec_new.unpersist()
         state["vec_seen"] = True
         state["last_bid"] = bid
         state["last_arr"] = arrival
 
     sch = spark.read.parquet(stage).schema
     sess_stream = _docs_stream_session(spark)
-    _ingest_conf(sess_stream)
+    _ingest_conf(sess_stream, approx_batch_bytes=_max_file_bytes(stage))
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
@@ -2711,7 +2777,7 @@ def streaming_kmeans_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sch = spark.read.parquet(stage).schema
     sess_stream = _docs_stream_session(spark)
-    _ingest_conf(sess_stream)
+    _ingest_conf(sess_stream, approx_batch_bytes=_max_file_bytes(stage))
     stream = (
         sess_stream.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
