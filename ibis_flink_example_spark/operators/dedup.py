@@ -42,6 +42,7 @@ def drop_hot_keys(
     log_dropped: bool = False,
     lazy: bool = False,
     lazy_broadcast_hint: bool = False,
+    expected_rows: int | None = None,
 ) -> DataFrame:
     """Drop all rows whose join-key group exceeds ``max_rows_per_key`` —
     the skew guard every bucketed pair-generation self-join needs at scale.
@@ -65,7 +66,10 @@ def drop_hot_keys(
     were dropped. ``lazy=True`` returns a pure plan (no driver actions:
     AQE provides the guarded broadcast at runtime) — the form for
     per-micro-batch loop callers, where the eager arm's two actions per
-    call are measurable overhead.
+    call are measurable overhead. Logging REQUIRES counting the hot set,
+    so ``log_dropped=True`` takes the eager arm even under ``lazy=True``
+    (ADVICE r15: the lazy arm used to ignore it silently, making the
+    warning unfireable from callers that forward both flags).
 
     Checkpoint lifetime (caller-release contract, same as chunking/text):
     when the hot set is non-empty its eager ``localCheckpoint`` blocks are
@@ -77,6 +81,8 @@ def drop_hot_keys(
     if max_rows_per_key is None:
         return df
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__kn"))
+    if lazy and log_dropped:
+        lazy = False  # the warning needs the eager arm's hot-set count
     if lazy:
         # Zero-action form for per-micro-batch callers (r15 ingest-cost
         # trim): no eager checkpoint, no driver-side hot-set count — the
@@ -100,8 +106,21 @@ def drop_hot_keys(
             # CARDINALITY stays broadcastable — it is bounded by
             # n_rows / max_rows_per_key keys (e.g. ~1e9 banded rows at a
             # 50k cap -> <= 2e4 keys); deployments beyond ~1e8 expected
-            # hot keys should re-enable AQE instead of hinting.
-            hot_lazy = F.broadcast(hot_lazy)
+            # hot keys should re-enable AQE instead of hinting. The bound
+            # is enforced at runtime when the caller can supply it
+            # (ADVICE r15): ``expected_rows`` (e.g. the ingest loops'
+            # cumulative Observation row counts — zero extra actions)
+            # caps the hot-set cardinality at
+            # expected_rows / max_rows_per_key; past the broadcast
+            # ceiling the hint is DROPPED and the static planner's
+            # shuffle anti-join degrades gracefully instead of OOMing
+            # the driver on a degenerate corpus.
+            if (
+                expected_rows is None
+                or expected_rows / max_rows_per_key
+                <= _MAX_BROADCAST_HOT_KEYS
+            ):
+                hot_lazy = F.broadcast(hot_lazy)
         return df.join(hot_lazy, key_cols, "left_anti")
     hot = (
         counts.filter(F.col("__kn") > max_rows_per_key)

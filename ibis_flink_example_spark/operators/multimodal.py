@@ -291,6 +291,10 @@ def payload_pixel_codes(payload_col: Column | str) -> Column:
     # non-empty input), so the empty-payload case is handled by one
     # scalar length guard instead of an interpreted per-element filter
     # pass over every character (r15; one fewer HOF pass per row).
+    # MINIMUM Spark 3.3.1 (SPARK-40194): older releases keep a trailing
+    # empty element from a zero-width split, which this guard does NOT
+    # filter — tests/test_plan_audits pins size(split('ab','')) == 2 on
+    # the running engine so a version downgrade fails loudly (ADVICE r15).
     return F.when(
         F.length(s) == 0, F.array().cast("array<int>")
     ).otherwise(F.transform(F.split(s, ""), lambda c: F.ascii(c)))

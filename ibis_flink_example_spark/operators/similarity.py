@@ -198,6 +198,15 @@ def multitable_signature_structs(
     left-to-right summation as ``dot_lit`` — IEEE-identical."""
     n_tables = len(tables)
     n_planes = len(tables[0])
+    # Ragged input would silently read a NEIGHBORING table's plane rows
+    # from the flattened matrix (element_at does not error on most ragged
+    # shapes) — the unrolled form this replaced handled ragged tables
+    # correctly, so guard the flattening assumption (ADVICE r15).
+    if any(len(planes) != n_planes for planes in tables):
+        raise ValueError(
+            "multitable_signature_structs requires every table to have "
+            f"the same plane count; got {[len(p) for p in tables]}"
+        )
     mat = _lit_vectors([p for planes in tables for p in planes])
 
     def one_table(t: Column) -> Column:

@@ -24,17 +24,32 @@ from pyspark.sql import SparkSession
 # (reference: generate_source_data.py:20).
 REFERENCE_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
 
+def _default_driver_mem() -> str:
+    """Driver heap for LOCAL-mode sessions (r15, guide §5): unset, Spark
+    defaults to 1g — a local[32] run then executes 32 concurrent tasks,
+    every shuffle/broadcast/codegen cache, AND the scheduler inside ONE
+    1 GiB JVM. Measured on the bench host (128 GiB RAM): constant GC
+    pressure, 2-10x run-to-run timing swings, and spurious "Not enough
+    memory to build and broadcast" failures. The default is
+    min(24g, half of physical RAM) (ADVICE r15: an unconditional 24g
+    would let the OS OOM-kill the JVM on smaller hosts instead of
+    GC-throttling). Static conf — applies when this builder launches the
+    JVM (bench.py, tests, examples); a cluster deployment sizes
+    driver/executor memory in spark-submit and this value is ignored
+    there. Overridable via SPARK_GRAFT_DRIVER_MEM."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_gib = int(total // (2 * 1024**3))
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        half_gib = 24
+    return f"{max(1, min(24, half_gib))}g"
+
+
 DEFAULT_CONF = {
-    # Driver heap for LOCAL-mode sessions (r15, guide §5): unset, Spark
-    # defaults to 1g — a local[32] run then executes 32 concurrent tasks,
-    # every shuffle/broadcast/codegen cache, AND the scheduler inside ONE
-    # 1 GiB JVM. Measured on the bench host (128 GiB RAM): constant GC
-    # pressure, 2-10x run-to-run timing swings, and spurious "Not enough
-    # memory to build and broadcast" failures. Static conf — applies when
-    # this builder launches the JVM (bench.py, tests, examples); a
-    # cluster deployment sizes driver/executor memory in spark-submit and
-    # this value is ignored there. Overridable via SPARK_GRAFT_DRIVER_MEM.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.driver.memory": _default_driver_mem(),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
