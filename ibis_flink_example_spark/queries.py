@@ -54,77 +54,78 @@ from ibis_flink_example_spark import queries_analytics  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registry entries
 # against their DuckDB oracles, so registry order is a verification budget.
-# Round-15 rotation (VERDICT r14 top-next #1 — exactly full at
-# 2 + 5 + 2 + 1 + 40 = 50): sentinels; then EVERY entry of r14's
-# _NEXT_ROUND_FIRST_ROWS queue (the 5 late-r14 registrations with zero
-# external rows across all rounds — judge-verified exact in the r14
-# full sim); then first-rows for BOTH new r15 registrations (the
-# executed state-table compaction arm — VERDICT #5 — and the
-# BPE-token-basis epoch budget — VERDICT #6); then the r8-era
-# cms_join_size_estimate (the single oldest external row in the fleet,
-# deferred from r14); then 40 of the 44-query r9-era cohort (the
-# stalest remaining external rows). The four r9 deferrals —
-# slide_5m_1m, session_30m, streaming_static_join, warehouse_roundtrip,
-# each among the most test-covered of the cohort locally
-# (tests/test_streaming.py pins the first three's window/join
-# semantics, test_sources_api the warehouse roundtrip) — are queued
-# below so the r16 rotation seats them first. dedup_minhash is the one
-# rows-only entry in the window (hash-unmirrorable by design).
+# Round-16 rotation (VERDICT r15 top-next #2 — exactly full at
+# 2 + 5 + 2 + 41 = 50): sentinels; then EVERY entry of r15's
+# _NEXT_ROUND_FIRST_ROWS queue (the four r9-cohort deferrals — the
+# stalest external rows in the fleet — plus state_table_retention,
+# registered late-r15 with zero external rows); then BOTH heavy ingests
+# (streaming_semdedup_ingest restructured THIS round — probe/pool from
+# the inline batch frame — and streaming_minhash_neardup_ingest, whose
+# r15 ride-along refactor never got an external row, last seated r13);
+# then 41 of the 48-query r10-era cohort (the stalest remaining
+# rows, including every ORACLE-BEARING r15 bind_col/image/
+# pair-generator touchee: decontaminate_ngram, text_repetition,
+# image_phash_neardup_pairs, ngram_jaccard_pairs, embedding_quantize,
+# ...; the rows-only dedup_simhash_pairs is excluded — see the
+# _NEXT_ROUND_FIRST_ROWS note).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned sentinels (green every round; regression tripwires)
     "over_range_sum_10s",
     "dedup_exact",
-    # first-rows: the r14 deferral queue, seated in full (VERDICT #1)
-    "semdedup_kmeans",
-    "semdedup_kmeans_recall",
-    "streaming_kmeans_ingest",
-    "kmeans_convergence_churn",
-    "bitext_margin_mining",
-    "state_table_compaction",
-    "mixture_epoch_budget_bpe",
-    "cms_join_size_estimate",
-    "approx_quantiles_value",
-    "try_functions",
-    "variant_props",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_global_sales_opportunity",
-    "dedup_minhash",
-    "cosine_topk",
-    "embedding_neardup_pairs",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "curation_pipeline",
-    "bm25_topk_docs",
-    "feature_hash_buckets",
-    "dsir_target_weights",
-    "embedding_top_pc",
-    "lang_score_calibration",
-    "calibration_by_source",
-    "posting_lists_top_terms",
-    "split_train_val_test",
-    "sample_stratified_cap",
-    "connected_components_distributed",
-    "twap_user_value",
-    "rendezvous_shard_plan",
-    # positions 51+: the four r9 deferrals (queued below), then the
-    # r9-r14 greens and the rest of the registry in registration order.
+    # first-rows: the r15 deferral queue, seated in full (VERDICT #2)
+    "slide_5m_1m",
+    "session_30m",
+    "streaming_static_join",
+    "warehouse_roundtrip",
+    "state_table_retention",
+    # the heavy ingests, so this round's restructure (semdedup) and the
+    # r15 ride-alongs (minhash) get fresh external rows
+    "streaming_semdedup_ingest",
+    "streaming_minhash_neardup_ingest",
+    # 41 of the r10-era cohort (stalest external rows; r15-touched first)
+    "decontaminate_ngram",
+    "text_repetition",
+    "text_fingerprint",
+    "text_winnow_sketch",
+    "text_pii_redact",
+    "text_tfidf_top_terms",
+    "term_heavy_hitters",
+    "token_length_histogram",
+    "strip_high_df_terms",
+    "semantic_dedup",
+    "exists_subquery_customers",
+    "ngram_jaccard_pairs",
+    "simhash_exact_dup_coverage",
+    "embedding_quantize",
+    "embedding_centroid_by_label",
+    "cosine_topk_lsh",
+    "image_blockhash_signatures",
+    "image_phash_neardup_pairs",
+    "rrf_hybrid_retrieval",
+    "roc_auc_lang_score",
+    "roc_threshold_sweep",
+    "streaming_neardup_ingest",
+    "streaming_funnel",
+    "chunk_documents_200_50",
+    "pack_sequences_2k",
+    "pps_systematic_sample",
+    "epoch_shuffle_plan",
+    "multimodal_meta",
+    "multimodal_resize_plan",
+    "agg_salted_skew",
+    "asof_join_clicks",
+    "range_join_events",
+    "over_range_sum_1h",
+    "cohort_retention_weekly",
+    "event_transitions",
+    "events_anomaly_zscore",
+    "funnel_view_click_purchase",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "merge_upsert_customers",
+    "data_quality_audit",
+    # positions 51+: the seven r10 deferrals (queued below), then the
+    # r10-r15 greens and the rest of the registry in registration order.
 )
 
 
@@ -133,17 +134,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # re-verify cohort). Machine-readable so the deferral cannot rot in a
 # comment — tests enforce that every entry is registered, oracle-bearing
 # and genuinely outside the current window, and the next round's
-# rotation empties it. (Unlike prior rounds these four DO have old r9
-# external rows — the queue here pins the staleness repayment order,
-# not a zero-evidence debt.)
+# rotation empties it. (All seven have old r10 external rows — the queue
+# pins the staleness repayment order, not a zero-evidence debt. They
+# were chosen as the cohort's simplest single-exchange relational/window
+# forms, each untouched since r10 and pinned locally by the full DuckDB
+# oracle gate + the fleet plan-hygiene audit. dedup_simhash_pairs — the
+# cohort's one rows-only entry — is NOT queued (the queue is for owed
+# FULL-oracle rows; a rows-only slot verifies little, the r15 lesson
+# from dedup_minhash) and waits for a later cohort rotation.)
 _NEXT_ROUND_FIRST_ROWS: tuple[str, ...] = (
-    "slide_5m_1m",  # r9 cohort, deferred from the r15 window
-    "session_30m",  # r9 cohort, deferred from the r15 window
-    "streaming_static_join",  # r9 cohort, deferred from the r15 window
-    "warehouse_roundtrip",  # r9 cohort, deferred from the r15 window
-    "state_table_retention",  # registered LATE r15 (after the rotation
-    # was seated); the compaction sibling has its r15 row, the retention
-    # arm's first external row is owed next round
+    "filtered_aggs",  # r10 cohort, deferred from the r16 window
+    "join_null_safe",  # r10 cohort, deferred from the r16 window
+    "posexplode_priorities",  # r10 cohort, deferred from the r16 window
+    "sample_hash_10pct",  # r10 cohort, deferred from the r16 window
+    "window_distribution",  # r10 cohort, deferred from the r16 window
+    "window_lag_lead",  # r10 cohort, deferred from the r16 window
 )
 
 
