@@ -32,13 +32,56 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Memo of LAZY fixture scans: (applicationId, path, mtime_ns) -> DataFrame.
+# This caches PLAN METADATA only — an unexecuted logical scan — never data:
+# every action over the returned frame still reads the parquet files, with
+# full pushdown/pruning freedom (a DataFrame is an immutable plan; reuse
+# cannot leak results across queries). Motivation (r16, VERDICT r15 #3):
+# each spark.read.parquet(path) call re-lists the path and re-infers the
+# schema from footers through py4j — measured 105-142 ms per call warm at
+# sf0.1, paid 1-3x by nearly every one of 294 queries (~60 s fleet-wide of
+# pure repeated metadata work). The mtime in the key makes a rewritten
+# fixture (tests with tmp dirs) miss the memo; bounded like
+# _SPLIT_PROBE_CACHE below. Keyed on applicationId: one JVM's sessions
+# share files/catalog, and a plan built on session A executes correctly
+# when composed from session B of the same context (execution conf binds
+# at action time from the acting frame's session).
+_SCAN_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SCAN_CACHE_MAX = 256
+
+# applicationId is itself a py4j roundtrip (~5-20 ms under load) — cache it
+# ON the SparkContext wrapper object so the memo dies with the context
+# (no id()-reuse hazard after a stop/start cycle).
+
+
+def _app_id(spark: SparkSession) -> str:
+    sc = spark.sparkContext
+    v = getattr(sc, "_graft_app_id", None)
+    if v is None:
+        v = sc.applicationId
+        sc._graft_app_id = v
+    return v
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one fixture table (ns-timestamps lowered to µs; see
     sources/files.py). Plain lazy scan so Catalyst keeps full pushdown and
-    pruning freedom — never cache here."""
+    pruning freedom — the memo above holds unexecuted plans, never data."""
     from ibis_flink_example_spark.sources.files import read_parquet
 
-    return read_parquet(spark, table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        key = (_app_id(spark), path, os.stat(path).st_mtime_ns)
+    except Exception:  # pragma: no cover - stat/context edge; just re-read
+        key = None
+    if key is not None and key in _SCAN_CACHE:
+        return _SCAN_CACHE[key]
+    df = read_parquet(spark, path)
+    if key is not None:
+        if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+            _SCAN_CACHE.clear()
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def drop_table_and_location(spark: SparkSession, name: str) -> None:

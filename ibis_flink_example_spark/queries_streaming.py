@@ -1321,7 +1321,11 @@ def streaming_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFram
                 "doc_id",
                 (F.col("doc_id") % 4).cast("long").alias("batch_id"),
             )
-            .join(hits, "doc_id", "left")
+            # hits is batch-bounded (ids of the current batch only);
+            # broadcast-hinted because the batch jobs run with AQE off —
+            # the static planner would otherwise estimate it from its
+            # corpus-sized ancestors (r16, the semdedup/minhash idiom)
+            .join(F.broadcast(hits), "doc_id", "left")
             .select(
                 "doc_id",
                 "batch_id",
